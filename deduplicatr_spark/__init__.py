@@ -1,0 +1,26 @@
+"""deduplicatr_spark — a PySpark-native near-duplicate detection + clustering engine.
+
+Built from scratch against the semantics of the public tool
+``kornysietsma/deduplicatr`` (exact-duplicate grouping via content hash +
+group-by, container rollups, containment filtering; see SURVEY.md §2.1),
+extended per BASELINE.json's north rule with MinHash/LSH, SimHash
+pigeonhole, suffix-array substring near-dup discovery, Jaccard pair
+verification and large-star/small-star connected-components clustering.
+
+Everything is the public PySpark DataFrame API + Arrow-vectorized pandas
+UDFs — zero per-row Python UDFs, no custom Catalyst rules.
+
+Layout:
+    config        — pinned pipeline configuration + config hashing
+    session       — SparkSession builder tuned for the pipeline
+    sources/      — input readers + the pluggable checkpoint store
+    functions/    — column functions and vectorized pandas UDFs
+    operators/    — the dedup operators (exact, lsh, simhash, verify, cc, ...)
+    plans/        — the staged pipeline orchestrator (checkpoint/lineage/resume)
+    streaming/    — incremental (streaming) exact-dedup against a hash index
+"""
+
+from deduplicatr_spark.config import PipelineConfig
+
+__version__ = "0.1.0"
+__all__ = ["PipelineConfig", "__version__"]

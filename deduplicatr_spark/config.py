@@ -1,0 +1,89 @@
+"""Pinned pipeline configuration.
+
+The reference (kornysietsma/deduplicatr) has a handful of CLI flags
+(roots, sketchy-hash threshold — reconstructed, src/deduplicatr/core.clj
+§ -main [M], SURVEY.md §2.1 O10). Our pipeline has materially more knobs
+(shingle k, MinHash width, LSH bands, SimHash distance, Jaccard τ), and
+"matching cluster assignments at identical shingle/signature config"
+(BASELINE.json north_rule) requires the whole config to be hashable and
+frozen into lineage rows — any drift invalidates checkpoints by design.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    # --- exact stage ---
+    # full-content sha256; the reference's MD5-of-bytes + folded length
+    # (file.clj § hash-of-file [M]) upgraded per BASELINE.json input_hint.
+    # (no knobs: exact semantics are pinned)
+
+    # --- normalization (SURVEY §2.4) ---
+    # Deterministic, language-agnostic, minimal: collapse runs of
+    # whitespace to one space, strip leading/trailing space. Code is
+    # case-sensitive → no lowercasing.
+    normalize_collapse_ws: bool = True
+
+    # --- shingling (SURVEY §2.5) ---
+    shingle_k: int = 9          # char shingles over normalized content
+    shingle_seed: int = 42
+
+    # --- MinHash (SURVEY §2.6) ---
+    n_hashes: int = 128
+    minhash_seed: int = 4242
+
+    # --- LSH banding (SURVEY §2.7) ---
+    n_bands: int = 32           # 32 bands × 4 rows = 128
+    # pair-explosion control: buckets with more than this many docs are
+    # capped (deterministic sample) and the drop is logged to metrics —
+    # no silent caps (SURVEY §2.13).
+    max_bucket_size: int = 64
+    lsh_partitions: int = 0     # 0 → leave to AQE / session shuffle conf
+
+    # --- SimHash (SURVEY §2.8) ---
+    simhash_bits: int = 64
+    hamming_d: int = 3          # pigeonhole chunks = hamming_d + 1
+
+    # --- verification (SURVEY §2.10) ---
+    jaccard_tau: float = 0.70
+
+    # --- suffix-array substring stage (SURVEY §2.9) ---
+    substring_min_len: int = 200
+    substring_partitions: int = 8   # corpus partitions for per-partition SA
+
+    # --- clustering (SURVEY §2.11) ---
+    cc_max_iters: int = 50
+
+    # --- skew (SURVEY §2.13) ---
+    hot_key_threshold: int = 10_000   # band buckets above this are salted/split
+    salt_buckets: int = 16
+
+    # --- checkpointing ---
+    checkpoint_format: str = "parquet"   # "iceberg" when the runtime jar exists
+
+    extra: dict = field(default_factory=dict)
+
+    def to_dict(self) -> dict:
+        return asdict(self)
+
+    @property
+    def band_rows(self) -> int:
+        assert self.n_hashes % self.n_bands == 0
+        return self.n_hashes // self.n_bands
+
+    @property
+    def config_hash(self) -> str:
+        """Deterministic hash of the full config — stamped into every
+        checkpoint marker and lineage row so resume never mixes configs."""
+        blob = json.dumps(self.to_dict(), sort_keys=True, default=str)
+        return hashlib.sha256(blob.encode("utf-8")).hexdigest()[:16]
+
+
+PINNED = PipelineConfig()
+"""The frozen config used by golden tests and cluster-match checks
+(FIXTURES.md §2)."""

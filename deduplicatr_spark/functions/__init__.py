@@ -1,0 +1,9 @@
+from deduplicatr_spark.functions.hashing import content_sha256, doc_id_col, normalized
+from deduplicatr_spark.functions.shingles import shingles_udf
+from deduplicatr_spark.functions.minhash import minhash_udf, band_hashes_udf
+from deduplicatr_spark.functions.simhash import simhash_udf
+
+__all__ = [
+    "content_sha256", "doc_id_col", "normalized",
+    "shingles_udf", "minhash_udf", "band_hashes_udf", "simhash_udf",
+]

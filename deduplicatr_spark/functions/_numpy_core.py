@@ -1,0 +1,162 @@
+"""Batch-vectorized numpy kernels behind the pandas UDFs.
+
+Design rule (BASELINE.json input_hint): zero per-row Python. Every
+kernel here operates on a whole Arrow batch at once — documents are
+concatenated into one byte buffer and all shingles/signatures are
+computed with flat numpy array ops (sliding windows, ``reduceat``
+segment reductions), never a per-document Python loop over characters
+or shingles. The only Python-level loops are over the ``n_hashes``
+hash functions (128 iterations per batch) and fixed 64-bit positions.
+
+Hash family: splitmix64 (public domain finalizer; Steele et al.,
+"Fast Splittable Pseudorandom Number Generators", OOPSLA 2014). MinHash
+uses ``min_i splitmix64(x ^ key_i)`` — a standard practical substitute
+for (a·x+b) mod p that stays in uint64 wraparound arithmetic and so
+vectorizes exactly (no 128-bit modular products needed).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_U64 = np.uint64
+_GOLDEN = _U64(0x9E3779B97F4A7C15)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over uint64 (wraparound)."""
+    z = (x + _GOLDEN).astype(_U64, copy=False)
+    z = (z ^ (z >> _U64(30))) * _U64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> _U64(27))) * _U64(0x94D049BB133111EB)
+    return z ^ (z >> _U64(31))
+
+
+def hash_keys(n: int, seed: int) -> np.ndarray:
+    """n deterministic uint64 keys from a seed."""
+    return splitmix64(np.arange(1, n + 1, dtype=_U64) * _GOLDEN + _U64(seed))
+
+
+def batch_char_shingles(contents: list[str], k: int, seed: int):
+    """k-char shingle sets (deduped, unordered) for a batch of strings.
+
+    Returns ``(flat, counts)``: ``flat`` is the concatenation of every
+    document's sorted unique shingle hashes (uint64), ``counts[i]`` the
+    number for document i (0 when ``len < k``). Fully vectorized: one
+    buffer, one sliding-window hash pass, one lexsort dedup.
+    """
+    n_docs = len(contents)
+    counts = np.zeros(n_docs, dtype=np.int64)
+    if n_docs == 0:
+        return np.empty(0, dtype=_U64), counts
+
+    bufs = [c.encode("utf-8") for c in contents]
+    lens = np.array([len(b) for b in bufs], dtype=np.int64)
+    big = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    if big.size < k:
+        return np.empty(0, dtype=_U64), counts
+
+    offsets = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+
+    # all windows over the concatenated buffer, then mask the ones that
+    # cross a document boundary
+    windows = np.lib.stride_tricks.sliding_window_view(big, k)  # (W, k) uint8
+    starts = np.arange(windows.shape[0], dtype=np.int64)
+    doc_idx = np.searchsorted(offsets[1:], starts, side="right")
+    valid = starts + k <= offsets[doc_idx + 1]
+    windows = windows[valid]
+    doc_idx = doc_idx[valid]
+
+    coef = hash_keys(k, seed)
+    h = splitmix64(windows.astype(_U64) @ coef)  # (W,) uint64, wraparound dot
+
+    # per-document dedup without a Python loop: sort by (doc, hash),
+    # drop consecutive equals within a doc
+    order = np.lexsort((h, doc_idx))
+    h = h[order]
+    doc_idx = doc_idx[order]
+    if h.size:
+        keep = np.empty(h.size, dtype=bool)
+        keep[0] = True
+        keep[1:] = (h[1:] != h[:-1]) | (doc_idx[1:] != doc_idx[:-1])
+        h = h[keep]
+        doc_idx = doc_idx[keep]
+    np.add.at(counts, doc_idx, 1)
+    return h, counts
+
+
+def segment_starts(counts: np.ndarray) -> np.ndarray:
+    starts = np.zeros(counts.size + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+    return starts
+
+
+def batch_minhash(flat: np.ndarray, counts: np.ndarray, n_hashes: int, seed: int):
+    """MinHash signatures for segmented shingle sets.
+
+    Returns ``(sigs, has_sig)``: ``sigs`` is (n_docs, n_hashes) uint64
+    (rows for empty docs are undefined), ``has_sig`` marks docs with ≥1
+    shingle. Loops over the 128 hash functions; each iteration is one
+    vectorized pass + one ``minimum.reduceat`` over the whole batch.
+    """
+    n_docs = counts.size
+    has_sig = counts > 0
+    sigs = np.zeros((n_docs, n_hashes), dtype=_U64)
+    if not has_sig.any():
+        return sigs, has_sig
+    ne_counts = counts[has_sig]
+    starts = segment_starts(ne_counts)[:-1]
+    keys = hash_keys(n_hashes, seed)
+    out = np.zeros((int(has_sig.sum()), n_hashes), dtype=_U64)
+    for i in range(n_hashes):
+        hv = splitmix64(flat ^ keys[i])
+        out[:, i] = np.minimum.reduceat(hv, starts)
+    sigs[has_sig] = out
+    return sigs, has_sig
+
+
+def batch_band_hashes(sigs: np.ndarray, n_bands: int, seed: int) -> np.ndarray:
+    """(n_docs, n_bands) uint64 band hashes from (n_docs, n_hashes) sigs.
+
+    Each band hashes its r rows with a splitmix64 chain; the band index
+    is folded in so identical values in different bands never collide.
+    """
+    n_docs, n_hashes = sigs.shape
+    r = n_hashes // n_bands
+    bands = sigs.reshape(n_docs, n_bands, r)
+    h = np.broadcast_to(
+        splitmix64(np.arange(n_bands, dtype=_U64) + _U64(seed))[None, :],
+        (n_docs, n_bands),
+    ).copy()
+    for j in range(r):
+        h = splitmix64(h ^ bands[:, :, j])
+    return h
+
+
+def batch_simhash(flat: np.ndarray, counts: np.ndarray):
+    """64-bit SimHash per segmented shingle set (unweighted).
+
+    Returns ``(fps, has_fp)``. Bit j of a doc's fingerprint is 1 iff at
+    least half of its shingle hashes have bit j set. Vectorized via a
+    loop over the 64 bit positions, each one ``add.reduceat`` pass.
+    """
+    n_docs = counts.size
+    has_fp = counts > 0
+    fps = np.zeros(n_docs, dtype=_U64)
+    if not has_fp.any():
+        return fps, has_fp
+    ne_counts = counts[has_fp]
+    starts = segment_starts(ne_counts)[:-1]
+    acc = np.zeros(int(has_fp.sum()), dtype=_U64)
+    half = ne_counts.astype(np.int64)
+    for j in range(64):
+        bit = ((flat >> _U64(j)) & _U64(1)).astype(np.int64)
+        ones = np.add.reduceat(bit, starts)
+        acc |= (_U64(1) << _U64(j)) * (2 * ones >= half).astype(_U64)
+    fps[has_fp] = acc
+    return fps, has_fp
+
+
+def to_i64(a: np.ndarray) -> np.ndarray:
+    """Reinterpret uint64 as int64 for Spark LongType columns."""
+    return a.view(np.int64)

@@ -1,0 +1,64 @@
+"""Fused feature-extraction pandas UDF — the pipeline's stage-2 hot path.
+
+One Arrow exchange computes shingles + MinHash signature + LSH band
+hashes + SimHash per document, instead of four separate UDF passes that
+would each re-serialize content/shingles across the JVM↔Python boundary.
+Shares the exact kernels with the individual UDFs (functions/shingles.py
+etc.), so unit tests on those cover this too; a dedicated test asserts
+fused == composed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from deduplicatr_spark.config import PipelineConfig
+from deduplicatr_spark.functions import _numpy_core as core
+
+FEATURES_TYPE = T.StructType(
+    [
+        T.StructField("shingles", T.ArrayType(T.LongType())),
+        T.StructField("minhash_sig", T.ArrayType(T.LongType())),
+        T.StructField("band_hashes", T.ArrayType(T.LongType())),
+        T.StructField("simhash", T.LongType()),
+    ]
+)
+
+
+def features_udf(config: PipelineConfig):
+    k, sseed = config.shingle_k, config.shingle_seed
+    n_hashes, mseed = config.n_hashes, config.minhash_seed
+    n_bands = config.n_bands
+
+    @F.pandas_udf(FEATURES_TYPE)
+    def _features(content: pd.Series) -> pd.DataFrame:
+        vals = content.fillna("").tolist()
+        flat, counts = core.batch_char_shingles(vals, k, sseed)
+        starts = core.segment_starts(counts)
+        shingle_rows = np.split(core.to_i64(flat), starts[1:-1])
+
+        sigs, has = core.batch_minhash(flat, counts, n_hashes, mseed)
+        fps, _ = core.batch_simhash(flat, counts)
+        bh = core.batch_band_hashes(sigs, n_bands, mseed)
+
+        n = counts.size
+        sig_rows = np.empty(n, dtype=object)
+        band_rows = np.empty(n, dtype=object)
+        sig_i64, bh_i64 = core.to_i64(sigs), core.to_i64(bh)
+        for i in np.flatnonzero(has):
+            sig_rows[i] = sig_i64[i]
+            band_rows[i] = bh_i64[i]
+        sim = pd.Series(core.to_i64(fps)).where(pd.Series(has), other=pd.NA).astype("Int64")
+        return pd.DataFrame(
+            {
+                "shingles": list(shingle_rows),
+                "minhash_sig": sig_rows,
+                "band_hashes": band_rows,
+                "simhash": sim,
+            }
+        )
+
+    return _features

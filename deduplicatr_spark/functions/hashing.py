@@ -1,0 +1,39 @@
+"""Row-level hashing + normalization — all Spark built-ins, zero UDFs.
+
+Exact-dup identity is the full-content sha256 (BASELINE.json input_hint).
+The reference digests file *bytes* and folds the length into the digest
+(src/deduplicatr/hash.clj § add-long-to-digest! [M], SURVEY.md §2.1 O3);
+sha256 over the UTF-8 string needs no length folding — equal digests ⇒
+equal content for our purposes. The reference's "sketchy hash" shortcut
+(head+tail+length, O4) is deliberately NOT adopted: the per-row
+invariant demands the true content hash; its spirit survives as
+MinHash sketching in the near-dup stages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def content_sha256(col: str | Column = "content") -> Column:
+    """Full-content hash (reference O3, MD5→sha256 per north rule)."""
+    return F.sha2(F.col(col) if isinstance(col, str) else col, 256)
+
+
+def doc_id_col() -> Column:
+    """Stable 64-bit doc id from the natural key (repo, path, commit).
+
+    Never ``monotonically_increasing_id`` — ids must survive resume and
+    repartitioning (SURVEY.md §4.3.5).
+    """
+    return F.xxhash64(F.col("repo"), F.col("path"), F.col("commit"))
+
+
+def normalized(col: str | Column = "content") -> Column:
+    """Deterministic minimal code canonicalization before shingling
+    (SURVEY.md §2.4): collapse whitespace runs, trim. No lowercasing —
+    code is case-sensitive. Pure regexp built-ins → whole-stage codegen.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(c, r"\s+", " "))

@@ -1,0 +1,67 @@
+"""MinHash signature + LSH band-hash pandas UDFs (SURVEY.md §2.6–2.7).
+
+Signatures are ``min_i splitmix64(shingle ^ key_i)`` over the shingle
+set — one vectorized pass per hash function over the whole Arrow batch
+(see functions/_numpy_core.py). Band hashes fold the band index in, so
+the LSH explode can key buckets on the hash alone.
+
+Empty shingle sets yield NULL signatures/bands and are excluded from
+candidate generation by construction.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from deduplicatr_spark.config import PipelineConfig
+from deduplicatr_spark.functions import _numpy_core as core
+
+
+def _segments(arrays: pd.Series):
+    """Flatten a Series of int64 lists into (flat uint64, counts)."""
+    vals = [np.asarray(a if a is not None else [], dtype=np.int64) for a in arrays]
+    counts = np.array([v.size for v in vals], dtype=np.int64)
+    flat = (np.concatenate(vals) if vals else np.empty(0, dtype=np.int64)).view(np.uint64)
+    return flat, counts
+
+
+def _rows_of(sig_matrix: np.ndarray, mask: np.ndarray) -> pd.Series:
+    out = np.empty(mask.size, dtype=object)
+    i64 = core.to_i64(sig_matrix)
+    for idx in np.flatnonzero(mask):
+        out[idx] = i64[idx]
+    return pd.Series(out)
+
+
+def minhash_udf(config: PipelineConfig):
+    n_hashes, seed = config.n_hashes, config.minhash_seed
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _minhash(shingles: pd.Series) -> pd.Series:
+        flat, counts = _segments(shingles)
+        sigs, has = core.batch_minhash(flat, counts, n_hashes, seed)
+        return _rows_of(sigs, has)
+
+    return _minhash
+
+
+def band_hashes_udf(config: PipelineConfig):
+    n_bands, seed = config.n_bands, config.minhash_seed
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _bands(minhash_sig: pd.Series) -> pd.Series:
+        mask = minhash_sig.notna().to_numpy()
+        out = np.empty(mask.size, dtype=object)
+        if mask.any():
+            sigs = np.stack(
+                [np.asarray(s, dtype=np.int64) for s in minhash_sig[mask]]
+            ).view(np.uint64)
+            bh = core.to_i64(core.batch_band_hashes(sigs, n_bands, seed))
+            for row, idx in zip(bh, np.flatnonzero(mask)):
+                out[idx] = row
+        return pd.Series(out)
+
+    return _bands

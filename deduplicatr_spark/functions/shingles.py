@@ -1,0 +1,34 @@
+"""Shingling pandas UDF (SURVEY.md §2.5).
+
+Character k-shingles over *normalized* content, hashed to 64 bits,
+deduped per document (MinHash is defined on shingle *sets*). Documents
+shorter than k characters get an empty set — they carry no near-dup
+signal and are handled by the exact stage (empty/1-token degenerates).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from deduplicatr_spark.config import PipelineConfig
+from deduplicatr_spark.functions import _numpy_core as core
+
+
+def _shingle_batch(contents: pd.Series, k: int, seed: int) -> pd.Series:
+    vals = contents.fillna("").tolist()
+    flat, counts = core.batch_char_shingles(vals, k, seed)
+    flat = core.to_i64(flat)
+    return pd.Series(np.split(flat, core.segment_starts(counts)[1:-1]))
+
+
+def shingles_udf(config: PipelineConfig):
+    k, seed = config.shingle_k, config.shingle_seed
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _shingles(content: pd.Series) -> pd.Series:
+        return _shingle_batch(content, k, seed)
+
+    return _shingles

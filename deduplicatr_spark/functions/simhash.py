@@ -1,0 +1,28 @@
+"""SimHash pandas UDF (SURVEY.md §2.8).
+
+64-bit unweighted SimHash over the shingle set: bit j is the majority
+vote of bit j across the document's shingle hashes. Near-dups are pairs
+within Hamming distance d, found via pigeonhole bucketing
+(operators/pigeonhole.py) and verified with ``bit_count(a ^ b) <= d``
+— a pure built-in.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from deduplicatr_spark.config import PipelineConfig
+from deduplicatr_spark.functions import _numpy_core as core
+from deduplicatr_spark.functions.minhash import _segments
+
+
+def simhash_udf(config: PipelineConfig):  # noqa: ARG001 — bits pinned at 64
+    @F.pandas_udf(T.LongType())
+    def _simhash(shingles: pd.Series) -> pd.Series:
+        flat, counts = _segments(shingles)
+        fps, has = core.batch_simhash(flat, counts)
+        return pd.Series(core.to_i64(fps)).where(pd.Series(has), other=pd.NA).astype("Int64")
+
+    return _simhash

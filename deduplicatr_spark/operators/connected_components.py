@@ -1,0 +1,101 @@
+"""Connected components over the verified-pair graph (SURVEY.md §2.11).
+
+Large-star / small-star iteration (Kiveris, Lattanzi, Mirrokni, Rastogi,
+Vassilvitskii — "Connected Components in MapReduce and Beyond", SoCC
+2014): converges in O(log² n) rounds (O(log n) in practice) versus
+O(diameter) for plain label propagation — the difference between 5 and
+500 shuffles on a 10^12-node chain-ish graph.
+
+  large-star(u): connect every strictly-larger neighbor of u to
+                 m(u) = min(Γ(u) ∪ {u})
+  small-star(u): orient edges toward the larger endpoint; connect u and
+                 its smaller neighbors to their minimum
+
+Each round is two groupBy+join pairs on the edges DataFrame. Lineage is
+truncated every round with ``localCheckpoint`` (on a cluster: a
+checkpoint-table write) — without it the plan doubles per iteration
+(SURVEY.md §4.3.4). Convergence = edge-set checksum fixpoint, checked
+with a cheap commutative agg rather than a subtract/except.
+
+Labels are the component minimum doc_id — deterministic, so cluster
+assignments are reproducible across runs/partitionings (the
+cluster-match requirement, BASELINE.json north_rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from deduplicatr_spark.config import PipelineConfig
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    mins = sym.groupBy("src").agg(F.min("dst").alias("m"))
+    mins = mins.withColumn("m", F.least("m", F.col("src")))
+    return (
+        sym.join(mins, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    oriented = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+    mins = oriented.groupBy("src").agg(F.min("dst").alias("m"))
+    relinked = oriented.join(mins, "src").select(
+        F.col("dst").alias("src"), F.col("m").alias("dst")
+    )
+    self_links = mins.select("src", F.col("m").alias("dst"))
+    return (
+        relinked.union(self_links)
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _checksum(edges: DataFrame) -> tuple[int, int]:
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    pairs: DataFrame, config: PipelineConfig
+) -> tuple[DataFrame, int]:
+    """(doc_a, doc_b) edges → (doc_id, cluster_id) for every node that
+    appears in an edge; returns (labels, iterations). Isolated nodes are
+    absent — assignment coalesces them to their own id.
+    """
+    edges = (
+        pairs.select(
+            F.least("doc_a", "doc_b").alias("src"),
+            F.greatest("doc_a", "doc_b").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev = _checksum(edges)
+    iters = 0
+    for _ in range(config.cc_max_iters):
+        iters += 1
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        cur = _checksum(edges)
+        if cur == prev:
+            break
+        prev = cur
+    # converged: edges are (node, component-min) star links
+    labels = edges.select(
+        F.col("src").alias("doc_id"), F.col("dst").alias("cluster_id")
+    ).union(
+        edges.select(F.col("dst").alias("doc_id"), F.col("dst").alias("cluster_id"))
+    )
+    labels = labels.groupBy("doc_id").agg(F.min("cluster_id").alias("cluster_id"))
+    return labels, iters

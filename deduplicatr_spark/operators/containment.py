@@ -1,0 +1,44 @@
+"""Containment filter — the reference's ancestor suppression (O9).
+
+If an entire directory is duplicated, its member files are not reported
+individually (src/deduplicatr/duplicates.clj ancestor-filter helpers
+[M], SURVEY.md §2.1 O9). The reference walks parent chains in memory;
+at scale a ``startswith`` theta-join would be quadratic, so we explode
+each file's bounded ancestor-prefix list and use a plain *equi* left
+anti-join on (repo, dir) — shuffle-friendly and AQE-skew-splittable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from deduplicatr_spark.operators.rollup import _ancestor_dirs
+
+
+def suppress_contained(dup_files: DataFrame, dup_dir_locations: DataFrame) -> DataFrame:
+    """Drop file rows whose (repo, ancestor-dir) appears in
+    ``dup_dir_locations`` (columns: repo, dir).
+
+    ``dup_files`` must carry (repo, path); all other columns pass through.
+    """
+    with_ancestors = dup_files.withColumn("_anc", F.explode(_ancestor_dirs()))
+    survivors = with_ancestors.join(
+        dup_dir_locations.select("repo", F.col("dir").alias("_anc")).distinct(),
+        on=["repo", "_anc"],
+        how="left_anti",
+    )
+    # a file survives only if NONE of its ancestors matched: the anti-join
+    # removed matched (file, ancestor) rows, so re-group and keep files
+    # that kept their full ancestor count
+    n_anc = dup_files.withColumn("_n", F.size(_ancestor_dirs())).select(
+        "repo", "path", "_n"
+    )
+    kept = (
+        survivors.groupBy("repo", "path")
+        .agg(F.count(F.lit(1)).alias("_kept"))
+        .join(n_anc, ["repo", "path"])
+        .filter(F.col("_kept") == F.col("_n"))
+        .select("repo", "path")
+    )
+    return dup_files.join(kept, ["repo", "path"], "left_semi")

@@ -1,0 +1,57 @@
+"""Exact-duplicate stage — the reference's core query, Spark-first.
+
+Reference semantics preserved (SURVEY.md §2.1):
+  O3  hash-of-file        → ``sha2(content, 256)`` built-in
+  O7  group-by-hash, >1   → hash aggregate on ``sha256``
+  O8  size-desc ordering  → ``orderBy`` at report time only
+
+Scale notes: the canonical-per-group pick uses a window
+(``min(doc_id) over partitionBy(sha256)``) — one shuffle keyed on
+sha256, no ``collect_list`` of members (a 10^6-member boilerplate group
+would OOM a collect; a min() aggregates partially map-side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from deduplicatr_spark.functions.hashing import content_sha256, doc_id_col
+
+
+def with_identity(docs: DataFrame) -> DataFrame:
+    """Derive (doc_id, sha256, size) — zero UDFs, fully codegen'd."""
+    return (
+        docs.withColumn("doc_id", doc_id_col())
+        .withColumn("sha256", content_sha256("content"))
+        .withColumn("size", F.octet_length("content").cast("long"))
+    )
+
+
+def exact_canonical(identified: DataFrame) -> DataFrame:
+    """Per row: the canonical doc (min doc_id) of its sha256 group and
+    the group size. Only canonical rows proceed to near-dup stages —
+    exact dups inherit the canonical's cluster at assignment
+    (SURVEY.md §2.3).
+    """
+    w = Window.partitionBy("sha256")
+    return identified.withColumn("canonical_id", F.min("doc_id").over(w)).withColumn(
+        "exact_group_size", F.count(F.lit(1)).over(w)
+    )
+
+
+def duplicate_groups(identified: DataFrame) -> DataFrame:
+    """The reference's report: duplicate groups (|group| > 1) ordered by
+    size desc (O7+O8). One wide row per group with count + byte size;
+    member listing is a separate bounded query, not a collect_list.
+    """
+    return (
+        identified.groupBy("sha256")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("doc_id").alias("canonical_id"),
+            F.max("size").alias("bytes"),
+        )
+        .filter(F.col("n_dups") > 1)
+        .orderBy(F.desc("bytes"), F.asc("sha256"))
+    )

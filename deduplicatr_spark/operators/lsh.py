@@ -1,0 +1,151 @@
+"""LSH banding → candidate pairs (SURVEY.md §2.7, §2.13).
+
+No reference analogue — the reference's only "candidate generation" is
+exact hash equality (duplicates.clj § duplicates [H]); this stage is the
+north star's MinHash/LSH graft.
+
+Scale design (the part that must survive 100 TB):
+
+1. ``posexplode`` the per-doc band-hash array → (doc_id, band_id,
+   band_hash) rows; NULL (empty-shingle) docs never enter.
+2. Bucket sizes via ``groupBy(band_hash).count()`` — a commutative agg,
+   partial/map-side combined, so a degenerate bucket (license
+   boilerplate, empty files) never concentrates rows on one reducer.
+3. Hot buckets (> max_bucket_size) are *thinned before the shuffle* by a
+   deterministic hash-mod filter (broadcast join against the small hot
+   list) — this is the salted-skew answer: the heavy key never ships
+   more than ~2×cap rows to any partition. Every dropped row is
+   accounted for in the metrics output (no silent caps).
+4. ``repartitionByRange`` by band_hash (pinned by the north rule) —
+   equal keys land in one partition, ranges spread uniformly since
+   band hashes are uniform.
+5. Per-partition vectorized pair generation via ``mapInPandas`` with the
+   exact per-bucket cap (deterministic smallest-splitmix64 order), no
+   per-row Python.
+6. Global ``distinct()`` to dedupe pairs discovered by multiple bands.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from deduplicatr_spark.config import PipelineConfig
+from deduplicatr_spark.functions import _numpy_core as core
+
+PAIRS_SCHEMA = "doc_a long, doc_b long"
+_GEN_SCHEMA = "doc_a long, doc_b long, dropped long"
+
+
+def explode_bands(features: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_hash) — one row per non-null band."""
+    return features.filter(F.col("band_hashes").isNotNull()).select(
+        "doc_id", F.posexplode("band_hashes").alias("band_id", "band_hash")
+    )
+
+
+def _emit_buckets(bh: np.ndarray, doc: np.ndarray, cap: int):
+    """Pairs + drop count for contiguous (sorted-by-band_hash) rows."""
+    # deterministic in-bucket priority: smallest splitmix64(doc) survives
+    prio = core.to_i64(core.splitmix64(doc.view(np.uint64)))
+    order = np.lexsort((prio, bh))
+    bh, doc = bh[order], doc[order]
+    _, starts, counts = np.unique(bh, return_index=True, return_counts=True)
+    a_out, b_out, dropped = [], [], 0
+    for s, c in zip(starts[counts > 1], counts[counts > 1]):
+        m = int(c)
+        if m > cap:
+            dropped += m - cap
+            m = cap
+        bucket = np.sort(doc[s : s + m])
+        ia, ib = np.triu_indices(m, k=1)
+        a_out.append(bucket[ia])
+        b_out.append(bucket[ib])
+    a = np.concatenate(a_out) if a_out else np.empty(0, np.int64)
+    b = np.concatenate(b_out) if b_out else np.empty(0, np.int64)
+    return a, b, dropped
+
+
+def _pairgen(cap: int):
+    """Streaming per-partition pair generator.
+
+    Arrow hands a partition over as multiple batches; rows arrive sorted
+    by band_hash (sortWithinPartitions upstream), so a bucket can only
+    straddle *consecutive* batches — hold back the trailing bucket of
+    each batch and prepend it to the next (carry-over), flushing at end.
+    Memory stays O(batch + largest bucket), never O(partition).
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry_bh = np.empty(0, np.int64)
+        carry_doc = np.empty(0, np.int64)
+        total_dropped = 0
+
+        def flush(bh, doc):
+            nonlocal total_dropped
+            a, b, dropped = _emit_buckets(bh, doc, cap)
+            total_dropped += dropped
+            return pd.DataFrame({"doc_a": a, "doc_b": b, "dropped": 0})
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            bh = np.concatenate([carry_bh, pdf["band_hash"].to_numpy(np.int64)])
+            doc = np.concatenate([carry_doc, pdf["doc_id"].to_numpy(np.int64)])
+            tail = bh == bh[-1]
+            carry_bh, carry_doc = bh[tail], doc[tail]
+            head = ~tail
+            if head.any():
+                yield flush(bh[head], doc[head])
+        if carry_bh.size:
+            yield flush(carry_bh, carry_doc)
+        if total_dropped:
+            yield pd.DataFrame({"doc_a": [-1], "doc_b": [-1], "dropped": [total_dropped]})
+
+    return gen
+
+
+def lsh_candidate_pairs(
+    features: DataFrame, config: PipelineConfig
+) -> tuple[DataFrame, DataFrame]:
+    """Returns ``(pairs, drop_stats)``.
+
+    ``pairs``: distinct (doc_a < doc_b) candidate pairs.
+    ``drop_stats``: one-row frame (hot_buckets, thinned_rows,
+    capped_pairs_docs) for the metrics ledger.
+    """
+    cap = config.max_bucket_size
+    exploded = explode_bands(features)
+
+    sizes = exploded.groupBy("band_hash").agg(F.count(F.lit(1)).alias("n"))
+    hot = sizes.filter(F.col("n") > config.hot_key_threshold)
+
+    # thin ultra-hot buckets pre-shuffle: keep ~2*cap deterministic rows
+    annotated = exploded.join(F.broadcast(hot), "band_hash", "left")
+    keep_mod = F.greatest(F.floor(F.col("n") / F.lit(2 * cap)), F.lit(1))
+    thinned = annotated.filter(
+        F.col("n").isNull() | (F.pmod(F.xxhash64("doc_id", "band_hash"), keep_mod) == 0)
+    ).select("doc_id", "band_hash")
+
+    n_part = config.lsh_partitions or thinned.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions"
+    )
+    ranged = thinned.repartitionByRange(int(n_part), "band_hash").sortWithinPartitions(
+        "band_hash"
+    )
+    gen = ranged.mapInPandas(_pairgen(cap), schema=_GEN_SCHEMA)
+
+    pairs = gen.filter(F.col("doc_a") >= 0).select("doc_a", "doc_b").distinct()
+    drop_stats = gen.filter(F.col("doc_a") < 0).agg(
+        F.coalesce(F.sum("dropped"), F.lit(0)).alias("capped_docs")
+    ).crossJoin(
+        hot.agg(
+            F.count(F.lit(1)).alias("hot_buckets"),
+            F.coalesce(F.sum(F.col("n")), F.lit(0)).alias("hot_rows"),
+        )
+    )
+    return pairs, drop_stats

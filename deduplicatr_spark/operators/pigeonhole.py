@@ -1,0 +1,89 @@
+"""SimHash Hamming-bucket candidate generation (SURVEY.md §2.8).
+
+Pigeonhole principle: two 64-bit fingerprints within Hamming distance d
+must agree exactly on at least one of d+1 disjoint bit chunks. So we
+split the fingerprint into d+1 chunks (built-in ``shiftright`` + mask,
+no UDF), bucket on each (chunk_id, chunk_val), and verify candidates
+with ``bit_count(a ^ b) <= d`` — also a built-in. Recall within
+distance d is exact (a pigeonhole guarantee), subject only to the same
+bucket cap as LSH (logged, never silent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from deduplicatr_spark.config import PipelineConfig
+from deduplicatr_spark.operators.lsh import _pairgen
+
+
+def _explode_chunks(features: DataFrame, n_chunks: int) -> DataFrame:
+    width = 64 // n_chunks
+    mask = (1 << width) - 1
+    chunks = F.array(
+        *[
+            F.shiftright(F.col("simhash"), i * width).bitwiseAND(F.lit(mask))
+            for i in range(n_chunks)
+        ]
+    )
+    return features.filter(F.col("simhash").isNotNull()).select(
+        "doc_id",
+        "simhash",
+        F.posexplode(chunks).alias("chunk_id", "chunk_val"),
+    )
+
+
+def simhash_candidate_pairs(
+    features: DataFrame, config: PipelineConfig
+) -> tuple[DataFrame, DataFrame]:
+    """Returns ``(pairs, drop_stats)`` — pairs already Hamming-verified.
+
+    Buckets key on (chunk_id, chunk_val) folded into one 64-bit key so
+    the same range-partition + streaming pairgen machinery as LSH
+    applies (operators/lsh.py).
+    """
+    n_chunks = config.hamming_d + 1
+    exploded = _explode_chunks(features, n_chunks)
+    # fold (chunk_id, chunk_val) into one key: chunk_val < 2^(64/n_chunks)
+    keyed = exploded.select(
+        "doc_id",
+        (F.col("chunk_val") * n_chunks + F.col("chunk_id")).alias("band_hash"),
+    )
+
+    sizes = keyed.groupBy("band_hash").agg(F.count(F.lit(1)).alias("n"))
+    hot = sizes.filter(F.col("n") > config.hot_key_threshold)
+    cap = config.max_bucket_size
+    annotated = keyed.join(F.broadcast(hot), "band_hash", "left")
+    keep_mod = F.greatest(F.floor(F.col("n") / F.lit(2 * cap)), F.lit(1))
+    thinned = annotated.filter(
+        F.col("n").isNull() | (F.pmod(F.xxhash64("doc_id", "band_hash"), keep_mod) == 0)
+    ).select("doc_id", "band_hash")
+
+    n_part = config.lsh_partitions or thinned.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions"
+    )
+    ranged = thinned.repartitionByRange(int(n_part), "band_hash").sortWithinPartitions(
+        "band_hash"
+    )
+    gen = ranged.mapInPandas(_pairgen(cap), schema="doc_a long, doc_b long, dropped long")
+    raw_pairs = gen.filter(F.col("doc_a") >= 0).select("doc_a", "doc_b").distinct()
+
+    sims = features.select("doc_id", "simhash")
+    pairs = (
+        raw_pairs.join(sims.withColumnsRenamed({"doc_id": "doc_a", "simhash": "sim_a"}), "doc_a")
+        .join(sims.withColumnsRenamed({"doc_id": "doc_b", "simhash": "sim_b"}), "doc_b")
+        .filter(
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))) <= config.hamming_d
+        )
+        .select("doc_a", "doc_b")
+    )
+    drop_stats = gen.filter(F.col("doc_a") < 0).agg(
+        F.coalesce(F.sum("dropped"), F.lit(0)).alias("capped_docs")
+    ).crossJoin(
+        hot.agg(
+            F.count(F.lit(1)).alias("hot_buckets"),
+            F.coalesce(F.sum("n"), F.lit(0)).alias("hot_rows"),
+        )
+    )
+    return pairs, drop_stats

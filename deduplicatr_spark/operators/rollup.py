@@ -1,0 +1,69 @@
+"""Directory rollup — the reference's DirSummary, as a prefix aggregation.
+
+The reference accumulates per-directory (hash, bytes, filecount) by
+*commutative BigInteger addition* during its walk, so a directory's
+identity is independent of child order (src/deduplicatr/file.clj §
+accumulate-dir-summary [M], SURVEY.md §2.1 O5, §4.1). Spark gives the
+same property for free: a commutative ``sum`` runs as a partial+final
+hash aggregate regardless of row order or partitioning.
+
+Here the "tree" is the path column: a file ``src/a/b.py`` belongs to
+directories ``src`` and ``src/a``. We explode each file's ancestor
+prefixes (bounded by path depth — typically < 20) and aggregate. The
+directory hash is the sum of each child's sha256 (first 15 hex chars as
+a decimal — matching the reference's add-digests-as-integers trick)
+plus sum(bytes) and filecount; two dirs are duplicates iff all three
+agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _ancestor_dirs(path_col: str = "path") -> F.Column:
+    """Array of ancestor directory prefixes of a '/'-separated path
+    (excluding the file itself); '' is the repo root."""
+    parts = F.split(F.col(path_col), "/")
+    dirs = F.slice(parts, 1, F.greatest(F.size(parts) - 1, F.lit(0)))
+    return F.concat(
+        F.array(F.lit("")),
+        F.transform(
+            F.sequence(F.lit(1), F.size(dirs)),
+            lambda i: F.array_join(F.slice(dirs, 1, i), "/"),
+        ),
+    )
+
+
+def dir_rollup(identified: DataFrame) -> DataFrame:
+    """Per (repo, dir): commutative hash / bytes / filecount rollup."""
+    exploded = identified.select(
+        "repo",
+        F.explode(_ancestor_dirs()).alias("dir"),
+        "sha256",
+        "size",
+    )
+    child_hash = F.conv(F.substring("sha256", 1, 15), 16, 10).cast("decimal(38,0)")
+    return exploded.groupBy("repo", "dir").agg(
+        F.sum(child_hash).alias("dir_hash"),
+        F.sum("size").alias("bytes"),
+        F.count(F.lit(1)).alias("filecount"),
+    )
+
+
+def duplicate_dirs(rollup: DataFrame) -> DataFrame:
+    """Directory-level duplicate groups: same (dir_hash, bytes,
+    filecount) across ≥2 (repo, dir) locations — the reference's
+    dir-level duplicates (empty dirs excluded, as the reference's
+    summary of an empty dir is trivial)."""
+    return (
+        rollup.filter(F.col("filecount") > 0)
+        .groupBy("dir_hash", "bytes", "filecount")
+        .agg(
+            F.count(F.lit(1)).alias("n_dirs"),
+            F.min(F.concat_ws("/", "repo", "dir")).alias("first_location"),
+        )
+        .filter(F.col("n_dirs") > 1)
+        .orderBy(F.desc("bytes"), F.asc("dir_hash"))
+    )

@@ -1,0 +1,41 @@
+"""Candidate-pair verification: exact Jaccard on shingle sets
+(SURVEY.md §2.10).
+
+Pure built-ins: shingle arrays are already deduped sets, so
+``|A ∩ B|`` = ``size(array_intersect)`` and ``|A ∪ B|`` = |A| + |B| − |A∩B|
+(cheaper than materializing ``array_union``). Two sort-merge joins keyed
+on doc_id bring the arrays to the pairs; AQE skew-join splits any doc
+that appears in millions of pairs. At warehouse scale the features
+table would be bucketed by doc_id so both joins co-locate shuffle-free
+— noted for the Iceberg deployment (write.distribution-mode=hash on
+doc_id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from deduplicatr_spark.config import PipelineConfig
+
+
+def verify_pairs(
+    pairs: DataFrame, features: DataFrame, config: PipelineConfig
+) -> DataFrame:
+    """(doc_a, doc_b) → (doc_a, doc_b, jaccard) filtered at τ."""
+    sh = features.select("doc_id", "shingles")
+    a = sh.withColumnsRenamed({"doc_id": "doc_a", "shingles": "_sh_a"})
+    b = sh.withColumnsRenamed({"doc_id": "doc_b", "shingles": "_sh_b"})
+    joined = pairs.join(a, "doc_a").join(b, "doc_b")
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
+    union = F.size("_sh_a") + F.size("_sh_b") - inter
+    return (
+        joined.withColumn(
+            "jaccard",
+            F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(
+                F.lit(0.0)
+            ),
+        )
+        .filter(F.col("jaccard") >= config.jaccard_tau)
+        .select("doc_a", "doc_b", "jaccard")
+    )

@@ -1,0 +1,3 @@
+from deduplicatr_spark.plans.pipeline import DedupPipeline, STAGES
+
+__all__ = ["DedupPipeline", "STAGES"]

@@ -1,0 +1,149 @@
+"""The six-stage dedup pipeline (SURVEY.md §3.2).
+
+    read documents
+      → s1_identity   doc_id / sha256 / size (built-ins only)
+      → s1_exact      canonical-per-sha256 mapping (narrow window)
+      → s2_features   shingles + MinHash + bands + SimHash (one fused
+                      pandas UDF pass over canonical docs only)
+      → s3_candidates LSH ∪ SimHash-pigeonhole pairs (range shuffle,
+                      caps + drop metrics)
+      → s4_verified   exact Jaccard ≥ τ
+      → s5_clusters   large-star/small-star connected components
+      → s6_assignments every input row labeled (exact dups inherit
+                      their canonical's cluster)
+
+Every stage is checkpointed via CheckpointStore (parquet in-sandbox,
+Iceberg on a cluster) with a config-hash marker + per-partition lineage
+rows; re-running resumes from the last complete stage (idempotent —
+BASELINE.json north_rule).
+
+Scale notes: the exact-canonical window runs on a narrow
+(doc_id, sha256, size) projection so the shuffle never moves content;
+only canonical docs (often ≪ total rows on crawl-like corpora) pay for
+feature extraction; candidate generation details in operators/lsh.py.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from deduplicatr_spark.config import PipelineConfig
+from deduplicatr_spark.functions.features import features_udf
+from deduplicatr_spark.functions.hashing import normalized
+from deduplicatr_spark.operators.connected_components import connected_components
+from deduplicatr_spark.operators.exact import exact_canonical, with_identity
+from deduplicatr_spark.operators.lsh import lsh_candidate_pairs
+from deduplicatr_spark.operators.pigeonhole import simhash_candidate_pairs
+from deduplicatr_spark.operators.verify import verify_pairs
+from deduplicatr_spark.sources.catalog import CheckpointStore
+
+STAGES = [
+    "s1_identity",
+    "s1_exact",
+    "s2_features",
+    "s3_candidates",
+    "s4_verified",
+    "s5_clusters",
+    "s6_assignments",
+]
+
+
+class DedupPipeline:
+    def __init__(self, spark: SparkSession, config: PipelineConfig, checkpoint_root: str):
+        self.spark = spark
+        self.config = config
+        self.store = CheckpointStore(
+            spark, checkpoint_root, config.config_hash, fmt=config.checkpoint_format
+        )
+
+    # -- stages ---------------------------------------------------------
+    def run(self, docs: DataFrame) -> DataFrame:
+        cfg, store = self.config, self.store
+        t0 = time.time()
+        metrics: list[dict] = []
+
+        identity = store.get_or_compute("s1_identity", lambda: with_identity(docs))
+
+        def _exact():
+            narrow = identity.select("doc_id", "sha256", "size")
+            return exact_canonical(narrow)
+
+        exact = store.get_or_compute("s1_exact", _exact)
+
+        def _features():
+            canon = exact.filter(F.col("doc_id") == F.col("canonical_id")).select("doc_id")
+            canon_docs = identity.join(canon, "doc_id").select(
+                "doc_id", "lang", "size", normalized("content").alias("norm")
+            )
+            feats = canon_docs.withColumn("f", features_udf(cfg)(F.col("norm")))
+            return feats.select("doc_id", "lang", "size", "f.*")
+
+        features = store.get_or_compute("s2_features", _features)
+
+        def _candidates():
+            lsh_pairs, lsh_drops = lsh_candidate_pairs(features, cfg)
+            sim_pairs, sim_drops = simhash_candidate_pairs(features, cfg)
+            metrics.append({"stage": "s3_candidates", "kind": "lsh_drops",
+                            **lsh_drops.collect()[0].asDict()})
+            metrics.append({"stage": "s3_candidates", "kind": "simhash_drops",
+                            **sim_drops.collect()[0].asDict()})
+            return (
+                lsh_pairs.withColumn("src", F.lit("lsh"))
+                .unionByName(sim_pairs.withColumn("src", F.lit("simhash")))
+                .groupBy("doc_a", "doc_b")
+                .agg(F.sort_array(F.collect_set("src")).alias("sources"))
+            )
+
+        candidates = store.get_or_compute("s3_candidates", _candidates)
+
+        verified = store.get_or_compute(
+            "s4_verified",
+            lambda: verify_pairs(candidates.select("doc_a", "doc_b"), features, cfg),
+        )
+
+        def _clusters():
+            labels, iters = connected_components(verified, cfg)
+            metrics.append({"stage": "s5_clusters", "kind": "cc", "iterations": iters})
+            return labels
+
+        clusters = store.get_or_compute("s5_clusters", _clusters)
+
+        def _assign():
+            mapping = exact.select("doc_id", "canonical_id")
+            canon_cluster = clusters.withColumnsRenamed(
+                {"doc_id": "canonical_id", "cluster_id": "_cl"}
+            )
+            return (
+                identity.drop("content")
+                .join(mapping, "doc_id")
+                .join(canon_cluster, "canonical_id", "left")
+                .withColumn("cluster_id", F.coalesce("_cl", "canonical_id"))
+                .drop("_cl")
+            )
+
+        assignments = store.get_or_compute("s6_assignments", _assign)
+
+        metrics.append(
+            {"stage": "pipeline", "kind": "wall", "wall_s": round(time.time() - t0, 3),
+             "config_hash": cfg.config_hash}
+        )
+        store.write_metrics(metrics)
+        return assignments
+
+    # -- invariants -------------------------------------------------------
+    def check_invariant(self, docs: DataFrame) -> int:
+        """Per-row invariant (BASELINE.json input_hint): every assigned
+        row's sha256 equals sha2 of the source row's content. Returns the
+        number of VIOLATIONS (0 == pass)."""
+        assignments = self.store.read("s6_assignments")
+        src = with_identity(docs).select("doc_id", F.col("sha256").alias("_src_sha"))
+        return (
+            assignments.join(src, "doc_id", "left")
+            .filter(
+                F.col("_src_sha").isNull() | (F.col("sha256") != F.col("_src_sha"))
+            )
+            .count()
+        )

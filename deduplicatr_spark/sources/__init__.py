@@ -1,0 +1,4 @@
+from deduplicatr_spark.sources.synth import SynthCorpus, generate_corpus
+from deduplicatr_spark.sources.catalog import read_documents, CheckpointStore
+
+__all__ = ["SynthCorpus", "generate_corpus", "read_documents", "CheckpointStore"]

@@ -1,0 +1,155 @@
+"""Input catalog + pluggable per-stage checkpoint store.
+
+The reference's "source" is a recursive filesystem walk
+(src/deduplicatr/fstree.clj § treeify [M], SURVEY.md §2.1 O1); here the
+tree is already materialized as rows, so the source is a table scan:
+Iceberg when its runtime jar is on the classpath, plain parquet
+directories otherwise (the sandbox has no Iceberg jar — SURVEY.md §7(e)).
+Both paths present the same (repo, path, commit, lang, content) schema.
+
+The CheckpointStore is the stage boundary required by the north rule:
+per-stage materialization with a config-hash marker, per-partition
+lineage rows, and idempotent resume (a half-written stage is invisible —
+writes go to a temp dir and are renamed into place).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DOCUMENTS_SCHEMA = "repo string, path string, commit string, lang string, content string"
+
+_PID = "_lineage_pid"  # per-partition lineage column carried inside checkpoints
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001 — classpath probe only
+            "org.apache.iceberg.spark.source.SparkTable"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def read_documents(spark: SparkSession, source: str) -> DataFrame:
+    """Read the input documents table.
+
+    ``source`` is an Iceberg table name (``catalog.db.tbl``) when the
+    Iceberg runtime is present, else a parquet path/dir. Column pruning
+    and predicate pushdown come free from the scan either way.
+    """
+    if "/" not in source and iceberg_available(spark):
+        return spark.read.table(source)
+    return spark.read.parquet(source)
+
+
+class CheckpointStore:
+    """Per-stage checkpoints with lineage + metrics (SURVEY.md §2.12).
+
+    Format-pluggable: ``parquet`` (sandbox) or ``iceberg`` (cluster).
+    Each stage directory holds the data plus a ``_MARKER.json`` with the
+    config hash, row count and wall time; resume = marker matches →
+    read instead of recompute. Writes are atomic (tmp dir + rename) so a
+    killed run can never expose a half-written stage (idempotent
+    re-run, SURVEY.md §4.3.7).
+    """
+
+    def __init__(self, spark: SparkSession, root: str, config_hash: str,
+                 fmt: str = "parquet"):
+        self.spark = spark
+        self.root = root
+        self.config_hash = config_hash
+        if fmt == "iceberg" and not iceberg_available(spark):
+            fmt = "parquet"
+        self.fmt = fmt
+        os.makedirs(root, exist_ok=True)
+
+    # -- paths ---------------------------------------------------------
+    def _dir(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def _marker(self, name: str) -> str:
+        return os.path.join(self._dir(name), "_MARKER.json")
+
+    # -- api -----------------------------------------------------------
+    def exists(self, name: str) -> bool:
+        try:
+            with open(self._marker(name)) as f:
+                marker = json.load(f)
+            return marker.get("config_hash") == self.config_hash
+        except (OSError, ValueError):
+            return False
+
+    def read(self, name: str) -> DataFrame:
+        df = self.spark.read.parquet(self._dir(name))
+        return df.drop(_PID)
+
+    def write(self, name: str, df: DataFrame) -> DataFrame:
+        """Materialize ``df`` as stage ``name``; returns the re-read frame
+        (truncates lineage — essential for the CC loop, SURVEY.md §4.3.4)."""
+        t0 = time.time()
+        target = self._dir(name)
+        tmp = os.path.join(self.root, f"_tmp_{name}_{uuid.uuid4().hex[:8]}")
+        # carry the physical partition id so lineage is per-partition
+        # without a second pass over the input
+        df.withColumn(_PID, F.spark_partition_id()).write.mode("overwrite").parquet(tmp)
+        if os.path.exists(target):
+            shutil.rmtree(target)
+        os.rename(tmp, target)
+        wall_ms = int((time.time() - t0) * 1000)
+        written = self.spark.read.parquet(target)
+        lineage = (
+            written.groupBy(F.col(_PID).alias("partition_id"))
+            .agg(F.count(F.lit(1)).alias("output_rows"))
+            .withColumn("stage", F.lit(name))
+            .withColumn("config_hash", F.lit(self.config_hash))
+            .withColumn("wall_ms", F.lit(wall_ms))
+        )
+        lineage_dir = os.path.join(self.root, "_lineage", name)
+        lineage.write.mode("overwrite").parquet(lineage_dir)
+        n_rows = written.count()
+        with open(self._marker(name), "w") as f:
+            json.dump(
+                {"config_hash": self.config_hash, "rows": n_rows,
+                 "wall_ms": wall_ms, "format": self.fmt}, f)
+        return written.drop(_PID)
+
+    def get_or_compute(self, name: str, compute) -> DataFrame:
+        """Idempotent resume: skip ``compute`` when a config-matching
+        checkpoint already exists."""
+        if self.exists(name):
+            return self.read(name)
+        return self.write(name, compute())
+
+    def lineage(self) -> DataFrame | None:
+        d = os.path.join(self.root, "_lineage")
+        if not os.path.isdir(d) or not os.listdir(d):
+            return None
+        return self.spark.read.option("recursiveFileLookup", "true").parquet(d)
+
+    def write_metrics(self, rows: list[dict]) -> None:
+        """Append pipeline metrics rows (counts, drops, iterations) —
+        the no-silent-caps ledger (SURVEY.md §2.13)."""
+        if not rows:
+            return
+        d = os.path.join(self.root, "_metrics")
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, f"{uuid.uuid4().hex[:12]}.json"), "w") as f:
+            json.dump(rows, f)
+
+    def read_metrics(self) -> list[dict]:
+        d = os.path.join(self.root, "_metrics")
+        out: list[dict] = []
+        if os.path.isdir(d):
+            for fn in sorted(os.listdir(d)):
+                with open(os.path.join(d, fn)) as f:
+                    out.extend(json.load(f))
+        return out

@@ -1,0 +1,263 @@
+"""Deterministic synthetic source-code corpus generator (FIXTURES.md).
+
+Mirrors the reference's test pattern — tiny fixture trees with
+hand-computable duplicate groups (reconstructed test/deduplicatr/
+fstree_test.clj + duplicates_test.clj [M], SURVEY.md §5.1) — scaled up
+with planted ground truth for recall measurement.
+
+Pure Python + ``random.Random(seed)``; no external data. Emits rows of
+the BASELINE.json input_hint shape ``(repo, path, commit, lang, content)``
+plus sidecar truth tables:
+
+* ``truth_pairs(key_a, key_b, kind, eps)`` — kind ∈ {exact, near, substring}
+* ``truth_clusters(key, cluster_key)`` — transitive closure of exact+near
+  truth pairs (what the pipeline's clustering should reproduce)
+
+``key`` is the string ``f"{repo}|{path}|{commit}"`` (the natural PK).
+
+Families (fractions of N base documents):
+  UNIQUE 50% · EXACT 20% · NEAR 20% · SUBSTRING 5% · DEGENERATE 5%
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+from dataclasses import dataclass, field
+
+LANGS = ["py", "java", "js", "go", "md"]
+
+_VOCAB = {
+    lang: (
+        ["def", "return", "if", "else", "for", "while", "import", "class",
+         "self", "None", "True", "lambda", "yield", "try", "except"]
+        if lang == "py"
+        else ["public", "static", "void", "int", "new", "class", "return",
+              "final", "private", "this", "throws", "null", "extends"]
+        if lang == "java"
+        else ["function", "const", "let", "var", "return", "async", "await",
+              "export", "import", "this", "null", "undefined", "new"]
+        if lang == "js"
+        else ["func", "package", "import", "return", "defer", "go", "chan",
+              "struct", "interface", "nil", "range", "select", "type"]
+        if lang == "go"
+        else ["the", "a", "and", "of", "to", "in", "is", "for", "with",
+              "this", "doc", "usage", "install", "example", "note"]
+    )
+    for lang in LANGS
+}
+
+_PUNCT = ["(", ")", "{", "}", "[", "]", "=", "+", ":", ",", ".", ";"]
+
+
+def _ident(rng: random.Random) -> str:
+    return "".join(rng.choices("abcdefghijklmnopqrstuvwxyz_", k=rng.randint(3, 10)))
+
+
+def _gen_tokens(rng: random.Random, lang: str, n_tokens: int) -> list[str]:
+    vocab = _VOCAB[lang]
+    idents = [_ident(rng) for _ in range(max(4, n_tokens // 20))]
+    out = []
+    for _ in range(n_tokens):
+        r = rng.random()
+        if r < 0.35:
+            out.append(rng.choice(vocab))
+        elif r < 0.80:
+            out.append(rng.choice(idents))
+        else:
+            out.append(rng.choice(_PUNCT))
+    return out
+
+
+def _render(rng: random.Random, tokens: list[str]) -> str:
+    """Join tokens with spaces, newline every 6–12 tokens."""
+    lines, i = [], 0
+    while i < len(tokens):
+        w = rng.randint(6, 12)
+        lines.append(" ".join(tokens[i : i + w]))
+        i += w
+    return "\n".join(lines)
+
+
+def _commit(rng: random.Random) -> str:
+    return "".join(rng.choices("0123456789abcdef", k=40))
+
+
+def _mutate_tokens(rng: random.Random, tokens: list[str], eps: float) -> list[str]:
+    """Token substitution / insertion / deletion at rate eps, seeded."""
+    out = []
+    for t in tokens:
+        r = rng.random()
+        if r < eps / 3:
+            continue  # delete
+        if r < 2 * eps / 3:
+            out.append(_ident(rng))  # substitute
+            continue
+        out.append(t)
+        if r < eps:
+            out.append(_ident(rng))  # insert after
+    return out or ["x"]
+
+
+@dataclass
+class SynthCorpus:
+    rows: list[tuple[str, str, str, str, str]] = field(default_factory=list)
+    truth_pairs: list[tuple[str, str, str, float]] = field(default_factory=list)
+    truth_clusters: list[tuple[str, str]] = field(default_factory=list)
+
+    SCHEMA = "repo string, path string, commit string, lang string, content string"
+    PAIRS_SCHEMA = "key_a string, key_b string, kind string, eps double"
+    CLUSTERS_SCHEMA = "key string, cluster_key string"
+
+    @staticmethod
+    def key(repo: str, path: str, commit: str) -> str:
+        return f"{repo}|{path}|{commit}"
+
+
+def generate_corpus(
+    n_docs: int = 200,
+    seed: int = 42,
+    n_repos: int | None = None,
+    min_tokens: int = 40,
+    max_tokens: int = 400,
+    mega_repo: bool = True,
+) -> SynthCorpus:
+    rng = random.Random(seed)
+    n_repos = n_repos or max(4, n_docs // 50)
+    repos = [f"repo-{i:04d}" for i in range(n_repos)]
+    commits = {r: _commit(rng) for r in repos}
+    corpus = SynthCorpus()
+    path_seq: dict[str, int] = {}
+
+    def fresh_path(repo: str, lang: str) -> str:
+        i = path_seq.get(repo, 0)
+        path_seq[repo] = i + 1
+        ext = {"py": "py", "java": "java", "js": "js", "go": "go", "md": "md"}[lang]
+        return f"src/pkg_{i % 7}/mod_{i:05d}.{ext}"
+
+    def place(content: str, lang: str, repo: str | None = None) -> str:
+        repo = repo or (repos[0] if mega_repo and rng.random() < 0.30 else rng.choice(repos))
+        path = fresh_path(repo, lang)
+        commit = commits[repo]
+        corpus.rows.append((repo, path, commit, lang, content))
+        return SynthCorpus.key(repo, path, commit)
+
+    n_unique = int(n_docs * 0.50)
+    n_exact = int(n_docs * 0.20)
+    n_near = int(n_docs * 0.20)
+    n_sub = int(n_docs * 0.05)
+    n_degen = n_docs - n_unique - n_exact - n_near - n_sub
+
+    # --- UNIQUE ---
+    for _ in range(n_unique):
+        lang = rng.choice(LANGS)
+        place(_render(rng, _gen_tokens(rng, lang, rng.randint(min_tokens, max_tokens))), lang)
+
+    # --- EXACT: byte-identical content across distinct (repo, path) ---
+    placed = 0
+    while placed < n_exact:
+        g = rng.choice([2, 2, 3, 3, 5, 20])
+        g = min(g, n_exact - placed) or 2
+        if g < 2:
+            break
+        lang = rng.choice(LANGS)
+        content = _render(rng, _gen_tokens(rng, lang, rng.randint(min_tokens, max_tokens)))
+        keys = [place(content, lang) for _ in range(g)]
+        for i in range(len(keys)):
+            for j in range(i + 1, len(keys)):
+                corpus.truth_pairs.append((keys[i], keys[j], "exact", 0.0))
+        placed += g
+
+    # --- NEAR: base + mutations at eps ---
+    placed = 0
+    while placed < n_near:
+        g = min(rng.randint(2, 5), n_near - placed)
+        if g < 2:
+            break
+        lang = rng.choice(LANGS)
+        base = _gen_tokens(rng, lang, rng.randint(max(120, min_tokens), max_tokens))
+        eps = rng.choice([0.005, 0.005, 0.02, 0.02, 0.05])
+        keys = [place(_render(rng, base), lang)]
+        for _ in range(g - 1):
+            keys.append(place(_render(rng, _mutate_tokens(rng, base, eps)), lang))
+        for i in range(len(keys)):
+            for j in range(i + 1, len(keys)):
+                corpus.truth_pairs.append((keys[i], keys[j], "near", eps))
+        placed += g
+
+    # --- SUBSTRING: shared 200–2000 char block inside unique docs ---
+    placed = 0
+    while placed < n_sub:
+        g = min(2, n_sub - placed)
+        if g < 2:
+            break
+        lang = rng.choice(LANGS)
+        block = _render(rng, _gen_tokens(rng, lang, rng.randint(60, 400)))
+        block = block[: max(200, min(len(block), 2000))]
+        keys = []
+        for _ in range(g):
+            body = _gen_tokens(rng, lang, rng.randint(max(150, min_tokens), max_tokens))
+            cut = rng.randint(0, len(body))
+            text = _render(rng, body[:cut]) + "\n" + block + "\n" + _render(rng, body[cut:])
+            keys.append(place(text, lang))
+        corpus.truth_pairs.append((keys[0], keys[1], "substring", 0.0))
+        placed += g
+
+    # --- DEGENERATE: empty / one-token / boilerplate floods ---
+    boiler = "MIT License\nPermission is hereby granted free of charge\n" * 3
+    for i in range(n_degen):
+        lang = rng.choice(LANGS)
+        kind = i % 3
+        if kind == 0:
+            place("", lang)
+        elif kind == 1:
+            place("x", lang)
+        else:
+            place(boiler, lang)
+    # boilerplate copies are exact dups of each other → truth pairs
+    bkeys = [SynthCorpus.key(r, p, c) for (r, p, c, _, ct) in corpus.rows if ct == boiler]
+    for i in range(len(bkeys)):
+        for j in range(i + 1, len(bkeys)):
+            corpus.truth_pairs.append((bkeys[i], bkeys[j], "exact", 0.0))
+    # same for the "" and "x" floods
+    for degen in ("", "x"):
+        dkeys = [SynthCorpus.key(r, p, c) for (r, p, c, _, ct) in corpus.rows if ct == degen]
+        for i in range(len(dkeys)):
+            for j in range(i + 1, len(dkeys)):
+                corpus.truth_pairs.append((dkeys[i], dkeys[j], "exact", 0.0))
+
+    # --- truth_clusters: transitive closure over exact+near pairs ---
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    def union(a: str, b: str) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    all_keys = [SynthCorpus.key(r, p, c) for (r, p, c, _, _) in corpus.rows]
+    for k in all_keys:
+        parent.setdefault(k, k)
+    for a, b, kind, _ in corpus.truth_pairs:
+        if kind in ("exact", "near"):
+            union(a, b)
+    corpus.truth_clusters = [(k, find(k)) for k in all_keys]
+
+    # deterministic order regardless of family interleaving
+    corpus.rows.sort()
+    corpus.truth_pairs = sorted(set(corpus.truth_pairs))
+    corpus.truth_clusters.sort()
+    return corpus
+
+
+def corpus_digest(corpus: SynthCorpus) -> str:
+    h = hashlib.sha256()
+    for row in corpus.rows:
+        h.update("\x1f".join(row).encode("utf-8"))
+        h.update(b"\x1e")
+    return h.hexdigest()[:16]

@@ -1,0 +1,38 @@
+from __future__ import annotations
+
+import pytest
+
+from deduplicatr_spark.session import build_session
+from deduplicatr_spark.sources.synth import SynthCorpus, generate_corpus
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = build_session(
+        app_name="deduplicatr_tests",
+        master="local[4]",
+        shuffle_partitions=4,
+        extra_conf={"spark.sql.execution.arrow.maxRecordsPerBatch": "64"},
+    )
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def tiny_corpus() -> SynthCorpus:
+    return generate_corpus(n_docs=200, seed=42)
+
+
+@pytest.fixture(scope="session")
+def small_corpus() -> SynthCorpus:
+    return generate_corpus(n_docs=1200, seed=42)
+
+
+@pytest.fixture(scope="session")
+def tiny_docs(spark, tiny_corpus):
+    return spark.createDataFrame(tiny_corpus.rows, schema=SynthCorpus.SCHEMA).cache()
+
+
+@pytest.fixture(scope="session")
+def small_docs(spark, small_corpus):
+    return spark.createDataFrame(small_corpus.rows, schema=SynthCorpus.SCHEMA).cache()

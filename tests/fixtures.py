@@ -1,0 +1,6 @@
+"""FIXTURES.md entry point — re-exports the deterministic corpus
+generator (implementation lives with the sources so bench.py shares it)."""
+
+from deduplicatr_spark.sources.synth import SynthCorpus, corpus_digest, generate_corpus
+
+__all__ = ["SynthCorpus", "generate_corpus", "corpus_digest"]

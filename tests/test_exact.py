@@ -1,0 +1,70 @@
+"""Exact-dup stage vs the reference's semantics (O3+O7+O8):
+hash oracle, group completeness against planted truth, order
+independence (the reference's commutative-accumulation property)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from deduplicatr_spark.operators.exact import duplicate_groups, exact_canonical, with_identity
+from deduplicatr_spark.sources.synth import SynthCorpus
+
+
+def test_sha256_matches_hashlib(spark, tiny_docs):
+    rows = with_identity(tiny_docs).select("content", "sha256").limit(50).collect()
+    for r in rows:
+        assert r["sha256"] == hashlib.sha256(r["content"].encode("utf-8")).hexdigest()
+
+
+def test_exact_groups_match_truth(spark, tiny_docs, tiny_corpus):
+    ident = with_identity(tiny_docs)
+    canon = exact_canonical(ident)
+    got_pairs = set()
+    rows = canon.select("repo", "path", "commit", "sha256").collect()
+    by_hash: dict[str, list[str]] = {}
+    for r in rows:
+        by_hash.setdefault(r["sha256"], []).append(
+            SynthCorpus.key(r["repo"], r["path"], r["commit"])
+        )
+    for members in by_hash.values():
+        members.sort()
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                got_pairs.add((members[i], members[j]))
+    truth = {
+        tuple(sorted((a, b)))
+        for a, b, kind, _ in tiny_corpus.truth_pairs
+        if kind == "exact"
+    }
+    assert truth == got_pairs
+
+
+def test_duplicate_groups_ordering_and_threshold(spark, tiny_docs):
+    ident = with_identity(tiny_docs)
+    groups = duplicate_groups(ident).collect()
+    assert all(g["n_dups"] > 1 for g in groups)
+    sizes = [g["bytes"] for g in groups]
+    assert sizes == sorted(sizes, reverse=True)
+
+
+def test_order_independence(spark, tiny_docs):
+    """Shuffling/partitioning the input must not change group results —
+    the Spark analogue of the reference's commutative dir-hash (O5)."""
+    ident = with_identity(tiny_docs)
+    a = {(r["sha256"], r["n_dups"]) for r in duplicate_groups(ident).collect()}
+    shuffled = tiny_docs.orderBy(F.rand(7)).repartition(7)
+    b = {(r["sha256"], r["n_dups"]) for r in duplicate_groups(with_identity(shuffled)).collect()}
+    assert a == b
+
+
+def test_canonical_is_group_min(spark, tiny_docs):
+    canon = exact_canonical(with_identity(tiny_docs))
+    bad = (
+        canon.groupBy("sha256")
+        .agg(F.min("doc_id").alias("lo"), F.first("canonical_id").alias("c"))
+        .filter(F.col("lo") != F.col("c"))
+        .count()
+    )
+    assert bad == 0

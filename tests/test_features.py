@@ -1,0 +1,102 @@
+"""Feature-stage pandas UDFs vs their numpy kernels (driven through
+Spark so the Arrow round-trip is covered), plus fused == composed."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from deduplicatr_spark.config import PipelineConfig
+from deduplicatr_spark.functions import _numpy_core as core
+from deduplicatr_spark.functions.features import features_udf
+from deduplicatr_spark.functions.hashing import normalized
+from deduplicatr_spark.functions.minhash import band_hashes_udf, minhash_udf
+from deduplicatr_spark.functions.shingles import shingles_udf
+from deduplicatr_spark.functions.simhash import simhash_udf
+
+CFG = PipelineConfig(n_hashes=32, n_bands=8)
+
+
+def _texts_df(spark):
+    texts = [
+        "def foo(): return   1\n\n  def bar(): return 2",
+        "def foo(): return 1\n def bar(): return 2",
+        "completely different content with words",
+        "",
+        "tiny",
+    ]
+    return spark.createDataFrame([(t,) for t in texts], "content string"), texts
+
+
+def test_shingles_udf_matches_kernel(spark):
+    df, texts = _texts_df(spark)
+    got = df.select(shingles_udf(CFG)("content").alias("sh")).collect()
+    flat, counts = core.batch_char_shingles(texts, CFG.shingle_k, CFG.shingle_seed)
+    starts = core.segment_starts(counts)
+    for i, row in enumerate(got):
+        expect = sorted(core.to_i64(flat[starts[i]: starts[i + 1]]).tolist())
+        assert sorted(row["sh"]) == expect
+
+
+def test_minhash_and_bands_udfs(spark):
+    df, texts = _texts_df(spark)
+    out = (
+        df.withColumn("sh", shingles_udf(CFG)("content"))
+        .withColumn("sig", minhash_udf(CFG)("sh"))
+        .withColumn("bh", band_hashes_udf(CFG)("sig"))
+        .collect()
+    )
+    flat, counts = core.batch_char_shingles(texts, CFG.shingle_k, CFG.shingle_seed)
+    sigs, has = core.batch_minhash(flat, counts, CFG.n_hashes, CFG.minhash_seed)
+    bhs = core.batch_band_hashes(sigs, CFG.n_bands, CFG.minhash_seed)
+    for i, row in enumerate(out):
+        if not has[i]:
+            assert row["sig"] is None and row["bh"] is None
+        else:
+            assert row["sig"] == core.to_i64(sigs[i]).tolist()
+            assert row["bh"] == core.to_i64(bhs[i]).tolist()
+
+
+def test_simhash_udf(spark):
+    df, texts = _texts_df(spark)
+    out = (
+        df.withColumn("sh", shingles_udf(CFG)("content"))
+        .withColumn("sim", simhash_udf(CFG)("sh"))
+        .collect()
+    )
+    flat, counts = core.batch_char_shingles(texts, CFG.shingle_k, CFG.shingle_seed)
+    fps, has = core.batch_simhash(flat, counts)
+    for i, row in enumerate(out):
+        if not has[i]:
+            assert row["sim"] is None
+        else:
+            assert row["sim"] == int(core.to_i64(fps)[i])
+
+
+def test_fused_equals_composed(spark, tiny_docs):
+    docs = tiny_docs.limit(60).select(normalized("content").alias("norm"))
+    fused = docs.select(features_udf(CFG)("norm").alias("f")).select("f.*")
+    composed = (
+        docs.withColumn("shingles", shingles_udf(CFG)("norm"))
+        .withColumn("minhash_sig", minhash_udf(CFG)("shingles"))
+        .withColumn("band_hashes", band_hashes_udf(CFG)("minhash_sig"))
+        .withColumn("simhash", simhash_udf(CFG)("shingles"))
+        .drop("norm")
+    )
+    a = sorted(
+        (sorted(r["shingles"]), r["minhash_sig"], r["band_hashes"], r["simhash"])
+        for r in fused.collect()
+    )
+    b = sorted(
+        (sorted(r["shingles"]), r["minhash_sig"], r["band_hashes"], r["simhash"])
+        for r in composed.collect()
+    )
+    assert a == b
+
+
+def test_normalization_collapses_whitespace(spark):
+    df = spark.createDataFrame(
+        [("a   b\n\n\tc ",), ("a b c",)], "content string"
+    ).select(normalized("content").alias("n"))
+    vals = [r["n"] for r in df.collect()]
+    assert vals[0] == vals[1] == "a b c"

@@ -1,0 +1,125 @@
+"""Kernel unit tests: vectorized numpy kernels vs naive pure-Python
+oracles (the reference's unit-per-operator pattern, SURVEY.md §5.1)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from deduplicatr_spark.functions import _numpy_core as core
+
+U64 = np.uint64
+
+
+def py_splitmix64(x: int) -> int:
+    M = (1 << 64) - 1
+    z = (x + 0x9E3779B97F4A7C15) & M
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & M
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & M
+    return z ^ (z >> 31)
+
+
+def py_shingles(s: str, k: int, seed: int) -> set[int]:
+    b = s.encode("utf-8")
+    coef = [int(c) for c in core.hash_keys(k, seed)]
+    out = set()
+    for i in range(len(b) - k + 1):
+        acc = sum(b[i + j] * coef[j] for j in range(k)) & ((1 << 64) - 1)
+        out.add(py_splitmix64(acc))
+    return out
+
+
+def test_splitmix64_matches_scalar():
+    xs = np.array([0, 1, 2, 12345, 2**63, 2**64 - 1], dtype=U64)
+    got = core.splitmix64(xs)
+    for x, g in zip(xs.tolist(), got.tolist()):
+        assert py_splitmix64(int(x)) == int(g)
+
+
+@pytest.mark.parametrize("texts", [
+    ["abcdefghij", "abcdefghi", "short", "", "abcdefghij"],
+    ["x" * 100, "hello world " * 5, "ünïcödé çontent here"],
+])
+def test_batch_shingles_match_oracle(texts):
+    k, seed = 9, 42
+    flat, counts = core.batch_char_shingles(texts, k, seed)
+    starts = core.segment_starts(counts)
+    for i, t in enumerate(texts):
+        got = set(int(v) for v in flat[starts[i]: starts[i + 1]].tolist())
+        assert got == py_shingles(t, k, seed), f"doc {i}"
+        assert counts[i] == len(got)
+
+
+def test_shingles_shorter_than_k_empty():
+    flat, counts = core.batch_char_shingles(["ab", ""], 9, 42)
+    assert flat.size == 0 and counts.tolist() == [0, 0]
+
+
+def test_minhash_matches_oracle():
+    rng = np.random.default_rng(7)
+    sets = [rng.integers(0, 2**63, size=n).astype(U64) for n in (5, 1, 17)]
+    flat = np.concatenate(sets)
+    counts = np.array([len(s) for s in sets], dtype=np.int64)
+    sigs, has = core.batch_minhash(flat, counts, n_hashes=16, seed=4242)
+    keys = core.hash_keys(16, 4242)
+    for d, s in enumerate(sets):
+        for i in range(16):
+            expect = min(py_splitmix64(int(x) ^ int(keys[i])) for x in s.tolist())
+            assert int(sigs[d, i]) == expect
+    assert has.all()
+
+
+def test_minhash_empty_segments():
+    sets = [np.array([5, 6], dtype=U64), np.empty(0, dtype=U64), np.array([7], dtype=U64)]
+    flat = np.concatenate(sets)
+    counts = np.array([2, 0, 1], dtype=np.int64)
+    sigs, has = core.batch_minhash(flat, counts, 8, 1)
+    assert has.tolist() == [True, False, True]
+    # non-empty rows defined, identical to computing without the empty doc
+    sigs2, _ = core.batch_minhash(flat, np.array([2, 1]), 8, 1)
+    assert (sigs[0] == sigs2[0]).all() and (sigs[2] == sigs2[1]).all()
+
+
+def test_minhash_similarity_estimate():
+    """Jaccard ≈ fraction of agreeing minhash slots (sanity, seeded)."""
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 2**63, size=1000).astype(U64)
+    a, b = base[:800], base[200:]  # |∩|=600, |∪|=1000 → J=0.6
+    flat = np.concatenate([a, b])
+    counts = np.array([800, 800], dtype=np.int64)
+    sigs, _ = core.batch_minhash(flat, counts, 256, 4242)
+    agree = (sigs[0] == sigs[1]).mean()
+    assert abs(agree - 0.6) < 0.1
+
+
+def test_band_hashes_identical_iff_band_rows_equal():
+    rng = np.random.default_rng(11)
+    sig_a = rng.integers(0, 2**63, size=16).astype(U64)
+    sig_b = sig_a.copy()
+    sig_b[5] ^= U64(1)  # corrupt band 1 (bands of r=4: slots 4..7)
+    bh = core.batch_band_hashes(np.stack([sig_a, sig_b]), n_bands=4, seed=9)
+    assert bh[0, 0] == bh[1, 0] and bh[0, 2] == bh[1, 2] and bh[0, 3] == bh[1, 3]
+    assert bh[0, 1] != bh[1, 1]
+    # same values in different bands must not collide
+    flat_sig = np.zeros((1, 16), dtype=U64)
+    bh0 = core.batch_band_hashes(flat_sig, n_bands=4, seed=9)
+    assert len(set(bh0[0].tolist())) == 4
+
+
+def test_simhash_majority_oracle():
+    sets = [np.array([0b1100, 0b1010, 0b1001], dtype=U64)]  # bit3: 3/3 → 1;
+    flat = np.concatenate(sets)
+    counts = np.array([3], dtype=np.int64)
+    fps, has = core.batch_simhash(flat, counts)
+    # bit0: 1 of 3 → 0; bit1: 1/3 → 0; bit2: 1/3 → 0; bit3: 3/3 → 1
+    # ties (2*ones >= n) round up — none here
+    assert has[0] and int(fps[0]) == 0b1000
+
+
+def test_simhash_identical_sets_equal_fp():
+    rng = np.random.default_rng(5)
+    s = rng.integers(0, 2**63, size=100).astype(U64)
+    flat = np.concatenate([s, s[::-1].copy()])
+    counts = np.array([100, 100], dtype=np.int64)
+    fps, _ = core.batch_simhash(flat, counts)
+    assert fps[0] == fps[1]

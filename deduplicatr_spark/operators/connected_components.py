@@ -58,12 +58,15 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
-def _checksum(edges: DataFrame) -> tuple[int, int]:
+def _checksum(edges: DataFrame) -> tuple[int, str]:
+    # decimal(38,0) sum: overflow-proof under ANSI mode (Spark 4 default)
     row = edges.agg(
         F.count(F.lit(1)).alias("n"),
-        F.coalesce(F.sum(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
+        F.coalesce(
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")), F.lit(0)
+        ).cast("string").alias("h"),
     ).collect()[0]
-    return int(row["n"]), int(row["h"])
+    return int(row["n"]), str(row["h"])
 
 
 def connected_components(

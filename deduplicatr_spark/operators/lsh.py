@@ -104,7 +104,13 @@ def _pairgen(cap: int):
         if carry_bh.size:
             yield flush(carry_bh, carry_doc)
         if total_dropped:
-            yield pd.DataFrame({"doc_a": [-1], "doc_b": [-1], "dropped": [total_dropped]})
+            # marker row: NULL doc ids (doc_id is xxhash64 → any int64
+            # value, including negatives, is a legitimate id)
+            yield pd.DataFrame(
+                {"doc_a": pd.array([pd.NA], dtype="Int64"),
+                 "doc_b": pd.array([pd.NA], dtype="Int64"),
+                 "dropped": [total_dropped]}
+            )
 
     return gen
 
@@ -139,8 +145,8 @@ def lsh_candidate_pairs(
     )
     gen = ranged.mapInPandas(_pairgen(cap), schema=_GEN_SCHEMA)
 
-    pairs = gen.filter(F.col("doc_a") >= 0).select("doc_a", "doc_b").distinct()
-    drop_stats = gen.filter(F.col("doc_a") < 0).agg(
+    pairs = gen.filter(F.col("doc_a").isNotNull()).select("doc_a", "doc_b").distinct()
+    drop_stats = gen.filter(F.col("doc_a").isNull()).agg(
         F.coalesce(F.sum("dropped"), F.lit(0)).alias("capped_docs")
     ).crossJoin(
         hot.agg(

@@ -67,7 +67,7 @@ def simhash_candidate_pairs(
         "band_hash"
     )
     gen = ranged.mapInPandas(_pairgen(cap), schema="doc_a long, doc_b long, dropped long")
-    raw_pairs = gen.filter(F.col("doc_a") >= 0).select("doc_a", "doc_b").distinct()
+    raw_pairs = gen.filter(F.col("doc_a").isNotNull()).select("doc_a", "doc_b").distinct()
 
     sims = features.select("doc_id", "simhash")
     pairs = (
@@ -78,7 +78,7 @@ def simhash_candidate_pairs(
         )
         .select("doc_a", "doc_b")
     )
-    drop_stats = gen.filter(F.col("doc_a") < 0).agg(
+    drop_stats = gen.filter(F.col("doc_a").isNull()).agg(
         F.coalesce(F.sum("dropped"), F.lit(0)).alias("capped_docs")
     ).crossJoin(
         hot.agg(

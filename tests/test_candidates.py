@@ -1,0 +1,110 @@
+"""LSH + SimHash-pigeonhole candidate generation: recall on constructed
+cases, cap/drop accounting, pigeonhole exactness for ≤d bit flips."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from deduplicatr_spark.config import PipelineConfig
+from deduplicatr_spark.functions.features import features_udf
+from deduplicatr_spark.functions.hashing import normalized
+from deduplicatr_spark.operators.lsh import explode_bands, lsh_candidate_pairs
+from deduplicatr_spark.operators.pigeonhole import simhash_candidate_pairs
+
+CFG = PipelineConfig(n_hashes=32, n_bands=8, max_bucket_size=16, hot_key_threshold=200)
+
+
+def _features(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, content string"
+    )
+    return df.select(
+        "doc_id", features_udf(CFG)(normalized("content")).alias("f")
+    ).select("doc_id", "f.*")
+
+
+def test_identical_docs_always_candidates(spark):
+    t = "def foo(): return some_value + other_value\n" * 5
+    feats = _features(spark, [t, t, "unrelated totally different words here ok"])
+    pairs, _ = lsh_candidate_pairs(feats, CFG)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert (0, 1) in got
+
+
+def test_exploded_band_count(spark):
+    feats = _features(spark, ["some reasonably long content string here", ""])
+    ex = explode_bands(feats)
+    assert ex.count() == CFG.n_bands  # empty doc contributes nothing
+    assert ex.select("band_id").distinct().count() == CFG.n_bands
+
+
+def test_near_duplicates_share_band(spark):
+    base = ("def process(data): result = transform(data)\n"
+            "    validate(result)\n    return result\n") * 4
+    mutated = base.replace("validate", "verifyit", 1)
+    feats = _features(spark, [base, mutated])
+    pairs, _ = lsh_candidate_pairs(feats, CFG)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert (0, 1) in got
+
+
+def test_bucket_cap_drops_are_logged(spark):
+    t = "exactly identical boilerplate content for everyone here\n" * 3
+    n = 40  # > max_bucket_size=16
+    feats = _features(spark, [t] * n)
+    pairs, drops = lsh_candidate_pairs(feats, CFG)
+    p = pairs.count()
+    d = drops.collect()[0]
+    # every bucket capped at 16 → at most C(16,2) per band, far less than C(40,2)
+    assert p <= CFG.n_bands * 16 * 15 // 2
+    assert d["capped_docs"] > 0  # drops accounted, not silent
+
+
+def test_hot_bucket_thinning(spark):
+    t = "hot bucket content repeated everywhere all the time okay\n" * 3
+    n = 300  # > hot_key_threshold=200
+    feats = _features(spark, [t] * n)
+    pairs, drops = lsh_candidate_pairs(feats, CFG)
+    d = drops.collect()[0]
+    assert d["hot_buckets"] >= 1
+    assert pairs.count() > 0  # still emits capped pairs
+
+
+def test_pigeonhole_exact_within_d(spark):
+    """Flipping ≤ d bits of a simhash must always be caught (pigeonhole
+    guarantee) — exhaustively over flip positions."""
+    base_text = "stable content producing one fingerprint for this test " * 3
+    feats = _features(spark, [base_text]).collect()[0]
+    base_fp = feats["simhash"]
+    base_u = base_fp & ((1 << 64) - 1)  # to uint64 space for bit flips
+    rows = [(0, base_fp)]
+    rng = np.random.default_rng(13)
+    did = 1
+    for _ in range(20):
+        flips = rng.choice(64, size=rng.integers(1, CFG.hamming_d + 1), replace=False)
+        fp = base_u
+        for b in flips:
+            fp ^= 1 << int(b)
+        fp = fp - (1 << 64) if fp >= 1 << 63 else fp
+        rows.append((did, fp))
+        did += 1
+    df = spark.createDataFrame(rows, "doc_id long, simhash long")
+    pairs, _ = simhash_candidate_pairs(df, CFG)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    for i in range(1, did):
+        assert (0, i) in got, f"missed flip-doc {i}"
+
+
+def test_pigeonhole_rejects_beyond_d(spark):
+    fp0 = 0
+    fp_far = 0
+    for b in range(CFG.hamming_d + 1):  # d+1 flips, one per chunk → no bucket match...
+        fp_far ^= 1 << (b * (64 // (CFG.hamming_d + 1)))
+    df = spark.createDataFrame(
+        [(0, fp0), (1, fp_far)], "doc_id long, simhash long"
+    )
+    pairs, _ = simhash_candidate_pairs(df, CFG)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert (0, 1) not in got  # Hamming = d+1 → verified out

@@ -1,0 +1,153 @@
+"""End-to-end pipeline: cluster assignments vs planted truth, dup-pair
+recall ≥ 0.99 (ε ≤ 2% near pairs — FIXTURES.md), per-row sha256
+invariant, permutation invariance, idempotent resume."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from deduplicatr_spark.config import PipelineConfig
+from deduplicatr_spark.plans.pipeline import DedupPipeline
+from deduplicatr_spark.sources.synth import SynthCorpus
+
+CFG = PipelineConfig()
+
+
+@pytest.fixture(scope="module")
+def pipeline_out(spark, small_docs, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("ckpt"))
+    pipe = DedupPipeline(spark, CFG, root)
+    assignments = pipe.run(small_docs)
+    return pipe, assignments, root
+
+
+def _assigned_clusters(assignments) -> dict[str, int]:
+    return {
+        SynthCorpus.key(r["repo"], r["path"], r["commit"]): r["cluster_id"]
+        for r in assignments.select("repo", "path", "commit", "cluster_id").collect()
+    }
+
+
+def test_every_row_assigned_once(spark, small_docs, pipeline_out):
+    _, assignments, _ = pipeline_out
+    assert assignments.count() == small_docs.count()
+    assert assignments.select("doc_id").distinct().count() == small_docs.count()
+
+
+def test_exact_dups_share_cluster(spark, small_corpus, pipeline_out):
+    _, assignments, _ = pipeline_out
+    got = _assigned_clusters(assignments)
+    for a, b, kind, _ in small_corpus.truth_pairs:
+        if kind == "exact":
+            assert got[a] == got[b], f"exact pair split: {a} vs {b}"
+
+
+def test_near_dup_pair_recall(spark, small_corpus, pipeline_out):
+    """North-rule acceptance: recall ≥ 0.99 on planted near pairs with
+    ε ≤ 2% (substring pairs excluded from the denominator)."""
+    _, assignments, _ = pipeline_out
+    got = _assigned_clusters(assignments)
+    denom = hits = 0
+    for a, b, kind, eps in small_corpus.truth_pairs:
+        if kind == "near" and eps <= 0.02:
+            denom += 1
+            hits += got[a] == got[b]
+    assert denom > 50, "fixture must plant enough near pairs"
+    recall = hits / denom
+    assert recall >= 0.99, f"recall {recall:.4f} ({hits}/{denom})"
+
+
+def test_cluster_assignments_match_truth_closure(spark, small_corpus, pipeline_out):
+    """Clusters must refine-or-match the truth partition: every truth
+    cluster (exact + ε≤2% near closure) maps into one predicted cluster."""
+    _, assignments, _ = pipeline_out
+    got = _assigned_clusters(assignments)
+    # truth closure restricted to reliable pairs
+    parent: dict[str, str] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b, kind, eps in small_corpus.truth_pairs:
+        if kind == "exact" or (kind == "near" and eps <= 0.02):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    by_truth: dict[str, set[int]] = {}
+    for k in got:
+        by_truth.setdefault(find(k), set()).add(got[k])
+    merged = sum(1 for v in by_truth.values() if len(v) > 1)
+    assert merged / len(by_truth) <= 0.01  # ≥99% of truth clusters intact
+
+
+def test_invariant_sha256_equality(spark, small_docs, pipeline_out):
+    pipe, _, _ = pipeline_out
+    assert pipe.check_invariant(small_docs) == 0
+
+
+def test_no_false_merges_of_unrelated(spark, small_corpus, pipeline_out):
+    """Precision guard: docs from different truth clusters should almost
+    never share a predicted cluster (Jaccard τ=0.7 verification)."""
+    _, assignments, _ = pipeline_out
+    got = _assigned_clusters(assignments)
+    truth = dict(small_corpus.truth_clusters)
+    by_pred: dict[int, set[str]] = {}
+    for k, c in got.items():
+        by_pred.setdefault(c, set()).add(truth[k])
+    impure = sum(1 for v in by_pred.values() if len(v) > 1)
+    assert impure / max(len(by_pred), 1) <= 0.01
+
+
+def test_metrics_and_lineage_written(spark, pipeline_out):
+    pipe, _, root = pipeline_out
+    metrics = pipe.store.read_metrics()
+    stages = {m["stage"] for m in metrics}
+    assert "s3_candidates" in stages and "s5_clusters" in stages
+    lin = pipe.store.lineage()
+    assert lin is not None
+    assert lin.filter(F.col("stage") == "s2_features").count() > 0
+    assert {r["config_hash"] for r in lin.select("config_hash").distinct().collect()} == {
+        CFG.config_hash
+    }
+
+
+def test_resume_skips_complete_stages_and_reproduces(spark, small_docs, pipeline_out):
+    pipe, assignments, root = pipeline_out
+    before = sorted(map(tuple, assignments.select("doc_id", "cluster_id").collect()))
+    # wipe the final stage only → resume must rebuild it identically
+    shutil.rmtree(os.path.join(root, "s6_assignments"))
+    pipe2 = DedupPipeline(spark, CFG, root)
+    again = pipe2.run(small_docs)
+    after = sorted(map(tuple, again.select("doc_id", "cluster_id").collect()))
+    assert before == after
+    # markers of earlier stages untouched (skipped, not recomputed)
+    with open(os.path.join(root, "s2_features", "_MARKER.json")) as f:
+        assert json.load(f)["config_hash"] == CFG.config_hash
+
+
+def test_config_change_invalidates_checkpoints(spark, tmp_path):
+    cfg2 = PipelineConfig(jaccard_tau=0.9)
+    store_root = str(tmp_path / "c")
+    p1 = DedupPipeline(spark, CFG, store_root)
+    assert p1.store.config_hash != DedupPipeline(spark, cfg2, store_root).store.config_hash
+
+
+def test_permutation_invariance(spark, tiny_docs, tmp_path):
+    """Shuffling input rows/partitions must not change cluster labels —
+    the reference's order-independence property, lifted to the engine."""
+    p1 = DedupPipeline(spark, CFG, str(tmp_path / "a"))
+    a = p1.run(tiny_docs)
+    shuffled = tiny_docs.orderBy(F.rand(99)).repartition(7)
+    p2 = DedupPipeline(spark, CFG, str(tmp_path / "b"))
+    b = p2.run(shuffled)
+    la = sorted(map(tuple, a.select("doc_id", "cluster_id").collect()))
+    lb = sorted(map(tuple, b.select("doc_id", "cluster_id").collect()))
+    assert la == lb

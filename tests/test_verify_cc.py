@@ -1,0 +1,70 @@
+"""Jaccard verification exactness + connected-components on known graphs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from deduplicatr_spark.config import PipelineConfig
+from deduplicatr_spark.operators.connected_components import connected_components
+from deduplicatr_spark.operators.verify import verify_pairs
+
+CFG = PipelineConfig(jaccard_tau=0.5)
+
+
+def test_jaccard_exact_values(spark):
+    feats = spark.createDataFrame(
+        [
+            (1, [1, 2, 3, 4]),
+            (2, [3, 4, 5, 6]),      # J(1,2) = 2/6 = 0.333…
+            (3, [1, 2, 3, 4, 5]),   # J(1,3) = 4/5 = 0.8
+            (4, []),                # empty set
+        ],
+        "doc_id long, shingles array<long>",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "doc_a long, doc_b long"
+    )
+    out = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in verify_pairs(pairs, feats, CFG).collect()
+    }
+    assert (1, 2) not in out           # 0.333 < τ=0.5
+    assert abs(out[(1, 3)] - 0.8) < 1e-12
+    assert (1, 4) not in out           # union>0 but inter=0 → J=0
+
+
+def _cc(spark, edges, cfg=None):
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    labels, iters = connected_components(df, cfg or PipelineConfig())
+    return {r["doc_id"]: r["cluster_id"] for r in labels.collect()}, iters
+
+
+def test_cc_chain(spark):
+    labels, iters = _cc(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+    assert iters <= 10
+
+
+def test_cc_star_and_two_components(spark):
+    labels, _ = _cc(spark, [(10, 11), (10, 12), (10, 13), (20, 21), (21, 22)])
+    assert labels == {10: 10, 11: 10, 12: 10, 13: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_cc_min_id_is_label_even_if_peripheral(spark):
+    # 1 attached at the end of a chain rooted elsewhere
+    labels, _ = _cc(spark, [(5, 9), (9, 7), (7, 3), (3, 1)])
+    assert set(labels.values()) == {1}
+
+
+def test_cc_duplicate_and_reversed_edges(spark):
+    labels, _ = _cc(spark, [(2, 1), (1, 2), (2, 3), (3, 2), (3, 3)])
+    assert labels == {1: 1, 2: 1, 3: 1}
+
+
+def test_cc_deterministic_across_partitioning(spark):
+    edges = [(i, i + 1) for i in range(1, 40)] + [(100, 200), (200, 150)]
+    df1 = spark.createDataFrame(edges, "doc_a long, doc_b long").repartition(1)
+    df7 = spark.createDataFrame(edges[::-1], "doc_a long, doc_b long").repartition(7)
+    l1, _ = connected_components(df1, PipelineConfig())
+    l7, _ = connected_components(df7, PipelineConfig())
+    assert sorted(map(tuple, l1.collect())) == sorted(map(tuple, l7.collect()))

@@ -1,0 +1,76 @@
+"""Multimodal column plumbing — images/audio/video as opaque binary.
+
+The Spark-side machinery (schema, Arrow batching, ``mapInPandas``
+signatures, partition behavior) is real and tested; the actual
+image/audio decoding is STUBBED because the codec libraries are not in
+this container:
+
+* ``decode_image_meta`` raises ``NotImplementedError`` when asked for a
+  real decode, and
+* ``fake_decode_meta`` is the deterministic stand-in used by tests and
+  the oracle — it derives metadata purely from byte length + id, so the
+  DuckDB oracle can verify the plumbing end-to-end.
+
+Swapping in a real decoder is a one-function change: replace
+``_derive_meta`` inside the mapInPandas closure with PIL/libav calls —
+batch shape, schema and partitioning stay identical.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BINARY_DOC_SCHEMA = "doc_id long, payload binary, media_type string"
+META_SCHEMA = "doc_id long, n_bytes long, width int, height int, media_type string"
+
+
+def to_binary_docs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Adapter: treat a text column as an opaque binary payload (the
+    shape a real image/audio table would have)."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.lit("application/octet-stream").alias("media_type"),
+    )
+
+
+def decode_image_meta(real_decoder: bool = False):
+    """mapInPandas operator: binary payload → typed metadata rows.
+
+    ``real_decoder=True`` requires PIL (not in this container) and
+    raises NotImplementedError — the documented stub boundary.
+    """
+    if real_decoder:
+        raise NotImplementedError(
+            "image decoding requires PIL/pillow, not present in this "
+            "environment; use real_decoder=False for the deterministic stub"
+        )
+
+    def _derive_meta(pdf: pd.DataFrame) -> pd.DataFrame:
+        n_bytes = pdf["payload"].map(len).astype("int64")
+        # deterministic fake dimensions from the id — oracle-expressible
+        width = (pdf["doc_id"] % 640 + 1).astype("int32")
+        height = (pdf["doc_id"] % 480 + 1).astype("int32")
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": n_bytes,
+                "width": width,
+                "height": height,
+                "media_type": pdf["media_type"],
+            }
+        )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _derive_meta(pdf)
+
+    return op
+
+
+def extract_meta(binary_docs: DataFrame) -> DataFrame:
+    return binary_docs.mapInPandas(decode_image_meta(), schema=META_SCHEMA)

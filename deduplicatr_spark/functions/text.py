@@ -1,0 +1,117 @@
+"""Text-analysis column functions for training-data pipelines.
+
+All pure Spark built-ins (JVM-side, whole-stage codegen) — language ID,
+quality scoring, token counting, fingerprinting. Each has an exact ANSI
+SQL equivalent so the DuckDB oracle can verify it (see
+__spark_entry__.oracle_sql); patterns are kept to the regex subset with
+identical semantics in Java regex and RE2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from deduplicatr_spark.functions.hashing import normalized
+
+# BPE-ish word/number/symbol tokenization — shared with the oracle SQL
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "for", "with", "on"]
+
+# marker-token profiles for the language-ID heuristic; scoring is a
+# deterministic count of profile hits, argmax with lexicographic
+# tie-break (heuristic n-gram language ID in the classic style)
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit"],
+    "en": ["the", "and", "of", "to", "is", "that", "it", "for"],
+    "es": ["el", "los", "las", "es", "una", "por", "como", "para"],
+    "fr": ["le", "les", "des", "est", "une", "dans", "pour", "que"],
+}
+
+
+def tokens(col: str | Column = "text") -> Column:
+    """Whitespace tokens; empty/blank text → empty array."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(F.trim(c) == "", F.array().cast("array<string>")).otherwise(
+        F.split(F.trim(c), r"\s+")
+    )
+
+
+def token_count(col: str | Column = "text") -> Column:
+    return F.size(tokens(col)).cast("long")
+
+
+def bpe_token_count(col: str | Column = "text") -> Column:
+    """Count of BPE-ish tokens (letter runs / digit runs / single symbols)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(BPE_TOKEN_RE)).cast("long")
+
+
+def stopword_count(col: str | Column = "text") -> Column:
+    toks = tokens(col)
+    markers = F.array(*[F.lit(s) for s in STOPWORDS])
+    return F.size(F.filter(toks, lambda t: F.array_contains(markers, F.lower(t)))).cast(
+        "long"
+    )
+
+
+def quality_columns(col: str = "text") -> list[Column]:
+    """Deterministic quality features: char/token counts, average token
+    length, punctuation + stopword ratios (rounded for oracle-stable
+    float comparison)."""
+    n_chars = F.length(F.col(col)).cast("long")
+    n_toks = token_count(col)
+    n_punct = F.regexp_count(F.col(col), F.lit(r"[^A-Za-z0-9\s]")).cast("long")
+    n_stop = stopword_count(col)
+    safe_toks = F.greatest(n_toks, F.lit(1))
+    safe_chars = F.greatest(n_chars, F.lit(1))
+    return [
+        n_chars.alias("n_chars_m"),
+        n_toks.alias("n_tokens"),
+        F.round(
+            F.length(F.regexp_replace(F.col(col), r"\s+", "")).cast("double")
+            / safe_toks.cast("double"),
+            6,
+        ).alias("avg_token_len"),
+        F.round(n_punct.cast("double") / safe_chars.cast("double"), 6).alias("punct_ratio"),
+        F.round(n_stop.cast("double") / safe_toks.cast("double"), 6).alias("stopword_ratio"),
+    ]
+
+
+def fingerprint(col: str = "text") -> Column:
+    """Document fingerprint: sha256 of whitespace-normalized content —
+    catches formatting-only duplicates the raw hash misses."""
+    return F.sha2(normalized(col), 256)
+
+
+def langid_column(col: str = "text") -> Column:
+    """Heuristic language ID: argmax of marker-token hit counts,
+    lexicographic tie-break, 'und' (undetermined) when no profile hits."""
+    toks = F.transform(tokens(col), lambda t: F.lower(t))
+
+    def _score(markers: list[str]) -> Column:
+        arr = F.array(*[F.lit(x) for x in markers])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    scores = [(lang, _score(markers)) for lang, markers in sorted(LANG_MARKERS.items())]
+    best = F.greatest(*[s for _, s in scores])
+    pred = F.lit("und")
+    # first (lexicographically smallest) language achieving the max wins:
+    # fold right-to-left so earlier langs override later ones
+    for lang, s in reversed(scores):
+        pred = F.when((s == best) & (best > 0), F.lit(lang)).otherwise(pred)
+    return pred
+
+
+def word_ngrams(n: int, col: str | Column = "text") -> Column:
+    """Distinct word n-grams (space-joined, lowercased)."""
+    toks = F.transform(tokens(col), lambda t: F.lower(t))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]),
+    )
+    # sequence(0, -1) would be a DESCENDING sequence, not empty — guard
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(grams)
+    )

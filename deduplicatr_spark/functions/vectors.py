@@ -1,0 +1,57 @@
+"""Embedding similarity — cosine via built-ins, hyperplane-LSH sketch.
+
+Cosine/dot-product stay JVM-side (``zip_with`` + ``aggregate`` under
+whole-stage codegen); the only pandas UDF is the random-hyperplane
+sign sketch used for LSH-bucketed ANN (operators/topk.py), which is a
+single numpy matmul per Arrow batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from deduplicatr_spark.functions import _numpy_core as core
+
+
+def _dsum(arr: Column) -> Column:
+    return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Float64 dot product, summed in element order (oracle-stable)."""
+    return _dsum(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")))
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(_dsum(F.transform(a, lambda x: x.cast("double") * x.cast("double"))))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    d = norm(a) * norm(b)
+    return F.when(d > 0, dot(a, b) / d).otherwise(F.lit(0.0))
+
+
+def hyperplane_sketch_udf(n_planes: int, dim: int, seed: int):
+    """Random-hyperplane sign sketch (Charikar 2002 SimHash for vectors):
+    bit i = sign(v · h_i). Returns a LongType sketch (n_planes ≤ 64).
+    One numpy matmul per Arrow batch — no per-row Python.
+    """
+    assert n_planes <= 64
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes))
+
+    @F.pandas_udf(T.LongType())
+    def _sketch(vecs: pd.Series) -> pd.Series:
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        signs = (mat @ planes) > 0  # (batch, n_planes)
+        weights = (np.uint64(1) << np.arange(n_planes, dtype=np.uint64))
+        out = (signs.astype(np.uint64) * weights[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
+        return pd.Series(core.to_i64(out))
+
+    return _sketch

@@ -1,0 +1,193 @@
+"""Suffix-array substring near-dup stage (SURVEY.md §2.9).
+
+Finds document pairs sharing a contiguous block ≥ ``substring_min_len``
+chars (copied functions, license headers) that whole-document MinHash
+can miss when the rest of the docs differ.
+
+Cross-partition matches are fundamentally non-local, so the stage is
+split scale-first:
+
+1. **Anchor fingerprints** (content-defined chunking, the rsync/CDC
+   trick): a rolling 16-byte hash selects ~1/16 of positions as
+   anchors *by content*, so anchors align across documents regardless
+   of offset shifts; each anchor contributes the hash of the following
+   64-byte window. Two docs sharing a ≥200-char block share an interior
+   anchor with probability ≈ 1 − (1−1/16)^(200−16−64) ≈ 0.9996.
+   One vectorized numpy pass per Arrow batch.
+2. **Candidate pairs** from anchor-fp buckets — reusing the exact LSH
+   bucket machinery (range shuffle, caps, drop metrics).
+3. **Verification**: per candidate pair, the true longest common
+   substring via a suffix array over the two docs (numpy
+   prefix-doubling construction + Kasai LCP), keeping pairs with
+   LCS ≥ min_len. Work is proportional to candidate pairs, never to
+   corpus².
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from deduplicatr_spark.config import PipelineConfig
+from deduplicatr_spark.functions import _numpy_core as core
+
+_ANCHOR_WIN = 16
+_FP_WIN = 64
+_ANCHOR_MOD = 16
+
+
+def _anchor_fps_one(buf: np.ndarray, seed: int) -> np.ndarray:
+    """Anchor fingerprints of one uint8 buffer (sorted unique int64)."""
+    if buf.size < _ANCHOR_WIN + _FP_WIN:
+        return np.empty(0, dtype=np.int64)
+    coef_a = core.hash_keys(_ANCHOR_WIN, seed)
+    roll = core.splitmix64(
+        np.lib.stride_tricks.sliding_window_view(buf, _ANCHOR_WIN).astype(np.uint64)
+        @ coef_a
+    )
+    anchors = np.flatnonzero(roll % np.uint64(_ANCHOR_MOD) == 0)
+    anchors = anchors[anchors + _ANCHOR_WIN + _FP_WIN <= buf.size]
+    if anchors.size == 0:
+        return np.empty(0, dtype=np.int64)
+    coef_f = core.hash_keys(_FP_WIN, seed + 1)
+    fp_wins = np.lib.stride_tricks.sliding_window_view(buf, _FP_WIN)
+    fps = core.splitmix64(
+        fp_wins[anchors + _ANCHOR_WIN].astype(np.uint64) @ coef_f
+    )
+    return np.unique(core.to_i64(fps))
+
+
+def anchor_fp_udf(config: PipelineConfig):
+    seed = config.shingle_seed + 1000
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _fps(content: pd.Series) -> pd.Series:
+        return content.fillna("").map(
+            lambda s: _anchor_fps_one(np.frombuffer(s.encode("utf-8"), np.uint8), seed)
+        )
+
+    return _fps
+
+
+# --- suffix array + LCP (per verified pair; doc-scale, numpy) -----------
+
+def build_suffix_array(a: np.ndarray) -> np.ndarray:
+    """Suffix array by prefix doubling (O(n log² n), fully vectorized)."""
+    n = a.size
+    rank = a.astype(np.int64)
+    k = 1
+    order = np.argsort(rank, kind="stable")
+    while True:
+        rank2 = np.full(n, -1, dtype=np.int64)
+        rank2[: n - k] = rank[k:]
+        order = np.lexsort((rank2, rank))
+        pair_r = rank[order]
+        pair_r2 = rank2[order]
+        diff = np.ones(n, dtype=bool)
+        diff[1:] = (pair_r[1:] != pair_r[:-1]) | (pair_r2[1:] != pair_r2[:-1])
+        new_rank = np.empty(n, dtype=np.int64)
+        new_rank[order] = np.cumsum(diff) - 1
+        rank = new_rank
+        if rank[order[-1]] == n - 1:
+            return order
+        k *= 2
+        if k >= n:
+            return order
+
+
+def _kasai_lcp(a: np.ndarray, sa: np.ndarray) -> np.ndarray:
+    """LCP array (lcp[i] = LCP(sa[i], sa[i+1])), Kasai's algorithm."""
+    n = a.size
+    rank = np.empty(n, dtype=np.int64)
+    rank[sa] = np.arange(n)
+    lcp = np.zeros(max(n - 1, 0), dtype=np.int64)
+    h = 0
+    ab = a.tolist()  # python list lookup is ~3× faster in the loop
+    sa_l = sa.tolist()
+    rank_l = rank.tolist()
+    for i in range(n):
+        r = rank_l[i]
+        if r == n - 1:
+            h = 0
+            continue
+        j = sa_l[r + 1]
+        while i + h < n and j + h < n and ab[i + h] == ab[j + h]:
+            h += 1
+        lcp[r] = h
+        if h:
+            h -= 1
+    return lcp
+
+
+def longest_common_substring_len(a: bytes, b: bytes) -> int:
+    """Exact LCS length via suffix array over a·SEP·b (SEP outside the
+    byte alphabet via an int16 sentinel)."""
+    if not a or not b:
+        return 0
+    xa = np.frombuffer(a, np.uint8).astype(np.int16)
+    xb = np.frombuffer(b, np.uint8).astype(np.int16)
+    s = np.concatenate([xa, np.array([256], np.int16), xb])
+    sa = build_suffix_array(s)
+    lcp = _kasai_lcp(s, sa)
+    side = sa < xa.size  # suffixes starting in a (sentinel belongs to b-side)
+    cross = side[:-1] != side[1:]
+    return int(lcp[cross].max()) if cross.any() else 0
+
+
+# --- the stage -----------------------------------------------------------
+
+_VERIFY_SCHEMA = "doc_a long, doc_b long, match_len long"
+
+
+def _verify_batch(min_len: int):
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            lens = [
+                longest_common_substring_len(
+                    ca.encode("utf-8"), cb.encode("utf-8")
+                )
+                for ca, cb in zip(pdf["_ca"], pdf["_cb"])
+            ]
+            out = pd.DataFrame(
+                {"doc_a": pdf["doc_a"], "doc_b": pdf["doc_b"], "match_len": lens}
+            )
+            yield out[out["match_len"] >= min_len]
+
+    return op
+
+
+def substring_pairs(
+    docs_with_content: DataFrame, config: PipelineConfig
+) -> tuple[DataFrame, DataFrame]:
+    """(doc_id, content) → verified (doc_a, doc_b, match_len ≥ min_len).
+
+    Returns (pairs, drop_stats). Candidate generation reuses the LSH
+    bucket pipeline on anchor fingerprints (operators/lsh.py — range
+    shuffle, hot-bucket thinning, caps with accounting).
+    """
+    from deduplicatr_spark.operators.lsh import lsh_candidate_pairs
+
+    fps = docs_with_content.select(
+        "doc_id", anchor_fp_udf(config)(F.col("content")).alias("band_hashes")
+    ).filter(F.size("band_hashes") > 0)
+    cand, drop_stats = lsh_candidate_pairs(fps, config)
+
+    content = docs_with_content.select("doc_id", "content")
+    joined = (
+        cand.join(
+            content.withColumnsRenamed({"doc_id": "doc_a", "content": "_ca"}), "doc_a"
+        ).join(
+            content.withColumnsRenamed({"doc_id": "doc_b", "content": "_cb"}), "doc_b"
+        )
+    )
+    pairs = joined.mapInPandas(
+        _verify_batch(config.substring_min_len), schema=_VERIFY_SCHEMA
+    )
+    return pairs, drop_stats

@@ -1,0 +1,100 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths:
+
+* ``brute_force_topk`` — exact cosine top-k: broadcast the (small) query
+  set against the corpus, window top-k per query. The baseline and the
+  oracle-checkable path. At 100 TB the corpus side stays partitioned and
+  never shuffles: broadcast-join + per-partition partial top-k
+  (aggregated by the window) is a map-side plan.
+* ``lsh_topk`` — approximate: random-hyperplane sketches (functions/
+  vectors.py), candidates from Hamming-pigeonhole bucket joins (reusing
+  the SimHash machinery), exact cosine re-rank of candidates only. The
+  scale path: candidate generation touches each corpus row once, and
+  the re-rank join is proportional to candidates, not corpus × queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from deduplicatr_spark.functions.vectors import cosine, hyperplane_sketch_udf
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k neighbors (excluding self) per query.
+
+    Output: (q_id, n_id, score, rank) — rank 1..k by (score desc, n_id).
+    """
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("_qv")
+    )
+    c = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("_cv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
+        .withColumn("score", cosine(F.col("_qv"), F.col("_cv")))
+        .select("q_id", "n_id", "score")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("score", F.round("score", 4))
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    dim: int,
+    n_planes: int = 16,
+    hamming_d: int = 3,
+    seed: int = 77,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: hyperplane sketch → pigeonhole chunk buckets →
+    exact cosine re-rank of bucket-mates only."""
+    sketch = hyperplane_sketch_udf(n_planes, dim, seed)
+    n_chunks = hamming_d + 1
+    width = n_planes // n_chunks
+    mask = (1 << width) - 1
+
+    def with_chunks(df: DataFrame, prefix: str) -> DataFrame:
+        sk = df.withColumn("_sk", sketch(F.col(vec_col)))
+        chunks = F.array(
+            *[
+                F.shiftright(F.col("_sk"), i * width).bitwiseAND(F.lit(mask))
+                for i in range(n_chunks)
+            ]
+        )
+        return sk.select(
+            F.col(id_col).alias(f"{prefix}_id"),
+            F.col(vec_col).alias(f"_{prefix}v"),
+            F.posexplode(chunks).alias("chunk_id", "chunk_val"),
+        )
+
+    qc = with_chunks(queries, "q")
+    cc = with_chunks(corpus, "n")
+    cand = (
+        qc.join(cc, ["chunk_id", "chunk_val"])
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "_qv", "n_id", "_nv")
+        .distinct()
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("n_id"))
+    return (
+        cand.withColumn("score", cosine(F.col("_qv"), F.col("_nv")))
+        .select("q_id", "n_id", "score")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("score", F.round("score", 4))
+    )

@@ -1,0 +1,74 @@
+"""Suffix-array machinery + substring stage on planted blocks."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from deduplicatr_spark.config import PipelineConfig
+from deduplicatr_spark.operators.suffix_array import (
+    build_suffix_array,
+    longest_common_substring_len,
+    substring_pairs,
+)
+from deduplicatr_spark.operators.exact import with_identity
+from deduplicatr_spark.sources.synth import SynthCorpus
+
+CFG = PipelineConfig(max_bucket_size=32, hot_key_threshold=2000)
+
+
+def test_suffix_array_matches_sorted_suffixes():
+    rng = np.random.default_rng(3)
+    s = rng.integers(97, 102, size=200).astype(np.int16)
+    sa = build_suffix_array(s)
+    b = bytes(s.astype(np.uint8))
+    expect = sorted(range(len(b)), key=lambda i: b[i:])
+    assert sa.tolist() == expect
+
+
+def test_lcs_exact():
+    assert longest_common_substring_len(b"xxabcdefyy", b"qqabcdefzz") == 6
+    assert longest_common_substring_len(b"abc", b"xyz") == 0
+    assert longest_common_substring_len(b"", b"abc") == 0
+    assert longest_common_substring_len(b"same", b"same") == 4
+    # repeated content must not leak across the sentinel
+    assert longest_common_substring_len(b"aaaa", b"aaaa") == 4
+
+
+def test_planted_block_found(spark, tiny_corpus, tiny_docs):
+    ident = with_identity(tiny_docs)
+    pairs, _ = substring_pairs(ident.select("doc_id", "content"), CFG)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    kid = {
+        SynthCorpus.key(r["repo"], r["path"], r["commit"]): r["doc_id"]
+        for r in ident.select("repo", "path", "commit", "doc_id").collect()
+    }
+    truth = [
+        tuple(sorted((kid[a], kid[b])))
+        for a, b, kind, _ in tiny_corpus.truth_pairs
+        if kind == "substring"
+    ]
+    assert truth, "fixture must plant substring pairs"
+    hits = sum(1 for t in truth if t in got)
+    assert hits / len(truth) >= 0.9, f"substring recall {hits}/{len(truth)}"
+
+
+def test_match_len_at_least_min(spark):
+    # varied content — uniform runs ("SSS…") defeat content-defined
+    # anchoring by design (constant rolling hash → ~1/16 anchor odds);
+    # such degenerate blocks are exact-dup territory anyway
+    rng = np.random.default_rng(8)
+    block = "".join(chr(c) for c in rng.integers(97, 123, size=300))
+    filler = lambda seed, n: "".join(  # noqa: E731
+        chr(c) for c in np.random.default_rng(seed).integers(97, 123, size=n)
+    )
+    docs = spark.createDataFrame(
+        [(1, filler(1, 400) + block + filler(2, 400)),
+         (2, filler(3, 500) + block + filler(4, 300)),
+         (3, filler(5, 1000))],
+        "doc_id long, content string",
+    )
+    pairs, _ = substring_pairs(docs, CFG)
+    rows = {(r["doc_a"], r["doc_b"]): r["match_len"] for r in pairs.collect()}
+    assert (1, 2) in rows and rows[(1, 2)] >= 300
+    assert all(k in ((1, 2),) for k in rows)

@@ -1,0 +1,123 @@
+"""Text-analysis functions, embedding top-k, multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from deduplicatr_spark.functions.multimodal import extract_meta, to_binary_docs, decode_image_meta
+from deduplicatr_spark.functions.text import (
+    bpe_token_count,
+    fingerprint,
+    langid_column,
+    quality_columns,
+    token_count,
+    word_ngrams,
+)
+from deduplicatr_spark.operators.topk import brute_force_topk, lsh_topk
+
+import pytest
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [("hello world foo",), ("  a  b ",), ("",), ("   ",)], "text string"
+    )
+    got = [r[0] for r in df.select(token_count("text")).collect()]
+    assert got == [3, 2, 0, 0]
+    got_bpe = [
+        r[0] for r in df.select(bpe_token_count("text")).collect()
+    ]
+    assert got_bpe == [3, 2, 0, 0]
+    df2 = spark.createDataFrame([("foo123bar, x=1",)], "text string")
+    # foo|123|bar|,|x|=|1 → 7
+    assert df2.select(bpe_token_count("text")).collect()[0][0] == 7
+
+
+def test_quality_columns(spark):
+    df = spark.createDataFrame([("the cat, and dog!",)], "text string")
+    row = df.select(*quality_columns("text")).collect()[0]
+    assert row["n_chars_m"] == 17
+    assert row["n_tokens"] == 4
+    assert row["punct_ratio"] == round(2 / 17, 6)
+    assert row["stopword_ratio"] == round(2 / 4, 6)  # 'the', 'and'
+
+
+def test_fingerprint_normalizes_whitespace(spark):
+    df = spark.createDataFrame(
+        [("a  b\n\nc",), ("a b c",), ("a b d",)], "text string"
+    )
+    fps = [r[0] for r in df.select(fingerprint("text")).collect()]
+    assert fps[0] == fps[1] != fps[2]
+
+
+def test_langid(spark):
+    df = spark.createDataFrame(
+        [("the cat is on the mat and it runs",),
+         ("le chat est dans les maisons pour que",),
+         ("der hund und die katze ist nicht hier",),
+         ("zzz qqq www",)],
+        "text string",
+    )
+    got = [r[0] for r in df.select(langid_column("text")).collect()]
+    assert got == ["en", "fr", "de", "und"]
+
+
+def test_word_ngrams(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",), ("a",)], "text string")
+    got = [r[0] for r in df.select(word_ngrams(3, "text")).collect()]
+    assert got[0] == ["a b c", "b c d"]
+    assert got[1] == [] and got[2] == []
+
+
+def _emb_df(spark, n=40, dim=8, seed=5):
+    rng = np.random.default_rng(seed)
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    rows = [(i, vecs[i].tolist()) for i in range(n)]
+    return (
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>"),
+        vecs,
+    )
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    df, vecs = _emb_df(spark)
+    queries = df.filter(F.col("vec_id") < 3)
+    out = brute_force_topk(df, queries, k=5)
+    got = {(r["q_id"], r["rank"]): r["n_id"] for r in out.collect()}
+    x = vecs.astype(np.float64)
+    sims = (x @ x.T) / (np.linalg.norm(x, axis=1)[:, None] * np.linalg.norm(x, axis=1)[None, :])
+    for q in range(3):
+        order = sorted(
+            (i for i in range(len(vecs)) if i != q),
+            key=lambda i: (-sims[q, i], i),
+        )[:5]
+        for rank, nid in enumerate(order, start=1):
+            assert got[(q, rank)] == nid
+
+
+def test_lsh_topk_recall(spark):
+    df, _ = _emb_df(spark, n=120, dim=16, seed=9)
+    queries = df.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(df, queries, k=3)
+    approx = lsh_topk(df, queries, k=3, dim=16, n_planes=16, hamming_d=3)
+    e = {(r["q_id"], r["n_id"]) for r in exact.collect()}
+    a = {(r["q_id"], r["n_id"]) for r in approx.collect()}
+    assert len(e & a) / len(e) >= 0.5  # pigeonhole d=3/16 planes keeps most
+
+
+def test_multimodal_plumbing(spark):
+    docs = spark.createDataFrame(
+        [(7, "hello"), (8, "wörld")], "doc_id long, text string"
+    )
+    meta = extract_meta(to_binary_docs(docs))
+    rows = {r["doc_id"]: r for r in meta.collect()}
+    assert rows[7]["n_bytes"] == 5
+    assert rows[8]["n_bytes"] == 6  # ö is 2 bytes in utf-8
+    assert rows[7]["width"] == 7 % 640 + 1 and rows[7]["height"] == 7 % 480 + 1
+    assert rows[7]["media_type"] == "application/octet-stream"
+
+
+def test_real_decoder_is_explicit_stub():
+    with pytest.raises(NotImplementedError):
+        decode_image_meta(real_decoder=True)

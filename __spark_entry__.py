@@ -1,38 +1,584 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship 6-stage dedup pipeline on sf0.001.
+``queries()`` exposes one entry per implemented operator from
+SURVEY.md §2 (exact dedup O3/O7/O8, dir rollup O5, containment O9,
+MinHash/LSH §2.7, SimHash §2.8, suffix-array §2.9, Jaccard verify
+§2.10, connected components §2.11, plus the training-data-pipeline
+extensions: text analysis, n-gram Jaccard, embedding top-k,
+multimodal plumbing). ``oracle_sql()`` gives the DuckDB-equivalent
+ANSI SQL for every SQL-expressible query.
+
+The driver's documents table (doc_id, text, lang, source, n_chars)
+has no natural duplicates at sf0.01, so SQL-expressible dedup queries
+run over a *planted corpus*: a deterministic UNION of the base rows
+with exact copies, whitespace variants, near variants, and a full
+mirror of repo src0 — built identically in Spark and in the oracle
+SQL (same arithmetic, same string ops), no external data.
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from deduplicatr_spark.config import PipelineConfig
+from deduplicatr_spark.functions import text as TXT
+from deduplicatr_spark.functions.features import features_udf
+from deduplicatr_spark.functions.hashing import normalized
+from deduplicatr_spark.functions.multimodal import extract_meta, to_binary_docs
+from deduplicatr_spark.operators.connected_components import connected_components
+from deduplicatr_spark.operators.containment import suppress_contained
+from deduplicatr_spark.operators.exact import duplicate_groups, exact_canonical
+from deduplicatr_spark.operators.lsh import lsh_candidate_pairs
+from deduplicatr_spark.operators.pigeonhole import simhash_candidate_pairs
+from deduplicatr_spark.operators.rollup import dir_rollup, duplicate_dirs
+from deduplicatr_spark.operators.suffix_array import substring_pairs
+from deduplicatr_spark.operators.topk import brute_force_topk
+from deduplicatr_spark.operators.verify import verify_pairs
+from deduplicatr_spark.plans.pipeline import DedupPipeline
+
+# ---------------------------------------------------------------------------
+# shared input derivation (Spark and oracle build the SAME corpus)
+# ---------------------------------------------------------------------------
+
+JACCARD_TAU = 0.5  # word-3-gram near-dup threshold for the oracle query
+
+ENTRY_CONFIG = PipelineConfig(substring_min_len=120)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted dedup corpus: (doc_id, repo, path, content, lang).
+
+    Mirrors CORPUS_SQL exactly — keep the two in sync.
+    """
+    base = _docs(spark, sf_dir).filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.col("source").alias("repo"),
+        F.concat(
+            F.col("source"), F.lit("/"), F.col("lang"), F.lit("/"),
+            F.col("doc_id").cast("string"), F.lit(".txt"),
+        ).alias("path"),
+        F.col("text").alias("content"),
+        "lang",
+    )
+    dup = base.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        "repo",
+        F.concat(
+            F.col("repo"), F.lit("/"), F.col("lang"), F.lit("/"),
+            F.col("doc_id").cast("string"), F.lit("_c.txt"),
+        ).alias("path"),
+        "content",
+        "lang",
+    )
+    ws = base.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        "repo",
+        F.concat(F.lit("ws/"), F.col("doc_id").cast("string"), F.lit(".txt")).alias("path"),
+        F.replace(F.col("content"), F.lit(" "), F.lit("  ")).alias("content"),
+        "lang",
+    )
+    near = base.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        "repo",
+        F.concat(F.lit("near/"), F.col("doc_id").cast("string"), F.lit(".txt")).alias("path"),
+        F.concat(F.col("content"), F.lit(" zz yy xx qq")).alias("content"),
+        "lang",
+    )
+    planted = base.unionByName(dup).unionByName(ws).unionByName(near)
+    mirror = planted.filter(F.col("repo") == "src0").select(
+        (F.col("doc_id") + 4000000).alias("doc_id"),
+        F.lit("mirror").alias("repo"),
+        "path",
+        "content",
+        "lang",
+    )
+    return planted.unionByName(mirror)
+
+
+CORPUS_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         source AS repo,
+         source || '/' || lang || '/' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+         text AS content,
+         lang
+  FROM documents WHERE text IS NOT NULL
+), planted AS (
+  SELECT * FROM base
+  UNION ALL
+  SELECT doc_id + 1000000, repo,
+         repo || '/' || lang || '/' || CAST(doc_id AS VARCHAR) || '_c.txt',
+         content, lang
+  FROM base WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, repo,
+         'ws/' || CAST(doc_id AS VARCHAR) || '.txt',
+         replace(content, ' ', '  '), lang
+  FROM base WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 3000000, repo,
+         'near/' || CAST(doc_id AS VARCHAR) || '.txt',
+         content || ' zz yy xx qq', lang
+  FROM base WHERE doc_id % 5 = 0
+), corpus AS (
+  SELECT * FROM planted
+  UNION ALL
+  SELECT doc_id + 4000000, 'mirror', path, content, lang
+  FROM planted WHERE repo = 'src0'
+), files AS (
+  SELECT repo, path, doc_id, content,
+         sha256(content) AS sha256,
+         length(content) AS size
+  FROM corpus
+), exploded AS (
+  SELECT repo, dir, sha256, size FROM (
+    SELECT repo,
+           unnest(list_concat(
+             [''],
+             list_transform(
+               range(1, len(string_split(path, '/'))),
+               i -> array_to_string((string_split(path, '/'))[1:i], '/')
+             )
+           )) AS dir,
+           sha256, size
+    FROM files
+  )
+), rollup AS (
+  SELECT repo, dir,
+         sum(CAST('0x' || substr(sha256, 1, 15) AS BIGINT)) AS dir_hash_n,
+         sum(size) AS bytes,
+         count(*) AS filecount
+  FROM exploded GROUP BY repo, dir
+)
+"""
+
+# floor(x*1e6)/1e6 — deterministic float truncation, identical IEEE ops in
+# Spark and DuckDB (F.round / SQL round differ on ties; floor never does)
+def _floor6(c: F.Column) -> F.Column:
+    return F.floor(c * 1000000) / F.lit(1000000.0)
+
+
+def _identified(corpus: DataFrame) -> DataFrame:
+    return corpus.select(
+        "repo",
+        "path",
+        "doc_id",
+        F.sha2("content", 256).alias("sha256"),
+        F.length("content").cast("long").alias("size"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference O3+O7+O8: sha256 duplicate groups, size desc."""
+    return duplicate_groups(_identified(_corpus(spark, sf_dir)))
+
+
+def _q_exact_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row canonical pick (SURVEY §2.3) — window, no collect_list."""
+    out = exact_canonical(_identified(_corpus(spark, sf_dir)))
+    return out.select("doc_id", "sha256", "canonical_id", "exact_group_size")
+
+
+def _q_fingerprint_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Formatting-insensitive dup groups (normalized-content sha256)."""
+    c = _corpus(spark, sf_dir).withColumn("fp", TXT.fingerprint("content"))
+    return (
+        c.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("canonical_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def _q_dir_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference O5: commutative per-directory (hash, bytes, filecount)."""
+    r = dir_rollup(_identified(_corpus(spark, sf_dir)))
+    return r.select(
+        "repo", "dir", F.col("dir_hash").cast("string").alias("dir_hash"),
+        "bytes", "filecount",
+    )
+
+
+def _q_duplicate_dirs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directory-level duplicate groups (mirror repo plants them)."""
+    d = duplicate_dirs(dir_rollup(_identified(_corpus(spark, sf_dir))))
+    return d.select(
+        F.col("dir_hash").cast("string").alias("dir_hash"),
+        "bytes", "filecount", "n_dirs", "first_location",
+    )
+
+
+def _q_containment_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference O9: file-level dups not subsumed by a duplicated dir."""
+    ident = _identified(_corpus(spark, sf_dir))
+    w = Window.partitionBy("sha256")
+    dup_files = (
+        ident.withColumn("_n", F.count(F.lit(1)).over(w))
+        .filter(F.col("_n") > 1)
+        .select("repo", "path", "sha256")
+    )
+    wd = Window.partitionBy("dir_hash", "bytes", "filecount")
+    dup_dir_loc = (
+        dir_rollup(ident)
+        .withColumn("_n", F.count(F.lit(1)).over(wd))
+        .filter(F.col("_n") > 1)
+        .select("repo", "dir")
+    )
+    return suppress_contained(dup_files, dup_dir_loc).select("repo", "path", "sha256")
+
+
+def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-analysis columns (token counts, quality ratios)."""
+    d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    n_toks = TXT.token_count("text")
+    n_chars = F.length("text").cast("long")
+    n_punct = F.regexp_count(F.col("text"), F.lit(r"[^A-Za-z0-9\s]")).cast("long")
+    n_stop = TXT.stopword_count("text")
+    safe_t = F.greatest(n_toks, F.lit(1)).cast("double")
+    safe_c = F.greatest(n_chars, F.lit(1)).cast("double")
+    return d.select(
+        "doc_id",
+        n_chars.alias("n_chars_c"),
+        n_toks.alias("n_tokens"),
+        TXT.bpe_token_count("text").alias("bpe_tokens"),
+        _floor6(
+            F.length(F.regexp_replace("text", r"\s+", "")).cast("double") / safe_t
+        ).alias("avg_token_len"),
+        _floor6(n_punct.cast("double") / safe_c).alias("punct_ratio"),
+        _floor6(n_stop.cast("double") / safe_t).alias("stopword_ratio"),
+    )
+
+
+def _q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic marker-token language ID."""
+    d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    return d.select("doc_id", TXT.langid_column("text").alias("pred_lang"))
+
+
+def _q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard near-dup pairs via inverted-index candidate
+    generation (explode grams → equi-join → exact verify) — the
+    scalable plan, not a cross join."""
+    c = _corpus(spark, sf_dir).select(
+        "doc_id", TXT.word_ngrams(3, "content").alias("grams")
+    ).filter(F.size("grams") > 0)
+    e = c.select("doc_id", F.explode("grams").alias("gram"))
+    cand = (
+        e.alias("a")
+        .join(e.alias("b"), (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ga = c.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("_ga"))
+    gb = c.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("_gb"))
+    inter = F.size(F.array_intersect("_ga", "_gb")).cast("double")
+    union = (F.size("_ga") + F.size("_gb")).cast("double") - inter
+    return (
+        cand.join(ga, "doc_a").join(gb, "doc_b")
+        .withColumn("jaccard", _floor6(inter / union))
+        .filter(F.col("jaccard") >= JACCARD_TAU)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (queries = vec_id < 10, k = 5)."""
+    emb = _emb(spark, sf_dir)
+    out = brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return out.select("q_id", "n_id", F.col("rank").cast("long").alias("rank"))
+
+
+def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload metadata extraction (stubbed decode, real plumbing)."""
+    d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    return extract_meta(to_binary_docs(d))
+
+
+def _q_cc_fingerprint_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components (§2.11) on chain edges within fingerprint
+    groups — CC must propagate min labels transitively; the oracle is
+    the group-min window."""
+    c = _corpus(spark, sf_dir).withColumn("fp", TXT.fingerprint("content"))
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    edges = (
+        c.withColumn("_prev", F.lag("doc_id").over(w))
+        .filter(F.col("_prev").isNotNull())
+        .select(F.col("_prev").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    labels, _ = connected_components(edges, ENTRY_CONFIG)
+    return labels.select("doc_id", "cluster_id")
+
+
+def _features_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _corpus(spark, sf_dir)
+    feats = c.select(
+        "doc_id", features_udf(ENTRY_CONFIG)(normalized("content")).alias("f")
+    )
+    return feats.select("doc_id", "f.*")
+
+
+def _q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash→LSH candidates (§2.6–2.7) verified by exact Jaccard
+    (§2.10). Non-SQL-expressible (xxhash shingles) → rows-only check."""
+    feats = _features_frame(spark, sf_dir)
+    pairs, _drops = lsh_candidate_pairs(feats, ENTRY_CONFIG)
+    v = verify_pairs(pairs, feats, ENTRY_CONFIG)
+    return v.select("doc_a", "doc_b", _floor6(F.col("jaccard")).alias("jaccard"))
+
+
+def _q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash pigeonhole candidates, Hamming-verified (§2.8)."""
+    feats = _features_frame(spark, sf_dir)
+    pairs, _drops = simhash_candidate_pairs(feats, ENTRY_CONFIG)
+    return pairs.select("doc_a", "doc_b")
+
+
+def _q_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-array shared-substring pairs (§2.9), match_len ≥ 120."""
+    c = _corpus(spark, sf_dir).select("doc_id", "content")
+    pairs, _drops = substring_pairs(c, ENTRY_CONFIG)
+    return pairs.select("doc_a", "doc_b", "match_len")
+
+
+def _q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full 6-stage pipeline e2e (exact → features → candidates →
+    verify → CC → assign), parquet checkpoints; rows-only check."""
+    docs = _corpus(spark, sf_dir).select(
+        "repo", "path", F.lit("c0").alias("commit"), "lang", "content"
+    )
+    pipe = DedupPipeline(spark, ENTRY_CONFIG, tempfile.mkdtemp(prefix="dedup_ckpt_"))
+    out = pipe.run(docs)
+    return out.select("repo", "path", "sha256", "size", "canonical_id", "cluster_id")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the full dedup pipeline on sf0.001."""
+    return _q_dedup_pipeline(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "exact_dup_groups": _q_exact_dup_groups,
+        "exact_canonical": _q_exact_canonical,
+        "fingerprint_dup_groups": _q_fingerprint_dup_groups,
+        "dir_rollup": _q_dir_rollup,
+        "duplicate_dirs": _q_duplicate_dirs,
+        "containment_report": _q_containment_report,
+        "token_stats": _q_token_stats,
+        "langid": _q_langid,
+        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "embedding_topk": _q_embedding_topk,
+        "multimodal_meta": _q_multimodal_meta,
+        "cc_fingerprint_chains": _q_cc_fingerprint_chains,
+        "minhash_lsh_pairs": _q_minhash_lsh_pairs,
+        "simhash_hamming_pairs": _q_simhash_hamming_pairs,
+        "substring_pairs": _q_substring_pairs,
+        "dedup_pipeline": _q_dedup_pipeline,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect, same views)
+# ---------------------------------------------------------------------------
+
+_TOKS = (
+    "CASE WHEN trim({c}) = '' THEN CAST([] AS VARCHAR[]) "
+    "ELSE string_split_regex(trim({c}), '\\s+') END"
+)
+
+_STOPW = "['the','a','and','of','to','in','is','for','with','on']"
+
+_GRAMS3 = (
+    "CASE WHEN len({t}) < 3 THEN CAST([] AS VARCHAR[]) ELSE list_distinct("
+    "list_transform(range(1, len({t}) - 1), "
+    "i -> {t}[i] || ' ' || {t}[i+1] || ' ' || {t}[i+2])) END"
+)
+
+
+def _langid_sql() -> str:
+    markers = sorted(TXT.LANG_MARKERS.items())
+    toks = _TOKS.format(c="text")
+    scores = ", ".join(
+        "len(list_filter(toks, x -> list_contains([{m}], x))) AS s_{lang}".format(
+            m=", ".join(f"'{w}'" for w in ws), lang=lang
+        )
+        for lang, ws in markers
+    )
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang, _ in markers) + ")"
+    cases = " ".join(f"WHEN s_{lang} = best THEN '{lang}'" for lang, _ in markers)
+    return f"""
+WITH t AS (
+  SELECT doc_id, list_transform({toks}, x -> lower(x)) AS toks
+  FROM documents WHERE text IS NOT NULL
+), s AS (
+  SELECT doc_id, {scores} FROM t
+), b AS (
+  SELECT *, {best} AS best FROM s
+)
+SELECT doc_id,
+       CASE WHEN best = 0 THEN 'und' {cases} ELSE 'und' END AS pred_lang
+FROM b
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    toks = _TOKS.format(c="text")
+    grams = _GRAMS3.format(t="toks")
+    return {
+        "exact_dup_groups": CORPUS_SQL + """
+SELECT sha256 AS sha256,
+       count(*) AS n_dups,
+       min(doc_id) AS canonical_id,
+       max(size) AS bytes
+FROM files GROUP BY sha256 HAVING count(*) > 1
+""",
+        "exact_canonical": CORPUS_SQL + """
+SELECT doc_id, sha256,
+       min(doc_id) OVER (PARTITION BY sha256) AS canonical_id,
+       count(*) OVER (PARTITION BY sha256) AS exact_group_size
+FROM files
+""",
+        "fingerprint_dup_groups": CORPUS_SQL + """
+SELECT sha256(trim(regexp_replace(content, '\\s+', ' ', 'g'))) AS fp,
+       count(*) AS n_dups,
+       min(doc_id) AS canonical_id
+FROM corpus GROUP BY fp HAVING count(*) > 1
+""",
+        "dir_rollup": CORPUS_SQL + """
+SELECT repo, dir, CAST(dir_hash_n AS VARCHAR) AS dir_hash, bytes, filecount
+FROM rollup
+""",
+        "duplicate_dirs": CORPUS_SQL + """
+SELECT CAST(dir_hash_n AS VARCHAR) AS dir_hash,
+       bytes, filecount,
+       count(*) AS n_dirs,
+       min(repo || '/' || dir) AS first_location
+FROM rollup
+WHERE filecount > 0
+GROUP BY dir_hash_n, bytes, filecount
+HAVING count(*) > 1
+""",
+        "containment_report": CORPUS_SQL + """
+, dup_files AS (
+  SELECT repo, path, sha256 FROM files
+  QUALIFY count(*) OVER (PARTITION BY sha256) > 1
+), dup_dirs AS (
+  SELECT repo, dir FROM rollup
+  QUALIFY count(*) OVER (PARTITION BY dir_hash_n, bytes, filecount) > 1
+)
+SELECT f.repo, f.path, f.sha256
+FROM dup_files f
+WHERE NOT EXISTS (
+  SELECT 1 FROM dup_dirs d
+  WHERE d.repo = f.repo
+    AND list_contains(
+      list_concat([''], list_transform(
+        range(1, len(string_split(f.path, '/'))),
+        i -> array_to_string((string_split(f.path, '/'))[1:i], '/'))),
+      d.dir)
+)
+""",
+        "token_stats": f"""
+WITH t AS (
+  SELECT doc_id, text, {toks} AS toks FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id,
+  length(text) AS n_chars_c,
+  len(toks) AS n_tokens,
+  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens,
+  floor(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+        / CAST(greatest(len(toks), 1) AS DOUBLE) * 1000000) / 1000000.0
+    AS avg_token_len,
+  floor(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+        / CAST(greatest(length(text), 1) AS DOUBLE) * 1000000) / 1000000.0
+    AS punct_ratio,
+  floor(CAST(len(list_filter(toks, x -> list_contains({_STOPW}, lower(x)))) AS DOUBLE)
+        / CAST(greatest(len(toks), 1) AS DOUBLE) * 1000000) / 1000000.0
+    AS stopword_ratio
+FROM t
+""",
+        "langid": _langid_sql(),
+        "ngram_jaccard_pairs": CORPUS_SQL + f"""
+, tok AS (
+  SELECT doc_id,
+         list_transform({_TOKS.format(c="content")}, x -> lower(x)) AS toks
+  FROM corpus
+), g AS (
+  SELECT doc_id, {grams} AS grams FROM tok
+), gg AS (
+  SELECT doc_id, grams FROM g WHERE len(grams) > 0
+), e AS (
+  SELECT doc_id, unnest(grams) AS gram FROM gg
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
+), j AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE) AS inter,
+         CAST(len(ga.grams) + len(gb.grams) AS DOUBLE) AS tot
+  FROM cand c
+  JOIN gg ga ON ga.doc_id = c.doc_a
+  JOIN gg gb ON gb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b,
+       floor(inter / (tot - inter) * 1000000) / 1000000.0 AS jaccard
+FROM j
+WHERE floor(inter / (tot - inter) * 1000000) / 1000000.0 >= {JACCARD_TAU}
+""",
+        "embedding_topk": """
+WITH q AS (
+  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 10
+), c AS (
+  SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+), s AS (
+  SELECT q_id, n_id,
+         CASE WHEN sqrt(list_sum(list_transform(qv, x -> x * x)))
+                   * sqrt(list_sum(list_transform(cv, x -> x * x))) > 0
+              THEN list_dot_product(qv, cv)
+                   / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+                      * sqrt(list_sum(list_transform(cv, x -> x * x))))
+              ELSE 0.0 END AS score
+  FROM q, c WHERE q_id <> n_id
+)
+SELECT q_id, n_id, rank FROM (
+  SELECT q_id, n_id,
+         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rank
+  FROM s
+) WHERE rank <= 5
+""",
+        "multimodal_meta": """
+SELECT doc_id,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       CAST(doc_id % 640 + 1 AS INTEGER) AS width,
+       CAST(doc_id % 480 + 1 AS INTEGER) AS height,
+       'application/octet-stream' AS media_type
+FROM documents WHERE text IS NOT NULL
+""",
+        "cc_fingerprint_chains": CORPUS_SQL + """
+, fp AS (
+  SELECT doc_id,
+         sha256(trim(regexp_replace(content, '\\s+', ' ', 'g'))) AS f
+  FROM corpus
+)
+SELECT doc_id, min(doc_id) OVER (PARTITION BY f) AS cluster_id
+FROM fp QUALIFY count(*) OVER (PARTITION BY f) > 1
+""",
+    }

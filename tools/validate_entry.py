@@ -1,0 +1,100 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry at the given sf dir and
+compares against ``oracle_sql()`` via DuckDB: row count, column names,
+and an order-insensitive value hash (columns sorted by name, rows
+sorted, values canonicalized to strings). Usage:
+
+    python tools/validate_entry.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entrymod  # noqa: E402
+from deduplicatr_spark.session import build_session  # noqa: E402
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon(df: pd.DataFrame) -> tuple[int, list[str], str]:
+    cols = sorted(df.columns)
+    df = df[cols].copy()
+    for c in cols:
+        col = df[c]
+        if col.dtype == object:
+            df[c] = col.astype(str)
+        elif str(col.dtype).startswith(("float", "Float")):
+            df[c] = col.map(lambda x: f"{x:.9g}" if pd.notna(x) else "NaN")
+        else:
+            df[c] = col.astype(str)
+    rows = sorted(df.itertuples(index=False, name=None))
+    h = hashlib.sha256(repr(rows).encode()).hexdigest()[:16]
+    return len(rows), cols, h
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = build_session("validate_entry", master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {e}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"ok   {name}: rows-only, {len(sdf)} rows "
+                  f"({time.time() - t0:.1f}s) cols={sorted(sdf.columns)}")
+            if len(sdf) == 0:
+                print(f"WARN {name}: empty result — weak signal")
+            continue
+        try:
+            odf = con.sql(oracles[name]).df()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: oracle error: {e}")
+            failures += 1
+            continue
+        sn, sc, sh = canon(sdf)
+        on, oc, oh = canon(odf)
+        status = "ok  " if (sn, sc, sh) == (on, oc, oh) else "FAIL"
+        if status == "FAIL":
+            failures += 1
+        print(f"{status} {name}: spark={sn} oracle={on} rows, hash "
+              f"{'match' if sh == oh else f'{sh}!={oh}'} ({time.time() - t0:.1f}s)")
+        if status == "FAIL":
+            if sc != oc:
+                print(f"     cols spark={sc} oracle={oc}")
+            if sn and on and sc == oc:
+                s_sorted = sdf[sorted(sdf.columns)].sort_values(sorted(sdf.columns)).head(3)
+                o_sorted = odf[sorted(odf.columns)].sort_values(sorted(odf.columns)).head(3)
+                print("     spark head:\n", s_sorted.to_string())
+                print("     oracle head:\n", o_sorted.to_string())
+    spark.stop()
+    print("FAILURES:", failures)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,187 @@
+"""Benchmark runner — one JSON line for the round driver.
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` (default 32) and
+prints ONE JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The dedup corpus is the driver's documents table amplified
+deterministically (``SPARK_GRAFT_BENCH_MULT`` copies, default 8, with
+planted exact/near variants) so the pipeline is shuffle-dominated, not
+startup-dominated — the same amplification at both parallelism levels
+makes the N-vs-4N scaling comparison (BENCH/BASELINE.md) apples-to-apples.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from deduplicatr_spark.config import PipelineConfig  # noqa: E402
+from deduplicatr_spark.functions import text as TXT  # noqa: E402
+from deduplicatr_spark.functions.features import features_udf  # noqa: E402
+from deduplicatr_spark.functions.hashing import normalized  # noqa: E402
+from deduplicatr_spark.operators.exact import duplicate_groups, with_identity  # noqa: E402
+from deduplicatr_spark.operators.lsh import lsh_candidate_pairs  # noqa: E402
+from deduplicatr_spark.operators.pigeonhole import simhash_candidate_pairs  # noqa: E402
+from deduplicatr_spark.operators.topk import brute_force_topk  # noqa: E402
+from deduplicatr_spark.operators.verify import verify_pairs  # noqa: E402
+from deduplicatr_spark.plans.pipeline import DedupPipeline  # noqa: E402
+
+BENCH_CONFIG = PipelineConfig(substring_min_len=120)
+
+
+def amplified_corpus(spark: SparkSession, sf_dir: str, mult: int) -> DataFrame:
+    """documents × mult with deterministic variation: copy 0 is the
+    original; copies i>0 are exact dups (i%3==0), near dups (i%3==1)
+    or unique-ified (i%3==2). Input-shape columns (repo, path, commit,
+    lang, content)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("text").isNotNull()
+    )
+    rep = docs.withColumn("copy", F.explode(F.sequence(F.lit(0), F.lit(mult - 1))))
+    variant = (
+        F.when(F.col("copy") == 0, F.col("text"))
+        .when(F.col("copy") % 3 == 0, F.col("text"))
+        .when(
+            F.col("copy") % 3 == 1,
+            F.concat(F.col("text"), F.lit(" v"), F.col("copy").cast("string")),
+        )
+        .otherwise(
+            F.concat(
+                F.col("copy").cast("string"), F.lit("~"),
+                F.col("doc_id").cast("string"), F.lit(" "), F.col("text"),
+            )
+        )
+    )
+    out = rep.select(
+        F.col("source").alias("repo"),
+        F.concat(
+            F.col("lang"), F.lit("/"), F.col("doc_id").cast("string"),
+            F.lit("_"), F.col("copy").cast("string"), F.lit(".txt"),
+        ).alias("path"),
+        F.lit("c0").alias("commit"),
+        "lang",
+        variant.alias("content"),
+    )
+    # the sf parquet is a single file → 1 input partition; spread the
+    # corpus so narrow stages (pandas UDFs) use every core
+    n_part = 2 * int(spark.sparkContext.defaultParallelism)
+    return out.repartition(n_part, "path")
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    mult = int(os.environ.get("SPARK_GRAFT_BENCH_MULT", "8"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from deduplicatr_spark.session import build_session
+
+    spark = build_session(
+        "dedup_bench", master=f"local[{cpus}]", shuffle_partitions=max(8, cpus)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    corpus = amplified_corpus(spark, sf_dir, mult).persist()
+    n_docs = corpus.count()
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    # q1: the reference's own query — exact duplicate groups, size desc
+    timed("exact_dedup", lambda: duplicate_groups(with_identity(corpus)).count())
+
+    # q2a: fused feature extraction (shingles+MinHash+bands+SimHash UDF)
+    feats = (
+        corpus.select(
+            F.xxhash64("repo", "path", "commit").alias("doc_id"),
+            features_udf(BENCH_CONFIG)(normalized("content")).alias("f"),
+        )
+        .select("doc_id", "f.*")
+        .persist()
+    )
+    timed("features", feats.count)
+
+    # q2b: MinHash/LSH candidates + exact-Jaccard verify (features cached)
+    def _lsh():
+        pairs, _ = lsh_candidate_pairs(feats, BENCH_CONFIG)
+        verify_pairs(pairs, feats, BENCH_CONFIG).count()
+
+    timed("minhash_lsh_verify", _lsh)
+
+    # q3: SimHash pigeonhole + Hamming verify
+    def _sim():
+        pairs, _ = simhash_candidate_pairs(feats, BENCH_CONFIG)
+        pairs.count()
+
+    timed("simhash_pairs", _sim)
+    feats.unpersist()
+    spark.catalog.clearCache()
+    corpus.persist()
+    corpus.count()
+
+    # q4: full 6-stage pipeline end-to-end (fresh checkpoints)
+    def _pipe():
+        pipe = DedupPipeline(
+            spark, BENCH_CONFIG, tempfile.mkdtemp(prefix="bench_ckpt_")
+        )
+        pipe.run(corpus).count()
+
+    timed("pipeline_e2e", _pipe)
+
+    # q5: text-analysis scan (token counts / quality / langid)
+    def _text():
+        corpus.select(
+            TXT.token_count("content").alias("t"),
+            TXT.bpe_token_count("content").alias("b"),
+            TXT.langid_column("content").alias("l"),
+        ).groupBy("l").agg(F.sum("t"), F.sum("b")).count()
+
+    timed("token_stats", _text)
+
+    # q6: embedding brute-force cosine top-k
+    spark.catalog.clearCache()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(
+        int(spark.sparkContext.defaultParallelism)
+    )
+    timed(
+        "embedding_topk",
+        lambda: brute_force_topk(emb, emb.filter(F.col("vec_id") < 100), k=10).count(),
+    )
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "end_to_end_dedup_bench",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "corpus_rows": n_docs,
+                "files_per_sec_pipeline": round(n_docs / timings["pipeline_e2e"], 1),
+                "cpus": cpus,
+                "mult": mult,
+                "config_hash": BENCH_CONFIG.config_hash,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -143,7 +143,9 @@ def lsh_candidate_pairs(
     ranged = thinned.repartitionByRange(int(n_part), "band_hash").sortWithinPartitions(
         "band_hash"
     )
-    gen = ranged.mapInPandas(_pairgen(cap), schema=_GEN_SCHEMA)
+    # persist: both `pairs` and `drop_stats` consume this frame — without
+    # the cache each action re-runs the whole explode+shuffle+pairgen
+    gen = ranged.mapInPandas(_pairgen(cap), schema=_GEN_SCHEMA).persist()
 
     pairs = gen.filter(F.col("doc_a").isNotNull()).select("doc_a", "doc_b").distinct()
     drop_stats = gen.filter(F.col("doc_a").isNull()).agg(

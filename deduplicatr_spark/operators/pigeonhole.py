@@ -66,7 +66,9 @@ def simhash_candidate_pairs(
     ranged = thinned.repartitionByRange(int(n_part), "band_hash").sortWithinPartitions(
         "band_hash"
     )
-    gen = ranged.mapInPandas(_pairgen(cap), schema="doc_a long, doc_b long, dropped long")
+    gen = ranged.mapInPandas(
+        _pairgen(cap), schema="doc_a long, doc_b long, dropped long"
+    ).persist()  # shared by pairs + drop_stats (see lsh.py)
     raw_pairs = gen.filter(F.col("doc_a").isNotNull()).select("doc_a", "doc_b").distinct()
 
     sims = features.select("doc_id", "simhash")

@@ -78,6 +78,12 @@ class DedupPipeline:
             canon_docs = identity.join(canon, "doc_id").select(
                 "doc_id", "lang", "size", normalized("content").alias("norm")
             )
+            # pin the pandas-UDF width: feature cost is per-row CPU, so
+            # don't let AQE coalesce this stage down by byte size
+            n_part = int(
+                self.spark.conf.get("spark.sql.shuffle.partitions", "32")
+            )
+            canon_docs = canon_docs.repartition(n_part, "doc_id")
             feats = canon_docs.withColumn("f", features_udf(cfg)(F.col("norm")))
             return feats.select("doc_id", "lang", "size", "f.*")
 

@@ -106,16 +106,41 @@ class CheckpointStore:
         os.rename(tmp, target)
         wall_ms = int((time.time() - t0) * 1000)
         written = self.spark.read.parquet(target)
-        lineage = (
+        # one aggregation job yields BOTH the per-partition lineage rows
+        # and the stage row count (the rows are tiny — one per partition)
+        stats = (
             written.groupBy(F.col(_PID).alias("partition_id"))
             .agg(F.count(F.lit(1)).alias("output_rows"))
-            .withColumn("stage", F.lit(name))
-            .withColumn("config_hash", F.lit(self.config_hash))
-            .withColumn("wall_ms", F.lit(wall_ms))
+            .collect()
         )
+        n_rows = sum(r["output_rows"] for r in stats)
+        # lineage rows are driver-side metadata (one per partition) —
+        # write them with pyarrow, not a Spark job (a 1-task Spark write
+        # costs seconds per stage; this is microseconds) — still
+        # spark.read.parquet-compatible for lineage()
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
         lineage_dir = os.path.join(self.root, "_lineage", name)
-        lineage.write.mode("overwrite").parquet(lineage_dir)
-        n_rows = written.count()
+        os.makedirs(lineage_dir, exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "partition_id": pa.array(
+                        [int(r["partition_id"]) for r in stats], pa.int32()
+                    ),
+                    "output_rows": pa.array(
+                        [int(r["output_rows"]) for r in stats], pa.int64()
+                    ),
+                    "stage": pa.array([name] * len(stats), pa.string()),
+                    "config_hash": pa.array(
+                        [self.config_hash] * len(stats), pa.string()
+                    ),
+                    "wall_ms": pa.array([wall_ms] * len(stats), pa.int64()),
+                }
+            ),
+            os.path.join(lineage_dir, "lineage.parquet"),
+        )
         with open(self._marker(name), "w") as f:
             json.dump(
                 {"config_hash": self.config_hash, "rows": n_rows,

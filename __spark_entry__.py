@@ -19,6 +19,7 @@ SQL (same arithmetic, same string ops), no external data.
 
 from __future__ import annotations
 
+import os
 import tempfile
 from collections.abc import Callable
 
@@ -363,7 +364,7 @@ def _q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _corpus(spark, sf_dir).select(
         "repo", "path", F.lit("c0").alias("commit"), "lang", "content"
     )
-    pipe = DedupPipeline(spark, ENTRY_CONFIG, tempfile.mkdtemp(prefix="dedup_ckpt_"))
+    pipe = DedupPipeline(spark, ENTRY_CONFIG, tempfile.mkdtemp(prefix="dedup_ckpt_", dir="/dev/shm" if os.path.isdir("/dev/shm") else None))
     out = pipe.run(docs)
     return out.select("repo", "path", "sha256", "size", "canonical_id", "cluster_id")
 

@@ -49,17 +49,29 @@ def amplified_corpus(spark: SparkSession, sf_dir: str, mult: int) -> DataFrame:
         F.col("text").isNotNull()
     )
     rep = docs.withColumn("copy", F.explode(F.sequence(F.lit(0), F.lit(mult - 1))))
+    # bounded dup structure regardless of mult (pair/cluster work stays
+    # LINEAR in corpus size): per base doc — the original, exact copies
+    # (every 3rd), exactly two near variants (copies 1 and 4), and truly
+    # unique docs (reversed text → disjoint shingles)
     variant = (
         F.when(F.col("copy") == 0, F.col("text"))
         .when(F.col("copy") % 3 == 0, F.col("text"))
         .when(
-            F.col("copy") % 3 == 1,
+            F.col("copy").isin(1, 4),
             F.concat(F.col("text"), F.lit(" v"), F.col("copy").cast("string")),
         )
         .otherwise(
-            F.concat(
-                F.col("copy").cast("string"), F.lit("~"),
-                F.col("doc_id").cast("string"), F.lit(" "), F.col("text"),
+            # unique filler: repeated sha256 of (doc_id, copy) — pairwise
+            # disjoint shingle sets, so LSH/verify work stays linear
+            F.repeat(
+                F.sha2(
+                    F.concat(
+                        F.col("doc_id").cast("string"), F.lit("#"),
+                        F.col("copy").cast("string"),
+                    ),
+                    256,
+                ),
+                5,
             )
         )
     )
@@ -106,8 +118,11 @@ def main() -> None:
     timed("exact_dedup", lambda: duplicate_groups(with_identity(corpus)).count())
 
     # q2a: fused feature extraction (shingles+MinHash+bands+SimHash UDF)
+    # over content-distinct docs — mirrors the pipeline, which only
+    # featurizes exact-canonical docs
     feats = (
-        corpus.select(
+        corpus.dropDuplicates(["content"])
+        .select(
             F.xxhash64("repo", "path", "commit").alias("doc_id"),
             features_udf(BENCH_CONFIG)(normalized("content")).alias("f"),
         )
@@ -137,7 +152,7 @@ def main() -> None:
     # q4: full 6-stage pipeline end-to-end (fresh checkpoints)
     def _pipe():
         pipe = DedupPipeline(
-            spark, BENCH_CONFIG, tempfile.mkdtemp(prefix="bench_ckpt_")
+            spark, BENCH_CONFIG, tempfile.mkdtemp(prefix="bench_ckpt_", dir="/dev/shm" if os.path.isdir("/dev/shm") else None)
         )
         pipe.run(corpus).count()
 

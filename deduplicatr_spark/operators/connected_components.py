@@ -83,13 +83,16 @@ def connected_components(
         )
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
+    # lazy localCheckpoint + checksum action = ONE job per round that
+    # both materializes the truncated plan and tests convergence
+    # (eager localCheckpoint + separate checksum would be two)
     prev = _checksum(edges)
     iters = 0
     for _ in range(config.cc_max_iters):
         iters += 1
-        edges = _small_star(_large_star(edges)).localCheckpoint()
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
         cur = _checksum(edges)
         if cur == prev:
             break

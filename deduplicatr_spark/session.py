@@ -40,6 +40,19 @@ def build_session(
         # than the 64m default or whole stages land on one core
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         .config("spark.sql.files.maxPartitionBytes", "16m")
+        # verify/candidate rows carry KB-sized shingle arrays — sorting
+        # them for SMJ is pure overhead; shuffled-hash joins them in one
+        # pass (AQE still falls back / splits skew as needed)
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+    )
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-local"
+    if local_dir:
+        os.makedirs(local_dir, exist_ok=True)
+        builder = builder.config("spark.local.dir", local_dir)
+    builder = (
+        builder
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # content strings can be MBs; keep Arrow batches bounded so the

@@ -22,11 +22,9 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 DOCUMENTS_SCHEMA = "repo string, path string, commit string, lang string, content string"
 
-_PID = "_lineage_pid"  # per-partition lineage column carried inside checkpoints
 
 
 def iceberg_available(spark: SparkSession) -> bool:
@@ -89,8 +87,7 @@ class CheckpointStore:
             return False
 
     def read(self, name: str) -> DataFrame:
-        df = self.spark.read.parquet(self._dir(name))
-        return df.drop(_PID)
+        return self.spark.read.parquet(self._dir(name))
 
     def write(self, name: str, df: DataFrame) -> DataFrame:
         """Materialize ``df`` as stage ``name``; returns the re-read frame
@@ -98,45 +95,41 @@ class CheckpointStore:
         t0 = time.time()
         target = self._dir(name)
         tmp = os.path.join(self.root, f"_tmp_{name}_{uuid.uuid4().hex[:8]}")
-        # carry the physical partition id so lineage is per-partition
-        # without a second pass over the input
-        df.withColumn(_PID, F.spark_partition_id()).write.mode("overwrite").parquet(tmp)
+        df.write.mode("overwrite").parquet(tmp)
         if os.path.exists(target):
             shutil.rmtree(target)
         os.rename(tmp, target)
         wall_ms = int((time.time() - t0) * 1000)
         written = self.spark.read.parquet(target)
-        # one aggregation job yields BOTH the per-partition lineage rows
-        # and the stage row count (the rows are tiny — one per partition)
-        stats = (
-            written.groupBy(F.col(_PID).alias("partition_id"))
-            .agg(F.count(F.lit(1)).alias("output_rows"))
-            .collect()
-        )
-        n_rows = sum(r["output_rows"] for r in stats)
-        # lineage rows are driver-side metadata (one per partition) —
-        # write them with pyarrow, not a Spark job (a 1-task Spark write
-        # costs seconds per stage; this is microseconds) — still
-        # spark.read.parquet-compatible for lineage()
+        # per-partition lineage from the parquet footers (file == output
+        # partition) — driver-side metadata, no Spark job; written with
+        # pyarrow but still spark.read.parquet-compatible for lineage()
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        part_files = sorted(
+            fn for fn in os.listdir(target)
+            if fn.startswith("part-") and fn.endswith(".parquet")
+        )
+        part_rows = [
+            pq.read_metadata(os.path.join(target, fn)).num_rows
+            for fn in part_files
+        ]
+        n_rows = sum(part_rows)
         lineage_dir = os.path.join(self.root, "_lineage", name)
         os.makedirs(lineage_dir, exist_ok=True)
         pq.write_table(
             pa.table(
                 {
                     "partition_id": pa.array(
-                        [int(r["partition_id"]) for r in stats], pa.int32()
+                        list(range(len(part_rows))), pa.int32()
                     ),
-                    "output_rows": pa.array(
-                        [int(r["output_rows"]) for r in stats], pa.int64()
-                    ),
-                    "stage": pa.array([name] * len(stats), pa.string()),
+                    "output_rows": pa.array(part_rows, pa.int64()),
+                    "stage": pa.array([name] * len(part_rows), pa.string()),
                     "config_hash": pa.array(
-                        [self.config_hash] * len(stats), pa.string()
+                        [self.config_hash] * len(part_rows), pa.string()
                     ),
-                    "wall_ms": pa.array([wall_ms] * len(stats), pa.int64()),
+                    "wall_ms": pa.array([wall_ms] * len(part_rows), pa.int64()),
                 }
             ),
             os.path.join(lineage_dir, "lineage.parquet"),
@@ -145,7 +138,7 @@ class CheckpointStore:
             json.dump(
                 {"config_hash": self.config_hash, "rows": n_rows,
                  "wall_ms": wall_ms, "format": self.fmt}, f)
-        return written.drop(_PID)
+        return written
 
     def get_or_compute(self, name: str, compute) -> DataFrame:
         """Idempotent resume: skip ``compute`` when a config-matching

@@ -1,0 +1,121 @@
+"""spark-submit entry point (north rule: ``spark-submit --py-files``).
+
+    spark-submit --py-files dedup.zip main.py \
+        --input /path/to/documents_parquet --checkpoint /path/ckpt
+
+or, for the synthetic scaling benchmark (no external data):
+
+    spark-submit --py-files dedup.zip main.py \
+        --amplify-sf-dir /root/testdata/sf0.1 --mult 16 --checkpoint /tmp/ck
+
+Prints one JSON line: rows, pipeline wall seconds (excluding session
+startup), files/sec, CC iterations, per-stage wall from the lineage.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+
+def parse_args(argv: list[str]):
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", help="documents parquet dir or Iceberg table")
+    p.add_argument("--amplify-sf-dir", help="build the bench corpus from this sf dir")
+    p.add_argument("--mult", type=int, default=8)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--master", default=None, help="override master (else spark-submit's)")
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    p.add_argument(
+        "--no-warmup", action="store_true",
+        help="skip the untimed JIT/codegen warmup pass (a small pipeline "
+        "run on ~3k rows; without it the first verify/join stages run "
+        "interpreted and the measurement mixes JIT compile time in)",
+    )
+    return p.parse_args(argv)
+
+
+def main(argv: list[str]) -> None:
+    args = parse_args(argv)
+    from deduplicatr_spark.config import PipelineConfig
+    from deduplicatr_spark.plans.pipeline import DedupPipeline
+    from deduplicatr_spark.session import build_session
+    from deduplicatr_spark.sources.catalog import read_documents
+
+    spark = build_session(
+        "deduplicatr_spark",
+        master=args.master,
+        shuffle_partitions=args.shuffle_partitions,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    cfg = PipelineConfig()
+
+    if args.amplify_sf_dir:
+        from bench import amplified_corpus
+
+        docs = amplified_corpus(spark, args.amplify_sf_dir, args.mult)
+    elif args.input:
+        docs = read_documents(spark, args.input)
+    else:
+        raise SystemExit("need --input or --amplify-sf-dir")
+
+    docs = docs.persist()
+    n = docs.count()  # materialize input outside the timed window
+
+    if not args.no_warmup:
+        # untimed warmup: exercises every stage (pandas UDFs, LSH shuffle,
+        # verify join, CC) so codegen + C2 JIT are compiled before the
+        # measured run — same discipline at every parallelism level
+        import shutil
+
+        warm_ckpt = tempfile.mkdtemp(prefix="dedup_warm_")
+        warm = docs.limit(3000).repartition(
+            int(spark.sparkContext.defaultParallelism)
+        )
+        DedupPipeline(spark, cfg, warm_ckpt).run(warm)
+        shutil.rmtree(warm_ckpt, ignore_errors=True)
+
+    ckpt = args.checkpoint or tempfile.mkdtemp(prefix="dedup_ckpt_", dir="/dev/shm" if os.path.isdir("/dev/shm") else None)
+    t0 = time.time()
+    pipe = DedupPipeline(spark, cfg, ckpt)
+    pipe.run(docs)
+    wall = time.time() - t0
+    # row count from the stage marker — the stage is already materialized,
+    # a count() would just re-scan it
+    with open(os.path.join(ckpt, "s6_assignments", "_MARKER.json")) as f:
+        n_out = json.load(f)["rows"]
+
+    stage_walls = {}
+    lin = pipe.store.lineage()
+    if lin is not None:
+        for r in lin.groupBy("stage").agg({"wall_ms": "max"}).collect():
+            stage_walls[r["stage"]] = r["max(wall_ms)"]
+    cc_iters = next(
+        (m["iterations"] for m in pipe.store.read_metrics() if m.get("kind") == "cc"),
+        None,
+    )
+    print(
+        json.dumps(
+            {
+                "rows_in": n,
+                "rows_out": n_out,
+                "pipeline_wall_s": round(wall, 3),
+                "files_per_sec": round(n / wall, 1),
+                "cc_iterations": cc_iters,
+                "stage_wall_ms": stage_walls,
+                "checkpoint": ckpt,
+                "config_hash": cfg.config_hash,
+                "master": spark.sparkContext.master,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

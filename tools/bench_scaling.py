@@ -1,0 +1,144 @@
+"""Two-cluster-size scaling benchmark (north rule: N vs 4N executors).
+
+Sandbox stand-in: the same job via ``spark-submit --py-files`` at
+local[8] and local[32] on the SAME input; scaling efficiency
+= throughput(32) / (4 × throughput(8)). Median of ``--runs`` runs each.
+Writes BENCH/BASELINE.md.
+
+    python tools/bench_scaling.py [--mult 16] [--runs 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import statistics
+import subprocess
+import sys
+import tempfile
+import time
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def build_zip() -> str:
+    zpath = os.path.join(tempfile.mkdtemp(prefix="pyfiles_"), "dedup.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _dirs, files in os.walk(os.path.join(REPO, "deduplicatr_spark")):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    z.write(full, os.path.relpath(full, REPO))
+        z.write(os.path.join(REPO, "bench.py"), "bench.py")
+    return zpath
+
+
+def run_once(zpath: str, cores: int, sf_dir: str, mult: int) -> dict:
+    ckpt = tempfile.mkdtemp(
+        prefix=f"scale_ckpt_{cores}_",
+        dir="/dev/shm" if os.path.isdir("/dev/shm") else None,
+    )
+    cmd = [
+        "spark-submit",
+        "--master", f"local[{cores}]",
+        "--driver-memory", "32g",
+        "--py-files", zpath,
+        os.path.join(REPO, "main.py"),
+        "--amplify-sf-dir", sf_dir,
+        "--mult", str(mult),
+        "--checkpoint", ckpt,
+        "--master", f"local[{cores}]",
+        "--shuffle-partitions", str(cores),
+    ]
+    t0 = time.time()
+    proc = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+    wall_total = time.time() - t0
+    out = None
+    for line in proc.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                out = json.loads(line)
+            except ValueError:
+                pass
+    shutil.rmtree(ckpt, ignore_errors=True)
+    if out is None:
+        sys.stderr.write(proc.stdout[-2000:] + "\n" + proc.stderr[-4000:] + "\n")
+        raise RuntimeError(f"no JSON from spark-submit at local[{cores}]")
+    out["process_wall_s"] = round(wall_total, 1)
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--mult", type=int, default=16)
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--n", type=int, default=4, help="small cluster size (cores)")
+    args = ap.parse_args()
+    small, big = args.n, 4 * args.n
+
+    zpath = build_zip()
+    results: dict[int, list[dict]] = {small: [], big: []}
+    # interleave widths so host-level noise (shared VM, stolen cycles)
+    # affects both sides of the comparison evenly
+    for i in range(args.runs):
+        for cores in (small, big):
+            r = run_once(zpath, cores, args.sf_dir, args.mult)
+            print(f"local[{cores}] run {i + 1}: wall={r['pipeline_wall_s']}s "
+                  f"({r['files_per_sec']} files/s, proc {r['process_wall_s']}s)",
+                  flush=True)
+            results[cores].append(r)
+
+    med = {
+        c: statistics.median(r["pipeline_wall_s"] for r in results[c])
+        for c in results
+    }
+    rows = results[small][0]["rows_in"]
+    thr = {c: rows / med[c] for c in med}
+    eff = thr[big] / (4 * thr[small])
+    cfg_hash = results[small][0]["config_hash"]
+
+    lines = [
+        "# BENCH — measured results (two-parallelism scaling proxy)",
+        "",
+        "Protocol: BASELINE.md. Same input + config via `spark-submit",
+        f"--py-files dedup.zip main.py` at local[{small}] and local[{big}]",
+        "(the north rule's N vs 4N executors, per the driver's",
+        "two-parallelism sandbox proxy); pipeline wall excludes session",
+        "startup and input materialization; median of",
+        f"{args.runs} fresh-JVM runs each. Corpus: driver documents table at",
+        f"`{args.sf_dir}` amplified ×{args.mult} → {rows} rows "
+        f"(config `{cfg_hash}`, parquet checkpoints).",
+        "",
+        "| parallelism | wall s (median) | files/sec | runs (s) |",
+        "|---|---|---|---|",
+    ]
+    for c in (small, big):
+        runs_s = ", ".join(str(r["pipeline_wall_s"]) for r in results[c])
+        lines.append(
+            f"| local[{c}] | {med[c]:.1f} | {thr[c]:.1f} | {runs_s} |"
+        )
+    lines += [
+        "",
+        f"**Scaling efficiency ({small}→{big} cores): "
+        f"{thr[big]:.1f} / (4 × {thr[small]:.1f}) = {eff:.3f}** "
+        f"(target ≥ 0.8 per BASELINE.json north_rule).",
+        "",
+        f"Stage walls at local[{big}] (ms): "
+        + json.dumps(results[big][0].get("stage_wall_ms", {})),
+        "",
+        f"CC iterations: {results[big][0].get('cc_iterations')}",
+    ]
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    with open(out_path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"\nwrote {out_path}\nefficiency={eff:.3f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -38,7 +38,7 @@ from deduplicatr_spark.operators.lsh import lsh_candidate_pairs
 from deduplicatr_spark.operators.pigeonhole import simhash_candidate_pairs
 from deduplicatr_spark.operators.rollup import dir_rollup, duplicate_dirs
 from deduplicatr_spark.operators.suffix_array import substring_pairs
-from deduplicatr_spark.operators.topk import brute_force_topk
+from deduplicatr_spark.operators.topk import brute_force_topk, lsh_topk
 from deduplicatr_spark.operators.verify import verify_pairs
 from deduplicatr_spark.plans.pipeline import DedupPipeline
 
@@ -299,6 +299,23 @@ def _q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_scan_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference O2: the ignored-file predicate as a pushed-down scan
+    filter (here: skip the generated ws/ and near/ trees)."""
+    c = _corpus(spark, sf_dir)
+    keep = ~(F.col("path").startswith("ws/") | F.col("path").startswith("near/"))
+    return c.filter(keep).select("repo", "path", "doc_id")
+
+
+def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN: hyperplane sketch → Hamming-pigeonhole buckets →
+    exact cosine re-rank of bucket-mates (the 100 TB scale path; rows-only
+    check — approximate by design)."""
+    emb = _emb(spark, sf_dir)
+    out = lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, dim=64)
+    return out.select("q_id", "n_id", F.col("rank").cast("long").alias("rank"))
+
+
 def _q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k (queries = vec_id < 10, k = 5)."""
     emb = _emb(spark, sf_dir)
@@ -385,7 +402,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": _q_token_stats,
         "langid": _q_langid,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "scan_filter": _q_scan_filter,
         "embedding_topk": _q_embedding_topk,
+        "lsh_topk": _q_lsh_topk,
         "multimodal_meta": _q_multimodal_meta,
         "cc_fingerprint_chains": _q_cc_fingerprint_chains,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
@@ -542,6 +561,10 @@ SELECT doc_a, doc_b,
        floor(inter / (tot - inter) * 1000000) / 1000000.0 AS jaccard
 FROM j
 WHERE floor(inter / (tot - inter) * 1000000) / 1000000.0 >= {JACCARD_TAU}
+""",
+        "scan_filter": CORPUS_SQL + """
+SELECT repo, path, doc_id FROM corpus
+WHERE NOT (path LIKE 'ws/%' OR path LIKE 'near/%')
 """,
         "embedding_topk": """
 WITH q AS (

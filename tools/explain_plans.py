@@ -1,0 +1,138 @@
+"""Generate PLANS.md — formatted physical plans of the headline
+operators with scale annotations (what to check: pushed filters, codegen
+spans, join strategies, exchange placement). Plan-only; nothing executes.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as em  # noqa: E402
+from bench import BENCH_CONFIG, amplified_corpus  # noqa: E402
+from deduplicatr_spark.functions.features import features_udf  # noqa: E402
+from deduplicatr_spark.functions.hashing import normalized  # noqa: E402
+from deduplicatr_spark.operators.exact import duplicate_groups, with_identity  # noqa: E402
+from deduplicatr_spark.operators.lsh import lsh_candidate_pairs  # noqa: E402
+from deduplicatr_spark.operators.verify import verify_pairs  # noqa: E402
+from deduplicatr_spark.session import build_session  # noqa: E402
+
+SF = "/root/testdata/sf0.01"
+
+
+def captured_explain(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    out = buf.getvalue()
+    # keep the operator tree + first ~40 detail blocks, drop the long tail
+    lines = out.splitlines()
+    cut = len(lines)
+    for i, line in enumerate(lines):
+        if i > 120 and line.startswith("("):
+            cut = i
+            break
+    return "\n".join(lines[:cut]).rstrip()
+
+
+def main() -> None:
+    spark = build_session(
+        "plans", master="local[2]", shuffle_partitions=8,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sections: list[tuple[str, str, str]] = []
+
+    docs = em._corpus(spark, SF)
+    ident = with_identity(
+        docs.select("repo", "path", F.lit("c0").alias("commit"), "lang", "content")
+    )
+
+    sections.append((
+        "Exact duplicate groups (reference O3+O7+O8)",
+        captured_explain(duplicate_groups(ident)),
+        "What to check: the sha2/xxhash64 derivations sit INSIDE one "
+        "WholeStageCodegen span over the scan (no UDF boundary); the "
+        "groupBy(sha256) is a partial+final HashAggregate (map-side "
+        "combine before the single exchange); the >1 filter runs on the "
+        "aggregated side. At 100 TB the only shuffle is keyed on sha256 — "
+        "uniform by construction (cryptographic hash), no skew handling "
+        "needed.",
+    ))
+
+    feats = ident.select(
+        "doc_id", features_udf(BENCH_CONFIG)(normalized("content")).alias("f")
+    ).select("doc_id", "f.*")
+    pairs, _drops = lsh_candidate_pairs(feats, BENCH_CONFIG)
+    sections.append((
+        "MinHash/LSH candidate pairs (§2.6–2.7)",
+        captured_explain(pairs),
+        "What to check: ONE ArrowEvalPython (pandas UDF) pass computes "
+        "shingles+minhash+bands+simhash fused — a single Python boundary; "
+        "normalization (regexp) stays JVM-side below it. The band explode "
+        "feeds RangePartitioning(band_hash) — the north rule's "
+        "range-partitioned shuffle — followed by a streaming per-bucket "
+        "pairgen (mapInPandas) with caps; hot buckets are pre-thinned via "
+        "a broadcast of the (tiny) hot-key list, so the big side never "
+        "shuffles twice.",
+    ))
+
+    sections.append((
+        "Jaccard verification join (§2.10)",
+        captured_explain(verify_pairs(pairs, feats, BENCH_CONFIG)),
+        "What to check: candidate pairs join features twice on doc_id — "
+        "ShuffledHashJoin (preferSortMergeJoin=false): KB-sized shingle "
+        "arrays are joined without sorting them; array_intersect/size "
+        "evaluate inside codegen. Shuffle volume is proportional to "
+        "candidate pairs (bounded by LSH caps), never corpus². AQE skew "
+        "join splitting stays enabled for hot docs.",
+    ))
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    topk = em._q_embedding_topk(spark, SF)
+    sections.append((
+        "Embedding brute-force top-k",
+        captured_explain(topk),
+        "What to check: the query side is broadcast (BroadcastExchange + "
+        "BroadcastNestedLoopJoin on q_id != n_id); the corpus side streams "
+        "map-side — at 100 TB the corpus never shuffles; cosine runs as "
+        "zip_with/aggregate higher-order functions JVM-side; the window "
+        "top-k shuffles only (q_id, n_id, score) rows.",
+    ))
+
+    amp = amplified_corpus(spark, SF, 4)
+    sections.append((
+        "Amplified corpus scan + identity (bench input)",
+        captured_explain(with_identity(amp).select("doc_id", "sha256", "size")),
+        "What to check: ReadSchema on the parquet scan prunes to the "
+        "columns actually used (column pruning reaches the scan); "
+        "IsNotNull(text) appears in PushedFilters. The narrow projection "
+        "(doc_id, sha256, size) means the exact-stage shuffle never "
+        "carries content bytes.",
+    ))
+
+    out = [
+        "# PLANS — physical-plan review of the headline operators",
+        "",
+        "Generated by `python tools/explain_plans.py` (plan-only).",
+        "Each section: the `.explain(\"formatted\")` tree plus the",
+        "scale-review notes — the things that must stay true at 100 TB.",
+        "",
+    ]
+    for title, plan, notes in sections:
+        out += [f"## {title}", "", notes, "", "```", plan, "```", ""]
+    with open("/root/repo/PLANS.md", "w") as f:
+        f.write("\n".join(out))
+    print("wrote PLANS.md")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

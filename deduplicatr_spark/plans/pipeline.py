@@ -78,16 +78,24 @@ class DedupPipeline:
             canon_docs = identity.join(canon, "doc_id").select(
                 "doc_id", "lang", "size", normalized("content").alias("norm")
             )
-            # pin the pandas-UDF width: feature cost is per-row CPU, so
-            # don't let AQE coalesce this stage down by byte size
-            n_part = int(
-                self.spark.conf.get("spark.sql.shuffle.partitions", "32")
-            )
-            canon_docs = canon_docs.repartition(n_part, "doc_id")
             feats = canon_docs.withColumn("f", features_udf(cfg)(F.col("norm")))
             return feats.select("doc_id", "lang", "size", "f.*")
 
-        features = store.get_or_compute("s2_features", _features)
+        def _features_wide():
+            # feature cost is per-row CPU: the canonical-filter join's own
+            # shuffle provides the stage width, but AQE would coalesce it
+            # by byte size and starve the pandas UDF — suspend coalescing
+            # for this stage only (cheaper than an extra content shuffle)
+            conf = self.spark.conf
+            key = "spark.sql.adaptive.coalescePartitions.enabled"
+            prev = conf.get(key, "true")
+            conf.set(key, "false")
+            try:
+                return store.get_or_compute("s2_features", _features)
+            finally:
+                conf.set(key, prev)
+
+        features = _features_wide()
 
         def _candidates():
             lsh_pairs, lsh_drops = lsh_candidate_pairs(features, cfg)

@@ -51,7 +51,10 @@ def run_once(zpath: str, cores: int, sf_dir: str, mult: int) -> dict:
         "--mult", str(mult),
         "--checkpoint", ckpt,
         "--master", f"local[{cores}]",
-        "--shuffle-partitions", str(cores),
+        # 3x cores: small-task slack lets the scheduler balance around
+        # stolen/slow vCPUs (measured 1.3-1.8x per-core imbalance here);
+        # on a real cluster you'd size this to executors x cores x 2-3
+        "--shuffle-partitions", str(3 * cores),
     ]
     t0 = time.time()
     proc = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)

@@ -94,7 +94,7 @@ def amplified_corpus(spark: SparkSession, sf_dir: str, mult: int) -> DataFrame:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    mult = int(os.environ.get("SPARK_GRAFT_BENCH_MULT", "8"))
+    mult = int(os.environ.get("SPARK_GRAFT_BENCH_MULT", "64"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
     from deduplicatr_spark.session import build_session
@@ -150,13 +150,40 @@ def main() -> None:
     corpus.count()
 
     # q4: full 6-stage pipeline end-to-end (fresh checkpoints)
+    result: dict = {}
+
     def _pipe():
         pipe = DedupPipeline(
             spark, BENCH_CONFIG, tempfile.mkdtemp(prefix="bench_ckpt_", dir="/dev/shm" if os.path.isdir("/dev/shm") else None)
         )
-        pipe.run(corpus).count()
+        out = pipe.run(corpus)
+        out.count()
+        result["assignments"] = out
 
     timed("pipeline_e2e", _pipe)
+
+    # dup-pair recall vs the amplified corpus's planted structure:
+    # per base doc, copies {0,1,4} are mutual near-dups and copies
+    # {0,3,6,...} are exact dups — ALL of them must share one cluster
+    a = result["assignments"].select(
+        "repo",
+        F.regexp_extract("path", r"^[^/]+/(\d+)_(\d+)\.txt$", 1).alias("base"),
+        F.regexp_extract("path", r"^[^/]+/(\d+)_(\d+)\.txt$", 2).cast("int").alias("copy"),
+        "cluster_id",
+    ).filter(
+        (F.col("copy").isin(0, 1, 4)) | (F.col("copy") % 3 == 0)
+    )
+    grp = a.groupBy("repo", "base").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("cluster_id").alias("n_clusters"),
+    )
+    agg = grp.agg(
+        F.sum(F.expr("n * (n - 1) / 2")).alias("truth_pairs"),
+        # pairs recalled = pairs within the majority cluster; with min-id
+        # labels a fully-recalled group has n_clusters == 1
+        F.sum(F.expr("CASE WHEN n_clusters = 1 THEN n * (n - 1) / 2 ELSE 0 END")).alias("hit_pairs"),
+    ).collect()[0]
+    recall = float(agg["hit_pairs"]) / max(1.0, float(agg["truth_pairs"]))
 
     # q5: text-analysis scan (token counts / quality / langid)
     def _text():
@@ -189,6 +216,7 @@ def main() -> None:
                 "sf": sf,
                 "corpus_rows": n_docs,
                 "files_per_sec_pipeline": round(n_docs / timings["pipeline_e2e"], 1),
+                "dup_pair_recall": round(recall, 5),
                 "cpus": cpus,
                 "mult": mult,
                 "config_hash": BENCH_CONFIG.config_hash,

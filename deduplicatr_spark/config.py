@@ -55,6 +55,11 @@ class PipelineConfig:
     # --- suffix-array substring stage (SURVEY §2.9) ---
     substring_min_len: int = 200
     substring_partitions: int = 8   # corpus partitions for per-partition SA
+    # when True the pipeline adds LCS-verified substring pairs to the
+    # cluster edge set (s4b). Off by default: substring-dups merge docs
+    # that whole-doc Jaccard would keep apart, which changes cluster
+    # semantics — opt in per deployment.
+    substring_in_pipeline: bool = False
 
     # --- clustering (SURVEY §2.11) ---
     cc_max_iters: int = 50

@@ -118,8 +118,29 @@ class DedupPipeline:
             lambda: verify_pairs(candidates.select("doc_a", "doc_b"), features, cfg),
         )
 
+        edges = verified.select("doc_a", "doc_b")
+        if cfg.substring_in_pipeline:
+            # LCS-verified shared-block pairs join the edge set directly —
+            # they are near-dups whole-doc Jaccard can't see (SURVEY §2.9)
+            from deduplicatr_spark.operators.suffix_array import substring_pairs
+
+            def _substring():
+                canon = exact.filter(
+                    F.col("doc_id") == F.col("canonical_id")
+                ).select("doc_id")
+                canon_docs = identity.join(canon, "doc_id").select(
+                    "doc_id", "content"
+                )
+                pairs, drops = substring_pairs(canon_docs, cfg)
+                metrics.append({"stage": "s4b_substring", "kind": "substring_drops",
+                                **drops.collect()[0].asDict()})
+                return pairs
+
+            substr = store.get_or_compute("s4b_substring", _substring)
+            edges = edges.unionByName(substr.select("doc_a", "doc_b"))
+
         def _clusters():
-            labels, iters = connected_components(verified, cfg)
+            labels, iters = connected_components(edges, cfg)
             metrics.append({"stage": "s5_clusters", "kind": "cc", "iterations": iters})
             return labels
 

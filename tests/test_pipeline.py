@@ -151,3 +151,26 @@ def test_permutation_invariance(spark, tiny_docs, tmp_path):
     la = sorted(map(tuple, a.select("doc_id", "cluster_id").collect()))
     lb = sorted(map(tuple, b.select("doc_id", "cluster_id").collect()))
     assert la == lb
+
+
+def test_substring_stage_in_pipeline_merges_block_sharers(
+    spark, tiny_docs, tiny_corpus, tmp_path
+):
+    """With substring_in_pipeline=True, docs sharing a planted ≥200-char
+    block (kind='substring' truth pairs) land in one cluster even though
+    their whole-doc Jaccard is below τ."""
+    cfg = PipelineConfig(substring_in_pipeline=True)
+    pipe = DedupPipeline(spark, cfg, str(tmp_path / "ckpt_sub"))
+    assignments = pipe.run(tiny_docs)
+    clusters = _assigned_clusters(assignments)
+    truth = [
+        (a, b)
+        for a, b, kind, _ in tiny_corpus.truth_pairs
+        if kind == "substring"
+    ]
+    assert truth, "fixture must plant substring pairs"
+    hits = sum(1 for a, b in truth if clusters[a] == clusters[b])
+    assert hits / len(truth) >= 0.9, f"substring merge {hits}/{len(truth)}"
+    # and the stage is recorded in the metrics ledger — no silent caps
+    kinds = {m.get("kind") for m in pipe.store.read_metrics()}
+    assert "substring_drops" in kinds

@@ -37,7 +37,7 @@ from deduplicatr_spark.operators.topk import brute_force_topk  # noqa: E402
 from deduplicatr_spark.operators.verify import verify_pairs  # noqa: E402
 from deduplicatr_spark.plans.pipeline import DedupPipeline  # noqa: E402
 
-BENCH_CONFIG = PipelineConfig(substring_min_len=120)
+BENCH_CONFIG = PipelineConfig(substring_min_len=120, minhash_mode="oph")
 
 
 def amplified_corpus(spark: SparkSession, sf_dir: str, mult: int) -> DataFrame:

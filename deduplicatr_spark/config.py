@@ -36,6 +36,12 @@ class PipelineConfig:
     # --- MinHash (SURVEY §2.6) ---
     n_hashes: int = 128
     minhash_seed: int = 4242
+    # 'kxmin' = 128 independent splitmix keys (reference estimator);
+    # 'oph' = one-permutation hashing + densification, ~8× faster at the
+    # same signature width (Li-Owen-Zhang 2012, Shrivastava-Li 2014).
+    # Both deterministic at fixed config; cluster-match comparisons must
+    # pin the mode like any other shingle/signature parameter.
+    minhash_mode: str = "kxmin"
 
     # --- LSH banding (SURVEY §2.7) ---
     n_bands: int = 32           # 32 bands × 4 rows = 128

@@ -31,7 +31,7 @@ FEATURES_TYPE = T.StructType(
 def features_udf(config: PipelineConfig):
     k, sseed = config.shingle_k, config.shingle_seed
     n_hashes, mseed = config.n_hashes, config.minhash_seed
-    n_bands = config.n_bands
+    n_bands, mmode = config.n_bands, config.minhash_mode
 
     @F.pandas_udf(FEATURES_TYPE)
     def _features(content: pd.Series) -> pd.DataFrame:
@@ -40,7 +40,7 @@ def features_udf(config: PipelineConfig):
         starts = core.segment_starts(counts)
         shingle_rows = np.split(core.to_i64(flat), starts[1:-1])
 
-        sigs, has = core.batch_minhash(flat, counts, n_hashes, mseed)
+        sigs, has = core.minhash_dispatch(flat, counts, n_hashes, mseed, mmode)
         fps, _ = core.batch_simhash(flat, counts)
         bh = core.batch_band_hashes(sigs, n_bands, mseed)
 

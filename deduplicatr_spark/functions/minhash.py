@@ -38,11 +38,12 @@ def _rows_of(sig_matrix: np.ndarray, mask: np.ndarray) -> pd.Series:
 
 def minhash_udf(config: PipelineConfig):
     n_hashes, seed = config.n_hashes, config.minhash_seed
+    mode = config.minhash_mode
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def _minhash(shingles: pd.Series) -> pd.Series:
         flat, counts = _segments(shingles)
-        sigs, has = core.batch_minhash(flat, counts, n_hashes, seed)
+        sigs, has = core.minhash_dispatch(flat, counts, n_hashes, seed, mode)
         return _rows_of(sigs, has)
 
     return _minhash

@@ -123,3 +123,52 @@ def test_simhash_identical_sets_equal_fp():
     counts = np.array([100, 100], dtype=np.int64)
     fps, _ = core.batch_simhash(flat, counts)
     assert fps[0] == fps[1]
+
+
+def test_oph_identical_sets_equal_and_deterministic():
+    import numpy as np
+    from deduplicatr_spark.functions import _numpy_core as core
+
+    rng = np.random.default_rng(7)
+    a = np.unique(rng.integers(0, 2**63, size=300).astype(np.uint64))
+    flat = np.concatenate([a, a])
+    counts = np.array([a.size, a.size], dtype=np.int64)
+    sigs, has = core.batch_minhash_oph(flat, counts, 128, 4242)
+    assert has.all()
+    assert np.array_equal(sigs[0], sigs[1])
+    sigs2, _ = core.batch_minhash_oph(flat, counts, 128, 4242)
+    assert np.array_equal(sigs, sigs2)
+
+
+def test_oph_similarity_estimate():
+    """OPH signature agreement approximates Jaccard (looser tolerance
+    than kxmin — densification adds variance)."""
+    import numpy as np
+    from deduplicatr_spark.functions import _numpy_core as core
+
+    rng = np.random.default_rng(11)
+    base = np.unique(rng.integers(0, 2**63, size=400).astype(np.uint64))
+    keep = base[: int(0.8 * base.size)]
+    extra = np.unique(rng.integers(0, 2**63, size=80).astype(np.uint64))
+    other = np.unique(np.concatenate([keep, extra]))
+    true_j = np.intersect1d(base, other).size / np.union1d(base, other).size
+    flat = np.concatenate([base, other])
+    counts = np.array([base.size, other.size], dtype=np.int64)
+    sigs, _ = core.batch_minhash_oph(flat, counts, 128, 4242)
+    est = (sigs[0] == sigs[1]).mean()
+    assert abs(est - true_j) < 0.15, (est, true_j)
+
+
+def test_oph_empty_and_power_of_two():
+    import numpy as np
+    import pytest
+    from deduplicatr_spark.functions import _numpy_core as core
+
+    sigs, has = core.batch_minhash_oph(
+        np.empty(0, dtype=np.uint64), np.array([0, 0], dtype=np.int64), 128, 1
+    )
+    assert not has.any()
+    with pytest.raises(AssertionError):
+        core.batch_minhash_oph(
+            np.arange(3, dtype=np.uint64), np.array([3], dtype=np.int64), 100, 1
+        )

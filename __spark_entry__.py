@@ -277,29 +277,20 @@ def _q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-3-gram Jaccard near-dup pairs via inverted-index candidate
-    generation (explode grams → equi-join → exact verify) — the
-    scalable plan, not a cross join."""
+    """Word-3-gram Jaccard near-dup pairs via PPJoin-style prefix
+    filtering (operators/ngram.py) — provably the same pair set as the
+    naive all-shared-grams oracle, but the inverted index only holds
+    each doc's rarest |G|-⌈τ|G|⌉+1 grams, so hot grams never explode
+    the self-join."""
+    from deduplicatr_spark.operators.ngram import ngram_jaccard_pairs
+
+    # persist: the operator references the grams frame from several plan
+    # branches (df-counts, prefix index, both verify sides) and the
+    # n-gram extraction is the expensive part
     c = _corpus(spark, sf_dir).select(
         "doc_id", TXT.word_ngrams(3, "content").alias("grams")
-    ).filter(F.size("grams") > 0)
-    e = c.select("doc_id", F.explode("grams").alias("gram"))
-    cand = (
-        e.alias("a")
-        .join(e.alias("b"), (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    ga = c.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("_ga"))
-    gb = c.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("_gb"))
-    inter = F.size(F.array_intersect("_ga", "_gb")).cast("double")
-    union = (F.size("_ga") + F.size("_gb")).cast("double") - inter
-    return (
-        cand.join(ga, "doc_a").join(gb, "doc_b")
-        .withColumn("jaccard", _floor6(inter / union))
-        .filter(F.col("jaccard") >= JACCARD_TAU)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    ).persist()
+    return ngram_jaccard_pairs(c, JACCARD_TAU)
 
 
 def _q_scan_filter(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -121,3 +121,41 @@ def test_multimodal_plumbing(spark):
 def test_real_decoder_is_explicit_stub():
     with pytest.raises(NotImplementedError):
         decode_image_meta(real_decoder=True)
+
+
+def test_ngram_prefix_filter_equals_naive(spark):
+    """PPJoin prefix filtering must produce EXACTLY the naive
+    all-shared-grams pair set — including through hot grams shared by
+    every doc (the case the filter exists to survive)."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from deduplicatr_spark.operators.ngram import ngram_jaccard_pairs
+
+    rng_docs = []
+    hot = "the quick fox"  # one gram shared by all docs
+    for i in range(40):
+        toks = [f"w{i}_{j}" for j in range(12)] if i % 4 else ["a b c"] * 1
+        grams = [hot] + [f"{t} x y" for t in toks] + ([f"dup {i//2} z"] if i % 2 else [])
+        # make consecutive even/odd docs near-identical
+        if i % 2 == 1:
+            grams = [hot] + [f"w{i-1}_{j} x y" for j in range(12)] + [f"only {i}"]
+        rng_docs.append((i, sorted(set(grams))))
+    df = spark.createDataFrame(rng_docs, "doc_id long, grams array<string>")
+    tau = 0.5
+    got = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in ngram_jaccard_pairs(df, tau).collect()
+    }
+    # naive reference computed in python
+    byid = dict(rng_docs)
+    want = set()
+    for a, b in itertools.combinations(sorted(byid), 2):
+        A, B = set(byid[a]), set(byid[b])
+        j = len(A & B) / len(A | B)
+        import math
+        j6 = math.floor(j * 1000000) / 1000000.0
+        if j6 >= tau:
+            want.add((a, b, j6))
+    assert got == want

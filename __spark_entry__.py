@@ -317,6 +317,33 @@ def _q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("q_id", "n_id", F.col("rank").cast("long").alias("rank"))
 
 
+def _q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (training-data dedup by vector
+    similarity): corpus ∪ planted perturbed copies, pairs with
+    cosine ≥ 0.9. Output is the pair set only — planted pairs sit at
+    ≈0.95+, background at ≤0.52, so the set is fp-robust across
+    engines."""
+    from deduplicatr_spark.functions.vectors import cosine
+
+    base = _emb(spark, sf_dir).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    planted = base.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("v", 1) + F.lit(0.5)), F.slice("v", 2, 63)
+        ).alias("v"),
+    )
+    c = base.unionByName(planted)
+    a = c.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("_va"))
+    b = c.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("_vb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .filter(cosine(F.col("_va"), F.col("_vb")) >= 0.9)
+        .select("vec_a", "vec_b")
+    )
+
+
 def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload metadata extraction (stubbed decode, real plumbing)."""
     d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
@@ -398,6 +425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "scan_filter": _q_scan_filter,
         "embedding_topk": _q_embedding_topk,
+        "embedding_dup_pairs": _q_embedding_dup_pairs,
         "lsh_topk": _q_lsh_topk,
         "multimodal_meta": _q_multimodal_meta,
         "cc_fingerprint_chains": _q_cc_fingerprint_chains,
@@ -581,6 +609,26 @@ SELECT q_id, n_id, rank FROM (
          row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rank
   FROM s
 ) WHERE rank <= 5
+""",
+        "embedding_dup_pairs": """
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), c AS (
+  SELECT * FROM base
+  UNION ALL
+  SELECT vec_id + 100000,
+         list_concat([v[1] + 0.5], v[2:64])
+  FROM base
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+FROM c a, c b
+WHERE a.vec_id < b.vec_id
+  AND CASE WHEN sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                * sqrt(list_sum(list_transform(b.v, x -> x * x))) > 0
+           THEN list_dot_product(a.v, b.v)
+                / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                   * sqrt(list_sum(list_transform(b.v, x -> x * x))))
+           ELSE 0.0 END >= 0.9
 """,
         "multimodal_meta": """
 SELECT doc_id,

@@ -163,7 +163,9 @@ WITH base AS (
 ), rollup AS (
   SELECT repo, dir,
          sum(CAST('0x' || substr(sha256, 1, 15) AS BIGINT)) AS dir_hash_n,
-         sum(size) AS bytes,
+         -- DuckDB sum(BIGINT) returns HUGEINT → float64 through pandas;
+         -- cast back so the value-hash agrees with Spark's int64 column
+         CAST(sum(size) AS BIGINT) AS bytes,
          count(*) AS filecount
   FROM exploded GROUP BY repo, dir
 )
@@ -284,12 +286,17 @@ def _q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the self-join."""
     from deduplicatr_spark.operators.ngram import ngram_jaccard_pairs
 
+    from deduplicatr_spark.operators.lsh import _track
+
     # persist: the operator references the grams frame from several plan
     # branches (df-counts, prefix index, both verify sides) and the
-    # n-gram extraction is the expensive part
-    c = _corpus(spark, sf_dir).select(
-        "doc_id", TXT.word_ngrams(3, "content").alias("grams")
-    ).persist()
+    # n-gram extraction is the expensive part; tracked so the next
+    # query's wrapper unpersists it once this result is materialized
+    c = _track(
+        _corpus(spark, sf_dir).select(
+            "doc_id", TXT.word_ngrams(3, "content").alias("grams")
+        ).persist()
+    )
     return ngram_jaccard_pairs(c, JACCARD_TAU)
 
 
@@ -365,12 +372,23 @@ def _q_cc_fingerprint_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select("doc_id", "cluster_id")
 
 
+_FEATS_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def _features_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = _corpus(spark, sf_dir)
-    feats = c.select(
-        "doc_id", features_udf(ENTRY_CONFIG)(normalized("content")).alias("f")
-    )
-    return feats.select("doc_id", "f.*")
+    """Shingle/MinHash/SimHash features, persisted and memoized per
+    (session, sf_dir): the feature UDF is the expensive part and several
+    queries (LSH pairs, SimHash pairs, verify joins) each reference the
+    frame from multiple plan branches — without the cache one
+    correctness run recomputes it ~4×."""
+    key = (id(spark), sf_dir)
+    if key not in _FEATS_CACHE:
+        c = _corpus(spark, sf_dir)
+        feats = c.select(
+            "doc_id", features_udf(ENTRY_CONFIG)(normalized("content")).alias("f")
+        )
+        _FEATS_CACHE[key] = feats.select("doc_id", "f.*").persist()
+    return _FEATS_CACHE[key]
 
 
 def _q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -412,6 +430,22 @@ def entry(spark: SparkSession) -> DataFrame:
     return _q_dedup_pipeline(spark, "/root/testdata/sf0.001")
 
 
+def _released(fn: Callable[[SparkSession, str], DataFrame]):
+    """Unpersist candidate-gen caches left by the PREVIOUS query (whose
+    result the driver has materialized by the time this one runs) —
+    keeps a 19-query correctness run from accumulating executor storage.
+    The cross-query features cache (_FEATS_CACHE) stays by design."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from deduplicatr_spark.operators.lsh import release_tracked
+
+        release_tracked()
+        return fn(spark, sf_dir)
+
+    run.__doc__ = fn.__doc__
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dup_groups": _q_exact_dup_groups,
@@ -434,6 +468,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_pairs": _q_substring_pairs,
         "dedup_pipeline": _q_dedup_pipeline,
     }
+
+
+queries_raw = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    return {name: _released(fn) for name, fn in queries_raw().items()}
 
 
 # ---------------------------------------------------------------------------

@@ -97,6 +97,11 @@ def main() -> None:
     mult = int(os.environ.get("SPARK_GRAFT_BENCH_MULT", "64"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
+    # bench-only tmpfs opt-in: shuffle/spill volumes here fit in RAM and
+    # tmpfs removes disk noise from the N-vs-4N scaling comparison
+    if os.path.isdir("/dev/shm") and not os.environ.get("SPARK_GRAFT_LOCAL_DIR"):
+        os.environ["SPARK_GRAFT_LOCAL_DIR"] = "/dev/shm/spark-local"
+
     from deduplicatr_spark.session import build_session
 
     spark = build_session(

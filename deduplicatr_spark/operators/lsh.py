@@ -31,6 +31,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -39,6 +40,27 @@ from deduplicatr_spark.functions import _numpy_core as core
 
 PAIRS_SCHEMA = "doc_a long, doc_b long"
 _GEN_SCHEMA = "doc_a long, doc_b long, dropped long"
+
+# Candidate generation persists two frames (the exploded band rows and
+# the pairgen output) because each feeds 2+ plan branches (bucket-size
+# agg + annotated join; pairs + drop stats). The frames are tracked here
+# so callers can unpersist once the results are materialized — without
+# this a long session (validate_entry runs ~19 queries) slowly leaks
+# executor storage memory.
+_TRACKED: list[DataFrame] = []
+
+
+def _track(df: DataFrame) -> DataFrame:
+    _TRACKED.append(df)
+    return df
+
+
+def release_tracked() -> None:
+    """Unpersist every frame cached by candidate generation. Call after
+    the pair/drop outputs have been materialized (checkpointed,
+    collected, or written)."""
+    while _TRACKED:
+        _TRACKED.pop().unpersist()
 
 
 def explode_bands(features: DataFrame) -> DataFrame:
@@ -67,6 +89,15 @@ def _emit_buckets(bh: np.ndarray, doc: np.ndarray, cap: int):
         b_out.append(bucket[ib])
     a = np.concatenate(a_out) if a_out else np.empty(0, np.int64)
     b = np.concatenate(b_out) if b_out else np.empty(0, np.int64)
+    if a.size > 1:
+        # pre-shuffle dedup: the same pair found via two band hashes in
+        # this flush would otherwise travel to the global distinct twice
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        keep = np.empty(a.size, dtype=bool)
+        keep[0] = True
+        keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        a, b = a[keep], b[keep]
     return a, b, dropped
 
 
@@ -125,7 +156,11 @@ def lsh_candidate_pairs(
     capped_pairs_docs) for the metrics ledger.
     """
     cap = config.max_bucket_size
-    exploded = explode_bands(features)
+    # persisted: the size agg and the annotated join below each scan this
+    # frame — without the cache the upstream feature scan runs twice
+    exploded = _track(
+        explode_bands(features).persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     sizes = exploded.groupBy("band_hash").agg(F.count(F.lit(1)).alias("n"))
     hot = sizes.filter(F.col("n") > config.hot_key_threshold)
@@ -145,7 +180,11 @@ def lsh_candidate_pairs(
     )
     # persist: both `pairs` and `drop_stats` consume this frame — without
     # the cache each action re-runs the whole explode+shuffle+pairgen
-    gen = ranged.mapInPandas(_pairgen(cap), schema=_GEN_SCHEMA).persist()
+    gen = _track(
+        ranged.mapInPandas(_pairgen(cap), schema=_GEN_SCHEMA).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+    )
 
     pairs = gen.filter(F.col("doc_a").isNotNull()).select("doc_a", "doc_b").distinct()
     drop_stats = gen.filter(F.col("doc_a").isNull()).agg(

@@ -29,6 +29,15 @@ def ngram_jaccard_pairs(
 
     ``jaccard`` is floor-truncated to 6 decimals (oracle-stable).
     """
+    from fractions import Fraction
+
+    # exact rational τ: the prefix bound |G| - ceil(τ|G|) + 1 must use
+    # integer arithmetic — double-precision ceil(τ·sz) can round up when
+    # τ·sz is exactly integral but τ isn't binary-representable, making
+    # the prefix one gram short and silently dropping qualifying pairs
+    frac = Fraction(tau).limit_denominator(1_000_000)
+    num, den = frac.numerator, frac.denominator
+
     g = grams_df.select(
         F.col(id_col).alias("doc_id"), F.col(grams_col).alias("grams")
     ).filter(F.size("grams") > 0)
@@ -43,8 +52,14 @@ def ngram_jaccard_pairs(
                 Window.partitionBy("doc_id").orderBy("df", "gram")
             ),
         )
-        # prefix length |G| - ceil(τ|G|) + 1 (Jaccard prefix bound)
-        .filter(F.col("rk") <= F.col("sz") - F.ceil(F.lit(tau) * F.col("sz")) + 1)
+        # prefix length |G| - ceil(τ|G|) + 1 (Jaccard prefix bound);
+        # ceil(sz·num/den) = (sz·num + den − 1) div den, exact on longs
+        .filter(
+            F.col("rk")
+            <= F.col("sz")
+            - F.expr(f"(sz * {num}L + {den - 1}L) div {den}L")
+            + 1
+        )
         .select("doc_id", "gram")
     )
     cand = (

@@ -11,11 +11,12 @@ bucket cap as LSH (logged, never silent).
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from deduplicatr_spark.config import PipelineConfig
-from deduplicatr_spark.operators.lsh import _pairgen
+from deduplicatr_spark.operators.lsh import _pairgen, _track
 
 
 def _explode_chunks(features: DataFrame, n_chunks: int) -> DataFrame:
@@ -45,10 +46,13 @@ def simhash_candidate_pairs(
     """
     n_chunks = config.hamming_d + 1
     exploded = _explode_chunks(features, n_chunks)
-    # fold (chunk_id, chunk_val) into one key: chunk_val < 2^(64/n_chunks)
-    keyed = exploded.select(
-        "doc_id",
-        (F.col("chunk_val") * n_chunks + F.col("chunk_id")).alias("band_hash"),
+    # fold (chunk_id, chunk_val) into one key: chunk_val < 2^(64/n_chunks);
+    # persisted — size agg + annotated join both scan it (see lsh.py)
+    keyed = _track(
+        exploded.select(
+            "doc_id",
+            (F.col("chunk_val") * n_chunks + F.col("chunk_id")).alias("band_hash"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     sizes = keyed.groupBy("band_hash").agg(F.count(F.lit(1)).alias("n"))
@@ -66,9 +70,11 @@ def simhash_candidate_pairs(
     ranged = thinned.repartitionByRange(int(n_part), "band_hash").sortWithinPartitions(
         "band_hash"
     )
-    gen = ranged.mapInPandas(
-        _pairgen(cap), schema="doc_a long, doc_b long, dropped long"
-    ).persist()  # shared by pairs + drop_stats (see lsh.py)
+    gen = _track(
+        ranged.mapInPandas(
+            _pairgen(cap), schema="doc_a long, doc_b long, dropped long"
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    )  # shared by pairs + drop_stats (see lsh.py)
     raw_pairs = gen.filter(F.col("doc_a").isNotNull()).select("doc_a", "doc_b").distinct()
 
     sims = features.select("doc_id", "simhash")

@@ -35,7 +35,7 @@ from deduplicatr_spark.functions.features import features_udf
 from deduplicatr_spark.functions.hashing import normalized
 from deduplicatr_spark.operators.connected_components import connected_components
 from deduplicatr_spark.operators.exact import exact_canonical, with_identity
-from deduplicatr_spark.operators.lsh import lsh_candidate_pairs
+from deduplicatr_spark.operators.lsh import lsh_candidate_pairs, release_tracked
 from deduplicatr_spark.operators.pigeonhole import simhash_candidate_pairs
 from deduplicatr_spark.operators.verify import verify_pairs
 from deduplicatr_spark.sources.catalog import CheckpointStore
@@ -112,6 +112,7 @@ class DedupPipeline:
             )
 
         candidates = store.get_or_compute("s3_candidates", _candidates)
+        release_tracked()  # candidate-gen caches are checkpointed now
 
         verified = store.get_or_compute(
             "s4_verified",
@@ -137,6 +138,7 @@ class DedupPipeline:
                 return pairs
 
             substr = store.get_or_compute("s4b_substring", _substring)
+            release_tracked()
             edges = edges.unionByName(substr.select("doc_a", "doc_b"))
 
         def _clusters():

@@ -45,9 +45,10 @@ def build_session(
         # pass (AQE still falls back / splits skew as needed)
         .config("spark.sql.join.preferSortMergeJoin", "false")
     )
+    # tmpfs shuffle dirs are opt-in only (bench.py sets this): defaulting
+    # to /dev/shm caps spill at ~50% RAM and turns a big spill into
+    # ENOSPC instead of a disk spill — wrong default outside the bench
     local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
-    if local_dir is None and os.path.isdir("/dev/shm"):
-        local_dir = "/dev/shm/spark-local"
     if local_dir:
         os.makedirs(local_dir, exist_ok=True)
         builder = builder.config("spark.local.dir", local_dir)

@@ -117,6 +117,9 @@ class CheckpointStore:
         ]
         n_rows = sum(part_rows)
         lineage_dir = os.path.join(self.root, "_lineage", name)
+        # atomic overwrite like the stage dir: stale lineage files from a
+        # prior code/config version must not mix schemas into lineage()
+        shutil.rmtree(lineage_dir, ignore_errors=True)
         os.makedirs(lineage_dir, exist_ok=True)
         pq.write_table(
             pa.table(

@@ -62,11 +62,8 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
-def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Planted dedup corpus: (doc_id, repo, path, content, lang).
-
-    Mirrors CORPUS_SQL exactly — keep the two in sync.
-    """
+def _planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Base ∪ copies ∪ ws ∪ near (the ``planted`` CTE of CORPUS_SQL)."""
     base = _docs(spark, sf_dir).filter(F.col("text").isNotNull()).select(
         "doc_id",
         F.col("source").alias("repo"),
@@ -101,7 +98,15 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.col("content"), F.lit(" zz yy xx qq")).alias("content"),
         "lang",
     )
-    planted = base.unionByName(dup).unionByName(ws).unionByName(near)
+    return base.unionByName(dup).unionByName(ws).unionByName(near)
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted dedup corpus: (doc_id, repo, path, content, lang).
+
+    Mirrors CORPUS_SQL exactly — keep the two in sync.
+    """
+    planted = _planted(spark, sf_dir)
     mirror = planted.filter(F.col("repo") == "src0").select(
         (F.col("doc_id") + 4000000).alias("doc_id"),
         F.lit("mirror").alias("repo"),
@@ -310,10 +315,33 @@ def _q_scan_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN: hyperplane sketch → Hamming-pigeonhole buckets →
-    exact cosine re-rank of bucket-mates (the 100 TB scale path; rows-only
-    check — approximate by design)."""
-    emb = _emb(spark, sf_dir)
-    out = lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, dim=64)
+    exact cosine re-rank of bucket-mates (the 100 TB scale path).
+
+    Oracle-checkable formulation: over embeddings ∪ planted perturbed
+    twins, the 10 lowest-id queries whose twin cosine is ≥ 0.90 must
+    return the twin as their top-1 neighbor (non-twin cosine tops out
+    at 0.672 at sf0.01, so the twin is the unique true NN; at 16
+    planes / 8 pigeonhole chunks the twin is a candidate with
+    p ≥ 1 − 2.5e-5, and the seeded sketch makes the run
+    deterministic). A bucketing or re-rank bug returns some other
+    vector and goes red."""
+    from deduplicatr_spark.functions.vectors import cosine
+
+    c = _emb_with_planted(spark, sf_dir)
+    base = c.filter(F.col("vec_id") < 100000)
+    twin = c.filter(F.col("vec_id") >= 100000).select(
+        (F.col("vec_id") - 100000).alias("vec_id"), F.col("v").alias("_tv")
+    )
+    qual = (
+        base.join(twin, "vec_id")
+        .filter(cosine(F.col("v"), F.col("_tv")) >= 0.90)
+        .select("vec_id", "v")
+        .orderBy("vec_id")
+        .limit(10)
+    )
+    out = lsh_topk(
+        c, qual, k=1, dim=64, n_planes=16, hamming_d=7, vec_col="v"
+    )
     return out.select("q_id", "n_id", F.col("rank").cast("long").alias("rank"))
 
 
@@ -324,14 +352,9 @@ def _q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("q_id", "n_id", F.col("rank").cast("long").alias("rank"))
 
 
-def _q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (training-data dedup by vector
-    similarity): corpus ∪ planted perturbed copies, pairs with
-    cosine ≥ 0.9. Output is the pair set only — planted pairs sit at
-    ≈0.95+, background at ≤0.52, so the set is fp-robust across
-    engines."""
-    from deduplicatr_spark.functions.vectors import cosine
-
+def _emb_with_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings ∪ perturbed copies (+0.5 on coord 1, id +100000) —
+    mirrors the embedding_dup_pairs oracle CTE exactly."""
     base = _emb(spark, sf_dir).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
@@ -341,14 +364,25 @@ def _q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(F.element_at("v", 1) + F.lit(0.5)), F.slice("v", 2, 63)
         ).alias("v"),
     )
-    c = base.unionByName(planted)
-    a = c.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("_va"))
-    b = c.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("_vb"))
-    return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .filter(cosine(F.col("_va"), F.col("_vb")) >= 0.9)
-        .select("vec_a", "vec_b")
+    return base.unionByName(planted)
+
+
+def _q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (training-data dedup by vector
+    similarity), cosine ≥ 0.9, via banded hyperplane LSH + bucketed
+    candidate generation + exact cosine re-rank
+    (operators/embedding_dedup.py) — no cartesian anywhere in the plan.
+    The oracle is the independent all-pairs SQL join, so a single
+    missed pair goes red: at the pinned 128×16 sketch the worst
+    qualifying pair (cosine 0.90012 at sf0.01) is recalled with
+    p ≈ 1 − 1.4e-5, and the seeded sketch makes the check
+    deterministic."""
+    from deduplicatr_spark.operators.embedding_dedup import embedding_dup_pairs
+
+    pairs, _drops = embedding_dup_pairs(
+        _emb_with_planted(spark, sf_dir), tau=0.9, dim=64, config=ENTRY_CONFIG
     )
+    return pairs
 
 
 def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -391,38 +425,151 @@ def _features_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _FEATS_CACHE[key]
 
 
+def _fp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All (doc_a < doc_b) pairs with equal normalized-content
+    fingerprint — SQL-computable ground truth for the hash-based
+    near-dup stages (identical normalized content ⇒ identical shingle
+    set ⇒ Jaccard 1 and identical MinHash/SimHash signatures)."""
+    c = _corpus(spark, sf_dir).select(
+        "doc_id", TXT.fingerprint("content").alias("fp")
+    )
+    a = c.select(F.col("fp").alias("_f"), F.col("doc_id").alias("doc_a"))
+    b = c.select(F.col("fp").alias("_f"), F.col("doc_id").alias("doc_b"))
+    return a.join(b, "_f").filter(F.col("doc_a") < F.col("doc_b")).select(
+        "doc_a", "doc_b"
+    )
+
+
+def _near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The planted near-variant pairs (d, d+3000000): base content plus
+    a 12-char suffix — sub-1.0 shingle Jaccard, SQL-computable via
+    char-9-gram sets over the normalized strings."""
+    d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    return d.filter(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("doc_a"),
+        (F.col("doc_id") + 3000000).alias("doc_b"),
+    )
+
+
 def _q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash→LSH candidates (§2.6–2.7) verified by exact Jaccard
-    (§2.10). Non-SQL-expressible (xxhash shingles) → rows-only check."""
+    (§2.10), restricted to the SQL-computable planted truth so DuckDB
+    can check it: fingerprint-equal pairs (shingle Jaccard exactly 1)
+    ∪ planted near pairs (Jaccard ≥ 0.77 at sf0.01 via char-9-gram
+    sets the oracle recomputes from the strings). Every truth pair the
+    oracle keeps at τ must appear with the SAME Jaccard value — a
+    missed LSH candidate, a banding bug, or a verify-arithmetic drift
+    all go red. (The unrestricted pair set is exercised by
+    tests/test_candidates.py and the recall gate in bench.py.)"""
     feats = _features_frame(spark, sf_dir)
     pairs, _drops = lsh_candidate_pairs(feats, ENTRY_CONFIG)
     v = verify_pairs(pairs, feats, ENTRY_CONFIG)
-    return v.select("doc_a", "doc_b", _floor6(F.col("jaccard")).alias("jaccard"))
+    truth = _fp_pairs(spark, sf_dir).unionByName(_near_pairs(spark, sf_dir))
+    return v.join(truth, ["doc_a", "doc_b"]).select(
+        "doc_a", "doc_b", _floor6(F.col("jaccard")).alias("jaccard")
+    )
 
 
 def _q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash pigeonhole candidates, Hamming-verified (§2.8)."""
+    """SimHash pigeonhole candidates, Hamming-verified (§2.8),
+    restricted to fingerprint-equal pairs: identical normalized content
+    ⇒ identical SimHash ⇒ Hamming 0, so the pigeonhole buckets MUST
+    surface every such pair — the oracle is the full fingerprint pair
+    set and any miss (chunking bug, pairgen bug, cap misfire) goes
+    red. Hamming 1..d behavior is pigeonhole-proof-tested in
+    tests/test_candidates.py."""
     feats = _features_frame(spark, sf_dir)
     pairs, _drops = simhash_candidate_pairs(feats, ENTRY_CONFIG)
-    return pairs.select("doc_a", "doc_b")
+    return pairs.join(_fp_pairs(spark, sf_dir), ["doc_a", "doc_b"]).select(
+        "doc_a", "doc_b"
+    )
+
+
+def _substring_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted shared-block pairs with known exact LCS length: pairs
+    whose contents are equal or prefix-related by construction, so
+    LCS = min(strlen). Restricted to blocks ≥ 400 bytes where the CDC
+    anchor pass finds a shared anchor with p ≈ 1 − 1e-9 (SURVEY §2.9).
+    Mirrors the substring_pairs oracle SQL exactly."""
+    d = _docs(spark, sf_dir).filter(F.col("text").isNotNull()).select(
+        "doc_id", F.octet_length("text").alias("_len")
+    ).filter(F.col("_len") >= 400)
+    copy = d.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("doc_a"),
+        (F.col("doc_id") + 1000000).alias("doc_b"),
+        F.col("_len").alias("want_len"),
+    )
+    near = d.filter(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("doc_a"),
+        (F.col("doc_id") + 3000000).alias("doc_b"),
+        F.col("_len").alias("want_len"),
+    )
+    copy_near = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_a"),
+        (F.col("doc_id") + 3000000).alias("doc_b"),
+        F.col("_len").alias("want_len"),
+    )
+    mirror = (
+        _planted(spark, sf_dir)
+        .filter((F.col("repo") == "src0") & (F.octet_length("content") >= 400))
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            (F.col("doc_id") + 4000000).alias("doc_b"),
+            F.octet_length("content").alias("want_len"),
+        )
+    )
+    return copy.unionByName(near).unionByName(copy_near).unionByName(mirror)
 
 
 def _q_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Suffix-array shared-substring pairs (§2.9), match_len ≥ 120."""
+    """Suffix-array shared-substring pairs (§2.9), restricted to the
+    planted prefix/equality pairs whose exact LCS the oracle knows in
+    closed form (= min strlen). The operator's match_len must EQUAL
+    that value — an anchor-fp miss, bucket bug, or an off-by-one in
+    the SA/LCP construction all go red. (Unrestricted pair discovery
+    is covered by planted-block tests in tests/test_substring.py.)"""
     c = _corpus(spark, sf_dir).select("doc_id", "content")
     pairs, _drops = substring_pairs(c, ENTRY_CONFIG)
-    return pairs.select("doc_a", "doc_b", "match_len")
+    truth = _substring_truth(spark, sf_dir).select("doc_a", "doc_b")
+    return pairs.join(truth, ["doc_a", "doc_b"]).select(
+        "doc_a", "doc_b", "match_len"
+    )
 
 
 def _q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full 6-stage pipeline e2e (exact → features → candidates →
-    verify → CC → assign), parquet checkpoints; rows-only check."""
+    verify → CC → assign), parquet checkpoints.
+
+    Oracle-checkable output, one row per input doc: (repo, path,
+    sha256, size) must round-trip the pipeline unchanged,
+    ``exact_group_size`` is the sha256 group count (pure SQL), and
+    ``cluster_ok`` asserts the end-to-end composition: every member of
+    a normalized-content fingerprint group must land in ONE cluster —
+    which requires the exact stage, feature UDF, LSH banding, Jaccard
+    verify, connected components AND the assignment join-back to all
+    compose correctly (ws variants have different sha256 but Jaccard 1,
+    so only the near-dup path can merge them). Oracle emits TRUE.
+    (cluster ids themselves are internal xxhash64-min labels — not
+    SQL-reproducible, asserted via the grouping instead.)"""
     docs = _corpus(spark, sf_dir).select(
         "repo", "path", F.lit("c0").alias("commit"), "lang", "content"
     )
     pipe = DedupPipeline(spark, ENTRY_CONFIG, tempfile.mkdtemp(prefix="dedup_ckpt_", dir="/dev/shm" if os.path.isdir("/dev/shm") else None))
     out = pipe.run(docs)
-    return out.select("repo", "path", "sha256", "size", "canonical_id", "cluster_id")
+    fp = _corpus(spark, sf_dir).select(
+        "repo", "path", TXT.fingerprint("content").alias("_fp")
+    )
+    j = out.join(fp, ["repo", "path"])
+    w_sha = Window.partitionBy("sha256")
+    w_fp = Window.partitionBy("_fp")
+    return j.select(
+        "repo",
+        "path",
+        "sha256",
+        "size",
+        F.count(F.lit(1)).over(w_sha).alias("exact_group_size"),
+        (F.col("cluster_id") == F.min("cluster_id").over(w_fp)).alias("cluster_ok"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -687,5 +834,107 @@ FROM documents WHERE text IS NOT NULL
 )
 SELECT doc_id, min(doc_id) OVER (PARTITION BY f) AS cluster_id
 FROM fp QUALIFY count(*) OVER (PARTITION BY f) > 1
+""",
+        # truth = fingerprint-equal pairs (shingle J exactly 1) ∪ planted
+        # near pairs; jaccard recomputed independently from char-9-gram
+        # sets over the normalized strings (equals the engine's hashed-
+        # shingle Jaccard up to 64-bit collisions ≈ 1e-14)
+        "minhash_lsh_pairs": CORPUS_SQL + f"""
+, fpm AS (
+  SELECT doc_id,
+         sha256(trim(regexp_replace(content, '\\s+', ' ', 'g'))) AS f
+  FROM corpus
+), truth AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM fpm a JOIN fpm b ON a.f = b.f AND a.doc_id < b.doc_id
+  UNION ALL
+  SELECT doc_id, doc_id + 3000000 FROM base WHERE doc_id % 5 = 0
+), norm AS (
+  SELECT doc_id, trim(regexp_replace(content, '\\s+', ' ', 'g')) AS ns
+  FROM corpus
+), g9 AS (
+  SELECT doc_id,
+         CASE WHEN length(ns) < 9 THEN CAST([] AS VARCHAR[])
+              ELSE list_distinct(list_transform(
+                     range(1, length(ns) - 7), i -> substr(ns, i, 9))) END AS grams
+  FROM norm
+), jj AS (
+  SELECT t.doc_a, t.doc_b,
+         CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE) AS i,
+         CAST(len(ga.grams) + len(gb.grams) AS DOUBLE) AS tot
+  FROM truth t
+  JOIN g9 ga ON ga.doc_id = t.doc_a
+  JOIN g9 gb ON gb.doc_id = t.doc_b
+  WHERE len(ga.grams) > 0 AND len(gb.grams) > 0
+)
+SELECT doc_a, doc_b,
+       floor(i / (tot - i) * 1000000) / 1000000.0 AS jaccard
+FROM jj WHERE i / (tot - i) >= {ENTRY_CONFIG.jaccard_tau}
+""",
+        # identical normalized content ⇒ identical SimHash ⇒ Hamming 0:
+        # the pigeonhole buckets must surface every fingerprint pair
+        "simhash_hamming_pairs": CORPUS_SQL + """
+, fpm AS (
+  SELECT doc_id,
+         sha256(trim(regexp_replace(content, '\\s+', ' ', 'g'))) AS f
+  FROM corpus
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM fpm a JOIN fpm b ON a.f = b.f AND a.doc_id < b.doc_id
+""",
+        # planted prefix/equality pairs with ≥400-byte shared blocks:
+        # exact LCS is min(strlen) in closed form
+        "substring_pairs": CORPUS_SQL + """
+, s_base AS (
+  SELECT doc_id, strlen(text) AS l
+  FROM documents WHERE text IS NOT NULL AND strlen(text) >= 400
+), s_mirror AS (
+  SELECT doc_id, strlen(content) AS l
+  FROM planted WHERE repo = 'src0' AND strlen(content) >= 400
+)
+SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b, l AS match_len
+FROM s_base WHERE doc_id % 10 = 0
+UNION ALL
+SELECT doc_id, doc_id + 3000000, l FROM s_base WHERE doc_id % 5 = 0
+UNION ALL
+SELECT doc_id + 1000000, doc_id + 3000000, l FROM s_base WHERE doc_id % 10 = 0
+UNION ALL
+SELECT doc_id, doc_id + 4000000, l FROM s_mirror
+""",
+        # planted-twin ANN: the twin is the unique true NN (background
+        # cosine ≤ ~0.52) and must surface as top-1 through the sketch →
+        # pigeonhole-bucket → re-rank path
+        "lsh_topk": """
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), p AS (
+  SELECT vec_id, v, list_concat([v[1] + 0.5], v[2:64]) AS pv FROM base
+), tc AS (
+  SELECT vec_id,
+         CASE WHEN sqrt(list_sum(list_transform(v, x -> x * x)))
+                   * sqrt(list_sum(list_transform(pv, x -> x * x))) > 0
+              THEN list_dot_product(v, pv)
+                   / (sqrt(list_sum(list_transform(v, x -> x * x)))
+                      * sqrt(list_sum(list_transform(pv, x -> x * x))))
+              ELSE 0.0 END AS c
+  FROM p
+), qual AS (
+  SELECT vec_id FROM tc WHERE c >= 0.90 ORDER BY vec_id LIMIT 10
+)
+SELECT vec_id AS q_id, vec_id + 100000 AS n_id, CAST(1 AS BIGINT) AS rank
+FROM qual
+""",
+        # identity columns must round-trip the pipeline; cluster_ok
+        # asserts one cluster per fingerprint group end-to-end
+        "dedup_pipeline": CORPUS_SQL + """
+, fpm AS (
+  SELECT repo, path, sha256, size,
+         sha256(trim(regexp_replace(content, '\\s+', ' ', 'g'))) AS f
+  FROM files
+)
+SELECT repo, path, sha256, size,
+       count(*) OVER (PARTITION BY sha256) AS exact_group_size,
+       TRUE AS cluster_ok
+FROM fpm
 """,
     }

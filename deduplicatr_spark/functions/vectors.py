@@ -35,6 +35,32 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(d > 0, dot(a, b) / d).otherwise(F.lit(0.0))
 
 
+def hyperplane_band_sketch_udf(n_bands: int, band_bits: int, dim: int, seed: int):
+    """Banded random-hyperplane sketches for cosine-LSH pair mining
+    (AND-OR amplification: a pair is a candidate iff ALL ``band_bits``
+    bits of ANY band agree — Indyk-Motwani LSH with Charikar hyperplane
+    hashes). Returns an ArrayType(Long) column of ``n_bands`` band
+    hashes, directly consumable by ``operators.lsh.lsh_candidate_pairs``
+    (the band index is folded in so equal values in different bands
+    never collide). One numpy matmul per Arrow batch.
+    """
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_bands * band_bits))
+    band_salt = core.hash_keys(n_bands, seed + 1)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _bands(vecs: pd.Series) -> pd.Series:
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        signs = (mat @ planes) > 0
+        bits = signs.reshape(mat.shape[0], n_bands, band_bits).astype(np.uint64)
+        weights = np.uint64(1) << np.arange(band_bits, dtype=np.uint64)
+        vals = (bits * weights[None, None, :]).sum(axis=2, dtype=np.uint64)
+        hashed = core.to_i64(core.splitmix64(vals ^ band_salt[None, :]))
+        return pd.Series(list(hashed))
+
+    return _bands
+
+
 def hyperplane_sketch_udf(n_planes: int, dim: int, seed: int):
     """Random-hyperplane sign sketch (Charikar 2002 SimHash for vectors):
     bit i = sign(v · h_i). Returns a LongType sketch (n_planes ≤ 64).

@@ -1,0 +1,67 @@
+"""Embedding-cosine near-duplicate pairs at scale (training-data dedup
+by vector similarity).
+
+The naive formulation is an all-pairs cartesian self-join — O(n²)
+comparisons, which at 10⁹ vectors is 10¹⁸ and cannot ship. The scale
+path mirrors the MinHash/LSH text stage exactly:
+
+1. **Banded hyperplane sketches** (functions/vectors.py): ``n_bands``
+   bands of ``band_bits`` sign bits each; per-bit collision probability
+   for a pair at angle θ is 1 − θ/π (Charikar, STOC 2002), so a pair at
+   cosine τ lands in at least one shared band bucket with probability
+   1 − (1 − (1 − θ/π)^band_bits)^n_bands — driven to ~1 by n_bands.
+2. **Candidate generation** reuses ``operators.lsh.lsh_candidate_pairs``
+   verbatim: range-partitioned shuffle by band hash, hot-bucket
+   thinning, per-bucket caps with a drop ledger.
+3. **Exact cosine re-rank** of candidates only (JVM built-ins), keeping
+   pairs with cosine ≥ τ — so precision is exact and only recall
+   depends on the sketch parameters.
+
+Shuffle volume is O(n·n_bands) sketch rows + O(candidates), never
+O(n²). Defaults (128 bands × 16 bits) give ≥ 1 − 1.4e-5 per-pair
+recall at cosine 0.90 while keeping the candidate rate for random
+64-dim vectors (cosine ≈ 0) at ~0.2% of pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from deduplicatr_spark.config import PipelineConfig
+from deduplicatr_spark.functions.vectors import cosine, hyperplane_band_sketch_udf
+from deduplicatr_spark.operators.lsh import lsh_candidate_pairs
+
+
+def embedding_dup_pairs(
+    corpus: DataFrame,
+    tau: float,
+    dim: int,
+    config: PipelineConfig | None = None,
+    n_bands: int = 128,
+    band_bits: int = 16,
+    seed: int = 9090,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> tuple[DataFrame, DataFrame]:
+    """(id, vector) → ((vec_a, vec_b) with cosine ≥ tau, drop_stats).
+
+    ``vec_a < vec_b``; exact-cosine verified, LSH-bucketed candidates.
+    """
+    config = config or PipelineConfig()
+    sketch = hyperplane_band_sketch_udf(n_bands, band_bits, dim, seed)
+    feats = corpus.select(
+        F.col(id_col).alias("doc_id"), sketch(F.col(vec_col)).alias("band_hashes")
+    )
+    cand, drop_stats = lsh_candidate_pairs(feats, config)
+
+    vecs = corpus.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_vv"))
+    pairs = (
+        cand.join(
+            vecs.withColumnsRenamed({"_vid": "doc_a", "_vv": "_va"}), "doc_a"
+        )
+        .join(vecs.withColumnsRenamed({"_vid": "doc_b", "_vv": "_vb"}), "doc_b")
+        .filter(cosine(F.col("_va"), F.col("_vb")) >= tau)
+        .select(F.col("doc_a").alias("vec_a"), F.col("doc_b").alias("vec_b"))
+    )
+    return pairs, drop_stats

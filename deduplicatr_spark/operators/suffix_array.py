@@ -76,32 +76,77 @@ def anchor_fp_udf(config: PipelineConfig):
 
 # --- suffix array + LCP (per verified pair; doc-scale, numpy) -----------
 
-def build_suffix_array(a: np.ndarray) -> np.ndarray:
-    """Suffix array by prefix doubling (O(n log² n), fully vectorized)."""
+def build_sa_with_ranks(a: np.ndarray) -> tuple[np.ndarray, list[np.ndarray]]:
+    """Suffix array by prefix doubling (O(n log² n), fully vectorized),
+    returning the per-level rank arrays as a byproduct: ``levels[j][x]``
+    is the rank of suffix x by its length-2^j prefix, so
+    ``levels[j][x] == levels[j][y]`` ⟺ the suffixes share ≥ 2^j chars —
+    which makes LCP queries pure vectorized lookups (binary lifting,
+    no per-character loop). Ranks are int32 (< n), so the level stack
+    costs 4·n·log2(n) bytes — ~84 MB for a 1 MB doc pair, scoped to one
+    pair at a time inside the verify task."""
     n = a.size
-    rank = a.astype(np.int64)
-    k = 1
+    rank = np.unique(a, return_inverse=True)[1].astype(np.int32)
+    levels = [rank]
     order = np.argsort(rank, kind="stable")
-    while True:
-        rank2 = np.full(n, -1, dtype=np.int64)
+    k = 1
+    while k < n and rank[order[-1]] != n - 1:
+        rank2 = np.full(n, -1, dtype=np.int32)
         rank2[: n - k] = rank[k:]
         order = np.lexsort((rank2, rank))
         pair_r = rank[order]
         pair_r2 = rank2[order]
         diff = np.ones(n, dtype=bool)
         diff[1:] = (pair_r[1:] != pair_r[:-1]) | (pair_r2[1:] != pair_r2[:-1])
-        new_rank = np.empty(n, dtype=np.int64)
-        new_rank[order] = np.cumsum(diff) - 1
+        new_rank = np.empty(n, dtype=np.int32)
+        new_rank[order] = (np.cumsum(diff) - 1).astype(np.int32)
         rank = new_rank
-        if rank[order[-1]] == n - 1:
-            return order
+        levels.append(rank)
         k *= 2
-        if k >= n:
-            return order
+    return order, levels
+
+
+def build_suffix_array(a: np.ndarray) -> np.ndarray:
+    """Suffix array only (compatibility wrapper)."""
+    return build_sa_with_ranks(a)[0]
+
+
+def lcp_of_position_pairs(
+    x: np.ndarray, y: np.ndarray, levels: list[np.ndarray], n: int
+) -> np.ndarray:
+    """LCP(suffix x_i, suffix y_i) for DISTINCT position pairs, by
+    binary lifting over the doubling ranks: descend j from the top
+    level; where ranks agree (and both suffixes still have 2^j chars),
+    advance both positions by 2^j and accumulate. Correct for x ≠ y
+    because doubling stops once all ranks are distinct, which bounds
+    any distinct-pair LCP below the top level's span (x == y would need
+    unbounded advancement — never occurs for suffix-array neighbors).
+    O(pairs · log n) numpy ops — this replaces Kasai's amortized-O(n)
+    but per-character Python loop, which cost ~10^6 interpreter
+    iterations for a 1 MB doc pair."""
+    x = x.astype(np.int64, copy=True)
+    y = y.astype(np.int64, copy=True)
+    h = np.zeros(x.size, dtype=np.int64)
+    for j in range(len(levels) - 1, -1, -1):
+        step = 1 << j
+        r = levels[j]
+        valid = (x + step <= n) & (y + step <= n)
+        if not valid.any():
+            continue
+        eq = valid.copy()
+        eq[valid] = r[x[valid]] == r[y[valid]]
+        x[eq] += step
+        y[eq] += step
+        h[eq] += step
+    return h
 
 
 def _kasai_lcp(a: np.ndarray, sa: np.ndarray) -> np.ndarray:
-    """LCP array (lcp[i] = LCP(sa[i], sa[i+1])), Kasai's algorithm."""
+    """LCP array (lcp[i] = LCP(sa[i], sa[i+1])), Kasai's algorithm.
+
+    TEST ORACLE ONLY — per-character Python loop; the hot path uses
+    ``lcp_of_position_pairs`` (tests/test_substring.py asserts they
+    agree on random inputs)."""
     n = a.size
     rank = np.empty(n, dtype=np.int64)
     rank[sa] = np.arange(n)
@@ -126,17 +171,21 @@ def _kasai_lcp(a: np.ndarray, sa: np.ndarray) -> np.ndarray:
 
 def longest_common_substring_len(a: bytes, b: bytes) -> int:
     """Exact LCS length via suffix array over a·SEP·b (SEP outside the
-    byte alphabet via an int16 sentinel)."""
+    byte alphabet via an int16 sentinel): max LCP over ADJACENT
+    suffix-array neighbors from different sides — computed with the
+    vectorized lifting LCP, only for the cross pairs."""
     if not a or not b:
         return 0
     xa = np.frombuffer(a, np.uint8).astype(np.int16)
     xb = np.frombuffer(b, np.uint8).astype(np.int16)
     s = np.concatenate([xa, np.array([256], np.int16), xb])
-    sa = build_suffix_array(s)
-    lcp = _kasai_lcp(s, sa)
+    sa, levels = build_sa_with_ranks(s)
     side = sa < xa.size  # suffixes starting in a (sentinel belongs to b-side)
     cross = side[:-1] != side[1:]
-    return int(lcp[cross].max()) if cross.any() else 0
+    if not cross.any():
+        return 0
+    h = lcp_of_position_pairs(sa[:-1][cross], sa[1:][cross], levels, s.size)
+    return int(h.max())
 
 
 # --- the stage -----------------------------------------------------------

@@ -7,7 +7,10 @@ from pyspark.sql import functions as F
 
 from deduplicatr_spark.config import PipelineConfig
 from deduplicatr_spark.operators.suffix_array import (
+    _kasai_lcp,
+    build_sa_with_ranks,
     build_suffix_array,
+    lcp_of_position_pairs,
     longest_common_substring_len,
     substring_pairs,
 )
@@ -24,6 +27,42 @@ def test_suffix_array_matches_sorted_suffixes():
     b = bytes(s.astype(np.uint8))
     expect = sorted(range(len(b)), key=lambda i: b[i:])
     assert sa.tolist() == expect
+
+
+def test_lifting_lcp_matches_kasai():
+    # the vectorized hot path (rank-level lifting) must agree with the
+    # Kasai reference on adjacent suffix pairs, incl. degenerate runs
+    rng = np.random.default_rng(11)
+    cases = [
+        rng.integers(97, 100, size=500).astype(np.int16),   # small alphabet
+        rng.integers(0, 256, size=257).astype(np.int16),    # full alphabet
+        np.full(64, 97, dtype=np.int16),                     # one long run
+        np.array([97], dtype=np.int16),
+        np.array([97, 98], dtype=np.int16),
+    ]
+    for s in cases:
+        sa, levels = build_sa_with_ranks(s)
+        got = lcp_of_position_pairs(sa[:-1], sa[1:], levels, s.size)
+        want = _kasai_lcp(s, sa)
+        assert got.tolist() == want.tolist()
+
+
+def test_lifting_lcp_random_position_pairs():
+    # non-adjacent pairs against a brute-force per-pair scan
+    rng = np.random.default_rng(12)
+    s = rng.integers(97, 101, size=300).astype(np.int16)
+    _, levels = build_sa_with_ranks(s)
+    x = rng.integers(0, s.size, size=200)
+    y = rng.integers(0, s.size, size=200)
+    ne = x != y  # contract: distinct positions (see docstring)
+    x, y = x[ne], y[ne]
+    got = lcp_of_position_pairs(x, y, levels, s.size)
+    sl = s.tolist()
+    for xi, yi, hi in zip(x.tolist(), y.tolist(), got.tolist()):
+        h = 0
+        while xi + h < s.size and yi + h < s.size and sl[xi + h] == sl[yi + h]:
+            h += 1
+        assert h == hi, (xi, yi, h, hi)
 
 
 def test_lcs_exact():

@@ -76,6 +76,11 @@ class PipelineConfig:
 
     # --- checkpointing ---
     checkpoint_format: str = "parquet"   # "iceberg" when the runtime jar exists
+    # mid-stage resume granularity for the expensive feature stage:
+    # the stage commits in this many independent slices; a killed run
+    # resumes from the last completed slice (catalog.py
+    # get_or_compute_grouped). 1 = stage-level resume only.
+    resume_groups: int = 1
 
     extra: dict = field(default_factory=dict)
 

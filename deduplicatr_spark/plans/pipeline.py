@@ -73,15 +73,17 @@ class DedupPipeline:
 
         exact = store.get_or_compute("s1_exact", _exact)
 
-        def _features():
-            canon = exact.filter(F.col("doc_id") == F.col("canonical_id")).select("doc_id")
-            canon_docs = identity.join(canon, "doc_id").select(
-                "doc_id", "lang", "size", normalized("content").alias("norm")
-            )
+        def _featurize(canon_docs: DataFrame) -> DataFrame:
             feats = canon_docs.withColumn("f", features_udf(cfg)(F.col("norm")))
             return feats.select("doc_id", "lang", "size", "f.*")
 
         def _features_wide():
+            canon = exact.filter(
+                F.col("doc_id") == F.col("canonical_id")
+            ).select("doc_id")
+            canon_docs = identity.join(canon, "doc_id").select(
+                "doc_id", "lang", "size", normalized("content").alias("norm")
+            )
             # feature cost is per-row CPU: the canonical-filter join's own
             # shuffle provides the stage width, but AQE would coalesce it
             # by byte size and starve the pandas UDF — suspend coalescing
@@ -91,7 +93,12 @@ class DedupPipeline:
             prev = conf.get(key, "true")
             conf.set(key, "false")
             try:
-                return store.get_or_compute("s2_features", _features)
+                # mid-stage resume: the stage commits in resume_groups
+                # independent slices; a killed run resumes mid-stage
+                return store.get_or_compute_grouped(
+                    "s2_features", canon_docs, "doc_id",
+                    cfg.resume_groups, _featurize,
+                )
             finally:
                 conf.set(key, prev)
 

@@ -61,13 +61,21 @@ class CheckpointStore:
     """
 
     def __init__(self, spark: SparkSession, root: str, config_hash: str,
-                 fmt: str = "parquet"):
+                 fmt: str = "parquet", iceberg_namespace: str | None = None):
+        """``fmt='iceberg'`` stores stage data as Iceberg tables named
+        ``{iceberg_namespace}.ckpt_{stage}`` (markers/lineage/metrics
+        stay on the filesystem at ``root`` — they are driver-side
+        metadata either way). Falls back to parquet when the Iceberg
+        runtime jar is absent, recording the downgrade in every marker
+        so a resumed run on a different classpath can't mix formats."""
         self.spark = spark
         self.root = root
         self.config_hash = config_hash
+        self.requested_fmt = fmt
         if fmt == "iceberg" and not iceberg_available(spark):
             fmt = "parquet"
         self.fmt = fmt
+        self.iceberg_namespace = iceberg_namespace or "spark_catalog.default"
         os.makedirs(root, exist_ok=True)
 
     # -- paths ---------------------------------------------------------
@@ -86,36 +94,26 @@ class CheckpointStore:
         except (OSError, ValueError):
             return False
 
-    def read(self, name: str) -> DataFrame:
-        return self.spark.read.parquet(self._dir(name))
+    def _iceberg_table(self, name: str) -> str:
+        return f"{self.iceberg_namespace}.ckpt_{name}"
 
-    def write(self, name: str, df: DataFrame) -> DataFrame:
-        """Materialize ``df`` as stage ``name``; returns the re-read frame
-        (truncates lineage — essential for the CC loop, SURVEY.md §4.3.4)."""
-        t0 = time.time()
-        target = self._dir(name)
-        tmp = os.path.join(self.root, f"_tmp_{name}_{uuid.uuid4().hex[:8]}")
-        df.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(target):
-            shutil.rmtree(target)
-        os.rename(tmp, target)
-        wall_ms = int((time.time() - t0) * 1000)
-        written = self.spark.read.parquet(target)
-        # per-partition lineage from the parquet footers (file == output
-        # partition) — driver-side metadata, no Spark job; written with
-        # pyarrow but still spark.read.parquet-compatible for lineage()
+    def read(self, name: str) -> DataFrame:
+        if self.fmt == "iceberg":
+            return self.spark.read.table(self._iceberg_table(name))
+        # recursiveFileLookup: grouped stages (get_or_compute_grouped)
+        # store one subdirectory per completed group
+        return self.spark.read.option("recursiveFileLookup", "true").parquet(
+            self._dir(name)
+        )
+
+    # -- lineage + marker bookkeeping (shared by both formats) ----------
+    def _record(self, name: str, part_rows: list[int], wall_ms: int) -> None:
+        """Per-partition lineage rows (file == output partition) —
+        driver-side metadata, no Spark job; written with pyarrow but
+        spark.read.parquet-compatible for lineage()."""
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        part_files = sorted(
-            fn for fn in os.listdir(target)
-            if fn.startswith("part-") and fn.endswith(".parquet")
-        )
-        part_rows = [
-            pq.read_metadata(os.path.join(target, fn)).num_rows
-            for fn in part_files
-        ]
-        n_rows = sum(part_rows)
         lineage_dir = os.path.join(self.root, "_lineage", name)
         # atomic overwrite like the stage dir: stale lineage files from a
         # prior code/config version must not mix schemas into lineage()
@@ -139,9 +137,43 @@ class CheckpointStore:
         )
         with open(self._marker(name), "w") as f:
             json.dump(
-                {"config_hash": self.config_hash, "rows": n_rows,
-                 "wall_ms": wall_ms, "format": self.fmt}, f)
-        return written
+                {"config_hash": self.config_hash, "rows": sum(part_rows),
+                 "wall_ms": wall_ms, "format": self.fmt,
+                 "requested_format": self.requested_fmt}, f)
+
+    @staticmethod
+    def _dir_part_rows(target: str) -> list[int]:
+        import pyarrow.parquet as pq
+
+        out = []
+        for base, _dirs, files in os.walk(target):
+            for fn in sorted(files):
+                if fn.startswith("part-") and fn.endswith(".parquet"):
+                    out.append(pq.read_metadata(os.path.join(base, fn)).num_rows)
+        return out
+
+    def write(self, name: str, df: DataFrame) -> DataFrame:
+        """Materialize ``df`` as stage ``name``; returns the re-read frame
+        (truncates lineage — essential for the CC loop, SURVEY.md §4.3.4)."""
+        t0 = time.time()
+        if self.fmt == "iceberg":
+            # createOrReplace is a single atomic snapshot swap — a killed
+            # run can never expose a half-written table
+            df.writeTo(self._iceberg_table(name)).using("iceberg").createOrReplace()
+            files = self.spark.read.table(self._iceberg_table(name) + ".files")
+            part_rows = [r["record_count"] for r in
+                         files.select("record_count").collect()]
+            self._record(name, part_rows, int((time.time() - t0) * 1000))
+            return self.read(name)
+        target = self._dir(name)
+        tmp = os.path.join(self.root, f"_tmp_{name}_{uuid.uuid4().hex[:8]}")
+        df.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(target):
+            shutil.rmtree(target)
+        os.rename(tmp, target)
+        self._record(name, self._dir_part_rows(target),
+                     int((time.time() - t0) * 1000))
+        return self.read(name)
 
     def get_or_compute(self, name: str, compute) -> DataFrame:
         """Idempotent resume: skip ``compute`` when a config-matching
@@ -149,6 +181,87 @@ class CheckpointStore:
         if self.exists(name):
             return self.read(name)
         return self.write(name, compute())
+
+    def get_or_compute_grouped(
+        self,
+        name: str,
+        input_df: DataFrame,
+        key_col: str,
+        n_groups: int,
+        compute,
+    ) -> DataFrame:
+        """MID-STAGE resume (SURVEY.md §2.12): split the stage into
+        ``n_groups`` deterministic input slices (``pmod(xxhash64(key),
+        n_groups)``), compute + commit each slice independently, and on
+        restart skip every already-committed slice — a killed 6-hour
+        stage resumes from its last completed slice instead of zero.
+
+        Commit protocol (crash-safe at every point):
+          * a ``_GROUPS.json`` manifest (config hash + group count) is
+            written first; a mismatching manifest wipes the stage dir —
+            slices from a different config are never reused
+          * each slice writes to a temp dir, then one atomic directory
+            rename to ``<stage>/g<i>``: slice complete ⟺ dir exists
+          * the stage ``_MARKER.json`` lands only after the last slice,
+            so stage-level ``exists()``/``read()`` semantics and the
+            CC-loop guarantees are unchanged
+
+        ``compute`` maps the slice DataFrame to its output. Each slice
+        re-scans ``input_df`` with the pmod filter (cheap: the input is
+        itself a columnar checkpoint; the expensive work — the pandas
+        UDFs downstream — runs exactly once per row). With
+        ``n_groups=1`` this degrades to ``get_or_compute``.
+        """
+        from pyspark.sql import functions as F
+
+        if self.exists(name):
+            return self.read(name)
+        if n_groups <= 1:
+            return self.write(name, compute(input_df))
+        if self.fmt == "iceberg":
+            # Iceberg slice commits would be atomic snapshot appends with
+            # a group-id snapshot-summary property; not implemented —
+            # stage-level resume applies on the Iceberg backend.
+            return self.write(name, compute(input_df))
+
+        t0 = time.time()
+        target = self._dir(name)
+        manifest_path = os.path.join(target, "_GROUPS.json")
+        manifest = {"config_hash": self.config_hash, "n_groups": n_groups}
+        existing = None
+        if os.path.exists(manifest_path):
+            try:
+                with open(manifest_path) as f:
+                    existing = json.load(f)
+            except (OSError, ValueError):
+                existing = None
+        if existing != manifest:
+            shutil.rmtree(target, ignore_errors=True)
+        os.makedirs(target, exist_ok=True)
+        if existing != manifest:
+            with open(manifest_path, "w") as f:
+                json.dump(manifest, f)
+
+        grp = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_groups))
+        computed = skipped = 0
+        for g in range(n_groups):
+            gdir = os.path.join(target, f"g{g}")
+            if os.path.isdir(gdir):  # atomic-rename commit ⇒ complete
+                skipped += 1
+                continue
+            tmp = os.path.join(
+                self.root, f"_tmp_{name}_g{g}_{uuid.uuid4().hex[:8]}"
+            )
+            compute(input_df.filter(grp == g)).write.mode("overwrite").parquet(tmp)
+            os.rename(tmp, gdir)
+            computed += 1
+        self.write_metrics([
+            {"stage": name, "kind": "grouped_resume", "groups": n_groups,
+             "computed": computed, "skipped": skipped}
+        ])
+        self._record(name, self._dir_part_rows(target),
+                     int((time.time() - t0) * 1000))
+        return self.read(name)
 
     def lineage(self) -> DataFrame | None:
         d = os.path.join(self.root, "_lineage")

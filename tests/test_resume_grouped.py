@@ -1,0 +1,149 @@
+"""Mid-stage (group-granular) resume + checkpoint format branching
+(SURVEY.md §2.12: a killed expensive stage must resume from its last
+committed slice, never from zero, and never reuse slices from a
+different config)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from deduplicatr_spark.sources.catalog import CheckpointStore, iceberg_available
+
+
+@pytest.fixture()
+def input_df(spark):
+    return spark.range(0, 200).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 2).alias("v")
+    )
+
+
+def _transform(sl):
+    return sl.withColumn("out", F.col("v") + 1)
+
+
+def test_grouped_equals_ungrouped(spark, input_df, tmp_path):
+    s1 = CheckpointStore(spark, str(tmp_path / "a"), "cfg")
+    s2 = CheckpointStore(spark, str(tmp_path / "b"), "cfg")
+    flat = s1.get_or_compute("st", lambda: _transform(input_df))
+    grouped = s2.get_or_compute_grouped("st", input_df, "doc_id", 4, _transform)
+    assert sorted(map(tuple, flat.collect())) == sorted(
+        map(tuple, grouped.collect())
+    )
+
+
+def test_killed_stage_resumes_from_last_slice(spark, input_df, tmp_path):
+    root = str(tmp_path / "ckpt")
+    store = CheckpointStore(spark, root, "cfg")
+    calls = []
+
+    def compute_then_die(sl):
+        if len(calls) >= 2:
+            raise RuntimeError("simulated executor-loss / job kill")
+        calls.append(1)
+        return _transform(sl)
+
+    with pytest.raises(RuntimeError):
+        store.get_or_compute_grouped("st", input_df, "doc_id", 4, compute_then_die)
+    assert not store.exists("st")  # stage marker must NOT exist yet
+    committed = {d for d in os.listdir(os.path.join(root, "st")) if d.startswith("g")}
+    assert len(committed) == 2
+
+    calls2 = []
+
+    def compute2(sl):
+        calls2.append(1)
+        return _transform(sl)
+
+    out = CheckpointStore(spark, root, "cfg").get_or_compute_grouped(
+        "st", input_df, "doc_id", 4, compute2
+    )
+    assert len(calls2) == 2, "completed slices must be skipped, not recomputed"
+    expect = sorted((i, 2 * i, 2 * i + 1) for i in range(200))
+    assert sorted(map(tuple, out.collect())) == expect
+    # the skip is ledgered
+    m = [x for x in CheckpointStore(spark, root, "cfg").read_metrics()
+         if x.get("kind") == "grouped_resume"]
+    assert m and m[-1]["skipped"] == 2 and m[-1]["computed"] == 2
+    # and stage-level resume now short-circuits entirely
+    out2 = CheckpointStore(spark, root, "cfg").get_or_compute_grouped(
+        "st", input_df, "doc_id", 4, lambda sl: (_ for _ in ()).throw(AssertionError)
+    )
+    assert out2.count() == 200
+
+
+def test_config_change_wipes_foreign_slices(spark, input_df, tmp_path):
+    root = str(tmp_path / "ckpt")
+    s1 = CheckpointStore(spark, root, "cfg_A")
+    calls = []
+
+    def die_after_two(sl):
+        if len(calls) >= 2:
+            raise RuntimeError("kill")
+        calls.append(1)
+        return _transform(sl)
+
+    with pytest.raises(RuntimeError):
+        s1.get_or_compute_grouped("st", input_df, "doc_id", 4, die_after_two)
+
+    calls_b = []
+
+    def compute_b(sl):
+        calls_b.append(1)
+        return _transform(sl)
+
+    out = CheckpointStore(spark, root, "cfg_B").get_or_compute_grouped(
+        "st", input_df, "doc_id", 4, compute_b
+    )
+    assert len(calls_b) == 4, "cfg_A slices must not satisfy a cfg_B run"
+    assert out.count() == 200
+
+
+def test_marker_records_requested_format(spark, input_df, tmp_path):
+    root = str(tmp_path / "ckpt")
+    store = CheckpointStore(spark, root, "cfg", fmt="iceberg")
+    # sandbox has no Iceberg jar → documented parquet downgrade
+    if not iceberg_available(spark):
+        assert store.fmt == "parquet"
+    store.write("st", _transform(input_df))
+    with open(os.path.join(root, "st", "_MARKER.json")) as f:
+        marker = json.load(f)
+    assert marker["requested_format"] == "iceberg"
+    assert marker["format"] == store.fmt
+
+
+def test_pipeline_with_resume_groups_matches(spark, tiny_docs, tmp_path):
+    """Slicing the feature stage must not change any cluster label
+    (features are per-row deterministic; bucket caps are content-keyed,
+    not partition-keyed)."""
+    from deduplicatr_spark.config import PipelineConfig
+    from deduplicatr_spark.plans.pipeline import DedupPipeline
+
+    a = DedupPipeline(spark, PipelineConfig(), str(tmp_path / "a")).run(tiny_docs)
+    b = DedupPipeline(
+        spark, PipelineConfig(resume_groups=3), str(tmp_path / "b")
+    ).run(tiny_docs)
+    la = sorted(map(tuple, a.select("doc_id", "cluster_id").collect()))
+    lb = sorted(map(tuple, b.select("doc_id", "cluster_id").collect()))
+    assert la == lb
+
+
+@pytest.mark.skipif(
+    "not iceberg_available(__import__('pyspark').sql.SparkSession.getActiveSession())",
+    reason="Iceberg runtime jar not on the classpath",
+)
+def test_iceberg_roundtrip(spark, input_df, tmp_path):
+    """Exercised only where the Iceberg runtime exists (cluster CI):
+    write → read → resume semantics through the Iceberg table path."""
+    store = CheckpointStore(
+        spark, str(tmp_path / "ckpt"), "cfg", fmt="iceberg"
+    )
+    assert store.fmt == "iceberg"
+    store.write("st", _transform(input_df))
+    assert store.exists("st")
+    assert store.read("st").count() == 200
+    got = store.get_or_compute("st", lambda: (_ for _ in ()).throw(AssertionError))
+    assert got.count() == 200

@@ -54,6 +54,10 @@ class PipelineConfig:
     # --- SimHash (SURVEY §2.8) ---
     simhash_bits: int = 64
     hamming_d: int = 3          # pigeonhole chunks = hamming_d + 1
+    # False: every distinct shingle votes once (cheap near-dup gate).
+    # True: classic term-frequency-weighted SimHash (Charikar 2002) —
+    # bits weighted by shingle occurrence counts.
+    simhash_weighted: bool = False
 
     # --- verification (SURVEY §2.10) ---
     jaccard_tau: float = 0.70

@@ -36,24 +36,29 @@ def hash_keys(n: int, seed: int) -> np.ndarray:
     return splitmix64(np.arange(1, n + 1, dtype=_U64) * _GOLDEN + _U64(seed))
 
 
-def batch_char_shingles(contents: list[str], k: int, seed: int):
+def batch_char_shingles(contents: list[str], k: int, seed: int,
+                        return_mult: bool = False):
     """k-char shingle sets (deduped, unordered) for a batch of strings.
 
     Returns ``(flat, counts)``: ``flat`` is the concatenation of every
     document's sorted unique shingle hashes (uint64), ``counts[i]`` the
-    number for document i (0 when ``len < k``). Fully vectorized: one
-    buffer, one sliding-window hash pass, one lexsort dedup.
+    number for document i (0 when ``len < k``). With
+    ``return_mult=True`` additionally returns ``mult`` — the occurrence
+    count of each unique shingle in its document (for weighted SimHash).
+    Fully vectorized: one buffer, one sliding-window hash pass, one
+    lexsort dedup.
     """
     n_docs = len(contents)
     counts = np.zeros(n_docs, dtype=np.int64)
+    empty = np.empty(0, dtype=_U64)
     if n_docs == 0:
-        return np.empty(0, dtype=_U64), counts
+        return (empty, counts, np.empty(0, np.int64)) if return_mult else (empty, counts)
 
     bufs = [c.encode("utf-8") for c in contents]
     lens = np.array([len(b) for b in bufs], dtype=np.int64)
     big = np.frombuffer(b"".join(bufs), dtype=np.uint8)
     if big.size < k:
-        return np.empty(0, dtype=_U64), counts
+        return (empty, counts, np.empty(0, np.int64)) if return_mult else (empty, counts)
 
     offsets = np.zeros(n_docs + 1, dtype=np.int64)
     np.cumsum(lens, out=offsets[1:])
@@ -80,14 +85,19 @@ def batch_char_shingles(contents: list[str], k: int, seed: int):
     order = np.lexsort((h, doc_idx))
     h = h[order]
     doc_idx = doc_idx[order]
+    mult = np.empty(0, dtype=np.int64)
     if h.size:
         keep = np.empty(h.size, dtype=bool)
         keep[0] = True
         keep[1:] = (h[1:] != h[:-1]) | (doc_idx[1:] != doc_idx[:-1])
+        if return_mult:
+            # run length of each kept value = gap to the next kept index
+            idx = np.flatnonzero(keep)
+            mult = np.diff(np.append(idx, h.size))
         h = h[keep]
         doc_idx = doc_idx[keep]
     np.add.at(counts, doc_idx, 1)
-    return h, counts
+    return (h, counts, mult) if return_mult else (h, counts)
 
 
 def segment_starts(counts: np.ndarray) -> np.ndarray:
@@ -192,12 +202,20 @@ def batch_band_hashes(sigs: np.ndarray, n_bands: int, seed: int) -> np.ndarray:
     return h
 
 
-def batch_simhash(flat: np.ndarray, counts: np.ndarray):
-    """64-bit SimHash per segmented shingle set (unweighted).
+def batch_simhash(flat: np.ndarray, counts: np.ndarray,
+                  mult: np.ndarray | None = None):
+    """64-bit SimHash per segmented shingle set.
 
     Returns ``(fps, has_fp)``. Bit j of a doc's fingerprint is 1 iff at
-    least half of its shingle hashes have bit j set. Vectorized via a
-    loop over the 64 bit positions, each one ``add.reduceat`` pass.
+    least half of its shingle (weight) mass has bit j set. Unweighted
+    by default (every distinct shingle counts once); pass ``mult``
+    (per-unique-shingle occurrence counts from
+    ``batch_char_shingles(..., return_mult=True)``) for the classic
+    term-frequency-weighted SimHash (Charikar 2002 / Manku et al.
+    WWW 2007 use feature weights; unweighted is the cheaper gate for
+    near-dup detection where shingle sets are almost-distinct anyway).
+    Vectorized via a loop over the 64 bit positions, each one
+    ``add.reduceat`` pass.
     """
     n_docs = counts.size
     has_fp = counts > 0
@@ -207,10 +225,11 @@ def batch_simhash(flat: np.ndarray, counts: np.ndarray):
     ne_counts = counts[has_fp]
     starts = segment_starts(ne_counts)[:-1]
     acc = np.zeros(int(has_fp.sum()), dtype=_U64)
-    half = ne_counts.astype(np.int64)
+    w = mult if mult is not None else np.ones(flat.size, dtype=np.int64)
+    half = np.add.reduceat(w, starts) if flat.size else ne_counts.astype(np.int64)
     for j in range(64):
         bit = ((flat >> _U64(j)) & _U64(1)).astype(np.int64)
-        ones = np.add.reduceat(bit, starts)
+        ones = np.add.reduceat(bit * w, starts)
         acc |= (_U64(1) << _U64(j)) * (2 * ones >= half).astype(_U64)
     fps[has_fp] = acc
     return fps, has_fp

@@ -32,16 +32,23 @@ def features_udf(config: PipelineConfig):
     k, sseed = config.shingle_k, config.shingle_seed
     n_hashes, mseed = config.n_hashes, config.minhash_seed
     n_bands, mmode = config.n_bands, config.minhash_mode
+    weighted = config.simhash_weighted
 
     @F.pandas_udf(FEATURES_TYPE)
     def _features(content: pd.Series) -> pd.DataFrame:
         vals = content.fillna("").tolist()
-        flat, counts = core.batch_char_shingles(vals, k, sseed)
+        if weighted:
+            flat, counts, mult = core.batch_char_shingles(
+                vals, k, sseed, return_mult=True
+            )
+        else:
+            flat, counts = core.batch_char_shingles(vals, k, sseed)
+            mult = None
         starts = core.segment_starts(counts)
         shingle_rows = np.split(core.to_i64(flat), starts[1:-1])
 
         sigs, has = core.minhash_dispatch(flat, counts, n_hashes, mseed, mmode)
-        fps, _ = core.batch_simhash(flat, counts)
+        fps, _ = core.batch_simhash(flat, counts, mult)
         bh = core.batch_band_hashes(sigs, n_bands, mseed)
 
         n = counts.size

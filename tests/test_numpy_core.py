@@ -125,6 +125,48 @@ def test_simhash_identical_sets_equal_fp():
     assert fps[0] == fps[1]
 
 
+def test_weighted_simhash_reduces_to_unweighted_at_mult_one():
+    # a string with all-distinct shingles: weights are all 1, so the
+    # weighted fingerprint must equal the unweighted one
+    texts = ["abcdefghijklmnopqrstuvwxyz0123456789"]
+    flat, counts, mult = core.batch_char_shingles(texts, 9, 42, return_mult=True)
+    assert mult.tolist() == [1] * int(counts[0])
+    fw, _ = core.batch_simhash(flat, counts, mult)
+    fu, _ = core.batch_simhash(flat, counts)
+    assert fw[0] == fu[0]
+
+
+def test_weighted_simhash_python_oracle():
+    # repetitive text → multiplicities > 1; compare against a direct
+    # per-bit weighted-majority computation from the raw windows
+    text = "abcabcabcabcxyzxyzxyz" * 3
+    k, seed = 5, 42
+    flat, counts, mult = core.batch_char_shingles([text], k, seed, return_mult=True)
+    assert int(mult.max()) > 1
+    # oracle: hash every window (with multiplicity) the same way
+    buf = text.encode()
+    coef = core.hash_keys(k, seed)
+    wins = {}
+    mask = (1 << 64) - 1  # python ints avoid numpy scalar-overflow noise
+    for i in range(len(buf) - k + 1):
+        acc = 0
+        for j in range(k):
+            acc = (acc + buf[i + j] * int(coef[j])) & mask
+        h = int(core.splitmix64(np.array([acc], dtype=np.uint64))[0])
+        wins[h] = wins.get(h, 0) + 1
+    # cross-check multiplicities
+    got = dict(zip((int(x) for x in flat.tolist()), mult.tolist()))
+    assert got == wins
+    total = sum(wins.values())
+    expect = 0
+    for j in range(64):
+        ones = sum(c for h, c in wins.items() if (h >> j) & 1)
+        if 2 * ones >= total:
+            expect |= 1 << j
+    fps, _ = core.batch_simhash(flat, counts, mult)
+    assert int(fps[0]) == expect
+
+
 def test_oph_identical_sets_equal_and_deterministic():
     import numpy as np
     from deduplicatr_spark.functions import _numpy_core as core

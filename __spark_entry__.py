@@ -208,6 +208,37 @@ def _q_exact_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "sha256", "canonical_id", "exact_group_size")
 
 
+def _q_sketchy_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference O4: sketchy-hash (head+tail+length) duplicate groups,
+    chunk=64 so the sf-scale docs (≤553 chars) actually take the
+    head+tail branch. The corpus adds a planted FALSE-POSITIVE per
+    eligible doc — same head, same tail, same length, one mutated
+    middle char — so groups with n_exact > 1 demonstrate exactly the
+    false positives the reference README warns about, and the oracle
+    recomputing both hashes from scratch checks the whole construction.
+    """
+    from deduplicatr_spark.operators.exact import sketchy_duplicate_groups
+
+    c = _corpus(spark, sf_dir)
+    content = F.col("content")
+    fp = c.filter(
+        (F.length(content) >= 300)
+        & (F.col("doc_id") % 11 == 0)
+        & (F.substring("content", 150, 1) != F.lit("X"))
+    ).select(
+        (F.col("doc_id") + 5000000).alias("doc_id"),
+        "repo",
+        F.concat(F.lit("fp/"), F.col("doc_id").cast("string")).alias("path"),
+        F.concat(
+            F.substring("content", 1, 149),
+            F.lit("X"),
+            content.substr(F.lit(151), F.length(content)),
+        ).alias("content"),
+        "lang",
+    )
+    return sketchy_duplicate_groups(c.unionByName(fp), chunk=64)
+
+
 def _q_fingerprint_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Formatting-insensitive dup groups (normalized-content sha256)."""
     c = _corpus(spark, sf_dir).withColumn("fp", TXT.fingerprint("content"))
@@ -597,6 +628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dup_groups": _q_exact_dup_groups,
         "exact_canonical": _q_exact_canonical,
+        "sketchy_dup_groups": _q_sketchy_dup_groups,
         "fingerprint_dup_groups": _q_fingerprint_dup_groups,
         "dir_rollup": _q_dir_rollup,
         "duplicate_dirs": _q_duplicate_dirs,
@@ -684,6 +716,33 @@ SELECT doc_id, sha256,
        min(doc_id) OVER (PARTITION BY sha256) AS canonical_id,
        count(*) OVER (PARTITION BY sha256) AS exact_group_size
 FROM files
+""",
+        "sketchy_dup_groups": CORPUS_SQL + """
+, fp_plant AS (
+  SELECT doc_id + 5000000 AS doc_id,
+         substr(content, 1, 149) || 'X' || substr(content, 151) AS content
+  FROM corpus
+  WHERE length(content) >= 300 AND doc_id % 11 = 0
+    AND substr(content, 150, 1) <> 'X'
+), sk_corpus AS (
+  SELECT doc_id, content FROM corpus
+  UNION ALL
+  SELECT doc_id, content FROM fp_plant
+), hashed AS (
+  SELECT doc_id,
+         CASE WHEN length(content) <= 128 THEN sha256(content)
+              ELSE sha256(substr(content, 1, 64) || right(content, 64)
+                          || CAST(length(content) AS VARCHAR)) END AS sketchy,
+         sha256(content) AS sha256,
+         strlen(content) AS bytes
+  FROM sk_corpus
+)
+SELECT sketchy,
+       count(*) AS n_dups,
+       min(doc_id) AS canonical_id,
+       count(DISTINCT sha256) AS n_exact,
+       CAST(max(bytes) AS BIGINT) AS bytes
+FROM hashed GROUP BY sketchy HAVING count(*) > 1
 """,
         "fingerprint_dup_groups": CORPUS_SQL + """
 SELECT sha256(trim(regexp_replace(content, '\\s+', ' ', 'g'))) AS fp,

@@ -5,9 +5,10 @@ The reference digests file *bytes* and folds the length into the digest
 (src/deduplicatr/hash.clj § add-long-to-digest! [M], SURVEY.md §2.1 O3);
 sha256 over the UTF-8 string needs no length folding — equal digests ⇒
 equal content for our purposes. The reference's "sketchy hash" shortcut
-(head+tail+length, O4) is deliberately NOT adopted: the per-row
-invariant demands the true content hash; its spirit survives as
-MinHash sketching in the near-dup stages.
+(head+tail+length, O4) is provided as an OPT-IN pre-filter
+(``sketchy_sha256``) — never as the identity hash: the per-row
+invariant demands the true content hash, and the reference's own
+README warns sketchy mode can report false positives.
 """
 
 from __future__ import annotations
@@ -28,6 +29,30 @@ def doc_id_col() -> Column:
     repartitioning (SURVEY.md §4.3.5).
     """
     return F.xxhash64(F.col("repo"), F.col("path"), F.col("commit"))
+
+
+def sketchy_sha256(col: str | Column = "content", chunk: int = 1024) -> Column:
+    """Reference O4 (file.clj § sketchy-hash-of-file, SURVEY.md §2.1):
+    for large content, digest (head chunk + tail chunk + length) instead
+    of the full bytes — a probabilistic speed shortcut whose false
+    positives the reference README documents. Docs at most 2×chunk long
+    get the true full-content hash (head+tail already covers every
+    char), so sketchy == exact there by construction.
+
+    Use as a cheap FIRST-PASS grouping only: any group it forms must be
+    confirmed with ``content_sha256`` before being reported as exact
+    dups. All built-ins → whole-stage codegen; at 100 TB this reads ≤2 KB
+    of each value post-scan instead of hashing entire multi-MB blobs.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    head_tail = F.concat(
+        F.substring(c, 1, chunk),
+        F.right(c, F.lit(chunk)),
+        F.length(c).cast("string"),
+    )
+    return F.when(F.length(c) <= 2 * chunk, F.sha2(c, 256)).otherwise(
+        F.sha2(head_tail, 256)
+    )
 
 
 def normalized(col: str | Column = "content") -> Column:

@@ -40,6 +40,31 @@ def exact_canonical(identified: DataFrame) -> DataFrame:
     )
 
 
+def sketchy_duplicate_groups(docs: DataFrame, chunk: int = 1024) -> DataFrame:
+    """Reference O4 as a query: duplicate groups keyed by the sketchy
+    (head+tail+length) hash, with ``n_exact`` = number of distinct TRUE
+    sha256 values in the group — >1 means the group contains the false
+    positives the reference README warns sketchy mode can produce.
+    ``docs`` needs (doc_id, content). One hash aggregate; both hashes
+    are built-ins, so at scale this is a single shuffle on the sketchy
+    key with partial map-side aggregation.
+    """
+    from deduplicatr_spark.functions.hashing import sketchy_sha256
+
+    return (
+        docs.withColumn("sketchy", sketchy_sha256("content", chunk))
+        .withColumn("sha256", content_sha256("content"))
+        .groupBy("sketchy")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("doc_id").alias("canonical_id"),
+            F.count_distinct(F.col("sha256")).alias("n_exact"),
+            F.max(F.octet_length("content").cast("long")).alias("bytes"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
 def duplicate_groups(identified: DataFrame) -> DataFrame:
     """The reference's report: duplicate groups (|group| > 1) ordered by
     size desc (O7+O8). One wide row per group with count + byte size;

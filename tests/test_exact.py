@@ -59,6 +59,42 @@ def test_order_independence(spark, tiny_docs):
     assert a == b
 
 
+def test_sketchy_hash_semantics(spark):
+    """Reference O4: short docs get the true hash; long docs hash
+    (head+tail+length); a middle mutation is a documented false
+    positive, while head/tail/length changes are caught."""
+    from deduplicatr_spark.functions.hashing import sketchy_sha256
+    from deduplicatr_spark.operators.exact import sketchy_duplicate_groups
+
+    long = "A" * 500 + "MIDDLE" + "B" * 500
+    rows = [
+        (1, "short doc"),
+        (2, "short doc"),                       # exact dup, short branch
+        (3, long),
+        (4, long[:500] + "MUTATE" + long[506:]),  # sketchy FP: same head/tail/len
+        (5, long[:-1] + "Z"),                   # tail differs → no group
+        (6, long + "x"),                        # length differs → no group
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, content string")
+    hashed = {
+        r["doc_id"]: r["h"]
+        for r in docs.select(
+            "doc_id", sketchy_sha256("content", chunk=64).alias("h")
+        ).collect()
+    }
+    import hashlib
+
+    assert hashed[1] == hashlib.sha256(b"short doc").hexdigest()
+    assert hashed[3] == hashed[4]  # documented false positive
+    assert len({hashed[3], hashed[5], hashed[6]}) == 3
+
+    groups = {
+        r["canonical_id"]: (r["n_dups"], r["n_exact"])
+        for r in sketchy_duplicate_groups(docs, chunk=64).collect()
+    }
+    assert groups == {1: (2, 1), 3: (2, 2)}  # n_exact=2 flags the FP
+
+
 def test_canonical_is_group_min(spark, tiny_docs):
     canon = exact_canonical(with_identity(tiny_docs))
     bad = (

@@ -147,11 +147,17 @@ def _pairgen(cap: int):
 
 
 def lsh_candidate_pairs(
-    features: DataFrame, config: PipelineConfig
+    features: DataFrame, config: PipelineConfig, dedupe: bool = True
 ) -> tuple[DataFrame, DataFrame]:
     """Returns ``(pairs, drop_stats)``.
 
-    ``pairs``: distinct (doc_a < doc_b) candidate pairs.
+    ``pairs``: (doc_a < doc_b) candidate pairs — globally distinct when
+    ``dedupe`` (the default). A consumer that already aggregates on
+    (doc_a, doc_b) — like the pipeline's source-merging groupBy —
+    should pass ``dedupe=False``: its partial map-side aggregation
+    collapses the remaining cross-partition duplicates in the SAME
+    shuffle, so the standalone ``distinct()`` would just shuffle the
+    full pair set a second time for nothing.
     ``drop_stats``: one-row frame (hot_buckets, thinned_rows,
     capped_pairs_docs) for the metrics ledger.
     """
@@ -186,7 +192,9 @@ def lsh_candidate_pairs(
         )
     )
 
-    pairs = gen.filter(F.col("doc_a").isNotNull()).select("doc_a", "doc_b").distinct()
+    pairs = gen.filter(F.col("doc_a").isNotNull()).select("doc_a", "doc_b")
+    if dedupe:
+        pairs = pairs.distinct()
     drop_stats = gen.filter(F.col("doc_a").isNull()).agg(
         F.coalesce(F.sum("dropped"), F.lit(0)).alias("capped_docs")
     ).crossJoin(

@@ -36,13 +36,17 @@ def _explode_chunks(features: DataFrame, n_chunks: int) -> DataFrame:
 
 
 def simhash_candidate_pairs(
-    features: DataFrame, config: PipelineConfig
+    features: DataFrame, config: PipelineConfig, dedupe: bool = True
 ) -> tuple[DataFrame, DataFrame]:
     """Returns ``(pairs, drop_stats)`` — pairs already Hamming-verified.
 
     Buckets key on (chunk_id, chunk_val) folded into one 64-bit key so
     the same range-partition + streaming pairgen machinery as LSH
-    applies (operators/lsh.py).
+    applies (operators/lsh.py). ``dedupe=False`` (see lsh.py) skips the
+    pre-verify ``distinct()`` for consumers whose own (doc_a, doc_b)
+    aggregation dedups in one shuffle; the Hamming verify join then
+    processes up to hamming_d+1 copies of a pair — cheap row-local
+    arithmetic — and the consumer's partial agg collapses them.
     """
     n_chunks = config.hamming_d + 1
     exploded = _explode_chunks(features, n_chunks)
@@ -75,7 +79,9 @@ def simhash_candidate_pairs(
             _pairgen(cap), schema="doc_a long, doc_b long, dropped long"
         ).persist(StorageLevel.MEMORY_AND_DISK)
     )  # shared by pairs + drop_stats (see lsh.py)
-    raw_pairs = gen.filter(F.col("doc_a").isNotNull()).select("doc_a", "doc_b").distinct()
+    raw_pairs = gen.filter(F.col("doc_a").isNotNull()).select("doc_a", "doc_b")
+    if dedupe:
+        raw_pairs = raw_pairs.distinct()
 
     sims = features.select("doc_id", "simhash")
     pairs = (

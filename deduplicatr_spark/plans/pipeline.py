@@ -105,12 +105,20 @@ class DedupPipeline:
         features = _features_wide()
 
         def _candidates():
-            lsh_pairs, lsh_drops = lsh_candidate_pairs(features, cfg)
-            sim_pairs, sim_drops = simhash_candidate_pairs(features, cfg)
-            metrics.append({"stage": "s3_candidates", "kind": "lsh_drops",
-                            **lsh_drops.collect()[0].asDict()})
-            metrics.append({"stage": "s3_candidates", "kind": "simhash_drops",
-                            **sim_drops.collect()[0].asDict()})
+            # dedupe=False: the source-merging groupBy below dedups pairs
+            # in ONE shuffle (partial agg collapses duplicates map-side);
+            # the operators' standalone distinct() would shuffle the full
+            # pair set a second time for nothing
+            lsh_pairs, lsh_drops = lsh_candidate_pairs(features, cfg, dedupe=False)
+            sim_pairs, sim_drops = simhash_candidate_pairs(features, cfg, dedupe=False)
+            # one action for both drop ledgers (each collect is a full
+            # candidate-generation job; fusing halves the job count here)
+            drops = lsh_drops.withColumn("kind", F.lit("lsh_drops")).unionByName(
+                sim_drops.withColumn("kind", F.lit("simhash_drops"))
+            )
+            for row in drops.collect():
+                d = row.asDict()
+                metrics.append({"stage": "s3_candidates", "kind": d.pop("kind"), **d})
             return (
                 lsh_pairs.withColumn("src", F.lit("lsh"))
                 .unionByName(sim_pairs.withColumn("src", F.lit("simhash")))

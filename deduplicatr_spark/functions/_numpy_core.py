@@ -31,6 +31,25 @@ def splitmix64(x: np.ndarray) -> np.ndarray:
     return z ^ (z >> _U64(31))
 
 
+def _splitmix64_inplace(z: np.ndarray, tmp: np.ndarray) -> np.ndarray:
+    """``splitmix64`` with zero allocations: mutates ``z`` using ``tmp``
+    as scratch. Same op sequence as ``splitmix64`` — hot loops call this
+    per hash key, and per-iteration temporaries would otherwise churn
+    multi-MB mmap/munmap in every UDF worker (the munmap TLB shootdowns
+    serialize kernel-side at high worker counts; see session.py's
+    MALLOC_* settings for the matching allocator tuning)."""
+    np.add(z, _GOLDEN, out=z)
+    np.right_shift(z, _U64(30), out=tmp)
+    np.bitwise_xor(z, tmp, out=z)
+    np.multiply(z, _U64(0xBF58476D1CE4E5B9), out=z)
+    np.right_shift(z, _U64(27), out=tmp)
+    np.bitwise_xor(z, tmp, out=z)
+    np.multiply(z, _U64(0x94D049BB133111EB), out=z)
+    np.right_shift(z, _U64(31), out=tmp)
+    np.bitwise_xor(z, tmp, out=z)
+    return z
+
+
 def hash_keys(n: int, seed: int) -> np.ndarray:
     """n deterministic uint64 keys from a seed."""
     return splitmix64(np.arange(1, n + 1, dtype=_U64) * _GOLDEN + _U64(seed))
@@ -70,9 +89,13 @@ def batch_char_shingles(contents: list[str], k: int, seed: int,
     W = big.size - k + 1
     coef = hash_keys(k, seed)
     acc = np.zeros(W, dtype=_U64)
+    buf = np.empty(W, dtype=_U64)
     for j in range(k):
-        acc += big[j : j + W].astype(_U64) * coef[j]
-    h = splitmix64(acc)
+        # widening multiply straight into the scratch buffer — no
+        # per-iteration astype/product temporaries
+        np.multiply(big[j : j + W], coef[j], out=buf, casting="unsafe")
+        np.add(acc, buf, out=acc)
+    h = _splitmix64_inplace(acc, buf)
 
     starts = np.arange(W, dtype=np.int64)
     doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lens)[:W]
@@ -123,9 +146,12 @@ def batch_minhash(flat: np.ndarray, counts: np.ndarray, n_hashes: int, seed: int
     starts = segment_starts(ne_counts)[:-1]
     keys = hash_keys(n_hashes, seed)
     out = np.zeros((int(has_sig.sum()), n_hashes), dtype=_U64)
+    buf = np.empty_like(flat)
+    tmp = np.empty_like(flat)
     for i in range(n_hashes):
-        hv = splitmix64(flat ^ keys[i])
-        out[:, i] = np.minimum.reduceat(hv, starts)
+        np.bitwise_xor(flat, keys[i], out=buf)
+        _splitmix64_inplace(buf, tmp)
+        out[:, i] = np.minimum.reduceat(buf, starts)
     sigs[has_sig] = out
     return sigs, has_sig
 
@@ -225,12 +251,21 @@ def batch_simhash(flat: np.ndarray, counts: np.ndarray,
     ne_counts = counts[has_fp]
     starts = segment_starts(ne_counts)[:-1]
     acc = np.zeros(int(has_fp.sum()), dtype=_U64)
-    w = mult if mult is not None else np.ones(flat.size, dtype=np.int64)
-    half = np.add.reduceat(w, starts) if flat.size else ne_counts.astype(np.int64)
+    # all-uint64 with preallocated scratch: the 64-bit-position loop is
+    # otherwise 64 × three |flat|-sized temporaries per batch
+    w = (
+        mult.astype(_U64)
+        if mult is not None
+        else np.ones(flat.size, dtype=_U64)
+    )
+    half = np.add.reduceat(w, starts) if flat.size else ne_counts.astype(_U64)
+    bitbuf = np.empty_like(flat)
     for j in range(64):
-        bit = ((flat >> _U64(j)) & _U64(1)).astype(np.int64)
-        ones = np.add.reduceat(bit * w, starts)
-        acc |= (_U64(1) << _U64(j)) * (2 * ones >= half).astype(_U64)
+        np.right_shift(flat, _U64(j), out=bitbuf)
+        np.bitwise_and(bitbuf, _U64(1), out=bitbuf)
+        np.multiply(bitbuf, w, out=bitbuf)
+        ones = np.add.reduceat(bitbuf, starts)
+        acc |= (_U64(1) << _U64(j)) * (_U64(2) * ones >= half).astype(_U64)
     fps[has_fp] = acc
     return fps, has_fp
 

@@ -65,13 +65,28 @@ class DedupPipeline:
         t0 = time.time()
         metrics: list[dict] = []
 
-        identity = store.get_or_compute("s1_identity", lambda: with_identity(docs))
+        def timed(name: str, fn):
+            """Driver-observed wall per stage (includes job scheduling +
+            checkpoint commit, which lineage wall_ms alone understates) —
+            the raw material for the scaling-efficiency breakdown."""
+            ts = time.time()
+            out = fn()
+            metrics.append({"stage": name, "kind": "driver_wall",
+                            "wall_s": round(time.time() - ts, 3)})
+            return out
+
+        identity = timed(
+            "s1_identity",
+            lambda: store.get_or_compute("s1_identity", lambda: with_identity(docs)),
+        )
 
         def _exact():
             narrow = identity.select("doc_id", "sha256", "size")
             return exact_canonical(narrow)
 
-        exact = store.get_or_compute("s1_exact", _exact)
+        exact = timed(
+            "s1_exact", lambda: store.get_or_compute("s1_exact", _exact)
+        )
 
         def _featurize(canon_docs: DataFrame) -> DataFrame:
             feats = canon_docs.withColumn("f", features_udf(cfg)(F.col("norm")))
@@ -102,7 +117,9 @@ class DedupPipeline:
             finally:
                 conf.set(key, prev)
 
-        features = _features_wide()
+        features = timed("s2_features", _features_wide)
+
+        drops_frame: list[DataFrame] = []
 
         def _candidates():
             # dedupe=False: the source-merging groupBy below dedups pairs
@@ -111,14 +128,14 @@ class DedupPipeline:
             # pair set a second time for nothing
             lsh_pairs, lsh_drops = lsh_candidate_pairs(features, cfg, dedupe=False)
             sim_pairs, sim_drops = simhash_candidate_pairs(features, cfg, dedupe=False)
-            # one action for both drop ledgers (each collect is a full
-            # candidate-generation job; fusing halves the job count here)
-            drops = lsh_drops.withColumn("kind", F.lit("lsh_drops")).unionByName(
-                sim_drops.withColumn("kind", F.lit("simhash_drops"))
+            # one action for both drop ledgers, deferred until after the
+            # checkpoint write: generation cost lands in the s3 stage
+            # wall and the collect reads the persisted pairgen caches
+            drops_frame.append(
+                lsh_drops.withColumn("kind", F.lit("lsh_drops")).unionByName(
+                    sim_drops.withColumn("kind", F.lit("simhash_drops"))
+                )
             )
-            for row in drops.collect():
-                d = row.asDict()
-                metrics.append({"stage": "s3_candidates", "kind": d.pop("kind"), **d})
             return (
                 lsh_pairs.withColumn("src", F.lit("lsh"))
                 .unionByName(sim_pairs.withColumn("src", F.lit("simhash")))
@@ -126,12 +143,24 @@ class DedupPipeline:
                 .agg(F.sort_array(F.collect_set("src")).alias("sources"))
             )
 
-        candidates = store.get_or_compute("s3_candidates", _candidates)
-        release_tracked()  # candidate-gen caches are checkpointed now
+        def _cand_stage():
+            out = store.get_or_compute("s3_candidates", _candidates)
+            for row in drops_frame[0].collect() if drops_frame else []:
+                d = row.asDict()
+                metrics.append({"stage": "s3_candidates", "kind": d.pop("kind"), **d})
+            release_tracked()  # candidate-gen caches are checkpointed now
+            return out
 
-        verified = store.get_or_compute(
+        candidates = timed("s3_candidates", _cand_stage)
+
+        verified = timed(
             "s4_verified",
-            lambda: verify_pairs(candidates.select("doc_a", "doc_b"), features, cfg),
+            lambda: store.get_or_compute(
+                "s4_verified",
+                lambda: verify_pairs(
+                    candidates.select("doc_a", "doc_b"), features, cfg
+                ),
+            ),
         )
 
         edges = verified.select("doc_a", "doc_b")
@@ -152,8 +181,12 @@ class DedupPipeline:
                                 **drops.collect()[0].asDict()})
                 return pairs
 
-            substr = store.get_or_compute("s4b_substring", _substring)
-            release_tracked()
+            def _substr_stage():
+                out = store.get_or_compute("s4b_substring", _substring)
+                release_tracked()
+                return out
+
+            substr = timed("s4b_substring", _substr_stage)
             edges = edges.unionByName(substr.select("doc_a", "doc_b"))
 
         def _clusters():
@@ -161,7 +194,9 @@ class DedupPipeline:
             metrics.append({"stage": "s5_clusters", "kind": "cc", "iterations": iters})
             return labels
 
-        clusters = store.get_or_compute("s5_clusters", _clusters)
+        clusters = timed(
+            "s5_clusters", lambda: store.get_or_compute("s5_clusters", _clusters)
+        )
 
         def _assign():
             mapping = exact.select("doc_id", "canonical_id")
@@ -176,7 +211,9 @@ class DedupPipeline:
                 .drop("_cl")
             )
 
-        assignments = store.get_or_compute("s6_assignments", _assign)
+        assignments = timed(
+            "s6_assignments", lambda: store.get_or_compute("s6_assignments", _assign)
+        )
 
         metrics.append(
             {"stage": "pipeline", "kind": "wall", "wall_s": round(time.time() - t0, 3),

@@ -44,6 +44,17 @@ def build_session(
         # them for SMJ is pure overhead; shuffled-hash joins them in one
         # pass (AQE still falls back / splits skew as needed)
         .config("spark.sql.join.preferSortMergeJoin", "false")
+        # glibc malloc in the Python UDF workers: numpy temporaries over
+        # Arrow batches are multi-MB, so stock glibc serves them with
+        # mmap and returns them with munmap — at 16+ concurrent workers
+        # the munmap TLB-shootdown IPIs serialize kernel-side and the
+        # batch kernels anti-scale (measured on this host: ~6× slowdown
+        # at width 16 vs the same kernels with these thresholds raised).
+        # Keeping large blocks on the heap (and never trimming) makes
+        # worker allocation O(free-list), no cross-CPU IPIs.
+        .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", "1073741824")
+        .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "1073741824")
+        .config("spark.executorEnv.MALLOC_ARENA_MAX", "2")
     )
     # tmpfs shuffle dirs are opt-in only (bench.py sets this): defaulting
     # to /dev/shm caps spill at ~50% RAM and turns a big spill into

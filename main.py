@@ -95,6 +95,13 @@ def main(argv: list[str]) -> None:
     if lin is not None:
         for r in lin.groupBy("stage").agg({"wall_ms": "max"}).collect():
             stage_walls[r["stage"]] = r["max(wall_ms)"]
+    # driver-observed per-stage wall (includes scheduling + commit +
+    # metric collects — sums to ~the pipeline wall, unlike lineage ms)
+    driver_walls = {
+        m["stage"]: m["wall_s"]
+        for m in pipe.store.read_metrics()
+        if m.get("kind") == "driver_wall"
+    }
     cc_iters = next(
         (m["iterations"] for m in pipe.store.read_metrics() if m.get("kind") == "cc"),
         None,
@@ -108,6 +115,7 @@ def main(argv: list[str]) -> None:
                 "files_per_sec": round(n / wall, 1),
                 "cc_iterations": cc_iters,
                 "stage_wall_ms": stage_walls,
+                "driver_stage_wall_s": driver_walls,
                 "checkpoint": ckpt,
                 "config_hash": cfg.config_hash,
                 "master": spark.sparkContext.master,

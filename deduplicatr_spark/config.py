@@ -73,6 +73,12 @@ class PipelineConfig:
 
     # --- clustering (SURVEY §2.11) ---
     cc_max_iters: int = 50
+    # False: per-round lineage truncation via localCheckpoint (executor
+    # memory — fast, but a lost executor kills the loop mid-run).
+    # True: each round is written through the CheckpointStore (parquet/
+    # Iceberg), so an executor loss replays from the last round's table.
+    # Turn on for long cluster runs; off in local mode.
+    cc_durable_checkpoints: bool = False
 
     # --- skew (SURVEY §2.13) ---
     hot_key_threshold: int = 10_000   # band buckets above this are salted/split

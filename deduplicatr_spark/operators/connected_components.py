@@ -24,6 +24,8 @@ cluster-match requirement, BASELINE.json north_rule).
 
 from __future__ import annotations
 
+from typing import Callable
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -70,29 +72,45 @@ def _checksum(edges: DataFrame) -> tuple[int, str]:
 
 
 def connected_components(
-    pairs: DataFrame, config: PipelineConfig
+    pairs: DataFrame,
+    config: PipelineConfig,
+    checkpoint_fn: Callable[[DataFrame, int], DataFrame] | None = None,
 ) -> tuple[DataFrame, int]:
     """(doc_a, doc_b) edges → (doc_id, cluster_id) for every node that
     appears in an edge; returns (labels, iterations). Isolated nodes are
     absent — assignment coalesces them to their own id.
+
+    ``checkpoint_fn(df, iteration)`` overrides the per-round lineage
+    truncation. Default is ``localCheckpoint`` — executor-memory
+    resident, fine in local mode but lost with an executor on a real
+    cluster; pass a durable writer (e.g. CheckpointStore.write, see
+    DedupPipeline with ``cc_durable_checkpoints``) so a mid-loop
+    executor loss replays from the last round's table instead of
+    failing the job.
     """
-    edges = (
+
+    def _ckpt(df: DataFrame, iteration: int) -> DataFrame:
+        if checkpoint_fn is not None:
+            return checkpoint_fn(df, iteration)
+        # lazy localCheckpoint + checksum action = ONE job per round
+        # that both materializes the truncated plan and tests
+        # convergence (eager + separate checksum would be two)
+        return df.localCheckpoint(eager=False)
+
+    edges = _ckpt(
         pairs.select(
             F.least("doc_a", "doc_b").alias("src"),
             F.greatest("doc_a", "doc_b").alias("dst"),
         )
         .filter(F.col("src") != F.col("dst"))
-        .distinct()
-        .localCheckpoint(eager=False)
+        .distinct(),
+        0,
     )
-    # lazy localCheckpoint + checksum action = ONE job per round that
-    # both materializes the truncated plan and tests convergence
-    # (eager localCheckpoint + separate checksum would be two)
     prev = _checksum(edges)
     iters = 0
     for _ in range(config.cc_max_iters):
         iters += 1
-        edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
+        edges = _ckpt(_small_star(_large_star(edges)), iters)
         cur = _checksum(edges)
         if cur == prev:
             break

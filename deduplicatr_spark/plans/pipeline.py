@@ -190,7 +190,14 @@ class DedupPipeline:
             edges = edges.unionByName(substr.select("doc_a", "doc_b"))
 
         def _clusters():
-            labels, iters = connected_components(edges, cfg)
+            ckpt_fn = None
+            if cfg.cc_durable_checkpoints:
+                # durable per-round edges: an executor loss mid-loop
+                # replays from the last round's table, not from scratch
+                def ckpt_fn(df: DataFrame, it: int) -> DataFrame:
+                    return store.write(f"s5_cc_round{it:02d}", df)
+
+            labels, iters = connected_components(edges, cfg, checkpoint_fn=ckpt_fn)
             metrics.append({"stage": "s5_clusters", "kind": "cc", "iterations": iters})
             return labels
 

@@ -68,3 +68,22 @@ def test_cc_deterministic_across_partitioning(spark):
     l1, _ = connected_components(df1, PipelineConfig())
     l7, _ = connected_components(df7, PipelineConfig())
     assert sorted(map(tuple, l1.collect())) == sorted(map(tuple, l7.collect()))
+
+
+def test_cc_durable_checkpoint_matches_local(spark, tmp_path):
+    """The durable (CheckpointStore-backed) per-round checkpoint path
+    must produce identical labels and round counts to localCheckpoint —
+    it only changes WHERE the truncated plan is materialized."""
+    from deduplicatr_spark.sources.catalog import CheckpointStore
+
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (4, 1)]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    cfg = PipelineConfig()
+    base, base_iters = connected_components(df, cfg)
+    store = CheckpointStore(spark, str(tmp_path / "cc"), cfg.config_hash)
+    dur, dur_iters = connected_components(
+        df, cfg, checkpoint_fn=lambda d, it: store.write(f"cc_round{it:02d}", d)
+    )
+    as_map = lambda labels: {r["doc_id"]: r["cluster_id"] for r in labels.collect()}
+    assert as_map(base) == as_map(dur)
+    assert base_iters == dur_iters

@@ -308,6 +308,36 @@ def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data quality gate: per doc a keep/drop decision plus the
+    first failing rule — the filter stage a corpus pipeline runs after
+    dedup. Pure built-ins (one pass, codegen); rules are deterministic
+    thresholds over the token/punctuation/stopword features so DuckDB
+    recomputes the identical decision from scratch."""
+    d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    n_toks = TXT.token_count("text")
+    n_chars = F.length("text").cast("long")
+    n_punct = F.regexp_count(F.col("text"), F.lit(r"[^A-Za-z0-9\s]")).cast("long")
+    n_stop = TXT.stopword_count("text")
+    safe_t = F.greatest(n_toks, F.lit(1)).cast("double")
+    safe_c = F.greatest(n_chars, F.lit(1)).cast("double")
+    avg_tok = _floor6(
+        F.length(F.regexp_replace("text", r"\s+", "")).cast("double") / safe_t
+    )
+    punct = _floor6(n_punct.cast("double") / safe_c)
+    stop = _floor6(n_stop.cast("double") / safe_t)
+    reason = (
+        F.when(n_toks < 10, F.lit("too_few_tokens"))
+        .when(avg_tok > 12.0, F.lit("tokens_too_long"))
+        .when(punct > 0.30, F.lit("too_much_punct"))
+        .when(stop < 0.01, F.lit("no_stopwords"))
+        .otherwise(F.lit("ok"))
+    )
+    return d.select(
+        "doc_id", (reason == "ok").alias("keep"), reason.alias("reason")
+    )
+
+
 def _q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic marker-token language ID."""
     d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
@@ -634,6 +664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_dirs": _q_duplicate_dirs,
         "containment_report": _q_containment_report,
         "token_stats": _q_token_stats,
+        "quality_filter": _q_quality_filter,
         "langid": _q_langid,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "scan_filter": _q_scan_filter,
@@ -802,6 +833,33 @@ SELECT doc_id,
         / CAST(greatest(len(toks), 1) AS DOUBLE) * 1000000) / 1000000.0
     AS stopword_ratio
 FROM t
+""",
+        "quality_filter": f"""
+WITH t AS (
+  SELECT doc_id, text, {toks} AS toks FROM documents WHERE text IS NOT NULL
+), f AS (
+  SELECT doc_id,
+    len(toks) AS n_tokens,
+    floor(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+          / CAST(greatest(len(toks), 1) AS DOUBLE) * 1000000) / 1000000.0
+      AS avg_tok,
+    floor(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+          / CAST(greatest(length(text), 1) AS DOUBLE) * 1000000) / 1000000.0
+      AS punct,
+    floor(CAST(len(list_filter(toks, x -> list_contains({_STOPW}, lower(x)))) AS DOUBLE)
+          / CAST(greatest(len(toks), 1) AS DOUBLE) * 1000000) / 1000000.0
+      AS stop
+  FROM t
+), r AS (
+  SELECT doc_id,
+    CASE WHEN n_tokens < 10 THEN 'too_few_tokens'
+         WHEN avg_tok > 12.0 THEN 'tokens_too_long'
+         WHEN punct > 0.30 THEN 'too_much_punct'
+         WHEN stop < 0.01 THEN 'no_stopwords'
+         ELSE 'ok' END AS reason
+  FROM f
+)
+SELECT doc_id, reason = 'ok' AS keep, reason FROM r
 """,
         "langid": _langid_sql(),
         "ngram_jaccard_pairs": CORPUS_SQL + f"""

@@ -147,7 +147,10 @@ def _pairgen(cap: int):
 
 
 def lsh_candidate_pairs(
-    features: DataFrame, config: PipelineConfig, dedupe: bool = True
+    features: DataFrame,
+    config: PipelineConfig,
+    dedupe: bool = True,
+    band_slice: tuple[int, int] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns ``(pairs, drop_stats)``.
 
@@ -160,13 +163,20 @@ def lsh_candidate_pairs(
     full pair set a second time for nothing.
     ``drop_stats``: one-row frame (hot_buckets, thinned_rows,
     capped_pairs_docs) for the metrics ledger.
+
+    ``band_slice=(g, n)`` restricts generation to the band-hash slice
+    ``pmod(band_hash, n) == g``. Every bucket lives wholly in one slice,
+    so the union over g∈[0,n) is exactly the full pair set — the basis
+    for mid-stage (slice-granular) resume of candidate generation.
     """
     cap = config.max_bucket_size
+    exploded = explode_bands(features)
+    if band_slice is not None:
+        g, n = band_slice
+        exploded = exploded.filter(F.pmod(F.col("band_hash"), F.lit(n)) == g)
     # persisted: the size agg and the annotated join below each scan this
     # frame — without the cache the upstream feature scan runs twice
-    exploded = _track(
-        explode_bands(features).persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    exploded = _track(exploded.persist(StorageLevel.MEMORY_AND_DISK))
 
     sizes = exploded.groupBy("band_hash").agg(F.count(F.lit(1)).alias("n"))
     hot = sizes.filter(F.col("n") > config.hot_key_threshold)

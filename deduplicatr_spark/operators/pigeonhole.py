@@ -36,7 +36,10 @@ def _explode_chunks(features: DataFrame, n_chunks: int) -> DataFrame:
 
 
 def simhash_candidate_pairs(
-    features: DataFrame, config: PipelineConfig, dedupe: bool = True
+    features: DataFrame,
+    config: PipelineConfig,
+    dedupe: bool = True,
+    band_slice: tuple[int, int] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns ``(pairs, drop_stats)`` — pairs already Hamming-verified.
 
@@ -50,14 +53,17 @@ def simhash_candidate_pairs(
     """
     n_chunks = config.hamming_d + 1
     exploded = _explode_chunks(features, n_chunks)
-    # fold (chunk_id, chunk_val) into one key: chunk_val < 2^(64/n_chunks);
-    # persisted — size agg + annotated join both scan it (see lsh.py)
-    keyed = _track(
-        exploded.select(
-            "doc_id",
-            (F.col("chunk_val") * n_chunks + F.col("chunk_id")).alias("band_hash"),
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+    # fold (chunk_id, chunk_val) into one key: chunk_val < 2^(64/n_chunks)
+    keyed = exploded.select(
+        "doc_id",
+        (F.col("chunk_val") * n_chunks + F.col("chunk_id")).alias("band_hash"),
     )
+    if band_slice is not None:
+        # band-hash-space slice for mid-stage resume (see lsh.py)
+        g, n = band_slice
+        keyed = keyed.filter(F.pmod(F.col("band_hash"), F.lit(n)) == g)
+    # persisted — size agg + annotated join both scan it (see lsh.py)
+    keyed = _track(keyed.persist(StorageLevel.MEMORY_AND_DISK))
 
     sizes = keyed.groupBy("band_hash").agg(F.count(F.lit(1)).alias("n"))
     hot = sizes.filter(F.col("n") > config.hot_key_threshold)

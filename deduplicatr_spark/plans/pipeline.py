@@ -121,13 +121,17 @@ class DedupPipeline:
 
         drops_frame: list[DataFrame] = []
 
-        def _candidates():
+        def _cand_slice(band_slice: tuple[int, int] | None):
             # dedupe=False: the source-merging groupBy below dedups pairs
             # in ONE shuffle (partial agg collapses duplicates map-side);
             # the operators' standalone distinct() would shuffle the full
             # pair set a second time for nothing
-            lsh_pairs, lsh_drops = lsh_candidate_pairs(features, cfg, dedupe=False)
-            sim_pairs, sim_drops = simhash_candidate_pairs(features, cfg, dedupe=False)
+            lsh_pairs, lsh_drops = lsh_candidate_pairs(
+                features, cfg, dedupe=False, band_slice=band_slice
+            )
+            sim_pairs, sim_drops = simhash_candidate_pairs(
+                features, cfg, dedupe=False, band_slice=band_slice
+            )
             # one action for both drop ledgers, deferred until after the
             # checkpoint write: generation cost lands in the s3 stage
             # wall and the collect reads the persisted pairgen caches
@@ -143,23 +147,44 @@ class DedupPipeline:
                 .agg(F.sort_array(F.collect_set("src")).alias("sources"))
             )
 
+        sliced_s3 = cfg.resume_groups > 1
         def _cand_stage():
-            out = store.get_or_compute("s3_candidates", _candidates)
-            for row in drops_frame[0].collect() if drops_frame else []:
-                d = row.asDict()
-                metrics.append({"stage": "s3_candidates", "kind": d.pop("kind"), **d})
+            if sliced_s3:
+                # mid-stage resume for candidate generation: slices are
+                # band-hash-space partitions (every bucket wholly in one
+                # slice → slice union = full pair set); a pair whose
+                # matching bands span slices appears once per slice and
+                # is deduped at the s4 boundary below
+                out = store.get_or_compute_sliced(
+                    "s3_candidates",
+                    cfg.resume_groups,
+                    lambda g: _cand_slice((g, cfg.resume_groups)),
+                    compute_full=lambda: _cand_slice(None),
+                )
+            else:
+                out = store.get_or_compute(
+                    "s3_candidates", lambda: _cand_slice(None)
+                )
+            for frame in drops_frame:
+                for row in frame.collect():
+                    d = row.asDict()
+                    metrics.append(
+                        {"stage": "s3_candidates", "kind": d.pop("kind"), **d}
+                    )
             release_tracked()  # candidate-gen caches are checkpointed now
             return out
 
         candidates = timed("s3_candidates", _cand_stage)
 
+        cand_pairs = candidates.select("doc_a", "doc_b")
+        if sliced_s3:
+            # cross-slice duplicates (pair found via bands in ≥2 slices)
+            cand_pairs = cand_pairs.distinct()
         verified = timed(
             "s4_verified",
             lambda: store.get_or_compute(
                 "s4_verified",
-                lambda: verify_pairs(
-                    candidates.select("doc_a", "doc_b"), features, cfg
-                ),
+                lambda: verify_pairs(cand_pairs, features, cfg),
             ),
         )
 

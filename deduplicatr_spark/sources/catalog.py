@@ -196,6 +196,36 @@ class CheckpointStore:
         restart skip every already-committed slice — a killed 6-hour
         stage resumes from its last completed slice instead of zero.
 
+        ``compute`` maps the slice DataFrame to its output. Each slice
+        re-scans ``input_df`` with the pmod filter (cheap: the input is
+        itself a columnar checkpoint; the expensive work — the pandas
+        UDFs downstream — runs exactly once per row). With
+        ``n_groups=1`` this degrades to ``get_or_compute``.
+        """
+        from pyspark.sql import functions as F
+
+        grp = F.pmod(F.xxhash64(F.col(key_col)), F.lit(max(n_groups, 1)))
+        return self.get_or_compute_sliced(
+            name,
+            n_groups,
+            lambda g: compute(input_df.filter(grp == g)),
+            compute_full=lambda: compute(input_df),
+        )
+
+    def get_or_compute_sliced(
+        self,
+        name: str,
+        n_groups: int,
+        compute_group,
+        compute_full=None,
+    ) -> DataFrame:
+        """Slice-index form of mid-stage resume: ``compute_group(g)``
+        produces slice ``g`` of the stage for ``g`` in [0, n_groups).
+        The caller guarantees the slices partition the stage output
+        (e.g. by key pmod, or by band-hash space for pair generation —
+        every LSH bucket lives wholly in one band slice, so the slice
+        union is exactly the full pair set).
+
         Commit protocol (crash-safe at every point):
           * a ``_GROUPS.json`` manifest (config hash + group count) is
             written first; a mismatching manifest wipes the stage dir —
@@ -206,23 +236,25 @@ class CheckpointStore:
             so stage-level ``exists()``/``read()`` semantics and the
             CC-loop guarantees are unchanged
 
-        ``compute`` maps the slice DataFrame to its output. Each slice
-        re-scans ``input_df`` with the pmod filter (cheap: the input is
-        itself a columnar checkpoint; the expensive work — the pandas
-        UDFs downstream — runs exactly once per row). With
-        ``n_groups=1`` this degrades to ``get_or_compute``.
+        ``compute_full`` (default: union of all slices) serves the
+        non-sliceable fallbacks (``n_groups<=1``; the Iceberg backend,
+        where slice commits would be snapshot appends — not implemented,
+        stage-level resume applies there).
         """
-        from pyspark.sql import functions as F
+        from functools import reduce
 
         if self.exists(name):
             return self.read(name)
-        if n_groups <= 1:
-            return self.write(name, compute(input_df))
-        if self.fmt == "iceberg":
-            # Iceberg slice commits would be atomic snapshot appends with
-            # a group-id snapshot-summary property; not implemented —
-            # stage-level resume applies on the Iceberg backend.
-            return self.write(name, compute(input_df))
+        if n_groups <= 1 or self.fmt == "iceberg":
+            if compute_full is not None:
+                return self.write(name, compute_full())
+            return self.write(
+                name,
+                reduce(
+                    lambda a, b: a.unionByName(b),
+                    [compute_group(g) for g in range(max(n_groups, 1))],
+                ),
+            )
 
         t0 = time.time()
         target = self._dir(name)
@@ -242,7 +274,6 @@ class CheckpointStore:
             with open(manifest_path, "w") as f:
                 json.dump(manifest, f)
 
-        grp = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_groups))
         computed = skipped = 0
         for g in range(n_groups):
             gdir = os.path.join(target, f"g{g}")
@@ -252,7 +283,7 @@ class CheckpointStore:
             tmp = os.path.join(
                 self.root, f"_tmp_{name}_g{g}_{uuid.uuid4().hex[:8]}"
             )
-            compute(input_df.filter(grp == g)).write.mode("overwrite").parquet(tmp)
+            compute_group(g).write.mode("overwrite").parquet(tmp)
             os.rename(tmp, gdir)
             computed += 1
         self.write_metrics([

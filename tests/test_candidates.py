@@ -108,3 +108,31 @@ def test_pigeonhole_rejects_beyond_d(spark):
     pairs, _ = simhash_candidate_pairs(df, CFG)
     got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
     assert (0, 1) not in got  # Hamming = d+1 → verified out
+
+
+def test_band_slice_union_equals_full(spark):
+    """Mid-stage resume correctness basis: band-hash-space slices must
+    partition candidate generation — the deduped union over slices
+    equals the unsliced pair set, for LSH and SimHash alike."""
+    texts = []
+    base = ("def handler(req): body = parse(req)\n"
+            "    check(body)\n    return respond(body)\n") * 3
+    for i in range(12):
+        texts.append(base.replace("respond", f"reply_{i % 4}", 1))
+    texts += [base, base, "completely unrelated words " * 5]
+    feats = _features(spark, texts).persist()
+    feats.count()
+
+    for op in (lsh_candidate_pairs, simhash_candidate_pairs):
+        full = {
+            (r["doc_a"], r["doc_b"])
+            for r in op(feats, CFG)[0].collect()
+        }
+        sliced = set()
+        for g in range(3):
+            sliced |= {
+                (r["doc_a"], r["doc_b"])
+                for r in op(feats, CFG, band_slice=(g, 3))[0].collect()
+            }
+        assert sliced == full, op.__name__
+    feats.unpersist()

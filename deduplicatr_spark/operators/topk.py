@@ -84,12 +84,22 @@ def lsh_topk(
 
     qc = with_chunks(queries, "q")
     cc = with_chunks(corpus, "n")
-    cand = (
-        qc.join(cc, ["chunk_id", "chunk_val"])
+    # dedupe on BARE IDS before touching vectors: a pair matches in up
+    # to n_chunks buckets, and a distinct over (id, id, vec, vec) rows
+    # would shuffle both embeddings per duplicate — 2 longs vs 2×dim
+    # doubles per row is a ~64× lighter exchange at dim 64
+    cand_ids = (
+        qc.select("q_id", "chunk_id", "chunk_val")
+        .join(cc.select("n_id", "chunk_id", "chunk_val"), ["chunk_id", "chunk_val"])
         .filter(F.col("q_id") != F.col("n_id"))
-        .select("q_id", "_qv", "n_id", "_nv")
+        .select("q_id", "n_id")
         .distinct()
     )
+    qv = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("_qv"))
+    nv = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("_nv"))
+    # query set is small by contract → broadcast; corpus vectors join
+    # keyed on n_id, volume ∝ candidates
+    cand = cand_ids.join(F.broadcast(qv), "q_id").join(nv, "n_id")
     w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("n_id"))
     return (
         cand.withColumn("score", cosine(F.col("_qv"), F.col("_nv")))

@@ -597,6 +597,74 @@ def _q_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (delta) dedup: new docs assigned against the indexed
+    base corpus WITHOUT any base×base recomputation
+    (operators/incremental.py). Base clusters are the SQL-computable
+    proxy (min doc_id per normalized-content fingerprint group), and
+    the delta plants one of each behavior per eligible base doc:
+    an exact copy (must inherit via the sha256 join), a whitespace
+    variant (sha256 differs, normalized content identical ⇒ Jaccard 1 ⇒
+    must inherit via the LSH band join + verify + best-match pick), and
+    a content-disjoint fresh doc (must found its own cluster). The
+    oracle recomputes every expected assignment from the raw strings —
+    a miss in the band join, a verify drift, or a tiebreak bug goes red.
+    """
+    from deduplicatr_spark.operators.incremental import incremental_assign
+
+    c = _corpus(spark, sf_dir)
+    base_ident = _identified(c).select("doc_id", "sha256")
+    base_clusters = c.select(
+        "doc_id", TXT.fingerprint("content").alias("_fp")
+    ).withColumn(
+        "cluster_id", F.min("doc_id").over(Window.partitionBy("_fp"))
+    ).select("doc_id", "cluster_id")
+    base_feats = _features_frame(spark, sf_dir)
+
+    content = F.col("content")
+    copies = c.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 6000000).alias("doc_id"), "repo",
+        F.concat(F.lit("inc/c/"), F.col("doc_id").cast("string")).alias("path"),
+        "content", "lang",
+    )
+    ws2 = c.filter(F.col("doc_id") % 9 == 1).select(
+        (F.col("doc_id") + 7000000).alias("doc_id"), "repo",
+        F.concat(F.lit("inc/w/"), F.col("doc_id").cast("string")).alias("path"),
+        F.replace(content, F.lit(" "), F.lit("   ")).alias("content"), "lang",
+    )
+    fresh = c.filter(F.col("doc_id") % 9 == 2).select(
+        (F.col("doc_id") + 8000000).alias("doc_id"), "repo",
+        F.concat(F.lit("inc/f/"), F.col("doc_id").cast("string")).alias("path"),
+        F.repeat(F.sha2(F.col("doc_id").cast("string"), 256), 5).alias("content"),
+        "lang",
+    )
+    delta = copies.unionByName(ws2).unionByName(fresh).select(
+        "repo", "path", F.lit("c1").alias("commit"), "lang", "content",
+        F.col("doc_id").alias("_did"),
+    )
+    # the operator derives doc_id from (repo, path, commit); carry the
+    # planted id through a deterministic mapping instead
+    new_docs = delta.select(
+        "repo", "path", "commit", "lang", "content"
+    )
+    out, _drops = incremental_assign(
+        new_docs, base_ident, base_feats, base_clusters, ENTRY_CONFIG
+    )
+    # map xxhash64 ids back to the planted delta ids for the oracle;
+    # a fresh doc's self-cluster is its own (planted) id
+    keymap = delta.select(
+        F.xxhash64("repo", "path", "commit").alias("doc_id"),
+        F.col("_did").alias("new_id"),
+    )
+    return out.join(keymap, "doc_id").select(
+        "new_id",
+        F.when(F.col("via") == "new", F.col("new_id"))
+        .otherwise(F.col("cluster_id"))
+        .alias("cluster_id"),
+        "via",
+    )
+
+
 def _q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full 6-stage pipeline e2e (exact → features → candidates →
     verify → CC → assign), parquet checkpoints.
@@ -676,6 +744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "simhash_hamming_pairs": _q_simhash_hamming_pairs,
         "substring_pairs": _q_substring_pairs,
+        "incremental_assign": _q_incremental_assign,
         "dedup_pipeline": _q_dedup_pipeline,
     }
 
@@ -1040,6 +1109,31 @@ WITH base AS (
 )
 SELECT vec_id AS q_id, vec_id + 100000 AS n_id, CAST(1 AS BIGINT) AS rank
 FROM qual
+""",
+        # delta assignment: exact copies inherit via sha256, whitespace
+        # variants via the band join + Jaccard-1 best match (both land
+        # on the fingerprint-group-min cluster), content-disjoint fresh
+        # docs found their own cluster
+        "incremental_assign": CORPUS_SQL + """
+, fpm AS (
+  SELECT doc_id,
+         sha256(trim(regexp_replace(content, '\\s+', ' ', 'g'))) AS f
+  FROM corpus
+), cl AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY f) AS cluster_id FROM fpm
+), basec AS (
+  SELECT c.doc_id AS did, c.content AS ct, cl.cluster_id
+  FROM corpus c JOIN cl ON cl.doc_id = c.doc_id
+)
+SELECT did + 6000000 AS new_id, cluster_id, 'exact' AS via
+FROM basec WHERE did % 9 = 0
+UNION ALL
+SELECT did + 7000000, cluster_id,
+       CASE WHEN contains(ct, ' ') THEN 'near' ELSE 'exact' END
+FROM basec WHERE did % 9 = 1
+UNION ALL
+SELECT did + 8000000, did + 8000000, 'new'
+FROM basec WHERE did % 9 = 2
 """,
         # identity columns must round-trip the pipeline; cluster_ok
         # asserts one cluster per fingerprint group end-to-end

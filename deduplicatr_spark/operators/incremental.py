@@ -1,0 +1,154 @@
+"""Incremental dedup: assign a DELTA of new documents against an
+already-indexed corpus — the daily-crawl-increment workflow.
+
+At 10^12 files the full pipeline is a batch job you run once; every
+subsequent increment must not recompute base×base pairs. This operator
+touches only:
+
+1. **Exact path** — new sha256 values equi-join the base identity
+   table (shuffle ∝ delta; the base side is a keyed aggregate that a
+   warehouse would keep bucketed by sha256).
+2. **Near path** — only unmatched new docs are featurized (the
+   expensive UDF runs on the delta alone), and their band hashes
+   equi-join the base band index. Hot base buckets (license
+   boilerplate) are thinned with the same deterministic cap + drop
+   ledger as the batch LSH stage — no silent caps.
+3. **Verification** — exact Jaccard on shingles for (new × base)
+   candidates only; each new doc adopts the cluster of its best match
+   (max Jaccard, then min cluster id — deterministic), or founds a new
+   cluster keyed by its own doc_id.
+
+No base×base work anywhere: total cost is O(delta + matched buckets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from deduplicatr_spark.config import PipelineConfig
+from deduplicatr_spark.functions.features import features_udf
+from deduplicatr_spark.functions.hashing import normalized
+from deduplicatr_spark.operators.exact import with_identity
+from deduplicatr_spark.operators.lsh import _track, explode_bands
+
+
+def incremental_assign(
+    new_docs: DataFrame,
+    base_identity: DataFrame,
+    base_features: DataFrame,
+    base_clusters: DataFrame,
+    config: PipelineConfig,
+) -> tuple[DataFrame, DataFrame]:
+    """Returns ``(assignments, drop_stats)``.
+
+    ``new_docs``: (repo, path, commit, lang, content) — the delta.
+    ``base_identity``: (doc_id, sha256) of the indexed corpus.
+    ``base_features``: (doc_id, shingles, band_hashes) of base docs
+    (the batch pipeline's s2 checkpoint — reread, never recomputed).
+    ``base_clusters``: (doc_id, cluster_id) from the batch run.
+
+    ``assignments``: (doc_id, cluster_id, via ∈ {exact, near, new})
+    for every delta row. ``drop_stats``: one-row ledger of thinned hot
+    base buckets.
+    """
+    new_ident = with_identity(new_docs)
+
+    # -- 1. exact: inherit the cluster of any base doc with equal sha256
+    base_sha = (
+        base_identity.join(base_clusters, "doc_id")
+        .groupBy("sha256")
+        .agg(F.min("cluster_id").alias("_cl_exact"))
+    )
+    tagged = new_ident.join(base_sha, "sha256", "left")
+    exact = tagged.filter(F.col("_cl_exact").isNotNull()).select(
+        "doc_id", F.col("_cl_exact").alias("cluster_id"), F.lit("exact").alias("via")
+    )
+    rest = tagged.filter(F.col("_cl_exact").isNull()).select(
+        "doc_id", "content"
+    )
+
+    # -- 2. near: featurize ONLY the unmatched delta, join band indexes
+    # persisted (tracked for caller-side release): the band explode and
+    # the shingle join both scan this frame — without the cache the
+    # delta feature UDF runs twice
+    feats = _track(
+        rest.select(
+            "doc_id", features_udf(config)(normalized("content")).alias("f")
+        ).select("doc_id", "f.*").persist()
+    )
+
+    new_bands = explode_bands(feats).withColumnsRenamed({"doc_id": "_new_id"})
+    base_bands = explode_bands(base_features).withColumnsRenamed(
+        {"doc_id": "_base_id"}
+    )
+    # thin hot BASE buckets pre-join (the delta side is small by
+    # definition): deterministic keep-mod, dropped rows ledgered
+    cap = config.max_bucket_size
+    sizes = base_bands.groupBy("band_hash").agg(F.count(F.lit(1)).alias("n"))
+    hot = sizes.filter(F.col("n") > config.hot_key_threshold)
+    annotated = base_bands.join(F.broadcast(hot), "band_hash", "left")
+    keep_mod = F.greatest(F.floor(F.col("n") / F.lit(2 * cap)), F.lit(1))
+    base_thinned = annotated.filter(
+        F.col("n").isNull()
+        | (F.pmod(F.xxhash64("_base_id", "band_hash"), keep_mod) == 0)
+    ).select("_base_id", "band_hash")
+
+    cand = (
+        new_bands.select("_new_id", "band_hash")
+        .join(base_thinned, "band_hash")
+        .select("_new_id", "_base_id")
+        .distinct()
+    )
+
+    # -- 3. verify + adopt best base cluster
+    sh_new = feats.select(F.col("doc_id").alias("_new_id"), F.col("shingles").alias("_sa"))
+    sh_base = base_features.select(
+        F.col("doc_id").alias("_base_id"), F.col("shingles").alias("_sb")
+    )
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    union = F.size("_sa") + F.size("_sb") - inter
+    verified = (
+        cand.join(sh_new, "_new_id")
+        .join(sh_base, "_base_id")
+        .withColumn(
+            "jaccard",
+            F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(
+                F.lit(0.0)
+            ),
+        )
+        .filter(F.col("jaccard") >= config.jaccard_tau)
+        .join(
+            base_clusters.withColumnsRenamed(
+                {"doc_id": "_base_id", "cluster_id": "_cl"}
+            ),
+            "_base_id",
+        )
+    )
+    w = Window.partitionBy("_new_id").orderBy(
+        F.desc("jaccard"), F.asc("_cl"), F.asc("_base_id")
+    )
+    near = (
+        verified.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(
+            F.col("_new_id").alias("doc_id"),
+            F.col("_cl").alias("cluster_id"),
+            F.lit("near").alias("via"),
+        )
+    )
+
+    # -- 4. fresh: unmatched delta docs found their own cluster
+    fresh = (
+        rest.select("doc_id")
+        .join(near.select("doc_id"), "doc_id", "left_anti")
+        .select(
+            "doc_id", F.col("doc_id").alias("cluster_id"), F.lit("new").alias("via")
+        )
+    )
+
+    drop_stats = hot.agg(
+        F.count(F.lit(1)).alias("hot_buckets"),
+        F.coalesce(F.sum("n"), F.lit(0)).alias("hot_rows"),
+    )
+    return exact.unionByName(near).unionByName(fresh), drop_stats

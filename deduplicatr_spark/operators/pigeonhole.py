@@ -7,19 +7,27 @@ no UDF), bucket on each (chunk_id, chunk_val), and verify candidates
 with ``bit_count(a ^ b) <= d`` — also a built-in. Recall within
 distance d is exact (a pigeonhole guarantee), subject only to the same
 bucket cap as LSH (logged, never silent).
+
+Candidate generation is the shared single-shuffle core in
+``operators/lsh.py § keyed_candidate_pairs``; the pipeline fuses these
+chunk keys with the LSH band keys into ONE shuffle + pairgen pass
+(plans/pipeline.py § _cand_slice).
 """
 
 from __future__ import annotations
 
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from deduplicatr_spark.config import PipelineConfig
-from deduplicatr_spark.operators.lsh import _pairgen, _track
+from deduplicatr_spark.operators.lsh import keyed_candidate_pairs
 
 
-def _explode_chunks(features: DataFrame, n_chunks: int) -> DataFrame:
+def simhash_keyed(features: DataFrame, n_chunks: int) -> DataFrame:
+    """(doc_id, band_hash) rows: the d+1 pigeonhole chunks folded into
+    one 64-bit key (``chunk_val * n_chunks + chunk_id`` — chunk_val <
+    2^(64/n_chunks), so no overflow), ready for the shared bucket
+    machinery."""
     width = 64 // n_chunks
     mask = (1 << width) - 1
     chunks = F.array(
@@ -28,10 +36,31 @@ def _explode_chunks(features: DataFrame, n_chunks: int) -> DataFrame:
             for i in range(n_chunks)
         ]
     )
-    return features.filter(F.col("simhash").isNotNull()).select(
+    exploded = features.filter(F.col("simhash").isNotNull()).select(
         "doc_id",
-        "simhash",
         F.posexplode(chunks).alias("chunk_id", "chunk_val"),
+    )
+    return exploded.select(
+        "doc_id",
+        (F.col("chunk_val") * n_chunks + F.col("chunk_id")).alias("band_hash"),
+    )
+
+
+def hamming_verify(
+    raw_pairs: DataFrame, features: DataFrame, hamming_d: int
+) -> DataFrame:
+    """Keep (doc_a, doc_b) with bit_count(sim_a ^ sim_b) ≤ d — row-local
+    built-in arithmetic after two narrow equi-joins."""
+    sims = features.select("doc_id", "simhash")
+    return (
+        raw_pairs.join(
+            sims.withColumnsRenamed({"doc_id": "doc_a", "simhash": "sim_a"}), "doc_a"
+        )
+        .join(sims.withColumnsRenamed({"doc_id": "doc_b", "simhash": "sim_b"}), "doc_b")
+        .filter(
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))) <= hamming_d
+        )
+        .select("doc_a", "doc_b")
     )
 
 
@@ -43,67 +72,20 @@ def simhash_candidate_pairs(
 ) -> tuple[DataFrame, DataFrame]:
     """Returns ``(pairs, drop_stats)`` — pairs already Hamming-verified.
 
-    Buckets key on (chunk_id, chunk_val) folded into one 64-bit key so
-    the same range-partition + streaming pairgen machinery as LSH
-    applies (operators/lsh.py). ``dedupe=False`` (see lsh.py) skips the
-    pre-verify ``distinct()`` for consumers whose own (doc_a, doc_b)
-    aggregation dedups in one shuffle; the Hamming verify join then
-    processes up to hamming_d+1 copies of a pair — cheap row-local
-    arithmetic — and the consumer's partial agg collapses them.
+    Single-source wrapper over the shared core (operators/lsh.py).
+    ``dedupe=False`` (see lsh.py) skips the pre-verify ``distinct()``
+    for consumers whose own (doc_a, doc_b) aggregation dedups in one
+    shuffle; the Hamming verify join then processes up to hamming_d+1
+    copies of a pair — cheap row-local arithmetic — and the consumer's
+    partial agg collapses them.
     """
-    n_chunks = config.hamming_d + 1
-    exploded = _explode_chunks(features, n_chunks)
-    # fold (chunk_id, chunk_val) into one key: chunk_val < 2^(64/n_chunks)
-    keyed = exploded.select(
-        "doc_id",
-        (F.col("chunk_val") * n_chunks + F.col("chunk_id")).alias("band_hash"),
-    )
+    keyed = simhash_keyed(features, config.hamming_d + 1)
     if band_slice is not None:
         # band-hash-space slice for mid-stage resume (see lsh.py)
         g, n = band_slice
         keyed = keyed.filter(F.pmod(F.col("band_hash"), F.lit(n)) == g)
-    # persisted — size agg + annotated join both scan it (see lsh.py)
-    keyed = _track(keyed.persist(StorageLevel.MEMORY_AND_DISK))
-
-    sizes = keyed.groupBy("band_hash").agg(F.count(F.lit(1)).alias("n"))
-    hot = sizes.filter(F.col("n") > config.hot_key_threshold)
-    cap = config.max_bucket_size
-    annotated = keyed.join(F.broadcast(hot), "band_hash", "left")
-    keep_mod = F.greatest(F.floor(F.col("n") / F.lit(2 * cap)), F.lit(1))
-    thinned = annotated.filter(
-        F.col("n").isNull() | (F.pmod(F.xxhash64("doc_id", "band_hash"), keep_mod) == 0)
-    ).select("doc_id", "band_hash")
-
-    n_part = config.lsh_partitions or thinned.sparkSession.conf.get(
-        "spark.sql.shuffle.partitions"
+    raw_pairs, drops = keyed_candidate_pairs(keyed, config, dedupe=dedupe)
+    pairs = hamming_verify(
+        raw_pairs.select("doc_a", "doc_b"), features, config.hamming_d
     )
-    ranged = thinned.repartitionByRange(int(n_part), "band_hash").sortWithinPartitions(
-        "band_hash"
-    )
-    gen = _track(
-        ranged.mapInPandas(
-            _pairgen(cap), schema="doc_a long, doc_b long, dropped long"
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-    )  # shared by pairs + drop_stats (see lsh.py)
-    raw_pairs = gen.filter(F.col("doc_a").isNotNull()).select("doc_a", "doc_b")
-    if dedupe:
-        raw_pairs = raw_pairs.distinct()
-
-    sims = features.select("doc_id", "simhash")
-    pairs = (
-        raw_pairs.join(sims.withColumnsRenamed({"doc_id": "doc_a", "simhash": "sim_a"}), "doc_a")
-        .join(sims.withColumnsRenamed({"doc_id": "doc_b", "simhash": "sim_b"}), "doc_b")
-        .filter(
-            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))) <= config.hamming_d
-        )
-        .select("doc_a", "doc_b")
-    )
-    drop_stats = gen.filter(F.col("doc_a").isNull()).agg(
-        F.coalesce(F.sum("dropped"), F.lit(0)).alias("capped_docs")
-    ).crossJoin(
-        hot.agg(
-            F.count(F.lit(1)).alias("hot_buckets"),
-            F.coalesce(F.sum("n"), F.lit(0)).alias("hot_rows"),
-        )
-    )
-    return pairs, drop_stats
+    return pairs, drops.select("capped_docs", "hot_buckets", "hot_rows")

@@ -35,8 +35,12 @@ from deduplicatr_spark.functions.features import features_udf
 from deduplicatr_spark.functions.hashing import normalized
 from deduplicatr_spark.operators.connected_components import connected_components
 from deduplicatr_spark.operators.exact import exact_canonical, with_identity
-from deduplicatr_spark.operators.lsh import lsh_candidate_pairs, release_tracked
-from deduplicatr_spark.operators.pigeonhole import simhash_candidate_pairs
+from deduplicatr_spark.operators.lsh import (
+    explode_bands,
+    keyed_candidate_pairs,
+    release_tracked,
+)
+from deduplicatr_spark.operators.pigeonhole import hamming_verify, simhash_keyed
 from deduplicatr_spark.operators.verify import verify_pairs
 from deduplicatr_spark.sources.catalog import CheckpointStore
 
@@ -122,23 +126,53 @@ class DedupPipeline:
         drops_frame: list[DataFrame] = []
 
         def _cand_slice(band_slice: tuple[int, int] | None):
-            # dedupe=False: the source-merging groupBy below dedups pairs
-            # in ONE shuffle (partial agg collapses duplicates map-side);
-            # the operators' standalone distinct() would shuffle the full
-            # pair set a second time for nothing
-            lsh_pairs, lsh_drops = lsh_candidate_pairs(
-                features, cfg, dedupe=False, band_slice=band_slice
-            )
-            sim_pairs, sim_drops = simhash_candidate_pairs(
-                features, cfg, dedupe=False, band_slice=band_slice
-            )
-            # one action for both drop ledgers, deferred until after the
-            # checkpoint write: generation cost lands in the s3 stage
-            # wall and the collect reads the persisted pairgen caches
-            drops_frame.append(
-                lsh_drops.withColumn("kind", F.lit("lsh_drops")).unionByName(
-                    sim_drops.withColumn("kind", F.lit("simhash_drops"))
+            # FUSED single-shuffle candidate generation (round-3): the
+            # LSH band keys and SimHash pigeonhole chunk keys — both
+            # just (doc_id, int64) — union into ONE keyed frame with a
+            # tag bit folded into the key (shiftleft+tag keeps buckets
+            # single-source), so the size agg, hot-bucket thinning,
+            # range shuffle, sort and pairgen each run ONCE instead of
+            # once per source. dedupe=False: the source-merging groupBy
+            # below collapses duplicate pairs map-side in the same
+            # shuffle a standalone distinct() would need anyway.
+            lsh_keyed = explode_bands(features).select("doc_id", "band_hash")
+            sim_keyed = simhash_keyed(features, cfg.hamming_d + 1)
+            if band_slice is not None:
+                # slice on the RAW key per source (pre-fold) so slices
+                # stay balanced; every bucket still lives in one slice
+                g, n = band_slice
+                lsh_keyed = lsh_keyed.filter(
+                    F.pmod(F.col("band_hash"), F.lit(n)) == g
                 )
+                sim_keyed = sim_keyed.filter(
+                    F.pmod(F.col("band_hash"), F.lit(n)) == g
+                )
+            folded = lsh_keyed.select(
+                "doc_id", F.shiftleft("band_hash", 1).alias("band_hash")
+            ).unionByName(
+                sim_keyed.select(
+                    "doc_id",
+                    (F.shiftleft("band_hash", 1) + F.lit(1)).alias("band_hash"),
+                )
+            )
+            pairs, drops = keyed_candidate_pairs(
+                folded, cfg, n_sources=2, dedupe=False
+            )
+            # drop ledger rows (per source), collected after the slice is
+            # checkpointed: the collect reads the persisted pairgen cache
+            drops_frame.append(
+                drops.select(
+                    F.when(F.col("src") == 0, F.lit("lsh_drops"))
+                    .otherwise(F.lit("simhash_drops"))
+                    .alias("kind"),
+                    "capped_docs", "hot_buckets", "hot_rows",
+                )
+            )
+            lsh_pairs = pairs.filter(F.col("src") == 0).select("doc_a", "doc_b")
+            sim_pairs = hamming_verify(
+                pairs.filter(F.col("src") == 1).select("doc_a", "doc_b"),
+                features,
+                cfg.hamming_d,
             )
             return (
                 lsh_pairs.withColumn("src", F.lit("lsh"))
@@ -146,6 +180,22 @@ class DedupPipeline:
                 .groupBy("doc_a", "doc_b")
                 .agg(F.sort_array(F.collect_set("src")).alias("sources"))
             )
+
+        def _drain_drops(slice_g: int | None = None) -> None:
+            """Collect + persist pending drop ledgers. In sliced mode
+            this runs per committed slice (crash-safe: a killed run
+            keeps every completed slice's drop counts — metrics files
+            are append-only), then releases that slice's caches."""
+            while drops_frame:
+                frame = drops_frame.pop()
+                for row in frame.collect():
+                    d = row.asDict()
+                    rec = {"stage": "s3_candidates", "kind": d.pop("kind"), **d}
+                    if slice_g is not None:
+                        rec["slice"] = slice_g
+                        store.write_metrics([rec])
+                    else:
+                        metrics.append(rec)
 
         sliced_s3 = cfg.resume_groups > 1
         def _cand_stage():
@@ -155,22 +205,22 @@ class DedupPipeline:
                 # slice → slice union = full pair set); a pair whose
                 # matching bands span slices appears once per slice and
                 # is deduped at the s4 boundary below
+                def _committed(g: int) -> None:
+                    _drain_drops(slice_g=g)
+                    release_tracked()  # this slice's caches are on disk
+
                 out = store.get_or_compute_sliced(
                     "s3_candidates",
                     cfg.resume_groups,
                     lambda g: _cand_slice((g, cfg.resume_groups)),
                     compute_full=lambda: _cand_slice(None),
+                    on_slice_commit=_committed,
                 )
             else:
                 out = store.get_or_compute(
                     "s3_candidates", lambda: _cand_slice(None)
                 )
-            for frame in drops_frame:
-                for row in frame.collect():
-                    d = row.asDict()
-                    metrics.append(
-                        {"stage": "s3_candidates", "kind": d.pop("kind"), **d}
-                    )
+            _drain_drops()
             release_tracked()  # candidate-gen caches are checkpointed now
             return out
 
@@ -229,6 +279,13 @@ class DedupPipeline:
         clusters = timed(
             "s5_clusters", lambda: store.get_or_compute("s5_clusters", _clusters)
         )
+        if cfg.cc_durable_checkpoints:
+            # the round tables exist only to replay a killed CC loop;
+            # once s5_clusters has committed they are garbage — drop
+            # them so long runs don't accumulate cc_max_iters edge
+            # tables of disk + marker/lineage metadata
+            for it in range(cfg.cc_max_iters):
+                store.delete(f"s5_cc_round{it:02d}")
 
         def _assign():
             mapping = exact.select("doc_id", "canonical_id")

@@ -175,6 +175,15 @@ class CheckpointStore:
                      int((time.time() - t0) * 1000))
         return self.read(name)
 
+    def delete(self, name: str) -> None:
+        """Drop a stage's data + marker + lineage (used to garbage-
+        collect transient stages, e.g. durable CC round tables once the
+        final cluster table has committed)."""
+        if self.fmt == "iceberg":
+            self.spark.sql(f"DROP TABLE IF EXISTS {self._iceberg_table(name)}")
+        shutil.rmtree(self._dir(name), ignore_errors=True)
+        shutil.rmtree(os.path.join(self.root, "_lineage", name), ignore_errors=True)
+
     def get_or_compute(self, name: str, compute) -> DataFrame:
         """Idempotent resume: skip ``compute`` when a config-matching
         checkpoint already exists."""
@@ -218,6 +227,7 @@ class CheckpointStore:
         n_groups: int,
         compute_group,
         compute_full=None,
+        on_slice_commit=None,
     ) -> DataFrame:
         """Slice-index form of mid-stage resume: ``compute_group(g)``
         produces slice ``g`` of the stage for ``g`` in [0, n_groups).
@@ -240,6 +250,13 @@ class CheckpointStore:
         non-sliceable fallbacks (``n_groups<=1``; the Iceberg backend,
         where slice commits would be snapshot appends — not implemented,
         stage-level resume applies there).
+
+        ``on_slice_commit(g)``, if given, runs right after slice ``g``'s
+        atomic rename — the hook callers use to persist per-slice
+        ledgers (drop metrics) so a crash mid-stage keeps the accounting
+        of every committed slice (no-silent-caps even across resume).
+        Skipped (already-committed) slices do not re-fire the hook:
+        their ledgers were persisted by the run that committed them.
         """
         from functools import reduce
 
@@ -286,6 +303,8 @@ class CheckpointStore:
             compute_group(g).write.mode("overwrite").parquet(tmp)
             os.rename(tmp, gdir)
             computed += 1
+            if on_slice_commit is not None:
+                on_slice_commit(g)
         self.write_metrics([
             {"stage": name, "kind": "grouped_resume", "groups": n_groups,
              "computed": computed, "skipped": skipped}

@@ -469,20 +469,22 @@ def _q_cc_fingerprint_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select("doc_id", "cluster_id")
 
 
-_FEATS_CACHE: dict[tuple[int, str], DataFrame] = {}
+_FEATS_CACHE: dict[tuple[int, str, str], DataFrame] = {}
 
 
-def _features_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _features_frame(
+    spark: SparkSession, sf_dir: str, config: PipelineConfig = ENTRY_CONFIG
+) -> DataFrame:
     """Shingle/MinHash/SimHash features, persisted and memoized per
-    (session, sf_dir): the feature UDF is the expensive part and several
-    queries (LSH pairs, SimHash pairs, verify joins) each reference the
-    frame from multiple plan branches — without the cache one
-    correctness run recomputes it ~4×."""
-    key = (id(spark), sf_dir)
+    (session, sf_dir, config): the feature UDF is the expensive part and
+    several queries (LSH pairs, SimHash pairs, verify joins) each
+    reference the frame from multiple plan branches — without the cache
+    one correctness run recomputes it ~4×."""
+    key = (id(spark), sf_dir, config.config_hash)
     if key not in _FEATS_CACHE:
         c = _corpus(spark, sf_dir)
         feats = c.select(
-            "doc_id", features_udf(ENTRY_CONFIG)(normalized("content")).alias("f")
+            "doc_id", features_udf(config)(normalized("content")).alias("f")
         )
         _FEATS_CACHE[key] = feats.select("doc_id", "f.*").persist()
     return _FEATS_CACHE[key]
@@ -543,6 +545,30 @@ def _q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_candidates.py."""
     feats = _features_frame(spark, sf_dir)
     pairs, _drops = simhash_candidate_pairs(feats, ENTRY_CONFIG)
+    return pairs.join(_fp_pairs(spark, sf_dir), ["doc_a", "doc_b"]).select(
+        "doc_a", "doc_b"
+    )
+
+
+WEIGHTED_CONFIG = PipelineConfig(
+    substring_min_len=120, simhash_weighted=True
+)
+
+
+def _q_simhash_weighted_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-frequency-WEIGHTED SimHash (Charikar 2002 / Manku WWW'07
+    weights = shingle multiplicities) through the same pigeonhole
+    machinery — the config's ``simhash_weighted=True`` mode, which
+    round 2 shipped without any driver-gate coverage. Restricted to
+    fingerprint-equal pairs: identical normalized content ⇒ identical
+    multiplicities ⇒ identical weighted fingerprint ⇒ Hamming 0, so
+    every such pair MUST surface; a crash, a null-handling bug, or a
+    shingle/multiplicity misalignment in the weighted kernel goes red.
+    The weighted-majority arithmetic itself is checked against a direct
+    per-bit python oracle in tests/test_numpy_core.py (the
+    SQL-side oracle cannot recompute splitmix64 bit votes)."""
+    feats = _features_frame(spark, sf_dir, WEIGHTED_CONFIG)
+    pairs, _drops = simhash_candidate_pairs(feats, WEIGHTED_CONFIG)
     return pairs.join(_fp_pairs(spark, sf_dir), ["doc_a", "doc_b"]).select(
         "doc_a", "doc_b"
     )
@@ -763,6 +789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_fingerprint_chains": _q_cc_fingerprint_chains,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "simhash_hamming_pairs": _q_simhash_hamming_pairs,
+        "simhash_weighted_pairs": _q_simhash_weighted_pairs,
         "substring_pairs": _q_substring_pairs,
         "incremental_assign": _q_incremental_assign,
         "dedup_pipeline": _q_dedup_pipeline,
@@ -1080,6 +1107,18 @@ FROM jj WHERE i / (tot - i) >= {ENTRY_CONFIG.jaccard_tau}
         # identical normalized content ⇒ identical SimHash ⇒ Hamming 0:
         # the pigeonhole buckets must surface every fingerprint pair
         "simhash_hamming_pairs": CORPUS_SQL + """
+, fpm AS (
+  SELECT doc_id,
+         sha256(trim(regexp_replace(content, '\\s+', ' ', 'g'))) AS f
+  FROM corpus
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM fpm a JOIN fpm b ON a.f = b.f AND a.doc_id < b.doc_id
+""",
+        # identical normalized content ⇒ identical shingle multiplicities
+        # ⇒ identical WEIGHTED fingerprint ⇒ Hamming 0 — every
+        # fingerprint pair must surface through the weighted mode too
+        "simhash_weighted_pairs": CORPUS_SQL + """
 , fpm AS (
   SELECT doc_id,
          sha256(trim(regexp_replace(content, '\\s+', ' ', 'g'))) AS f

@@ -28,13 +28,21 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
+from pyspark.sql import Window  # noqa: E402
+
 from deduplicatr_spark.config import PipelineConfig  # noqa: E402
 from deduplicatr_spark.functions import text as TXT  # noqa: E402
 from deduplicatr_spark.functions.features import features_udf  # noqa: E402
 from deduplicatr_spark.functions.hashing import normalized  # noqa: E402
+from deduplicatr_spark.operators.embedding_dedup import embedding_dup_pairs  # noqa: E402
 from deduplicatr_spark.operators.exact import duplicate_groups, with_identity  # noqa: E402
-from deduplicatr_spark.operators.lsh import lsh_candidate_pairs  # noqa: E402
+from deduplicatr_spark.operators.incremental import (  # noqa: E402
+    band_bucket_stats,
+    incremental_assign,
+)
+from deduplicatr_spark.operators.lsh import lsh_candidate_pairs, release_tracked  # noqa: E402
 from deduplicatr_spark.operators.pigeonhole import simhash_candidate_pairs  # noqa: E402
+from deduplicatr_spark.operators.suffix_array import substring_pairs  # noqa: E402
 from deduplicatr_spark.operators.topk import brute_force_topk  # noqa: E402
 from deduplicatr_spark.operators.verify import verify_pairs  # noqa: E402
 from deduplicatr_spark.plans.pipeline import DedupPipeline  # noqa: E402
@@ -134,32 +142,97 @@ def main() -> None:
 
     # q2a: fused feature extraction (shingles+MinHash+bands+SimHash UDF)
     # over content-distinct docs — mirrors the pipeline, which only
-    # featurizes exact-canonical docs
-    feats = (
+    # featurizes exact-canonical docs. min-of-2 like every repeat-safe
+    # query (round-2 verdict: single-sample queries made cross-round
+    # totals incomparable on this 25×-noise host).
+    distinct_docs = (
         corpus.dropDuplicates(["content"])
         .select(
-            F.xxhash64("repo", "path", "commit").alias("doc_id"),
-            features_udf(BENCH_CONFIG)(normalized("content")).alias("f"),
+            F.xxhash64("repo", "path", "commit").alias("doc_id"), "content"
         )
-        .select("doc_id", "f.*")
         .persist()
     )
-    timed("features", feats.count)
+
+    feats = (
+        distinct_docs.select(
+            "doc_id", features_udf(BENCH_CONFIG)(normalized("content")).alias("f")
+        )
+        .select("doc_id", "f.*")
+    )
+
+    def _features():
+        # unpersist → persist → count: each run does the full UDF pass,
+        # and the LAST run leaves the frame cached for the queries below
+        feats.unpersist()
+        feats.persist()
+        feats.count()
+
+    timed("features", _features, repeats=2)
 
     # q2b: MinHash/LSH candidates + exact-Jaccard verify (features cached)
     def _lsh():
         pairs, _ = lsh_candidate_pairs(feats, BENCH_CONFIG)
         verify_pairs(pairs, feats, BENCH_CONFIG).count()
+        release_tracked()
 
-    timed("minhash_lsh_verify", _lsh)
+    timed("minhash_lsh_verify", _lsh, repeats=2)
 
     # q3: SimHash pigeonhole + Hamming verify
     def _sim():
         pairs, _ = simhash_candidate_pairs(feats, BENCH_CONFIG)
         pairs.count()
+        release_tracked()
 
-    timed("simhash_pairs", _sim)
+    timed("simhash_pairs", _sim, repeats=2)
+
+    # q3b: suffix-array substring stage (the pipeline's opt-in s4b pass:
+    # CDC anchor fingerprints → buckets → exact LCS verify)
+    def _substr():
+        pairs, _ = substring_pairs(distinct_docs, BENCH_CONFIG)
+        pairs.count()
+        release_tracked()
+
+    timed("substring_pairs", _substr, repeats=2)
+
+    # q3c: incremental (delta) assignment — 5% of the corpus arrives as
+    # a fresh crawl increment against the already-indexed base: exact
+    # copies inherit by sha, whitespace variants go through the band
+    # join + Jaccard verify, novel docs found clusters. Base bucket
+    # stats are precomputed (the production path).
+    base_ident = distinct_docs.select(
+        "doc_id", F.sha2("content", 256).alias("sha256")
+    )
+    base_clusters = distinct_docs.select(
+        "doc_id", F.sha2(normalized("content"), 256).alias("_fp")
+    ).withColumn(
+        "cluster_id", F.min("doc_id").over(Window.partitionBy("_fp"))
+    ).select("doc_id", "cluster_id")
+    mode = F.pmod(F.col("doc_id"), F.lit(3))
+    delta = distinct_docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(20)) == 0).select(
+        F.lit("rX").alias("repo"),
+        F.concat(F.lit("inc/"), F.col("doc_id").cast("string")).alias("path"),
+        F.lit("c1").alias("commit"),
+        F.lit("txt").alias("lang"),
+        F.when(mode == 0, F.col("content"))                     # exact
+        .when(mode == 1, F.replace(F.col("content"), F.lit(" "), F.lit("   ")))  # near
+        .otherwise(F.repeat(F.sha2(F.concat(F.lit("inc"), F.col("doc_id").cast("string")), 256), 5))  # new
+        .alias("content"),
+    )
+    stats = band_bucket_stats(feats).persist()
+    stats.count()
+
+    def _inc():
+        out, _ = incremental_assign(
+            delta, base_ident, feats, base_clusters, BENCH_CONFIG,
+            base_band_stats=stats,
+        )
+        out.count()
+        release_tracked()
+
+    timed("incremental_assign", _inc, repeats=2)
+    stats.unpersist()
     feats.unpersist()
+    distinct_docs.unpersist()
     spark.catalog.clearCache()
     corpus.persist()
     corpus.count()
@@ -241,6 +314,21 @@ def main() -> None:
         lambda: brute_force_topk(emb, emb.filter(F.col("vec_id") < 100), k=10).count(),
         repeats=2,
     )
+
+    # q7: embedding-cosine near-dup pairs (banded hyperplane LSH +
+    # bucketed candidates + exact re-rank — no cartesian in the plan)
+    emb_v = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    ).persist()
+    emb_v.count()
+
+    def _embdup():
+        pairs, _ = embedding_dup_pairs(emb_v, tau=0.9, dim=64, config=BENCH_CONFIG)
+        pairs.count()
+        release_tracked()
+
+    timed("embedding_dup_pairs", _embdup, repeats=2)
+    emb_v.unpersist()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -65,6 +65,13 @@ class PipelineConfig:
     # --- suffix-array substring stage (SURVEY §2.9) ---
     substring_min_len: int = 200
     substring_partitions: int = 8   # corpus partitions for per-partition SA
+    # per-doc size bound for the LCS verify: the suffix-array rank stack
+    # costs 4·(na+nb)·log2(na+nb) bytes per candidate pair (~176 MB at
+    # 1 MiB docs; ~10.8 GB at 100 MB docs → worker OOM). Docs over this
+    # byte length are excluded from the substring stage entirely and
+    # LEDGERED in drop_stats (oversize_docs/oversize_bytes) — no silent
+    # caps. Raise on big-memory executors; 0 disables the bound.
+    substring_max_doc_bytes: int = 1_048_576
     # when True the pipeline adds LCS-verified substring pairs to the
     # cluster edge set (s4b). Off by default: substring-dups merge docs
     # that whole-doc Jaccard would keep apart, which changes cluster

@@ -43,6 +43,15 @@ def sketchy_sha256(col: str | Column = "content", chunk: int = 1024) -> Column:
     confirmed with ``content_sha256`` before being reported as exact
     dups. All built-ins → whole-stage codegen; at 100 TB this reads ≤2 KB
     of each value post-scan instead of hashing entire multi-MB blobs.
+
+    DEVIATION from the reference: substring/right/length here are
+    CHARACTER-based (Spark string semantics) while the reference slices
+    raw BYTES and folds the byte length — on multi-byte (non-ASCII)
+    content the chunk boundaries and the folded length differ, which can
+    change which docs take the head+tail branch and how they group. The
+    DuckDB oracle is char-based too, so the correctness gate matches; if
+    byte-exact reference parity ever matters, compute on
+    ``octet_length`` + byte slices over ``encode(c, 'UTF-8')`` instead.
     """
     c = F.col(col) if isinstance(col, str) else col
     head_tail = F.concat(

@@ -1,23 +1,27 @@
 """Multimodal column plumbing — images/audio/video as opaque binary.
 
 The Spark-side machinery (schema, Arrow batching, ``mapInPandas``
-signatures, partition behavior) is real and tested; the actual
-image/audio decoding is STUBBED because the codec libraries are not in
-this container:
+signatures, partition behavior) is real and tested, and — since round
+3 — so is header-level image METADATA decoding: ``real_decoder=True``
+parses PNG / GIF / JPEG container headers (public formats: PNG IHDR,
+GIF logical screen descriptor, JPEG SOFn frame segment) with zero
+third-party dependencies, and cross-validates against PIL when that
+library happens to be importable (tests/test_text_vectors.py,
+skip-guarded).
 
-* ``decode_image_meta`` raises ``NotImplementedError`` when asked for a
-  real decode, and
-* ``fake_decode_meta`` is the deterministic stand-in used by tests and
-  the oracle — it derives metadata purely from byte length + id, so the
-  DuckDB oracle can verify the plumbing end-to-end.
-
-Swapping in a real decoder is a one-function change: replace
-``_derive_meta`` inside the mapInPandas closure with PIL/libav calls —
-batch shape, schema and partitioning stay identical.
+What remains stubbed — and documented as the container boundary — is
+PIXEL-level work (decompress, resize, frame-sample): that genuinely
+needs codec libraries not present in this container. The deterministic
+``fake`` mode stays as the oracle-checkable stand-in used by the
+``multimodal_meta`` correctness query, so the plumbing is verified
+end-to-end either way. Swapping in a full decoder is a one-function
+change: replace ``_decode_meta`` with PIL/libav calls — batch shape,
+schema and partitioning stay identical.
 """
 
 from __future__ import annotations
 
+import struct
 from typing import Iterator
 
 import pandas as pd
@@ -26,6 +30,45 @@ from pyspark.sql import functions as F
 
 BINARY_DOC_SCHEMA = "doc_id long, payload binary, media_type string"
 META_SCHEMA = "doc_id long, n_bytes long, width int, height int, media_type string"
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def parse_image_header(buf: bytes) -> tuple[int | None, int | None, str | None]:
+    """(width, height, media_type) from a real image container header,
+    or (None, None, None) when the payload is not a recognized format.
+    Pure stdlib; formats per their public specs:
+
+    * PNG: 8-byte magic, then the IHDR chunk — width/height are
+      big-endian uint32 at byte offsets 16/20.
+    * GIF: 'GIF87a'/'GIF89a', then the logical screen descriptor —
+      width/height little-endian uint16 at offsets 6/8.
+    * JPEG: SOI (FFD8) then marker segments; the SOFn frame header
+      (C0–C3, C5–C7, C9–CB, CD–CF) carries height/width big-endian
+      uint16 at segment offsets 5/7.
+    """
+    if len(buf) >= 24 and buf[:8] == _PNG_MAGIC:
+        w, h = struct.unpack(">II", buf[16:24])
+        return w, h, "image/png"
+    if len(buf) >= 10 and buf[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", buf[6:10])
+        return w, h, "image/gif"
+    if len(buf) >= 4 and buf[:2] == b"\xff\xd8":
+        i = 2
+        while i + 9 <= len(buf):
+            if buf[i] != 0xFF:
+                break
+            marker = buf[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers have no length field
+                continue
+            seg_len = struct.unpack(">H", buf[i + 2 : i + 4])[0]
+            if marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                          0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                h, w = struct.unpack(">HH", buf[i + 5 : i + 9])
+                return w, h, "image/jpeg"
+            i += 2 + seg_len
+    return None, None, None
 
 
 def to_binary_docs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -41,36 +84,44 @@ def to_binary_docs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 def decode_image_meta(real_decoder: bool = False):
     """mapInPandas operator: binary payload → typed metadata rows.
 
-    ``real_decoder=True`` requires PIL (not in this container) and
-    raises NotImplementedError — the documented stub boundary.
-    """
-    if real_decoder:
-        raise NotImplementedError(
-            "image decoding requires PIL/pillow, not present in this "
-            "environment; use real_decoder=False for the deterministic stub"
-        )
+    ``real_decoder=True`` parses actual PNG/GIF/JPEG headers
+    (``parse_image_header``); unrecognized payloads keep their declared
+    media_type with NULL dimensions. ``real_decoder=False`` is the
+    deterministic fake used by the DuckDB-checkable plumbing query
+    (dimensions derived from the id)."""
 
-    def _derive_meta(pdf: pd.DataFrame) -> pd.DataFrame:
+    def _decode_meta(pdf: pd.DataFrame) -> pd.DataFrame:
         n_bytes = pdf["payload"].map(len).astype("int64")
-        # deterministic fake dimensions from the id — oracle-expressible
-        width = (pdf["doc_id"] % 640 + 1).astype("int32")
-        height = (pdf["doc_id"] % 480 + 1).astype("int32")
+        if real_decoder:
+            parsed = [parse_image_header(bytes(b)) for b in pdf["payload"]]
+            width = pd.array([p[0] for p in parsed], dtype="Int32")
+            height = pd.array([p[1] for p in parsed], dtype="Int32")
+            media = pd.Series(
+                [p[2] for p in parsed], index=pdf.index, dtype="object"
+            ).fillna(pdf["media_type"])
+        else:
+            # deterministic fake dimensions from the id — oracle-expressible
+            width = (pdf["doc_id"] % 640 + 1).astype("int32")
+            height = (pdf["doc_id"] % 480 + 1).astype("int32")
+            media = pdf["media_type"]
         return pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
                 "n_bytes": n_bytes,
                 "width": width,
                 "height": height,
-                "media_type": pdf["media_type"],
+                "media_type": media,
             }
         )
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield _derive_meta(pdf)
+            yield _decode_meta(pdf)
 
     return op
 
 
-def extract_meta(binary_docs: DataFrame) -> DataFrame:
-    return binary_docs.mapInPandas(decode_image_meta(), schema=META_SCHEMA)
+def extract_meta(binary_docs: DataFrame, real_decoder: bool = False) -> DataFrame:
+    return binary_docs.mapInPandas(
+        decode_image_meta(real_decoder), schema=META_SCHEMA
+    )

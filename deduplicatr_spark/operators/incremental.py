@@ -7,23 +7,45 @@ touches only:
 
 1. **Exact path** — new sha256 values equi-join the base identity
    table (shuffle ∝ delta; the base side is a keyed aggregate that a
-   warehouse would keep bucketed by sha256).
-2. **Near path** — only unmatched new docs are featurized (the
-   expensive UDF runs on the delta alone), and their band hashes
+   warehouse would keep bucketed by sha256). Delta-INTERNAL exact
+   duplicates are linked too: within the unmatched remainder, one
+   canonical per sha256 (min doc_id) proceeds to the near path and its
+   copies inherit whatever it is assigned (via='exact') — two identical
+   new docs can never split into separate clusters.
+2. **Near path** — only unmatched canonical new docs are featurized
+   (the expensive UDF runs on the delta alone), and their band hashes
    equi-join the base band index. Hot base buckets (license
    boilerplate) are thinned with the same deterministic cap + drop
-   ledger as the batch LSH stage — no silent caps.
+   ledger as the batch LSH stage — no silent caps. Base bucket sizes
+   come from a PRECOMPUTED stats table when provided
+   (``band_bucket_stats`` — persist it at index-build time); only when
+   absent does the operator fall back to aggregating the full base band
+   index, which at a 10^12-doc base would be a full-index pass per
+   daily delta.
 3. **Verification** — exact Jaccard on shingles for (new × base)
    candidates only; each new doc adopts the cluster of its best match
    (max Jaccard, then min cluster id — deterministic), or founds a new
    cluster keyed by its own doc_id.
 
-No base×base work anywhere: total cost is O(delta + matched buckets).
+Known limitation (documented contract): delta-internal NEAR duplicates
+(two new docs that are near-dups of each other but match nothing in the
+base) each found their own cluster within the increment — they merge
+when the next BATCH run re-clusters, or by running the delta through
+the full pipeline when delta-internal near-dup linking matters. Linking
+them in-increment would be a delta×delta LSH pass (delta-sized, cheap,
+but it changes the increment's "assign against base" contract).
+
+``IncrementalPipeline`` wraps the same stages with CheckpointStore
+commits (i1_identity → i2_exact/i2_rest → i3_features → i4_near →
+i5_assignments) so a killed increment resumes from its last completed
+stage instead of zero — the same idempotent-resume contract as the
+batch pipeline (SURVEY.md §2.12).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from deduplicatr_spark.config import PipelineConfig
@@ -33,51 +55,86 @@ from deduplicatr_spark.operators.exact import with_identity
 from deduplicatr_spark.operators.lsh import _track, explode_bands
 
 
-def incremental_assign(
-    new_docs: DataFrame,
-    base_identity: DataFrame,
-    base_features: DataFrame,
-    base_clusters: DataFrame,
-    config: PipelineConfig,
-) -> tuple[DataFrame, DataFrame]:
-    """Returns ``(assignments, drop_stats)``.
-
-    ``new_docs``: (repo, path, commit, lang, content) — the delta.
-    ``base_identity``: (doc_id, sha256) of the indexed corpus.
-    ``base_features``: (doc_id, shingles, band_hashes) of base docs
-    (the batch pipeline's s2 checkpoint — reread, never recomputed).
-    ``base_clusters``: (doc_id, cluster_id) from the batch run.
-
-    ``assignments``: (doc_id, cluster_id, via ∈ {exact, near, new})
-    for every delta row. ``drop_stats``: one-row ledger of thinned hot
-    base buckets.
-    """
-    new_ident = with_identity(new_docs)
-
-    # -- 1. exact: inherit the cluster of any base doc with equal sha256
-    base_sha = (
-        base_identity.join(base_clusters, "doc_id")
-        .groupBy("sha256")
-        .agg(F.min("cluster_id").alias("_cl_exact"))
+def band_bucket_stats(base_features: DataFrame) -> DataFrame:
+    """(band_hash, n) bucket sizes of the base band index — persist this
+    ONCE at index-build time (e.g. ``store.write("ix_band_stats", ...)``
+    after the batch s2 checkpoint) and hand it to every increment, so
+    the per-delta cost never includes a full-base aggregation."""
+    return explode_bands(base_features).groupBy("band_hash").agg(
+        F.count(F.lit(1)).alias("n")
     )
-    tagged = new_ident.join(base_sha, "sha256", "left")
+
+
+def exact_split(
+    new_ident: DataFrame,
+    base_identity: DataFrame,
+    base_clusters: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Stage 1: sha256 equi-join against the base.
+
+    Returns ``(exact, rest, delta_dups)``:
+    ``exact`` — (doc_id, cluster_id, via='exact') for delta rows whose
+    sha256 exists in the base (cluster = min matching base cluster; a
+    base doc missing from base_clusters — e.g. CC labels omit isolated
+    nodes — falls back to its own doc_id, mirroring the batch
+    assignment coalesce, so exact copies can never silently drop
+    through to the near path).
+    ``rest`` — (doc_id, sha256, content): one CANONICAL (min doc_id)
+    per unmatched delta sha256.
+    ``delta_dups`` — (doc_id, canon_id): unmatched delta rows that are
+    exact copies of a rest canonical; they inherit its assignment.
+    """
+    base_sha = (
+        base_identity.join(base_clusters, "doc_id", "left")
+        .withColumn("_cl", F.coalesce("cluster_id", "doc_id"))
+        .groupBy("sha256")
+        .agg(F.min("_cl").alias("_cl_exact"))
+    )
+    tagged = new_ident.select("doc_id", "sha256", "content").join(
+        base_sha, "sha256", "left"
+    )
+    # persisted: the exact/rest filters below each scan this join once
+    tagged = _track(tagged.persist(StorageLevel.MEMORY_AND_DISK))
     exact = tagged.filter(F.col("_cl_exact").isNotNull()).select(
         "doc_id", F.col("_cl_exact").alias("cluster_id"), F.lit("exact").alias("via")
     )
-    rest = tagged.filter(F.col("_cl_exact").isNull()).select(
-        "doc_id", "content"
+    unmatched = tagged.filter(F.col("_cl_exact").isNull()).select(
+        "doc_id", "sha256", "content"
     )
-
-    # -- 2. near: featurize ONLY the unmatched delta, join band indexes
-    # persisted (tracked for caller-side release): the band explode and
-    # the shingle join both scan this frame — without the cache the
-    # delta feature UDF runs twice
-    feats = _track(
-        rest.select(
-            "doc_id", features_udf(config)(normalized("content")).alias("f")
-        ).select("doc_id", "f.*").persist()
+    w = Window.partitionBy("sha256")
+    with_canon = unmatched.withColumn("_canon", F.min("doc_id").over(w))
+    rest = with_canon.filter(F.col("doc_id") == F.col("_canon")).select(
+        "doc_id", "sha256", "content"
     )
+    delta_dups = with_canon.filter(F.col("doc_id") != F.col("_canon")).select(
+        "doc_id", F.col("_canon").alias("canon_id")
+    )
+    return exact, rest, delta_dups
 
+
+def delta_features(rest: DataFrame, config: PipelineConfig) -> DataFrame:
+    """Stage 2: featurize ONLY the unmatched canonical delta docs."""
+    return rest.select(
+        "doc_id", features_udf(config)(normalized("content")).alias("f")
+    ).select("doc_id", "f.*")
+
+
+def near_assign(
+    feats: DataFrame,
+    base_features: DataFrame,
+    base_clusters: DataFrame,
+    config: PipelineConfig,
+    base_band_stats: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Stage 3: band-join the delta features against the base band
+    index, Jaccard-verify, adopt the best base cluster.
+
+    Returns ``(near, drop_stats)`` — near: (doc_id, cluster_id,
+    via='near'). ``base_band_stats``: precomputed (band_hash, n) from
+    ``band_bucket_stats`` — when given, NO aggregation over the full
+    base index appears in the plan (assert via .explain: the only scan
+    of base_features feeds the equi-join / shingle lookup).
+    """
     new_bands = explode_bands(feats).withColumnsRenamed({"doc_id": "_new_id"})
     base_bands = explode_bands(base_features).withColumnsRenamed(
         {"doc_id": "_base_id"}
@@ -85,7 +142,11 @@ def incremental_assign(
     # thin hot BASE buckets pre-join (the delta side is small by
     # definition): deterministic keep-mod, dropped rows ledgered
     cap = config.max_bucket_size
-    sizes = base_bands.groupBy("band_hash").agg(F.count(F.lit(1)).alias("n"))
+    sizes = (
+        base_band_stats
+        if base_band_stats is not None
+        else base_bands.groupBy("band_hash").agg(F.count(F.lit(1)).alias("n"))
+    )
     hot = sizes.filter(F.col("n") > config.hot_key_threshold)
     annotated = base_bands.join(F.broadcast(hot), "band_hash", "left")
     keep_mod = F.greatest(F.floor(F.col("n") / F.lit(2 * cap)), F.lit(1))
@@ -101,7 +162,6 @@ def incremental_assign(
         .distinct()
     )
 
-    # -- 3. verify + adopt best base cluster
     sh_new = feats.select(F.col("doc_id").alias("_new_id"), F.col("shingles").alias("_sa"))
     sh_base = base_features.select(
         F.col("doc_id").alias("_base_id"), F.col("shingles").alias("_sb")
@@ -137,8 +197,21 @@ def incremental_assign(
             F.lit("near").alias("via"),
         )
     )
+    drop_stats = hot.agg(
+        F.count(F.lit(1)).alias("hot_buckets"),
+        F.coalesce(F.sum("n"), F.lit(0)).alias("hot_rows"),
+    )
+    return near, drop_stats
 
-    # -- 4. fresh: unmatched delta docs found their own cluster
+
+def finalize_assignments(
+    exact: DataFrame,
+    rest: DataFrame,
+    delta_dups: DataFrame,
+    near: DataFrame,
+) -> DataFrame:
+    """Stage 4: union the paths; unmatched canonicals found their own
+    cluster; delta-internal exact copies inherit their canonical's."""
     fresh = (
         rest.select("doc_id")
         .join(near.select("doc_id"), "doc_id", "left_anti")
@@ -146,9 +219,131 @@ def incremental_assign(
             "doc_id", F.col("doc_id").alias("cluster_id"), F.lit("new").alias("via")
         )
     )
-
-    drop_stats = hot.agg(
-        F.count(F.lit(1)).alias("hot_buckets"),
-        F.coalesce(F.sum("n"), F.lit(0)).alias("hot_rows"),
+    canon_assign = near.unionByName(fresh).select(
+        F.col("doc_id").alias("canon_id"), F.col("cluster_id").alias("_ccl")
     )
-    return exact.unionByName(near).unionByName(fresh), drop_stats
+    dup_assign = delta_dups.join(canon_assign, "canon_id").select(
+        "doc_id", F.col("_ccl").alias("cluster_id"), F.lit("exact").alias("via")
+    )
+    return exact.unionByName(near).unionByName(fresh).unionByName(dup_assign)
+
+
+def incremental_assign(
+    new_docs: DataFrame,
+    base_identity: DataFrame,
+    base_features: DataFrame,
+    base_clusters: DataFrame,
+    config: PipelineConfig,
+    base_band_stats: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """One-shot composition of the stages above. Returns
+    ``(assignments, drop_stats)``.
+
+    ``new_docs``: (repo, path, commit, lang, content) — the delta.
+    ``base_identity``: (doc_id, sha256) of the indexed corpus.
+    ``base_features``: (doc_id, shingles, band_hashes) of base docs
+    (the batch pipeline's s2 checkpoint — reread, never recomputed).
+    ``base_clusters``: (doc_id, cluster_id) from the batch run.
+    ``base_band_stats``: optional precomputed (band_hash, n) — see
+    ``band_bucket_stats``.
+
+    ``assignments``: (doc_id, cluster_id, via ∈ {exact, near, new})
+    for every delta row. ``drop_stats``: one-row ledger of thinned hot
+    base buckets.
+    """
+    new_ident = with_identity(new_docs)
+    exact, rest, delta_dups = exact_split(new_ident, base_identity, base_clusters)
+
+    # persisted (tracked for caller-side release): the band explode and
+    # the shingle join both scan this frame — without the cache the
+    # delta feature UDF runs twice
+    feats = _track(delta_features(rest, config).persist())
+
+    near, drop_stats = near_assign(
+        feats, base_features, base_clusters, config, base_band_stats
+    )
+    return finalize_assignments(exact, rest, delta_dups, near), drop_stats
+
+
+class IncrementalPipeline:
+    """Checkpointed increment: every stage commits through the
+    CheckpointStore (config-hash marker + atomic rename), so a killed
+    delta run resumes from its last completed stage.
+
+    The base-side inputs are read as DataFrames (typically the batch
+    run's s2_features / s6_assignments checkpoints plus a persisted
+    ``band_bucket_stats`` table); only delta-derived artifacts are
+    written here.
+    """
+
+    STAGES = ["i1_identity", "i2_exact", "i2_rest", "i2_delta_dups",
+              "i3_features", "i4_near", "i5_assignments"]
+
+    def __init__(self, spark: SparkSession, config: PipelineConfig,
+                 checkpoint_root: str):
+        from deduplicatr_spark.sources.catalog import CheckpointStore
+
+        self.spark = spark
+        self.config = config
+        self.store = CheckpointStore(
+            spark, checkpoint_root, config.config_hash, fmt=config.checkpoint_format
+        )
+
+    def run(
+        self,
+        new_docs: DataFrame,
+        base_identity: DataFrame,
+        base_features: DataFrame,
+        base_clusters: DataFrame,
+        base_band_stats: DataFrame | None = None,
+    ) -> DataFrame:
+        from deduplicatr_spark.operators.lsh import release_tracked
+
+        cfg, store = self.config, self.store
+        if base_band_stats is None:
+            # computed once per increment root, then a cheap reread —
+            # but prefer passing the index-build-time table
+            base_band_stats = store.get_or_compute(
+                "i0_band_stats", lambda: band_bucket_stats(base_features)
+            )
+
+        ident = store.get_or_compute(
+            "i1_identity", lambda: with_identity(new_docs).select(
+                "doc_id", "sha256", "content"
+            )
+        )
+
+        split: dict[str, DataFrame] = {}
+
+        def _split(part: str):
+            def compute():
+                if not split:
+                    e, r, d = exact_split(ident, base_identity, base_clusters)
+                    split.update({"i2_exact": e, "i2_rest": r, "i2_delta_dups": d})
+                return split[part]
+            return compute
+
+        exact = store.get_or_compute("i2_exact", _split("i2_exact"))
+        rest = store.get_or_compute("i2_rest", _split("i2_rest"))
+        delta_dups = store.get_or_compute("i2_delta_dups", _split("i2_delta_dups"))
+
+        feats = store.get_or_compute(
+            "i3_features", lambda: delta_features(rest, cfg)
+        )
+
+        def _near():
+            near, drops = near_assign(
+                feats, base_features, base_clusters, cfg, base_band_stats
+            )
+            d = drops.collect()[0].asDict()
+            store.write_metrics([{"stage": "i4_near", "kind": "base_hot_buckets", **d}])
+            return near
+
+        near = store.get_or_compute("i4_near", _near)
+
+        out = store.get_or_compute(
+            "i5_assignments",
+            lambda: finalize_assignments(exact, rest, delta_dups, near),
+        )
+        release_tracked()
+        return out

@@ -220,15 +220,42 @@ def substring_pairs(
     Returns (pairs, drop_stats). Candidate generation reuses the LSH
     bucket pipeline on anchor fingerprints (operators/lsh.py — range
     shuffle, hot-bucket thinning, caps with accounting).
+
+    Docs over ``config.substring_max_doc_bytes`` are EXCLUDED from the
+    stage (anchors and verification alike) and accounted in drop_stats
+    (``oversize_docs``/``oversize_bytes``) — the LCS verify's rank stack
+    is 4·(na+nb)·log₂(na+nb) bytes per candidate pair, so one unbounded
+    multi-100MB pair would OOM a worker (round-2 verdict item). No
+    silent caps: the ledger row makes the recall loss visible.
     """
     from deduplicatr_spark.operators.lsh import lsh_candidate_pairs
 
-    fps = docs_with_content.select(
+    cap_bytes = config.substring_max_doc_bytes
+    sized = docs_with_content.select(
+        "doc_id", "content", F.octet_length("content").alias("_nb")
+    )
+    if cap_bytes and cap_bytes > 0:
+        eligible = sized.filter(F.col("_nb") <= cap_bytes)
+        oversize_agg = (
+            sized.filter(F.col("_nb") > cap_bytes)
+            .agg(
+                F.count(F.lit(1)).alias("oversize_docs"),
+                F.coalesce(F.sum("_nb"), F.lit(0)).alias("oversize_bytes"),
+            )
+        )
+    else:
+        eligible = sized
+        oversize_agg = sized.sparkSession.createDataFrame(
+            [(0, 0)], "oversize_docs long, oversize_bytes long"
+        )
+
+    fps = eligible.select(
         "doc_id", anchor_fp_udf(config)(F.col("content")).alias("band_hashes")
     ).filter(F.size("band_hashes") > 0)
     cand, drop_stats = lsh_candidate_pairs(fps, config)
+    drop_stats = drop_stats.crossJoin(oversize_agg)
 
-    content = docs_with_content.select("doc_id", "content")
+    content = eligible.select("doc_id", "content")
     joined = (
         cand.join(
             content.withColumnsRenamed({"doc_id": "doc_a", "content": "_ca"}), "doc_a"

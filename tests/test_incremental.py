@@ -3,28 +3,29 @@ no base×base recomputation (operators/incremental.py)."""
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
-
 from deduplicatr_spark.config import PipelineConfig
 from deduplicatr_spark.functions.features import features_udf
 from deduplicatr_spark.functions.hashing import normalized
 from deduplicatr_spark.operators.exact import with_identity
-from deduplicatr_spark.operators.incremental import incremental_assign
+from deduplicatr_spark.operators.incremental import (
+    IncrementalPipeline,
+    band_bucket_stats,
+    incremental_assign,
+)
 
 CFG = PipelineConfig()
 
+DOCS_SCHEMA = "repo string, path string, commit string, lang string, content string"
 
-def test_incremental_assign_paths(spark):
+
+def _base_fixture(spark):
     base_rows = [
         ("r0", "a.py", "c0", "py", "def alpha(): return compute(alpha_input) + 1\n" * 4),
         ("r0", "b.py", "c0", "py", "def alpha(): return compute(alpha_input) + 1\n" * 4),
         ("r1", "c.py", "c0", "py", "class Widget: pass  # totally different content here\n" * 4),
     ]
-    base = spark.createDataFrame(
-        base_rows, "repo string, path string, commit string, lang string, content string"
-    )
+    base = spark.createDataFrame(base_rows, DOCS_SCHEMA)
     base_ident = with_identity(base).select("doc_id", "sha256")
-    # batch clusters: a.py and b.py share one cluster; c.py its own
     ids = {r["path"]: r["doc_id"] for r in with_identity(base).collect()}
     lo = min(ids["a.py"], ids["b.py"])
     clusters = spark.createDataFrame(
@@ -34,6 +35,11 @@ def test_incremental_assign_paths(spark):
     feats = with_identity(base).select(
         "doc_id", features_udf(CFG)(normalized("content")).alias("f")
     ).select("doc_id", "f.*")
+    return base_rows, base_ident, clusters, feats, ids, lo
+
+
+def test_incremental_assign_paths(spark):
+    base_rows, base_ident, clusters, feats, ids, lo = _base_fixture(spark)
 
     new_rows = [
         # exact copy of a.py → inherit lo via sha256
@@ -43,9 +49,7 @@ def test_incremental_assign_paths(spark):
         # disjoint → founds its own cluster
         ("rX", "new.py", "c1", "py", "entirely unrelated tokens " * 20),
     ]
-    new = spark.createDataFrame(
-        new_rows, "repo string, path string, commit string, lang string, content string"
-    )
+    new = spark.createDataFrame(new_rows, DOCS_SCHEMA)
     out, drops = incremental_assign(new, base_ident, feats, clusters, CFG)
     got = {r["doc_id"]: (r["cluster_id"], r["via"]) for r in out.collect()}
     new_ids = {r["path"]: r["doc_id"] for r in with_identity(new).collect()}
@@ -55,3 +59,149 @@ def test_incremental_assign_paths(spark):
     assert got[new_ids["new.py"]] == (new_ids["new.py"], "new")
     assert len(got) == 3
     assert drops.collect()[0]["hot_buckets"] == 0
+
+
+def test_delta_internal_exact_dups_share_cluster(spark):
+    """Two identical new docs absent from the base must land in ONE
+    cluster (the delta-internal exact pass), and an exact copy of a
+    near-matched new doc must inherit the near match's cluster."""
+    base_rows, base_ident, clusters, feats, ids, lo = _base_fixture(spark)
+    fresh_txt = "completely novel implementation of nothing at all " * 10
+    new_rows = [
+        ("rX", "f1.py", "c1", "py", fresh_txt),
+        ("rX", "f2.py", "c1", "py", fresh_txt),          # exact copy of f1
+        ("rX", "ws.py", "c1", "py", base_rows[0][4].replace(" ", "  ")),
+        ("rX", "ws2.py", "c1", "py", base_rows[0][4].replace(" ", "  ")),  # copy of ws
+    ]
+    new = spark.createDataFrame(new_rows, DOCS_SCHEMA)
+    out, _ = incremental_assign(new, base_ident, feats, clusters, CFG)
+    got = {r["doc_id"]: (r["cluster_id"], r["via"]) for r in out.collect()}
+    nid = {r["path"]: r["doc_id"] for r in with_identity(new).collect()}
+
+    canon_f = min(nid["f1.py"], nid["f2.py"])
+    assert got[canon_f] == (canon_f, "new")
+    other_f = max(nid["f1.py"], nid["f2.py"])
+    assert got[other_f] == (canon_f, "exact")  # linked, not split
+
+    canon_ws = min(nid["ws.py"], nid["ws2.py"])
+    other_ws = max(nid["ws.py"], nid["ws2.py"])
+    assert got[canon_ws] == (lo, "near")
+    assert got[other_ws] == (lo, "exact")      # inherits the near match
+    assert len(got) == 4
+
+
+def test_exact_copy_of_unclustered_base_doc_still_exact(spark):
+    """A base doc missing from base_clusters (CC labels omit isolated
+    nodes) must still catch its exact delta copy — coalesced to its own
+    doc_id, never falling through to near/new."""
+    base_rows, base_ident, _clusters, feats, ids, lo = _base_fixture(spark)
+    # clusters table WITHOUT c.py (simulates CC-label-only input)
+    partial = spark.createDataFrame(
+        [(ids["a.py"], lo), (ids["b.py"], lo)], "doc_id long, cluster_id long"
+    )
+    new = spark.createDataFrame(
+        [("rX", "ccopy.py", "c1", "py", base_rows[2][4])], DOCS_SCHEMA
+    )
+    out, _ = incremental_assign(new, base_ident, feats, partial, CFG)
+    row = out.collect()[0]
+    assert (row["cluster_id"], row["via"]) == (ids["c.py"], "exact")
+
+
+def test_precomputed_band_stats_replace_base_aggregation(spark):
+    """With base_band_stats provided, the operator must USE them (no
+    full-base groupBy): stats that mark nothing hot ⇒ no thinning even
+    though recomputation would find a hot bucket — and vice versa."""
+    hot_cfg = PipelineConfig(hot_key_threshold=4, max_bucket_size=2)
+    txt = "the same boilerplate license header everywhere\n" * 4
+    base = spark.createDataFrame(
+        [("r0", f"d{i}.py", "c0", "py", txt) for i in range(8)], DOCS_SCHEMA
+    )
+    base_ident = with_identity(base).select("doc_id", "sha256")
+    bids = [r["doc_id"] for r in base_ident.collect()]
+    clusters = spark.createDataFrame(
+        [(d, min(bids)) for d in bids], "doc_id long, cluster_id long"
+    )
+    feats = with_identity(base).select(
+        "doc_id", features_udf(hot_cfg)(normalized("content")).alias("f")
+    ).select("doc_id", "f.*")
+    new = spark.createDataFrame(
+        [("rX", "n.py", "c1", "py", txt + "extra tail line\n")], DOCS_SCHEMA
+    )
+
+    # recomputed path: 8 identical docs → every band bucket is hot (>4)
+    _, drops_recomputed = incremental_assign(
+        new, base_ident, feats, clusters, hot_cfg
+    )
+    assert drops_recomputed.collect()[0]["hot_buckets"] > 0
+
+    # provided stats say nothing is hot → thinning must NOT kick in,
+    # proving the full-base aggregation was replaced by the stats input
+    cold_stats = spark.createDataFrame([], "band_hash long, n long")
+    out, drops_cold = incremental_assign(
+        new, base_ident, feats, clusters, hot_cfg, base_band_stats=cold_stats
+    )
+    assert drops_cold.collect()[0]["hot_buckets"] == 0
+    # and the real stats builder reproduces the recomputed ledger
+    _, drops_built = incremental_assign(
+        new, base_ident, feats, clusters, hot_cfg,
+        base_band_stats=band_bucket_stats(feats),
+    )
+    assert (
+        drops_built.collect()[0]["hot_buckets"]
+        == drops_recomputed.collect()[0]["hot_buckets"]
+    )
+
+
+def test_incremental_pipeline_kill_resume(spark, tmp_path):
+    """A killed increment resumes from its last committed stage: stages
+    completed before the kill are skipped (markers honored) and the
+    final assignments equal the one-shot operator's."""
+    base_rows, base_ident, clusters, feats, ids, lo = _base_fixture(spark)
+    new_rows = [
+        ("rX", "copy.py", "c1", "py", base_rows[0][4]),
+        ("rX", "ws.py", "c1", "py", base_rows[0][4].replace(" ", "  ")),
+        ("rX", "new.py", "c1", "py", "entirely unrelated tokens " * 20),
+    ]
+    new = spark.createDataFrame(new_rows, DOCS_SCHEMA)
+    root = str(tmp_path / "inc")
+    stats = band_bucket_stats(feats)
+
+    # simulate a kill right after i3_features commits: run the real
+    # pipeline but poison the near stage inputs via a broken clusters
+    # frame that only the near path touches... simpler and honest:
+    # run stages 1-3 by hand through the same store, then a fresh
+    # pipeline instance must skip them (markers) and finish.
+    pipe = IncrementalPipeline(spark, CFG, root)
+    store = pipe.store
+    from deduplicatr_spark.operators.incremental import (
+        delta_features,
+        exact_split,
+    )
+
+    ident = store.get_or_compute(
+        "i1_identity",
+        lambda: with_identity(new).select("doc_id", "sha256", "content"),
+    )
+    e, r, d = exact_split(ident, base_ident, clusters)
+    store.get_or_compute("i2_exact", lambda: e)
+    store.get_or_compute("i2_rest", lambda: r)
+    store.get_or_compute("i2_delta_dups", lambda: d)
+    rest = store.read("i2_rest")
+    store.get_or_compute("i3_features", lambda: delta_features(rest, CFG))
+    assert store.exists("i3_features") and not store.exists("i4_near")
+
+    # "restart": a new pipeline object on the same root must reuse the
+    # committed stages — poison new_docs so any recompute of i1 fails
+    poisoned = spark.createDataFrame([], DOCS_SCHEMA)
+    pipe2 = IncrementalPipeline(spark, CFG, root)
+    out = pipe2.run(poisoned, base_ident, feats, clusters, base_band_stats=stats)
+    got = {r2["doc_id"]: (r2["cluster_id"], r2["via"]) for r2 in out.collect()}
+    nid = {r2["path"]: r2["doc_id"] for r2 in with_identity(new).collect()}
+    assert got[nid["copy.py"]] == (lo, "exact")
+    assert got[nid["ws.py"]] == (lo, "near")
+    assert got[nid["new.py"]] == (nid["new.py"], "new")
+    assert len(got) == 3
+
+    # full resume: every stage committed → a rerun touches nothing
+    out2 = pipe2.run(poisoned, base_ident, feats, clusters, base_band_stats=stats)
+    assert sorted(map(tuple, out2.collect())) == sorted(map(tuple, out.collect()))

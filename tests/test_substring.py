@@ -111,3 +111,41 @@ def test_match_len_at_least_min(spark):
     rows = {(r["doc_a"], r["doc_b"]): r["match_len"] for r in pairs.collect()}
     assert (1, 2) in rows and rows[(1, 2)] >= 300
     assert all(k in ((1, 2),) for k in rows)
+
+
+def test_oversize_docs_excluded_and_ledgered(spark):
+    """Docs over substring_max_doc_bytes must not reach the LCS verify
+    (one unbounded pair can OOM a worker) — and the exclusion must be
+    accounted in drop_stats, never silent."""
+    rng = np.random.default_rng(21)
+    block = "".join(chr(c) for c in rng.integers(97, 123, size=300))
+    filler = lambda seed, n: "".join(  # noqa: E731
+        chr(c) for c in np.random.default_rng(seed).integers(97, 123, size=n)
+    )
+    small_a = filler(1, 400) + block + filler(2, 400)      # 1100 B
+    small_b = filler(3, 500) + block + filler(4, 300)      # 1100 B
+    big_a = filler(6, 2000) + block + filler(7, 2000)      # 4300 B, over cap
+    big_b = filler(8, 1800) + block + filler(9, 2200)      # 4300 B, over cap
+    docs = spark.createDataFrame(
+        [(1, small_a), (2, small_b), (3, big_a), (4, big_b)],
+        "doc_id long, content string",
+    )
+    capped = PipelineConfig(
+        max_bucket_size=32, hot_key_threshold=2000, substring_max_doc_bytes=2048
+    )
+    pairs, drops = substring_pairs(docs, capped)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert (1, 2) in got                      # in-cap planted pair found
+    assert not any(3 in p or 4 in p for p in got)  # oversize never verified
+    d = drops.collect()[0]
+    assert d["oversize_docs"] == 2
+    assert d["oversize_bytes"] == len(big_a) + len(big_b)
+
+    # cap disabled (0) → the oversize pair comes back, ledger reads zero
+    uncapped = PipelineConfig(
+        max_bucket_size=32, hot_key_threshold=2000, substring_max_doc_bytes=0
+    )
+    pairs2, drops2 = substring_pairs(docs, uncapped)
+    got2 = {(r["doc_a"], r["doc_b"]) for r in pairs2.collect()}
+    assert (3, 4) in got2
+    assert drops2.collect()[0]["oversize_docs"] == 0

@@ -118,9 +118,87 @@ def test_multimodal_plumbing(spark):
     assert rows[7]["media_type"] == "application/octet-stream"
 
 
-def test_real_decoder_is_explicit_stub():
-    with pytest.raises(NotImplementedError):
-        decode_image_meta(real_decoder=True)
+def _png_bytes(w: int, h: int) -> bytes:
+    """A complete, valid PNG built with stdlib only (zlib + struct):
+    IHDR + one IDAT of zeroed RGB scanlines + IEND."""
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload)) + typ + payload
+            + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    raw = b"".join(b"\x00" + b"\x00\x00\x00" * w for _ in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _gif_bytes(w: int, h: int) -> bytes:
+    import struct
+
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00\x3b"
+
+
+def _jpeg_bytes(w: int, h: int) -> bytes:
+    """Minimal JPEG byte stream: SOI, an APP0 segment to exercise the
+    marker walk, then SOF0 carrying the dimensions."""
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = (
+        b"\xff\xc0" + struct.pack(">H", 11)
+        + b"\x08" + struct.pack(">HH", h, w) + b"\x01\x11\x00"
+    )
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def test_real_decoder_parses_image_headers(spark):
+    """real_decoder=True must extract true dimensions from PNG/GIF/JPEG
+    container headers and pass unrecognized payloads through with NULL
+    dims — real metadata decode, no codec libraries needed."""
+    rows = [
+        (1, bytearray(_png_bytes(320, 200)), "image/unknown"),
+        (2, bytearray(_gif_bytes(99, 44)), "image/unknown"),
+        (3, bytearray(_jpeg_bytes(640, 480)), "image/unknown"),
+        (4, bytearray(b"not an image at all"), "application/octet-stream"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, payload binary, media_type string"
+    )
+    meta = extract_meta(docs, real_decoder=True)
+    got = {r["doc_id"]: r for r in meta.collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["media_type"]) == (
+        320, 200, "image/png"
+    )
+    assert (got[2]["width"], got[2]["height"], got[2]["media_type"]) == (
+        99, 44, "image/gif"
+    )
+    assert (got[3]["width"], got[3]["height"], got[3]["media_type"]) == (
+        640, 480, "image/jpeg"
+    )
+    assert got[4]["width"] is None and got[4]["height"] is None
+    assert got[4]["media_type"] == "application/octet-stream"
+    assert got[1]["n_bytes"] == len(_png_bytes(320, 200))
+
+
+def test_real_decoder_agrees_with_pil():
+    """Cross-validate the header parser against PIL where that library
+    exists (skip-guarded: not in this container)."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    from deduplicatr_spark.functions.multimodal import parse_image_header
+
+    buf = _png_bytes(123, 77)
+    im = PIL_Image.open(io.BytesIO(buf))
+    assert parse_image_header(buf)[:2] == im.size
 
 
 def test_ngram_prefix_filter_equals_naive(spark):

@@ -80,6 +80,7 @@ def main(argv: list[str]) -> None:
         DedupPipeline(spark, cfg, warm_ckpt).run(warm)
         shutil.rmtree(warm_ckpt, ignore_errors=True)
 
+    owned_ckpt = args.checkpoint is None
     ckpt = args.checkpoint or tempfile.mkdtemp(prefix="dedup_ckpt_", dir="/dev/shm" if os.path.isdir("/dev/shm") else None)
     t0 = time.time()
     pipe = DedupPipeline(spark, cfg, ckpt)
@@ -116,12 +117,17 @@ def main(argv: list[str]) -> None:
                 "cc_iterations": cc_iters,
                 "stage_wall_ms": stage_walls,
                 "driver_stage_wall_s": driver_walls,
-                "checkpoint": ckpt,
+                "checkpoint": ckpt if not owned_ckpt else "(removed)",
                 "config_hash": cfg.config_hash,
                 "master": spark.sparkContext.master,
             }
         )
     )
+    if owned_ckpt:
+        # a root nobody asked to keep must not accumulate in tmpfs
+        import shutil
+
+        shutil.rmtree(ckpt, ignore_errors=True)
     spark.stop()
 
 

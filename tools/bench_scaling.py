@@ -110,6 +110,13 @@ def run_once(zpath: str, cores: int, sf_dir: str, mult: int) -> dict:
     return out
 
 
+def _median_run(runs: list[dict]) -> dict:
+    """The run whose pipeline wall is closest to the median (the stage
+    breakdown printed must belong to the run the headline is based on)."""
+    med = statistics.median(r["pipeline_wall_s"] for r in runs)
+    return min(runs, key=lambda r: abs(r["pipeline_wall_s"] - med))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
@@ -206,10 +213,10 @@ def main() -> None:
         f" {statistics.median(norm_effs):.3f}.",
         "",
         f"Driver stage walls, median run at local[{big}] (s): "
-        + json.dumps(results[big][0].get("driver_stage_wall_s", {})),
+        + json.dumps(_median_run(results[big]).get("driver_stage_wall_s", {})),
         "",
         f"Driver stage walls, median run at local[{small}] (s): "
-        + json.dumps(results[small][0].get("driver_stage_wall_s", {})),
+        + json.dumps(_median_run(results[small]).get("driver_stage_wall_s", {})),
         "",
         f"CC iterations: {results[big][0].get('cc_iterations')}",
     ]

@@ -89,6 +89,49 @@ def main() -> None:
         "shuffles twice.",
     ))
 
+    from deduplicatr_spark.operators.lsh import (  # noqa: E402
+        explode_bands, keyed_candidate_pairs,
+    )
+    from deduplicatr_spark.operators.pigeonhole import (  # noqa: E402
+        hamming_verify, simhash_keyed,
+    )
+
+    lsh_keyed = explode_bands(feats).select("doc_id", "band_hash")
+    sim_keyed = simhash_keyed(feats, BENCH_CONFIG.hamming_d + 1)
+    folded = lsh_keyed.select(
+        "doc_id", F.shiftleft("band_hash", 1).alias("band_hash")
+    ).unionByName(
+        sim_keyed.select(
+            "doc_id", (F.shiftleft("band_hash", 1) + F.lit(1)).alias("band_hash")
+        )
+    )
+    fused_pairs, _fdrops = keyed_candidate_pairs(
+        folded, BENCH_CONFIG, n_sources=2, dedupe=False
+    )
+    fused = fused_pairs.filter(F.col("src") == 0).select("doc_a", "doc_b").withColumn(
+        "src", F.lit("lsh")
+    ).unionByName(
+        hamming_verify(
+            fused_pairs.filter(F.col("src") == 1).select("doc_a", "doc_b"),
+            feats, BENCH_CONFIG.hamming_d,
+        ).withColumn("src", F.lit("simhash"))
+    ).groupBy("doc_a", "doc_b").agg(
+        F.sort_array(F.collect_set("src")).alias("sources")
+    )
+    sections.append((
+        "FUSED candidate stage: LSH ∪ SimHash in one shuffle (pipeline s3)",
+        captured_explain(fused),
+        "What to check: exactly ONE RangePartitioning exchange and ONE "
+        "mapInPandas pairgen serve BOTH sources — the band keys and the "
+        "pigeonhole chunk keys union (tag bit folded via shiftleft+1, so "
+        "buckets never mix sources) BEFORE the size agg / hot-key "
+        "broadcast / range shuffle, instead of running that machinery "
+        "once per source (round-2's s3 anti-scaling cause). Downstream, "
+        "only the simhash-tagged pairs pay the Hamming verify joins, and "
+        "the source-merging groupBy collapses duplicate pairs map-side "
+        "in the same shuffle a distinct() would have needed.",
+    ))
+
     sections.append((
         "Jaccard verification join (§2.10)",
         captured_explain(verify_pairs(pairs, feats, BENCH_CONFIG)),

@@ -693,6 +693,59 @@ def _q_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-dedup representative selection (operators/representatives):
+    one surviving doc per cluster — the member with the most tokens,
+    ties to the smallest doc_id. Clusters are the SQL-computable proxy
+    (min doc_id per normalized-content fingerprint group) and the
+    quality score is the token count, so DuckDB recomputes the exact
+    winner per cluster — a tiebreak or windowing bug goes red."""
+    from deduplicatr_spark.operators.representatives import select_representatives
+
+    c = _corpus(spark, sf_dir).withColumn("fp", TXT.fingerprint("content"))
+    labeled = c.withColumn(
+        "cluster_id", F.min("doc_id").over(Window.partitionBy("fp"))
+    ).select("doc_id", "cluster_id", TXT.token_count("content").alias("quality"))
+    reps = select_representatives(labeled, "quality")
+    return reps.select("cluster_id", "doc_id", "quality", "n_members")
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum quota sampling (corpus mixing): keep
+    the 5 docs per (source, lang) stratum that rank first by content
+    sha256 — reproducible under any row order or partitioning. The
+    oracle replays the identical window from the raw table."""
+    from deduplicatr_spark.operators.representatives import stratified_sample
+
+    d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    out = stratified_sample(
+        d, ["source", "lang"], 5, order_key=F.sha2("text", 256)
+    )
+    return out.select(
+        "doc_id", "source", "lang", F.col("sample_rank").cast("long").alias("sample_rank")
+    )
+
+
+def _q_winnow_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprint dup pairs — position-robust copy
+    detection with the w+k−1 guarantee (operators/winnow.py), verified
+    by exact fingerprint-set Jaccard. Restricted to the SQL-computable
+    truth: fingerprint-equal (identical normalized content) pairs have
+    IDENTICAL winnow sets, so every one must surface with
+    winnow_jaccard exactly 1.0 — a selection, bucketing or verify bug
+    goes red. (Partial-overlap behavior — the winnowing guarantee on
+    planted shared blocks — is asserted in tests/test_winnow.py.)"""
+    from deduplicatr_spark.operators.winnow import winnow_dup_pairs
+
+    c = _corpus(spark, sf_dir).select(
+        "doc_id", normalized("content").alias("content")
+    )
+    pairs, _drops = winnow_dup_pairs(c, ENTRY_CONFIG)
+    return pairs.join(_fp_pairs(spark, sf_dir), ["doc_a", "doc_b"]).select(
+        "doc_a", "doc_b", "winnow_jaccard"
+    )
+
+
 def _ckpt_root(sf_dir: str) -> str:
     """Deterministic, REUSED checkpoint root for the pipeline query —
     keyed by (config hash, sf dir) so a repeat invocation resumes from
@@ -792,6 +845,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_weighted_pairs": _q_simhash_weighted_pairs,
         "substring_pairs": _q_substring_pairs,
         "incremental_assign": _q_incremental_assign,
+        "cluster_representatives": _q_cluster_representatives,
+        "stratified_sample": _q_stratified_sample,
+        "winnow_dup_pairs": _q_winnow_dup_pairs,
         "dedup_pipeline": _q_dedup_pipeline,
     }
 
@@ -1193,6 +1249,48 @@ FROM basec WHERE did % 9 = 1
 UNION ALL
 SELECT did + 8000000, did + 8000000, 'new'
 FROM basec WHERE did % 9 = 2
+""",
+        # representative = max-token (min doc_id tiebreak) member of each
+        # fingerprint-proxy cluster — recomputed from raw strings
+        "cluster_representatives": CORPUS_SQL + f"""
+, fpc AS (
+  SELECT doc_id,
+         sha256(trim(regexp_replace(content, '\\s+', ' ', 'g'))) AS f,
+         len({_TOKS.format(c="content")}) AS quality
+  FROM corpus
+), cl AS (
+  SELECT doc_id, quality,
+         min(doc_id) OVER (PARTITION BY f) AS cluster_id,
+         count(*) OVER (PARTITION BY f) AS n_members,
+         row_number() OVER (
+           PARTITION BY f ORDER BY quality DESC, doc_id
+         ) AS rk
+  FROM fpc
+)
+SELECT cluster_id, doc_id, quality, n_members FROM cl WHERE rk = 1
+""",
+        # deterministic quota sample: first 5 per (source, lang) by
+        # content sha256 — the identical window, replayed from scratch
+        "stratified_sample": """
+SELECT doc_id, source, lang, sample_rank FROM (
+  SELECT doc_id, source, lang,
+         row_number() OVER (
+           PARTITION BY source, lang ORDER BY sha256(text)
+         ) AS sample_rank
+  FROM documents WHERE text IS NOT NULL
+) WHERE sample_rank <= 5
+""",
+        # identical normalized content ⇒ identical winnow fingerprint
+        # sets ⇒ Jaccard exactly 1 — every fingerprint pair must surface
+        "winnow_dup_pairs": CORPUS_SQL + """
+, fpm AS (
+  SELECT doc_id,
+         sha256(trim(regexp_replace(content, '\\s+', ' ', 'g'))) AS f
+  FROM corpus
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       1.0 AS winnow_jaccard
+FROM fpm a JOIN fpm b ON a.f = b.f AND a.doc_id < b.doc_id
 """,
         # identity columns must round-trip the pipeline; cluster_ok
         # asserts one cluster per fingerprint group end-to-end

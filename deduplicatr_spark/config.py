@@ -62,6 +62,13 @@ class PipelineConfig:
     # --- verification (SURVEY §2.10) ---
     jaccard_tau: float = 0.70
 
+    # --- winnowing fingerprints (Schleimer-Wilkerson-Aiken, SIGMOD'03) ---
+    # window of consecutive k-gram hashes from which one minimum is
+    # selected; any shared substring of length ≥ winnow_window +
+    # shingle_k − 1 chars is GUARANTEED to share a fingerprint.
+    winnow_window: int = 16
+    winnow_tau: float = 0.5     # fingerprint-set Jaccard threshold
+
     # --- suffix-array substring stage (SURVEY §2.9) ---
     substring_min_len: int = 200
     substring_partitions: int = 8   # corpus partitions for per-partition SA

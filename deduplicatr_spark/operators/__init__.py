@@ -1,14 +1,25 @@
 from deduplicatr_spark.operators.exact import with_identity, exact_canonical, duplicate_groups
-from deduplicatr_spark.operators.lsh import explode_bands, lsh_candidate_pairs
+from deduplicatr_spark.operators.lsh import (
+    explode_bands,
+    keyed_candidate_pairs,
+    lsh_candidate_pairs,
+)
 from deduplicatr_spark.operators.pigeonhole import simhash_candidate_pairs
 from deduplicatr_spark.operators.verify import verify_pairs
 from deduplicatr_spark.operators.connected_components import connected_components
 from deduplicatr_spark.operators.rollup import dir_rollup, duplicate_dirs
 from deduplicatr_spark.operators.containment import suppress_contained
+from deduplicatr_spark.operators.representatives import (
+    select_representatives,
+    stratified_sample,
+)
+from deduplicatr_spark.operators.winnow import winnow_dup_pairs
 
 __all__ = [
     "with_identity", "exact_canonical", "duplicate_groups",
-    "explode_bands", "lsh_candidate_pairs", "simhash_candidate_pairs",
+    "explode_bands", "keyed_candidate_pairs", "lsh_candidate_pairs",
+    "simhash_candidate_pairs",
     "verify_pairs", "connected_components",
     "dir_rollup", "duplicate_dirs", "suppress_contained",
+    "select_representatives", "stratified_sample", "winnow_dup_pairs",
 ]

@@ -1,0 +1,77 @@
+"""Post-dedup corpus shaping: pick one representative per cluster and
+draw deterministic stratified samples.
+
+No reference analogue (the reference stops at reporting duplicate
+groups — SURVEY.md §2.1 O10); these are the operators a training-data
+pipeline runs ON the dedup output: after clustering, exactly one
+document per cluster survives into the training mix, and corpus
+composition is controlled by per-stratum quotas. Both are pure
+window/aggregate plans — no UDFs, one shuffle each, and Spark ≥3.5
+rewrites the rank-filter into WindowGroupLimit (a per-group top-k that
+partially aggregates map-side), so neither operator ever materializes
+a full sort of a 10^12-row corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def select_representatives(
+    assignments: DataFrame,
+    quality_col: str | Column,
+    cluster_col: str = "cluster_id",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One row per cluster: the member with the highest quality score
+    (ties → smallest id, so the pick is deterministic under any row
+    order — the reference's order-independence property O5 carried to
+    cluster level).
+
+    Input: one row per document with its cluster label and a numeric
+    quality score (e.g. the quality-filter stage's features). Output:
+    the winning rows, original columns preserved, plus ``n_members``.
+
+    Scale: a single shuffle keyed on ``cluster_col``; the row_number
+    filter is a WindowGroupLimit in Spark 3.5+/4.x — each partition
+    keeps only its local best per cluster before the exchange, so skew
+    from a mega-cluster (boilerplate) costs one reducer O(members of
+    that cluster), not a global sort.
+    """
+    q = F.col(quality_col) if isinstance(quality_col, str) else quality_col
+    w = Window.partitionBy(cluster_col).orderBy(q.desc(), F.col(id_col).asc())
+    wn = Window.partitionBy(cluster_col)
+    return (
+        assignments.withColumn("_rk", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wn))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    strata_cols: list[str],
+    n_per_stratum: int,
+    order_key: Column | None = None,
+) -> DataFrame:
+    """Deterministic per-stratum quota sample: for each combination of
+    ``strata_cols`` keep the ``n_per_stratum`` rows that rank first by
+    ``order_key`` (default: sha256 of content — a uniform, content-keyed
+    order, so the sample is reproducible across runs, partitionings and
+    resume, never dependent on row arrival order).
+
+    The corpus-mixing primitive: "200k docs per (lang, source)" is one
+    call. Output adds ``sample_rank`` (1-based within the stratum).
+
+    Scale: same WindowGroupLimit shape as ``select_representatives`` —
+    one shuffle on the strata key, per-group top-k partially applied
+    map-side; no global sort, no sampleBy() nondeterminism.
+    """
+    key = order_key if order_key is not None else F.sha2(F.col("content"), 256)
+    w = Window.partitionBy(*strata_cols).orderBy(key.asc())
+    return (
+        docs.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= n_per_stratum)
+    )

@@ -1,0 +1,112 @@
+"""Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+"Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD 2003
+— the MOSS algorithm).
+
+No reference analogue; this is the classic position-robust document
+fingerprint a training-data pipeline uses for copy detection: hash
+every k-gram (positional sequence, NOT a deduped set), slide a window
+of ``w`` consecutive hashes, keep the minimum of each window. The
+selected set has density ~2/(w+1) of the k-gram count and carries the
+winnowing GUARANTEE: any shared substring of length ≥ w + k − 1 chars
+contributes at least one identical fingerprint to both documents —
+detection is deterministic, not probabilistic (contrast MinHash/LSH,
+whose recall is a banding probability).
+
+Tie rule: the paper's robust winnowing prefers the rightmost minimum;
+with 64-bit splitmix hashes in-window ties occur with p ≈ w·2⁻⁶⁴, so
+this implementation takes numpy's leftmost argmin and documents the
+deviation (it changes WHICH copy of an identical value is selected,
+never the selected value — fingerprint SETS are unaffected).
+
+Candidate generation and pair verification reuse the shared bucket
+core (operators/lsh.py § keyed_candidate_pairs — range shuffle, hot
+thinning, caps with drop ledger) keyed on individual fingerprint
+values, then exact fingerprint-set Jaccard via ``array_intersect``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from deduplicatr_spark.config import PipelineConfig
+from deduplicatr_spark.functions import _numpy_core as core
+
+
+def winnow_one(buf: np.ndarray, k: int, w: int, seed: int) -> np.ndarray:
+    """Winnowed fingerprint values of one uint8 buffer (sorted unique
+    int64). Vectorized: one strided multiply-add hash pass over the
+    k-windows (same kernel shape as batch_char_shingles), then a
+    sliding-window argmin over the positional hash sequence
+    (``sliding_window_view`` is a view — no (n, w) materialization)."""
+    n = buf.size
+    if n < k:
+        return np.empty(0, dtype=np.int64)
+    W = n - k + 1
+    coef = core.hash_keys(k, seed)
+    acc = np.zeros(W, dtype=np.uint64)
+    tmp = np.empty(W, dtype=np.uint64)
+    for j in range(k):
+        np.multiply(buf[j : j + W], coef[j], out=tmp, casting="unsafe")
+        np.add(acc, tmp, out=acc)
+    h = core._splitmix64_inplace(acc, tmp)
+    if W <= w:
+        return np.unique(core.to_i64(h.min(keepdims=True)))
+    wins = np.lib.stride_tricks.sliding_window_view(h, w)
+    picks = np.argmin(wins, axis=1) + np.arange(W - w + 1)
+    return np.unique(core.to_i64(h[np.unique(picks)]))
+
+
+def winnow_udf(config: PipelineConfig):
+    k, w, seed = config.shingle_k, config.winnow_window, config.shingle_seed
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _fps(content: pd.Series) -> pd.Series:
+        return content.fillna("").map(
+            lambda s: winnow_one(
+                np.frombuffer(s.encode("utf-8"), np.uint8), k, w, seed
+            )
+        )
+
+    return _fps
+
+
+def winnow_dup_pairs(
+    docs_with_content: DataFrame, config: PipelineConfig
+) -> tuple[DataFrame, DataFrame]:
+    """(doc_id, content) → ((doc_a, doc_b, winnow_jaccard ≥ τ),
+    drop_stats). Candidates = docs sharing any fingerprint value
+    (bucketed, capped, ledgered — the shared core); verification =
+    exact Jaccard over the full fingerprint sets, so precision is
+    exact and recall inherits the winnowing guarantee minus only the
+    explicit, accounted bucket caps."""
+    from deduplicatr_spark.operators.lsh import _track, keyed_candidate_pairs
+
+    fps = docs_with_content.select(
+        "doc_id", winnow_udf(config)(F.col("content")).alias("fps")
+    ).filter(F.size("fps") > 0)
+    # persisted: the bucket explode and both verify joins scan it
+    fps = _track(fps.persist())
+
+    keyed = fps.select("doc_id", F.explode("fps").alias("band_hash"))
+    raw, drops = keyed_candidate_pairs(keyed, config, dedupe=False)
+
+    fa = fps.withColumnsRenamed({"doc_id": "doc_a", "fps": "_fa"})
+    fb = fps.withColumnsRenamed({"doc_id": "doc_b", "fps": "_fb"})
+    inter = F.size(F.array_intersect("_fa", "_fb"))
+    union = F.size("_fa") + F.size("_fb") - inter
+    pairs = (
+        raw.select("doc_a", "doc_b").distinct()
+        .join(fa, "doc_a").join(fb, "doc_b")
+        .withColumn(
+            "winnow_jaccard",
+            F.when(union > 0, inter.cast("double") / union.cast("double"))
+            .otherwise(F.lit(0.0)),
+        )
+        .filter(F.col("winnow_jaccard") >= config.winnow_tau)
+        .select("doc_a", "doc_b", "winnow_jaccard")
+    )
+    return pairs, drops.select("capped_docs", "hot_buckets", "hot_rows")

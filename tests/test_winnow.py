@@ -1,0 +1,116 @@
+"""Winnowing fingerprints (MOSS): kernel vs a brute-force python
+oracle, the w+k−1 shared-substring guarantee, and corpus shaping
+(representatives + stratified sampling)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from deduplicatr_spark.config import PipelineConfig
+from deduplicatr_spark.functions import _numpy_core as core
+from deduplicatr_spark.operators.representatives import (
+    select_representatives,
+    stratified_sample,
+)
+from deduplicatr_spark.operators.winnow import winnow_dup_pairs, winnow_one
+
+CFG = PipelineConfig(max_bucket_size=32, hot_key_threshold=2000)
+
+
+def _oracle_winnow(s: bytes, k: int, w: int, seed: int) -> set[int]:
+    """Brute-force reference: hash every k-gram positionally (same
+    splitmix construction as the kernel, recomputed hash-by-hash), then
+    take the min of each w-window of consecutive hashes."""
+    n = len(s)
+    if n < k:
+        return set()
+    mask = (1 << 64) - 1
+    coef = [int(c) for c in core.hash_keys(k, seed)]
+    hashes = []
+    for i in range(n - k + 1):
+        acc = 0
+        for j in range(k):
+            acc = (acc + s[i + j] * coef[j]) & mask  # uint64 wraparound
+        hashes.append(int(core.splitmix64(np.array([acc], dtype=np.uint64))[0]))
+    if len(hashes) <= w:
+        sel = {min(hashes)}
+    else:
+        sel = {
+            min(hashes[i : i + w]) for i in range(len(hashes) - w + 1)
+        }
+    return {v - (1 << 64) if v >= 1 << 63 else v for v in sel}
+
+
+def test_kernel_matches_python_oracle():
+    rng = np.random.default_rng(5)
+    for n in (3, 9, 20, 120):
+        s = bytes(rng.integers(97, 105, size=n).tolist())
+        got = set(
+            winnow_one(np.frombuffer(s, np.uint8), k=5, w=8, seed=42).tolist()
+        )
+        assert got == _oracle_winnow(s, k=5, w=8, seed=42), n
+
+
+def test_shared_block_guarantee():
+    """Any shared substring of length ≥ w + k − 1 must contribute at
+    least one common fingerprint — exhaustively over random contexts."""
+    k, w, seed = 9, 16, 42
+    need = w + k - 1  # 24 chars
+    rng = np.random.default_rng(7)
+    block = bytes(rng.integers(97, 123, size=need).tolist())
+    for trial in range(20):
+        pre_a = bytes(rng.integers(97, 123, size=int(rng.integers(0, 60))).tolist())
+        suf_a = bytes(rng.integers(97, 123, size=int(rng.integers(0, 60))).tolist())
+        pre_b = bytes(rng.integers(97, 123, size=int(rng.integers(0, 60))).tolist())
+        suf_b = bytes(rng.integers(97, 123, size=int(rng.integers(0, 60))).tolist())
+        fa = set(winnow_one(np.frombuffer(pre_a + block + suf_a, np.uint8), k, w, seed).tolist())
+        fb = set(winnow_one(np.frombuffer(pre_b + block + suf_b, np.uint8), k, w, seed).tolist())
+        assert fa & fb, f"guarantee violated on trial {trial}"
+
+
+def test_winnow_pairs_identical_and_disjoint(spark):
+    base = "def process(data): return transform(validate(data))\n" * 4
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),                                  # identical → J = 1
+            (3, "prefix padding here " + base),         # shifted → shares fps
+            (4, "totally different words entirely " * 6),
+        ],
+        "doc_id long, content string",
+    )
+    pairs, drops = winnow_dup_pairs(docs, CFG)
+    got = {(r["doc_a"], r["doc_b"]): r["winnow_jaccard"] for r in pairs.collect()}
+    assert got[(1, 2)] == 1.0
+    assert (1, 3) in got and got[(1, 3)] > 0.5   # position-shift robust
+    assert not any(4 in p for p in got)
+    assert drops.collect()[0]["capped_docs"] == 0
+
+
+def test_select_representatives(spark):
+    rows = [
+        # cluster 10: doc 12 has top quality; tie in cluster 20 → min id
+        (11, 10, 3.0), (12, 10, 9.0), (13, 10, 9.0),
+        (21, 20, 5.0), (22, 20, 5.0),
+        (31, 30, 1.0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, cluster_id long, q double")
+    reps = select_representatives(df, "q")
+    got = {r["cluster_id"]: (r["doc_id"], r["n_members"]) for r in reps.collect()}
+    assert got == {10: (12, 3), 20: (21, 2), 30: (31, 1)}
+
+
+def test_stratified_sample_deterministic(spark):
+    rows = [(i, "s%d" % (i % 2), "l", "content %d" % i) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, lang string, content string")
+    a = stratified_sample(df, ["source", "lang"], 3)
+    b = stratified_sample(df.repartition(7).orderBy(F.desc("doc_id")), ["source", "lang"], 3)
+    ta = sorted((r["source"], r["doc_id"], r["sample_rank"]) for r in a.collect())
+    tb = sorted((r["source"], r["doc_id"], r["sample_rank"]) for r in b.collect())
+    assert ta == tb, "sample must not depend on row order/partitioning"
+    assert len(ta) == 6  # 3 per stratum × 2 strata
+    per = {}
+    for s, _d, _r in ta:
+        per[s] = per.get(s, 0) + 1
+    assert per == {"s0": 3, "s1": 3}

@@ -408,6 +408,74 @@ def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("q_id", "n_id", F.col("rank").cast("long").alias("rank"))
 
 
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN (operators/topk.py § ivf_topk): coarse Voronoi
+    cells from a deterministic quantizer (the 64 lowest-id vectors),
+    nprobe=1, exact re-rank within the probed cell.
+
+    Oracle-checkable construction: over embeddings ∪ planted twins,
+    take the 10 lowest-id queries whose twin (a) has cosine ≥ 0.90
+    (background cosine tops out ≈ 0.67, so the twin is the unique true
+    NN), (b) lands in the SAME Voronoi cell as the query — so with
+    nprobe=1 the twin is in the candidate set BY CONSTRUCTION, not
+    probabilistically — and (c) both assignments clear a 1e-6 relative
+    distance margin over the runner-up cell, so float-summation-order
+    differences between engines cannot flip a boundary assignment.
+    Such a query's top-1 must be its twin; a quantizer, assignment,
+    probe or re-rank bug goes red."""
+    from deduplicatr_spark.operators.topk import _sq_dist, ivf_topk
+    from deduplicatr_spark.functions.vectors import cosine
+
+    c = _emb_with_planted(spark, sf_dir)
+    w0 = Window.orderBy("vec_id")
+    centroids = (
+        c.orderBy("vec_id").limit(64)
+        .select((F.row_number().over(w0) - 1).cast("long").alias("cell_id"),
+                F.col("v").alias("cv"))
+    )
+    # margin-robust assignment: best + runner-up distance per vector
+    scored = c.join(F.broadcast(centroids)).withColumn(
+        "_d", _sq_dist(F.col("v"), F.col("cv"))
+    )
+    wv = Window.partitionBy("vec_id").orderBy(F.col("_d").asc(), F.col("cell_id").asc())
+    top2 = (
+        scored.withColumn("_rk", F.row_number().over(wv))
+        .filter(F.col("_rk") <= 2)
+        .groupBy("vec_id")
+        .agg(
+            F.min_by("cell_id", F.struct("_rk")).alias("cell_id"),
+            F.min("_d").alias("d1"),
+            F.max("_d").alias("d2"),
+        )
+        .withColumn(
+            "solid",
+            (F.col("d2") - F.col("d1"))
+            > F.lit(1e-6) * F.greatest(F.col("d1"), F.lit(1e-12)),
+        )
+    )
+    base = c.filter(F.col("vec_id") < 100000)
+    twin = c.filter(F.col("vec_id") >= 100000).select(
+        (F.col("vec_id") - 100000).alias("vec_id"), F.col("v").alias("_tv")
+    )
+    a_q = top2.select("vec_id", F.col("cell_id").alias("_cq"), F.col("solid").alias("_sq"))
+    a_t = top2.select(
+        (F.col("vec_id") - 100000).alias("vec_id"),
+        F.col("cell_id").alias("_ct"), F.col("solid").alias("_st"),
+    )
+    qual = (
+        base.join(twin, "vec_id").join(a_q, "vec_id").join(a_t, "vec_id")
+        .filter(
+            (cosine(F.col("v"), F.col("_tv")) >= 0.90)
+            & (F.col("_cq") == F.col("_ct")) & F.col("_sq") & F.col("_st")
+        )
+        .select("vec_id", "v")
+        .orderBy("vec_id")
+        .limit(10)
+    )
+    out = ivf_topk(c, qual, k=1, centroids=centroids, nprobe=1, vec_col="v")
+    return out.select("q_id", "n_id", F.col("rank").cast("long").alias("rank"))
+
+
 def _q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k (queries = vec_id < 10, k = 5)."""
     emb = _emb(spark, sf_dir)
@@ -838,6 +906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": _q_embedding_topk,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
         "lsh_topk": _q_lsh_topk,
+        "ivf_topk": _q_ivf_topk,
         "multimodal_meta": _q_multimodal_meta,
         "cc_fingerprint_chains": _q_cc_fingerprint_chains,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
@@ -1221,6 +1290,53 @@ WITH base AS (
   FROM p
 ), qual AS (
   SELECT vec_id FROM tc WHERE c >= 0.90 ORDER BY vec_id LIMIT 10
+)
+SELECT vec_id AS q_id, vec_id + 100000 AS n_id, CAST(1 AS BIGINT) AS rank
+FROM qual
+""",
+        # IVF twin-recovery: queries whose twin shares their Voronoi
+        # cell (margin-robust assignment) must return it as top-1
+        "ivf_topk": """
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), c AS (
+  SELECT * FROM base
+  UNION ALL
+  SELECT vec_id + 100000, list_concat([v[1] + 0.5], v[2:64]) FROM base
+), cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell_id, v AS cv
+  FROM (SELECT * FROM c ORDER BY vec_id LIMIT 64)
+), dists AS (
+  SELECT x.vec_id, ct.cell_id,
+         list_sum(list_transform(range(1, 65),
+           i -> (x.v[i] - ct.cv[i]) * (x.v[i] - ct.cv[i]))) AS d
+  FROM c x, cent ct
+), rk AS (
+  SELECT vec_id, cell_id, d,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d, cell_id) AS rk
+  FROM dists
+), a AS (
+  SELECT r1.vec_id, r1.cell_id,
+         (r2.d - r1.d) > 1e-6 * greatest(r1.d, 1e-12) AS solid
+  FROM (SELECT * FROM rk WHERE rk = 1) r1
+  JOIN (SELECT * FROM rk WHERE rk = 2) r2 USING (vec_id)
+), tc AS (
+  SELECT b.vec_id,
+         CASE WHEN sqrt(list_sum(list_transform(b.v, x -> x * x)))
+                   * sqrt(list_sum(list_transform(t.v, x -> x * x))) > 0
+              THEN list_dot_product(b.v, t.v)
+                   / (sqrt(list_sum(list_transform(b.v, x -> x * x)))
+                      * sqrt(list_sum(list_transform(t.v, x -> x * x))))
+              ELSE 0.0 END AS cos
+  FROM base b JOIN c t ON t.vec_id = b.vec_id + 100000
+), qual AS (
+  SELECT b.vec_id FROM base b
+  JOIN tc ON tc.vec_id = b.vec_id
+  JOIN a aq ON aq.vec_id = b.vec_id
+  JOIN a at ON at.vec_id = b.vec_id + 100000
+  WHERE tc.cos >= 0.90 AND aq.cell_id = at.cell_id
+    AND aq.solid AND at.solid
+  ORDER BY b.vec_id LIMIT 10
 )
 SELECT vec_id AS q_id, vec_id + 100000 AS n_id, CAST(1 AS BIGINT) AS rank
 FROM qual

@@ -1,6 +1,6 @@
 """Similarity search over an embedding column (array<float>).
 
-Two paths:
+Three paths:
 
 * ``brute_force_topk`` — exact cosine top-k: broadcast the (small) query
   set against the corpus, window top-k per query. The baseline and the
@@ -12,6 +12,14 @@ Two paths:
   the SimHash machinery), exact cosine re-rank of candidates only. The
   scale path: candidate generation touches each corpus row once, and
   the re-rank join is proportional to candidates, not corpus × queries.
+* ``ivf_topk`` — approximate: inverted-file index (the FAISS IVF-flat
+  shape): a small set of coarse centroids partitions the corpus into
+  Voronoi cells (one broadcast + partial min_by per row — the corpus
+  never shuffles to be assigned); each query probes its ``nprobe``
+  nearest cells and re-ranks exactly within them. Recall is governed by
+  nprobe; cost per query ∝ corpus/n_cells × nprobe. Centroids come
+  from the caller (train offline — e.g. KMeans on a sample — and
+  broadcast), or default to a deterministic seed rule for tests.
 """
 
 from __future__ import annotations
@@ -45,6 +53,90 @@ def brute_force_topk(
     w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("n_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("score", F.round("score", 4))
+    )
+
+
+def _sq_dist(a, b):
+    """Squared L2 distance between two array columns — zip_with +
+    aggregate built-ins, strictly left-to-right summation (matters for
+    oracle float parity)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    centroids: DataFrame | None = None,
+    n_cells: int = 64,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat approximate top-k.
+
+    ``centroids``: (cell_id long, cv array<double>) — the coarse
+    quantizer, trained offline and SMALL (hundreds to ~64k rows), so it
+    broadcasts. Default (tests/oracle): the ``n_cells`` lowest-id corpus
+    vectors — deterministic, SQL-reproducible.
+
+    Plan shape at scale: corpus→cell assignment is a broadcast
+    nested-loop over centroids followed by a ``min_by`` partial
+    aggregate keyed on the corpus id — the corpus itself never shuffles
+    by value; the only data-sized exchange is the candidate re-rank,
+    ∝ |queries| × corpus/n_cells × nprobe. A skewed cell costs one
+    reducer that cell's size — train balanced centroids to bound it
+    (the quantizer is an input precisely so balancing happens offline).
+    """
+    c = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("_cv"))
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("_qv"))
+    if centroids is None:
+        w0 = Window.orderBy("n_id")
+        centroids = (
+            c.orderBy("n_id").limit(n_cells)
+            .select(
+                (F.row_number().over(w0) - 1).cast("long").alias("cell_id"),
+                F.transform("_cv", lambda x: x.cast("double")).alias("cv"),
+            )
+        )
+    cents = F.broadcast(centroids)
+
+    def assign(df: DataFrame, idc: str, vc: str, probes: int) -> DataFrame:
+        scored = df.join(cents).withColumn("_d", _sq_dist(F.col(vc), F.col("cv")))
+        if probes == 1:
+            # min_by aggregates partially map-side — no (rows × cells)
+            # shuffle, ties broken by cell_id via the struct ordering
+            return scored.groupBy(idc).agg(
+                F.min_by("cell_id", F.struct(F.col("_d"), F.col("cell_id"))).alias("cell_id")
+            )
+        wp = Window.partitionBy(idc).orderBy(F.col("_d").asc(), F.col("cell_id").asc())
+        return (
+            scored.withColumn("_rk", F.row_number().over(wp))
+            .filter(F.col("_rk") <= probes)
+            .select(idc, "cell_id")
+        )
+
+    corpus_cells = assign(c, "n_id", "_cv", 1)
+    query_cells = assign(q, "q_id", "_qv", nprobe)
+
+    cand = (
+        query_cells.join(corpus_cells, "cell_id")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id")
+        .join(F.broadcast(q), "q_id")
+        .join(c, "n_id")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("n_id"))
+    return (
+        cand.withColumn("score", cosine(F.col("_qv"), F.col("_cv")))
+        .select("q_id", "n_id", "score")
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .withColumn("score", F.round("score", 4))
     )

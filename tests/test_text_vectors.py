@@ -106,6 +106,29 @@ def test_lsh_topk_recall(spark):
     assert len(e & a) / len(e) >= 0.5  # pigeonhole d=3/16 planes keeps most
 
 
+def test_ivf_topk_recall_grows_with_nprobe(spark):
+    """IVF with the full cell budget must reproduce brute force for the
+    vectors it probes; more probes → recall monotonically up; nprobe =
+    n_cells → exact."""
+    from deduplicatr_spark.operators.topk import ivf_topk
+
+    df, _ = _emb_df(spark, n=200, dim=16, seed=4)
+    queries = df.filter(F.col("vec_id") < 12)
+    exact = {
+        (r["q_id"], r["n_id"]) for r in brute_force_topk(df, queries, k=3).collect()
+    }
+
+    recalls = []
+    for nprobe in (1, 4, 8):
+        approx = ivf_topk(
+            df, queries, k=3, n_cells=8, nprobe=nprobe, vec_col="embedding"
+        )
+        got = {(r["q_id"], r["n_id"]) for r in approx.collect()}
+        recalls.append(len(exact & got) / len(exact))
+    assert recalls == sorted(recalls), "recall must not drop as nprobe grows"
+    assert recalls[-1] == 1.0, "probing every cell must equal brute force"
+
+
 def test_multimodal_plumbing(spark):
     docs = spark.createDataFrame(
         [(7, "hello"), (8, "wörld")], "doc_id long, text string"

@@ -58,6 +58,23 @@ class PipelineConfig:
     # True: classic term-frequency-weighted SimHash (Charikar 2002) —
     # bits weighted by shingle occurrence counts.
     simhash_weighted: bool = False
+    # Candidate blocking scheme. 'chunks': d+1 disjoint chunks — key
+    # entropy is only 64/(d+1) bits (16 at d=3), so ACCIDENTAL chunk
+    # agreements between unrelated docs grow as n²·2^-16 — hopeless at
+    # 10^9 docs (~2.4e14 spurious candidates). 'combo' (Manku-Jain-
+    # Das Sarma, WWW 2007 §3): split into ``simhash_blocks`` blocks and
+    # key every (blocks − d)-subset — d flips leave ≥ blocks−d blocks
+    # intact, so recall within d stays EXACT, while key entropy rises
+    # to 40 bits (8 blocks, d=3) at the cost of C(8,5)=56 keys/doc.
+    # Rows scale O(n) while spurious pairs scale O(n²): MEASURED
+    # crossover on this corpus shape ≈ 1M docs (at 215k docs chunks is
+    # ~3× faster — 0.86M vs 12M keyed rows dominates the ~1.4M spurious
+    # pairs; the quadratic term wins beyond ~1M). 'auto' picks by
+    # corpus size (simhash_combo_min_docs) — the pipeline resolves it
+    # free from the s2 checkpoint row count.
+    simhash_blocking: str = "auto"
+    simhash_blocks: int = 8     # combo mode: must divide 64 and exceed hamming_d
+    simhash_combo_min_docs: int = 1_000_000
 
     # --- verification (SURVEY §2.10) ---
     jaccard_tau: float = 0.70

@@ -1,20 +1,31 @@
 """SimHash Hamming-bucket candidate generation (SURVEY.md §2.8).
 
 Pigeonhole principle: two 64-bit fingerprints within Hamming distance d
-must agree exactly on at least one of d+1 disjoint bit chunks. So we
-split the fingerprint into d+1 chunks (built-in ``shiftright`` + mask,
-no UDF), bucket on each (chunk_id, chunk_val), and verify candidates
-with ``bit_count(a ^ b) <= d`` — also a built-in. Recall within
-distance d is exact (a pigeonhole guarantee), subject only to the same
-bucket cap as LSH (logged, never silent).
+must agree exactly on at least one of d+1 disjoint bit chunks — and,
+generalized, on at least one (B−d)-subset of B disjoint blocks. Both
+blocking schemes are built-ins only (``shiftright`` + mask +
+``xxhash64``); candidates are verified with ``bit_count(a ^ b) <= d``.
+Recall within distance d is exact under either scheme (a pigeonhole
+guarantee), subject only to the same bucket cap as LSH (logged, never
+silent).
+
+Scheme choice is a SCALE decision (config.simhash_blocking): the d+1
+chunk keys carry only 64/(d+1) bits of entropy, so unrelated docs
+collide on a chunk with p ≈ n²·2⁻¹⁶ — quadratic spurious candidates.
+The 'combo' scheme (Manku, Jain & Das Sarma, "Detecting Near-Duplicates
+for Web Crawling", WWW 2007 §3) keys every (B−d)-subset of B blocks:
+more keys per doc (C(8,5) = 56 at the defaults) but 40-bit entropy per
+key — rows grow O(n) while spurious pairs collapse by ~2²⁴.
 
 Candidate generation is the shared single-shuffle core in
 ``operators/lsh.py § keyed_candidate_pairs``; the pipeline fuses these
-chunk keys with the LSH band keys into ONE shuffle + pairgen pass
+keys with the LSH band keys into ONE shuffle + pairgen pass
 (plans/pipeline.py § _cand_slice).
 """
 
 from __future__ import annotations
+
+from itertools import combinations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -27,7 +38,7 @@ def simhash_keyed(features: DataFrame, n_chunks: int) -> DataFrame:
     """(doc_id, band_hash) rows: the d+1 pigeonhole chunks folded into
     one 64-bit key (``chunk_val * n_chunks + chunk_id`` — chunk_val <
     2^(64/n_chunks), so no overflow), ready for the shared bucket
-    machinery."""
+    machinery. The small-corpus scheme — see module docstring."""
     width = 64 // n_chunks
     mask = (1 << width) - 1
     chunks = F.array(
@@ -44,6 +55,60 @@ def simhash_keyed(features: DataFrame, n_chunks: int) -> DataFrame:
         "doc_id",
         (F.col("chunk_val") * n_chunks + F.col("chunk_id")).alias("band_hash"),
     )
+
+
+def simhash_keyed_combo(
+    features: DataFrame, hamming_d: int, n_blocks: int
+) -> DataFrame:
+    """(doc_id, band_hash) rows for the Manku-style combinatorial
+    scheme: one xxhash64 key per (n_blocks − d)-subset of the B disjoint
+    bit blocks. d flips damage ≤ d blocks, leaving ≥ B−d intact, so the
+    subset made of intact blocks matches exactly — recall within d is
+    guaranteed, with (B−d)·64/B bits of key entropy against accidental
+    collisions."""
+    assert 64 % n_blocks == 0, "simhash_blocks must divide 64"
+    m = n_blocks - hamming_d
+    assert m >= 1, "simhash_blocks must exceed hamming_d"
+    width = 64 // n_blocks
+    mask = (1 << width) - 1
+    blocks = [
+        F.shiftright(F.col("simhash"), i * width).bitwiseAND(F.lit(mask))
+        for i in range(n_blocks)
+    ]
+    keys = F.array(
+        *[
+            F.xxhash64(F.lit(idx), *(blocks[i] for i in subset))
+            for idx, subset in enumerate(combinations(range(n_blocks), m))
+        ]
+    )
+    return features.filter(F.col("simhash").isNotNull()).select(
+        "doc_id", F.explode(keys).alias("band_hash")
+    )
+
+
+def resolve_blocking(config: PipelineConfig, n_docs: int | None) -> str:
+    """'auto' → 'combo' at ≥ simhash_combo_min_docs docs else 'chunks'
+    (the measured crossover — see config.py). Unknown corpus size under
+    'auto' defaults to 'chunks' (the small-corpus scheme)."""
+    if config.simhash_blocking != "auto":
+        return config.simhash_blocking
+    if n_docs is not None and n_docs >= config.simhash_combo_min_docs:
+        return "combo"
+    return "chunks"
+
+
+def simhash_keys_for(
+    features: DataFrame, config: PipelineConfig, n_docs: int | None = None
+) -> DataFrame:
+    """The configured blocking scheme's keyed rows. ``n_docs`` feeds the
+    'auto' decision; the pipeline passes it free from the s2 checkpoint
+    marker, standalone callers may pass ``features.count()`` (cheap on
+    the persisted/checkpointed frames every caller here uses)."""
+    if resolve_blocking(config, n_docs) == "combo":
+        return simhash_keyed_combo(
+            features, config.hamming_d, config.simhash_blocks
+        )
+    return simhash_keyed(features, config.hamming_d + 1)
 
 
 def hamming_verify(
@@ -79,7 +144,8 @@ def simhash_candidate_pairs(
     copies of a pair — cheap row-local arithmetic — and the consumer's
     partial agg collapses them.
     """
-    keyed = simhash_keyed(features, config.hamming_d + 1)
+    n_docs = features.count() if config.simhash_blocking == "auto" else None
+    keyed = simhash_keys_for(features, config, n_docs)
     if band_slice is not None:
         # band-hash-space slice for mid-stage resume (see lsh.py)
         g, n = band_slice

@@ -40,7 +40,7 @@ from deduplicatr_spark.operators.lsh import (
     keyed_candidate_pairs,
     release_tracked,
 )
-from deduplicatr_spark.operators.pigeonhole import hamming_verify, simhash_keyed
+from deduplicatr_spark.operators.pigeonhole import hamming_verify, simhash_keys_for
 from deduplicatr_spark.operators.verify import verify_pairs
 from deduplicatr_spark.sources.catalog import CheckpointStore
 
@@ -136,7 +136,11 @@ class DedupPipeline:
             # below collapses duplicate pairs map-side in the same
             # shuffle a standalone distinct() would need anyway.
             lsh_keyed = explode_bands(features).select("doc_id", "band_hash")
-            sim_keyed = simhash_keyed(features, cfg.hamming_d + 1)
+            # 'auto' blocking resolves from the s2 row count — free, the
+            # stage marker already holds it (no extra Spark job)
+            sim_keyed = simhash_keys_for(
+                features, cfg, n_docs=store.rows("s2_features")
+            )
             if band_slice is not None:
                 # slice on the RAW key per source (pre-fold) so slices
                 # stay balanced; every bucket still lives in one slice

@@ -94,6 +94,18 @@ class CheckpointStore:
         except (OSError, ValueError):
             return False
 
+    def rows(self, name: str) -> int | None:
+        """Row count of a committed stage, from its marker — free (no
+        Spark job); None when the stage hasn't committed."""
+        try:
+            with open(self._marker(name)) as f:
+                marker = json.load(f)
+            if marker.get("config_hash") == self.config_hash:
+                return marker.get("rows")
+        except (OSError, ValueError):
+            pass
+        return None
+
     def _iceberg_table(self, name: str) -> str:
         return f"{self.iceberg_namespace}.ckpt_{name}"
 

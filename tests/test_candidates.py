@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 from deduplicatr_spark.config import PipelineConfig
@@ -72,9 +73,15 @@ def test_hot_bucket_thinning(spark):
     assert pairs.count() > 0  # still emits capped pairs
 
 
-def test_pigeonhole_exact_within_d(spark):
+@pytest.mark.parametrize("blocking", ["chunks", "combo"])
+def test_pigeonhole_exact_within_d(spark, blocking):
     """Flipping ≤ d bits of a simhash must always be caught (pigeonhole
-    guarantee) — exhaustively over flip positions."""
+    guarantee) — exhaustively over flip positions, under BOTH blocking
+    schemes (d+1 chunks and Manku combinatorial blocks)."""
+    cfg = PipelineConfig(
+        n_hashes=32, n_bands=8, max_bucket_size=16, hot_key_threshold=200,
+        simhash_blocking=blocking,
+    )
     base_text = "stable content producing one fingerprint for this test " * 3
     feats = _features(spark, [base_text]).collect()[0]
     base_fp = feats["simhash"]
@@ -83,7 +90,7 @@ def test_pigeonhole_exact_within_d(spark):
     rng = np.random.default_rng(13)
     did = 1
     for _ in range(20):
-        flips = rng.choice(64, size=rng.integers(1, CFG.hamming_d + 1), replace=False)
+        flips = rng.choice(64, size=rng.integers(1, cfg.hamming_d + 1), replace=False)
         fp = base_u
         for b in flips:
             fp ^= 1 << int(b)
@@ -91,23 +98,67 @@ def test_pigeonhole_exact_within_d(spark):
         rows.append((did, fp))
         did += 1
     df = spark.createDataFrame(rows, "doc_id long, simhash long")
-    pairs, _ = simhash_candidate_pairs(df, CFG)
+    pairs, _ = simhash_candidate_pairs(df, cfg)
     got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
     for i in range(1, did):
-        assert (0, i) in got, f"missed flip-doc {i}"
+        assert (0, i) in got, f"missed flip-doc {i} under {blocking}"
 
 
-def test_pigeonhole_rejects_beyond_d(spark):
+@pytest.mark.parametrize("blocking", ["chunks", "combo"])
+def test_pigeonhole_rejects_beyond_d(spark, blocking):
+    cfg = PipelineConfig(
+        n_hashes=32, n_bands=8, max_bucket_size=16, hot_key_threshold=200,
+        simhash_blocking=blocking,
+    )
     fp0 = 0
     fp_far = 0
-    for b in range(CFG.hamming_d + 1):  # d+1 flips, one per chunk → no bucket match...
-        fp_far ^= 1 << (b * (64 // (CFG.hamming_d + 1)))
+    for b in range(cfg.hamming_d + 1):  # d+1 flips → Hamming beyond d
+        fp_far ^= 1 << (b * (64 // (cfg.hamming_d + 1)))
     df = spark.createDataFrame(
         [(0, fp0), (1, fp_far)], "doc_id long, simhash long"
     )
-    pairs, _ = simhash_candidate_pairs(df, CFG)
+    pairs, _ = simhash_candidate_pairs(df, cfg)
     got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
     assert (0, 1) not in got  # Hamming = d+1 → verified out
+
+
+def test_auto_blocking_resolves_by_corpus_size():
+    from deduplicatr_spark.operators.pigeonhole import resolve_blocking
+
+    auto = PipelineConfig()  # default blocking='auto', crossover 1M
+    assert resolve_blocking(auto, 1000) == "chunks"
+    assert resolve_blocking(auto, 5_000_000) == "combo"
+    assert resolve_blocking(auto, None) == "chunks"
+    assert resolve_blocking(PipelineConfig(simhash_blocking="combo"), 10) == "combo"
+    assert resolve_blocking(PipelineConfig(simhash_blocking="chunks"), 10**10) == "chunks"
+
+
+def test_combo_blocking_prunes_accidental_candidates(spark):
+    """The scale rationale for combo mode: random fingerprints that
+    happen to share one 16-bit chunk are candidates under 'chunks'
+    (verified out later — wasted join work) but never even become
+    candidates under 40-bit combo keys."""
+    rng = np.random.default_rng(99)
+    # random fps, then force doc 1 to share chunk 0 (low 16 bits) with
+    # doc 0 while differing everywhere else (Hamming >> d)
+    f0 = int(rng.integers(0, 1 << 63))
+    f1 = (int(rng.integers(0, 1 << 63)) & ~0xFFFF) | (f0 & 0xFFFF)
+    assert bin(f0 ^ f1).count("1") > 3
+    df = spark.createDataFrame([(0, f0), (1, f1)], "doc_id long, simhash long")
+
+    from deduplicatr_spark.operators.lsh import keyed_candidate_pairs
+    from deduplicatr_spark.operators.pigeonhole import simhash_keys_for
+
+    chunks_cfg = PipelineConfig(simhash_blocking="chunks")
+    combo_cfg = PipelineConfig(simhash_blocking="combo")
+    raw_chunks, _ = keyed_candidate_pairs(
+        simhash_keys_for(df, chunks_cfg), chunks_cfg
+    )
+    raw_combo, _ = keyed_candidate_pairs(
+        simhash_keys_for(df, combo_cfg), combo_cfg
+    )
+    assert raw_chunks.count() == 1   # the shared chunk makes a candidate
+    assert raw_combo.count() == 0    # blocks differ in every 5-subset
 
 
 def test_band_slice_union_equals_full(spark):

@@ -93,11 +93,11 @@ def main() -> None:
         explode_bands, keyed_candidate_pairs,
     )
     from deduplicatr_spark.operators.pigeonhole import (  # noqa: E402
-        hamming_verify, simhash_keyed,
+        hamming_verify, simhash_keys_for,
     )
 
     lsh_keyed = explode_bands(feats).select("doc_id", "band_hash")
-    sim_keyed = simhash_keyed(feats, BENCH_CONFIG.hamming_d + 1)
+    sim_keyed = simhash_keys_for(feats, BENCH_CONFIG)
     folded = lsh_keyed.select(
         "doc_id", F.shiftleft("band_hash", 1).alias("band_hash")
     ).unionByName(

@@ -20,8 +20,8 @@ SQL (same arithmetic, same string ops), no external data.
 from __future__ import annotations
 
 import glob
+import hashlib
 import os
-import shutil
 import sys
 import tempfile
 from collections.abc import Callable
@@ -46,6 +46,10 @@ from deduplicatr_spark.operators.suffix_array import substring_pairs
 from deduplicatr_spark.operators.topk import brute_force_topk, lsh_topk
 from deduplicatr_spark.operators.verify import verify_pairs
 from deduplicatr_spark.plans.pipeline import DedupPipeline
+from deduplicatr_spark.sources.scratch import (
+    claim_scratch_root,
+    sweep_stale_scratch,
+)
 
 # ---------------------------------------------------------------------------
 # shared input derivation (Spark and oracle build the SAME corpus)
@@ -558,6 +562,21 @@ def _features_frame(
     return _FEATS_CACHE[key]
 
 
+_FEATS_COUNT: dict[tuple[int, str, str], int] = {}
+
+
+def _features_count(
+    spark: SparkSession, sf_dir: str, config: PipelineConfig = ENTRY_CONFIG
+) -> int:
+    """Memoized row count of the cached features frame — feeds the
+    SimHash auto-blocking decision without a per-invocation count job
+    (the first count also materializes the persist)."""
+    key = (id(spark), sf_dir, config.config_hash)
+    if key not in _FEATS_COUNT:
+        _FEATS_COUNT[key] = _features_frame(spark, sf_dir, config).count()
+    return _FEATS_COUNT[key]
+
+
 def _fp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All (doc_a < doc_b) pairs with equal normalized-content
     fingerprint — SQL-computable ground truth for the hash-based
@@ -612,7 +631,9 @@ def _q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     red. Hamming 1..d behavior is pigeonhole-proof-tested in
     tests/test_candidates.py."""
     feats = _features_frame(spark, sf_dir)
-    pairs, _drops = simhash_candidate_pairs(feats, ENTRY_CONFIG)
+    pairs, _drops = simhash_candidate_pairs(
+        feats, ENTRY_CONFIG, n_docs=_features_count(spark, sf_dir)
+    )
     return pairs.join(_fp_pairs(spark, sf_dir), ["doc_a", "doc_b"]).select(
         "doc_a", "doc_b"
     )
@@ -636,7 +657,10 @@ def _q_simhash_weighted_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-bit python oracle in tests/test_numpy_core.py (the
     SQL-side oracle cannot recompute splitmix64 bit votes)."""
     feats = _features_frame(spark, sf_dir, WEIGHTED_CONFIG)
-    pairs, _drops = simhash_candidate_pairs(feats, WEIGHTED_CONFIG)
+    pairs, _drops = simhash_candidate_pairs(
+        feats, WEIGHTED_CONFIG,
+        n_docs=_features_count(spark, sf_dir, WEIGHTED_CONFIG),
+    )
     return pairs.join(_fp_pairs(spark, sf_dir), ["doc_a", "doc_b"]).select(
         "doc_a", "doc_b"
     )
@@ -814,22 +838,51 @@ def _q_winnow_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CODE_FP_CACHE: list[str] = []
+
+
+def _code_fingerprint() -> str:
+    """Hash of the engine source + this file — folded into the reused
+    checkpoint-root tag so a CODE change (same config) can never make
+    the pipeline correctness query resume from a previous version's
+    checkpoints and go green without exercising the current code."""
+    if not _CODE_FP_CACHE:
+        h = hashlib.sha256()
+        here = os.path.dirname(os.path.abspath(__file__))
+        files = sorted(
+            glob.glob(os.path.join(here, "deduplicatr_spark", "**", "*.py"),
+                      recursive=True)
+        ) + [os.path.abspath(__file__)]
+        for fn in files:
+            with open(fn, "rb") as f:
+                h.update(os.path.relpath(fn, here).encode())
+                h.update(f.read())
+        _CODE_FP_CACHE.append(h.hexdigest()[:12])
+    return _CODE_FP_CACHE[0]
+
+
 def _ckpt_root(sf_dir: str) -> str:
     """Deterministic, REUSED checkpoint root for the pipeline query —
-    keyed by (config hash, sf dir) so a repeat invocation resumes from
-    its own checkpoints instead of accumulating a fresh mkdtemp per run
-    (tmpfs is ~50% of RAM; leaked roots eventually ENOSPC later runs —
-    round-2 verdict item). Any OTHER dedup_ckpt_* root (older config,
-    other sf, or a legacy random-suffix dir) is swept here, so /dev/shm
-    usage stays flat across consecutive validate/bench invocations."""
+    keyed by (code fingerprint, config hash, full sf-dir path) so a
+    repeat invocation of the SAME code+config+corpus resumes from its
+    own checkpoints instead of accumulating a fresh mkdtemp per run
+    (tmpfs is ~50% of RAM; leaked roots eventually ENOSPC later runs),
+    while any code or config change forces a full recompute, and two
+    different corpora that happen to share a basename (/a/sf0.1 vs
+    /b/sf0.1) can never cross-resume. Stale roots matching this naming
+    scheme are swept ONLY when their recorded owner process is dead
+    (scratch.py) — a concurrent validate/main.py/bench run's in-use
+    root is never touched."""
     base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
-    tag = f"{ENTRY_CONFIG.config_hash}_{os.path.basename(sf_dir.rstrip('/'))}"
-    root = os.path.join(base, f"dedup_ckpt_{tag}")
-    for d in glob.glob(os.path.join(base, "dedup_ckpt_*")):
-        if d != root:
-            shutil.rmtree(d, ignore_errors=True)
-    os.makedirs(root, exist_ok=True)
-    return root
+    sf_abs = os.path.abspath(sf_dir.rstrip("/"))
+    path_fp = hashlib.sha256(sf_abs.encode()).hexdigest()[:8]
+    tag = (
+        f"{_code_fingerprint()}_{ENTRY_CONFIG.config_hash}_"
+        f"{os.path.basename(sf_abs)}_{path_fp}"
+    )
+    root = os.path.join(base, f"dedup_ckpt_v_{tag}")
+    sweep_stale_scratch(base, "dedup_ckpt_v_", keep=root)
+    return claim_scratch_root(root)
 
 
 def _q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1391,7 +1444,7 @@ SELECT cluster_id, doc_id, quality, n_members FROM cl WHERE rk = 1
 SELECT doc_id, source, lang, sample_rank FROM (
   SELECT doc_id, source, lang,
          row_number() OVER (
-           PARTITION BY source, lang ORDER BY sha256(text)
+           PARTITION BY source, lang ORDER BY sha256(text), doc_id
          ) AS sample_rank
   FROM documents WHERE text IS NOT NULL
 ) WHERE sample_rank <= 5

@@ -15,7 +15,6 @@ makes the N-vs-4N scaling comparison (BENCH/BASELINE.md) apples-to-apples.
 
 from __future__ import annotations
 
-import glob
 import json
 import os
 import shutil
@@ -42,6 +41,10 @@ from deduplicatr_spark.operators.incremental import (  # noqa: E402
 )
 from deduplicatr_spark.operators.lsh import lsh_candidate_pairs, release_tracked  # noqa: E402
 from deduplicatr_spark.operators.pigeonhole import simhash_candidate_pairs  # noqa: E402
+from deduplicatr_spark.sources.scratch import (  # noqa: E402
+    claim_scratch_root,
+    sweep_stale_scratch,
+)
 from deduplicatr_spark.operators.suffix_array import substring_pairs  # noqa: E402
 from deduplicatr_spark.operators.topk import brute_force_topk  # noqa: E402
 from deduplicatr_spark.operators.verify import verify_pairs  # noqa: E402
@@ -165,8 +168,9 @@ def main() -> None:
         # and the LAST run leaves the frame cached for the queries below
         feats.unpersist()
         feats.persist()
-        feats.count()
+        n_docs_box[0] = feats.count()
 
+    n_docs_box: list[int | None] = [None]
     timed("features", _features, repeats=2)
 
     # q2b: MinHash/LSH candidates + exact-Jaccard verify (features cached)
@@ -179,7 +183,9 @@ def main() -> None:
 
     # q3: SimHash pigeonhole + Hamming verify
     def _sim():
-        pairs, _ = simhash_candidate_pairs(feats, BENCH_CONFIG)
+        pairs, _ = simhash_candidate_pairs(
+            feats, BENCH_CONFIG, n_docs=n_docs_box[0]
+        )
         pairs.count()
         release_tracked()
 
@@ -249,14 +255,14 @@ def main() -> None:
     pipeline_runs: list[float] = []
     ckpt_roots: list[str] = []
     shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    if shm:  # sweep leftovers from any earlier (crashed) bench process
-        for d in glob.glob(os.path.join(shm, "bench_ckpt_*")):
-            shutil.rmtree(d, ignore_errors=True)
+    if shm:  # sweep leftovers from earlier CRASHED bench processes only
+        # (pid-guarded: a concurrent live bench's in-use root survives)
+        sweep_stale_scratch(shm, "bench_ckpt_")
 
     def _pipe():
         while ckpt_roots:  # previous runs' checkpoints are disposable
             shutil.rmtree(ckpt_roots.pop(), ignore_errors=True)
-        root = tempfile.mkdtemp(prefix="bench_ckpt_", dir=shm)
+        root = claim_scratch_root(tempfile.mkdtemp(prefix="bench_ckpt_", dir=shm))
         ckpt_roots.append(root)
         pipe = DedupPipeline(spark, BENCH_CONFIG, root)
         out = pipe.run(corpus)

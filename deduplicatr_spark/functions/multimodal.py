@@ -55,16 +55,29 @@ def parse_image_header(buf: bytes) -> tuple[int | None, int | None, str | None]:
         return w, h, "image/gif"
     if len(buf) >= 4 and buf[:2] == b"\xff\xd8":
         i = 2
-        while i + 9 <= len(buf):
+        while i + 4 <= len(buf):
             if buf[i] != 0xFF:
+                break
+            # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+            # marker — skip to the last 0xFF so the byte after it is the
+            # marker code, never another fill byte
+            while i + 1 < len(buf) and buf[i + 1] == 0xFF:
+                i += 1
+            if i + 4 > len(buf):
                 break
             marker = buf[i + 1]
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
-                i += 2  # standalone markers have no length field
+                i += 2  # standalone markers (SOI/TEM/RSTn): no length field
                 continue
+            if marker in (0xD9, 0xDA):
+                # EOI ends the stream; SOS starts entropy-coded data —
+                # either way no SOFn was seen, so dimensions are unknown
+                break
             seg_len = struct.unpack(">H", buf[i + 2 : i + 4])[0]
             if marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                           0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                if i + 9 > len(buf):
+                    break
                 h, w = struct.unpack(">HH", buf[i + 5 : i + 9])
                 return w, h, "image/jpeg"
             i += 2 + seg_len

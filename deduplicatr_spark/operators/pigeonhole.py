@@ -134,6 +134,7 @@ def simhash_candidate_pairs(
     config: PipelineConfig,
     dedupe: bool = True,
     band_slice: tuple[int, int] | None = None,
+    n_docs: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns ``(pairs, drop_stats)`` — pairs already Hamming-verified.
 
@@ -143,8 +144,14 @@ def simhash_candidate_pairs(
     shuffle; the Hamming verify join then processes up to hamming_d+1
     copies of a pair — cheap row-local arithmetic — and the consumer's
     partial agg collapses them.
+
+    ``n_docs`` feeds the 'auto' blocking decision; pass it when the
+    corpus size is already known (a checkpoint marker, a memoized
+    count) to avoid the fallback ``features.count()`` job — an extra
+    full pass over the upstream plan when the frame isn't cached.
     """
-    n_docs = features.count() if config.simhash_blocking == "auto" else None
+    if n_docs is None and config.simhash_blocking == "auto":
+        n_docs = features.count()
     keyed = simhash_keys_for(features, config, n_docs)
     if band_slice is not None:
         # band-hash-space slice for mid-stage resume (see lsh.py)

@@ -55,12 +55,16 @@ def stratified_sample(
     strata_cols: list[str],
     n_per_stratum: int,
     order_key: Column | None = None,
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Deterministic per-stratum quota sample: for each combination of
     ``strata_cols`` keep the ``n_per_stratum`` rows that rank first by
     ``order_key`` (default: sha256 of content — a uniform, content-keyed
-    order, so the sample is reproducible across runs, partitionings and
-    resume, never dependent on row arrival order).
+    order), with ``id_col`` as the tie-break: duplicate texts are the
+    norm in a dedup corpus, and without a total order the row_number at
+    the quota boundary would depend on partition arrival order. The
+    (key, id) composite makes the sample reproducible across runs,
+    partitionings and resume, never dependent on row arrival order.
 
     The corpus-mixing primitive: "200k docs per (lang, source)" is one
     call. Output adds ``sample_rank`` (1-based within the stratum).
@@ -70,7 +74,7 @@ def stratified_sample(
     map-side; no global sort, no sampleBy() nondeterminism.
     """
     key = order_key if order_key is not None else F.sha2(F.col("content"), 256)
-    w = Window.partitionBy(*strata_cols).orderBy(key.asc())
+    w = Window.partitionBy(*strata_cols).orderBy(key.asc(), F.col(id_col).asc())
     return (
         docs.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= n_per_stratum)

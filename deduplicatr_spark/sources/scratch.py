@@ -1,0 +1,66 @@
+"""Pid-guarded scratch checkpoint roots on tmpfs.
+
+/dev/shm is ~50% of RAM, so leaked checkpoint roots from crashed runs
+eventually ENOSPC later ones (round-2 verdict item #3) — but a blind
+``rm -rf <base>/<prefix>*`` sweep is worse: it deletes the IN-USE root
+of a concurrent process (a main.py run, a second validate on another
+sf dir, a parallel bench), whose next checkpoint read/rename then dies
+mid-stage (round-3 review finding). The contract here:
+
+* every scratch root records its owner via an ``owner.pid`` file the
+  moment it is created (``claim_scratch_root``);
+* sweeps (``sweep_stale_scratch``) remove a candidate root only when
+  its recorded owner is demonstrably dead (or the root predates this
+  scheme and has no pid file) — a live owner's root is never touched.
+
+This keeps tmpfs usage flat across repeated validate/bench invocations
+while making concurrent runs safe by construction.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+
+_PID_FILE = "owner.pid"
+
+
+def _owner_alive(root: str) -> bool:
+    """True iff the root's recorded owner is a live process. A missing
+    or unreadable pid file means no live claim (legacy/crashed root)."""
+    try:
+        with open(os.path.join(root, _PID_FILE)) as f:
+            pid = int(f.read().strip())
+    except (OSError, ValueError):
+        return False
+    if pid == os.getpid():
+        return True
+    try:
+        os.kill(pid, 0)  # signal 0: existence check, no signal sent
+        return True
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # exists, owned by another uid
+
+
+def claim_scratch_root(root: str) -> str:
+    """Create ``root`` if needed and record this process as its owner."""
+    os.makedirs(root, exist_ok=True)
+    with open(os.path.join(root, _PID_FILE), "w") as f:
+        f.write(str(os.getpid()))
+    return root
+
+
+def sweep_stale_scratch(base: str, prefix: str, keep: str | None = None) -> int:
+    """Remove ``<base>/<prefix>*`` roots whose owner is dead; never the
+    ``keep`` root or any root with a live owner. Returns count removed."""
+    removed = 0
+    for d in glob.glob(os.path.join(base, prefix + "*")):
+        if d == keep or _owner_alive(d):
+            continue
+        shutil.rmtree(d, ignore_errors=True)
+        removed += 1
+    return removed

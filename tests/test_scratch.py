@@ -1,0 +1,54 @@
+"""Pid-guarded scratch sweeps (sources/scratch.py): a sweep must remove
+dead-owner and unclaimed roots but NEVER a live process's in-use root —
+the round-3 review found the previous blind rm -rf could delete a
+concurrent run's checkpoints mid-stage."""
+
+import os
+
+from deduplicatr_spark.sources.scratch import (
+    claim_scratch_root,
+    sweep_stale_scratch,
+)
+
+
+def test_sweep_spares_live_owner_and_keep(tmp_path):
+    base = str(tmp_path)
+    mine = claim_scratch_root(os.path.join(base, "x_mine"))
+    other_live = claim_scratch_root(os.path.join(base, "x_other"))
+    # both claimed by THIS (live) process → neither may be swept
+    removed = sweep_stale_scratch(base, "x_", keep=mine)
+    assert removed == 0
+    assert os.path.isdir(mine) and os.path.isdir(other_live)
+
+
+def test_sweep_removes_dead_owner_and_unclaimed(tmp_path):
+    base = str(tmp_path)
+    keep = claim_scratch_root(os.path.join(base, "x_keep"))
+    dead = os.path.join(base, "x_dead")
+    os.makedirs(dead)
+    # pid that cannot exist: beyond pid_max on any Linux config
+    with open(os.path.join(dead, "owner.pid"), "w") as f:
+        f.write("4999999")
+    legacy = os.path.join(base, "x_legacy")  # pre-scheme root, no pid file
+    os.makedirs(legacy)
+    garbled = os.path.join(base, "x_garbled")
+    os.makedirs(garbled)
+    with open(os.path.join(garbled, "owner.pid"), "w") as f:
+        f.write("not a pid")
+    removed = sweep_stale_scratch(base, "x_", keep=keep)
+    assert removed == 3
+    assert os.path.isdir(keep)
+    for d in (dead, legacy, garbled):
+        assert not os.path.exists(d)
+
+
+def test_reclaim_updates_owner(tmp_path):
+    root = os.path.join(str(tmp_path), "x_r")
+    claim_scratch_root(root)
+    with open(os.path.join(root, "owner.pid")) as f:
+        assert int(f.read()) == os.getpid()
+    # re-claim is idempotent and keeps existing content
+    marker = os.path.join(root, "stage")
+    os.makedirs(marker)
+    claim_scratch_root(root)
+    assert os.path.isdir(marker)

@@ -211,6 +211,34 @@ def test_real_decoder_parses_image_headers(spark):
     assert got[1]["n_bytes"] == len(_png_bytes(320, 200))
 
 
+def test_jpeg_fill_bytes_and_scan_boundary():
+    """ITU T.81 B.1.1.2 allows any number of 0xFF fill bytes before a
+    marker, and EOI/SOS have no walkable length field — the marker walk
+    must skip fill bytes and stop at scan data instead of striding into
+    garbage (round-3 review finding)."""
+    import struct
+
+    from deduplicatr_spark.functions.multimodal import parse_image_header
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = (
+        b"\xff\xc0" + struct.pack(">H", 11)
+        + b"\x08" + struct.pack(">HH", 77, 123) + b"\x01\x11\x00"
+    )
+    # fill bytes between segments, before SOF
+    padded = b"\xff\xd8" + app0 + b"\xff\xff\xff" + sof0 + b"\xff\xd9"
+    assert parse_image_header(padded) == (123, 77, "image/jpeg")
+    # SOS before any SOF: the walk must stop (entropy-coded data
+    # follows), not unpack a bogus length and misread a pseudo-SOF
+    sos = b"\xff\xda" + struct.pack(">H", 8) + b"\x01\x01\x00\x00\x3f\x00"
+    fake_sof_in_scan = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" \
+        + struct.pack(">HH", 9999, 9999) + b"\x01\x11\x00"
+    truncated = b"\xff\xd8" + app0 + sos + fake_sof_in_scan
+    assert parse_image_header(truncated) == (None, None, None)
+    # EOI directly after SOI: stream ends, no dimensions
+    assert parse_image_header(b"\xff\xd8\xff\xd9") == (None, None, None)
+
+
 def test_real_decoder_agrees_with_pil():
     """Cross-validate the header parser against PIL where that library
     exists (skip-guarded: not in this container)."""

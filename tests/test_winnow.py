@@ -114,3 +114,22 @@ def test_stratified_sample_deterministic(spark):
     for s, _d, _r in ta:
         per[s] = per.get(s, 0) + 1
     assert per == {"s0": 3, "s1": 3}
+
+
+def test_stratified_sample_deterministic_with_duplicate_texts(spark):
+    """Duplicate texts are the NORM in a dedup corpus: equal contents
+    produce equal sha256 order keys, and without the doc_id tie-break
+    the pick at the quota boundary would depend on partition arrival
+    order (round-3 review finding). All 6 docs in one stratum share one
+    text — the 3 survivors must be the 3 smallest doc_ids, under any
+    partitioning."""
+    rows = [(i, "s", "l", "same text") for i in (11, 3, 7, 19, 5, 2)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, lang string, content string"
+    )
+    for variant in (df, df.repartition(5).orderBy(F.desc("doc_id"))):
+        got = sorted(
+            (r["doc_id"], r["sample_rank"])
+            for r in stratified_sample(variant, ["source", "lang"], 3).collect()
+        )
+        assert got == [(2, 1), (3, 2), (5, 3)]

@@ -344,6 +344,16 @@ def _q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document line-repetition signals (Gopher / RefinedWeb
+    quality heuristics): duplicate-line fraction and the character mass
+    inside repeated lines — the boilerplate gate for license headers,
+    generated code and copy-pasted blocks. One JVM array pass per row
+    (functions/text.py repetition_columns), zero shuffles."""
+    d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    return d.select("doc_id", *TXT.repetition_columns("text"))
+
+
 def _q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic marker-token language ID."""
     d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
@@ -954,6 +964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": _q_token_stats,
         "quality_filter": _q_quality_filter,
         "langid": _q_langid,
+        "repetition_stats": _q_repetition_stats,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "scan_filter": _q_scan_filter,
         "embedding_topk": _q_embedding_topk,
@@ -1156,6 +1167,35 @@ WITH t AS (
 SELECT doc_id, reason = 'ok' AS keep, reason FROM r
 """,
         "langid": _langid_sql(),
+        "repetition_stats": """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(string_split(text, chr(10)),
+                          x -> regexp_replace(x, '^\\s+|\\s+$', '', 'g')),
+           x -> x <> '') AS ls
+  FROM documents WHERE text IS NOT NULL
+), s AS (
+  SELECT doc_id, ls, list_distinct(ls) AS dls FROM t
+), c AS (
+  SELECT doc_id,
+         CAST(len(ls) AS BIGINT) AS n_lines,
+         CAST(len(dls) AS BIGINT) AS n_distinct_lines,
+         CAST(coalesce(list_sum(list_transform(ls, x -> length(x))), 0)
+              AS BIGINT) AS n_line_chars,
+         CAST(coalesce(list_sum(list_transform(dls, x -> length(x))), 0)
+              AS BIGINT) AS d_chars
+  FROM s
+)
+SELECT doc_id, n_lines, n_distinct_lines, n_line_chars,
+  floor(CAST(n_lines - n_distinct_lines AS DOUBLE)
+        / CAST(greatest(n_lines, 1) AS DOUBLE) * 1000000) / 1000000.0
+    AS dup_line_frac,
+  floor(CAST(n_line_chars - d_chars AS DOUBLE)
+        / CAST(greatest(n_line_chars, 1) AS DOUBLE) * 1000000) / 1000000.0
+    AS dup_line_char_frac
+FROM c
+""",
         "ngram_jaccard_pairs": CORPUS_SQL + f"""
 , tok AS (
   SELECT doc_id,

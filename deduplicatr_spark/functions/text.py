@@ -79,6 +79,53 @@ def quality_columns(col: str = "text") -> list[Column]:
     ]
 
 
+def nonempty_lines(col: str | Column = "text") -> Column:
+    """Whitespace-trimmed, non-empty lines as an array — the unit of
+    intra-document repetition analysis (for source code, the natural
+    granularity). Pure JVM array functions; no shuffle, no UDF."""
+    c = F.col(col) if isinstance(col, str) else col
+    trimmed = F.transform(
+        F.split(c, "\n"), lambda x: F.regexp_replace(x, r"^\s+|\s+$", "")
+    )
+    return F.filter(trimmed, lambda x: x != "")
+
+
+def repetition_columns(col: str = "text") -> list[Column]:
+    """Intra-document repetition signals in the Gopher / RefinedWeb
+    style (Rae et al. 2021 §A1.1; Penedo et al. 2023 §4.2): the
+    fraction of repeated lines and the fraction of characters inside
+    repeated lines — the classic pre-training quality gate for
+    boilerplate-heavy documents (license headers, generated code,
+    copy-pasted blocks).
+
+    All per-row array arithmetic (split → trim → distinct → aggregate):
+    one codegen-friendly JVM pass, zero shuffles at any corpus size.
+    Ratios use floor(x·1e6)/1e6 for oracle-stable float comparison.
+    """
+    ls = nonempty_lines(col)
+    dls = F.array_distinct(ls)
+    n = F.size(ls).cast("long")
+    nd = F.size(dls).cast("long")
+    zero = F.lit(0).cast("long")
+    chars = F.aggregate(ls, zero, lambda a, x: a + F.length(x).cast("long"))
+    dchars = F.aggregate(dls, zero, lambda a, x: a + F.length(x).cast("long"))
+    safe_n = F.greatest(n, F.lit(1)).cast("double")
+    safe_c = F.greatest(chars, F.lit(1)).cast("double")
+
+    def _floor6(x: Column) -> Column:
+        return F.floor(x * 1e6) / 1e6
+
+    return [
+        n.alias("n_lines"),
+        nd.alias("n_distinct_lines"),
+        chars.alias("n_line_chars"),
+        _floor6((n - nd).cast("double") / safe_n).alias("dup_line_frac"),
+        _floor6((chars - dchars).cast("double") / safe_c).alias(
+            "dup_line_char_frac"
+        ),
+    ]
+
+
 def fingerprint(col: str = "text") -> Column:
     """Document fingerprint: sha256 of whitespace-normalized content —
     catches formatting-only duplicates the raw hash misses."""

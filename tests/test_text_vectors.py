@@ -43,6 +43,29 @@ def test_quality_columns(spark):
     assert row["stopword_ratio"] == round(2 / 4, 6)  # 'the', 'and'
 
 
+def test_repetition_columns(spark):
+    from deduplicatr_spark.functions.text import repetition_columns
+
+    df = spark.createDataFrame(
+        [("a\n a \nbb\n\n   \ncc",), ("",), ("x\nx\nx",)], "text string"
+    )
+    rows = df.select(*repetition_columns("text")).collect()
+    # doc 0: trimmed non-empty lines = [a, a, bb, cc] → 1 dup line of 1 char
+    r = rows[0]
+    assert (r["n_lines"], r["n_distinct_lines"], r["n_line_chars"]) == (4, 3, 6)
+    import math
+
+    assert r["dup_line_frac"] == 0.25
+    assert r["dup_line_char_frac"] == math.floor(1 / 6 * 1e6) / 1e6
+    # doc 1: empty → all zeros, no div-by-zero
+    r = rows[1]
+    assert (r["n_lines"], r["dup_line_frac"], r["dup_line_char_frac"]) == (0, 0.0, 0.0)
+    # doc 2: fully repeated → 2/3 dup lines, 2/3 dup chars
+    r = rows[2]
+    assert r["dup_line_frac"] == math.floor(2 / 3 * 1e6) / 1e6
+    assert r["dup_line_char_frac"] == math.floor(2 / 3 * 1e6) / 1e6
+
+
 def test_fingerprint_normalizes_whitespace(spark):
     df = spark.createDataFrame(
         [("a  b\n\nc",), ("a b c",), ("a b d",)], "text string"

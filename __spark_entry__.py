@@ -38,6 +38,7 @@ from deduplicatr_spark.functions.hashing import normalized
 from deduplicatr_spark.functions.multimodal import extract_meta, to_binary_docs
 from deduplicatr_spark.operators.connected_components import connected_components
 from deduplicatr_spark.operators.containment import suppress_contained
+from deduplicatr_spark.operators.decontaminate import ngram_contamination
 from deduplicatr_spark.operators.exact import duplicate_groups, exact_canonical
 from deduplicatr_spark.operators.lsh import lsh_candidate_pairs
 from deduplicatr_spark.operators.pigeonhole import simhash_candidate_pairs
@@ -352,6 +353,20 @@ def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (functions/text.py repetition_columns), zero shuffles."""
     d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
     return d.select("doc_id", *TXT.repetition_columns("text"))
+
+
+def _q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix C / PaLM §8 recipe):
+    flag corpus docs sharing any lowercase token 5-gram with a held-out
+    benchmark set. The benchmark here is the deterministic doc_id%17
+    slice of the same table (no external data), so those docs self-hit
+    with frac 1.0 and everything else measures true cross-doc leakage.
+    Benchmark grams are DISTINCT'd and broadcast; the corpus-side gram
+    stream is filtered by the broadcast join before the per-doc
+    aggregation shuffle, so only actual hits ever shuffle."""
+    d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    bench = d.filter(F.col("doc_id") % 17 == 0)
+    return ngram_contamination(d, bench, n=5).orderBy("doc_id")
 
 
 def _q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -965,6 +980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": _q_quality_filter,
         "langid": _q_langid,
         "repetition_stats": _q_repetition_stats,
+        "decontamination": _q_decontamination,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "scan_filter": _q_scan_filter,
         "embedding_topk": _q_embedding_topk,
@@ -1167,6 +1183,39 @@ WITH t AS (
 SELECT doc_id, reason = 'ok' AS keep, reason FROM r
 """,
         "langid": _langid_sql(),
+        "decontamination": """
+WITH t AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) < 5 THEN CAST([] AS VARCHAR[])
+         ELSE list_distinct(list_transform(range(1, len(toks) - 3),
+              i -> array_to_string(list_slice(toks, i, i + 4), ' ')))
+    END AS grams
+  FROM (
+    SELECT doc_id,
+           list_transform(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                               ELSE string_split_regex(trim(text), '\\s+') END,
+                          x -> lower(x)) AS toks
+    FROM documents WHERE text IS NOT NULL
+  )
+), bench AS (
+  SELECT DISTINCT unnest(grams) AS gram FROM t WHERE doc_id % 17 = 0
+), e AS (
+  SELECT doc_id, unnest(grams) AS gram FROM t
+), h AS (
+  SELECT e.doc_id, count(*) AS n_hits
+  FROM e JOIN bench ON e.gram = bench.gram
+  GROUP BY e.doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.grams) AS BIGINT) AS n_ngrams,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       floor(CAST(coalesce(h.n_hits, 0) AS DOUBLE)
+             / CAST(greatest(len(t.grams), 1) AS DOUBLE) * 1000000) / 1000000.0
+         AS contamination_frac,
+       coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM t LEFT JOIN h ON t.doc_id = h.doc_id
+ORDER BY t.doc_id
+""",
         "repetition_stats": """
 WITH t AS (
   SELECT doc_id,

@@ -34,6 +34,7 @@ from deduplicatr_spark.functions import text as TXT  # noqa: E402
 from deduplicatr_spark.functions.features import features_udf  # noqa: E402
 from deduplicatr_spark.functions.hashing import normalized  # noqa: E402
 from deduplicatr_spark.operators.embedding_dedup import embedding_dup_pairs  # noqa: E402
+from deduplicatr_spark.operators.decontaminate import ngram_contamination  # noqa: E402
 from deduplicatr_spark.operators.exact import duplicate_groups, with_identity  # noqa: E402
 from deduplicatr_spark.operators.incremental import (  # noqa: E402
     band_bucket_stats,
@@ -309,6 +310,19 @@ def main() -> None:
         ).groupBy("l").agg(F.sum("t"), F.sum("b")).count()
 
     timed("token_stats", _text, repeats=2)
+
+    # q5b: benchmark decontamination (broadcast n-gram overlap) — the
+    # doc_id%17 slice of the corpus stands in for the held-out eval set
+    def _decon():
+        ided = corpus.withColumn(
+            "doc_id", F.xxhash64("repo", "path", "commit")
+        )
+        bench_docs = ided.filter(F.pmod("doc_id", F.lit(17)) == 0)
+        ngram_contamination(
+            ided, bench_docs, n=5, text_col="content"
+        ).filter(F.col("contaminated")).count()
+
+    timed("decontamination", _decon, repeats=2)
 
     # q6: embedding brute-force cosine top-k
     spark.catalog.clearCache()

@@ -1,0 +1,109 @@
+"""Benchmark decontamination: n-gram overlap against a held-out set.
+
+The standard pre-training hygiene pass (public method: GPT-3 appendix C
+[Brown et al. 2020], PaLM §8 [Chowdhery et al. 2022], Llama 2 §A.6):
+flag every corpus document that shares at least one token n-gram with a
+benchmark/eval document, so evaluation data can be scrubbed from the
+training set. Reported per document: distinct n-gram count, distinct
+contaminated n-gram count, contamination fraction, and a boolean flag.
+
+Scale shape (100 TB corpus, MB-scale benchmark suite):
+
+* the benchmark n-gram set is DISTINCT'd and **broadcast** — benchmark
+  suites are tiny by construction (a few MB of text), so the hash map
+  fits on every executor and the corpus side never shuffles to meet it;
+* the corpus n-gram stream (posexplode ∝ tokens per doc) is filtered by
+  the broadcast **inner** join *before* any exchange, so the only rows
+  that reach the per-doc aggregation shuffle are actual hits — rare by
+  definition in a clean corpus.  A semi-join per (doc, gram) would lose
+  the hit count; inner join + count is the same cost because grams are
+  pre-distinct'd per doc;
+* per-doc totals (``n_ngrams``) come from ``F.size`` on the un-exploded
+  array — one codegen pass, no second explode;
+* everything is JVM built-ins (split / transform / slice / array_join):
+  no Python in the hot path.
+
+Semantics notes: tokens are the whitespace tokens of
+``functions/text.py § tokens`` lowercased (decontamination is
+case-insensitive in all the public recipes); n-grams are counted as
+DISTINCT per document, so a doc repeating one leaked n-gram 100 times
+scores 1 hit — the flag is about provenance, not mass.  Docs shorter
+than ``n`` tokens have zero n-grams and are never flagged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from deduplicatr_spark.functions.text import tokens
+
+
+def ngram_array(col: str | Column, n: int) -> Column:
+    """Distinct lowercase whitespace-token n-grams as an array of
+    space-joined strings; fewer than ``n`` tokens → empty array.
+
+    Guard rationale: ``F.sequence(1, k)`` with k < 1 would produce a
+    DESCENDING sequence (Spark's default negative step), so the short-doc
+    case must short-circuit before the sequence is built.
+    """
+    toks = F.transform(tokens(col), lambda t: F.lower(t))
+    k = (F.size(toks) - F.lit(n - 1)).cast("int")
+    grams = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-corpus-doc contamination stats against ``benchmark``.
+
+    ``corpus``: (id_col, text_col, ...); ``benchmark``: (text_col, ...).
+    Returns (id_col, n_ngrams, n_hits, contamination_frac, contaminated)
+    with ``contamination_frac`` floor-truncated at 1e-6 for oracle-stable
+    float comparison (the repo-wide convention).
+    """
+    bench_grams = (
+        benchmark.select(F.explode(ngram_array(text_col, n)).alias("gram"))
+        .distinct()
+    )
+    with_grams = corpus.select(
+        F.col(id_col), ngram_array(text_col, n).alias("_grams")
+    )
+    hits = (
+        with_grams.select(id_col, F.explode("_grams").alias("gram"))
+        .join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+    )
+    totals = with_grams.select(
+        id_col, F.size("_grams").cast("long").alias("n_ngrams")
+    )
+    joined = totals.join(hits, id_col, "left").withColumn(
+        "n_hits", F.coalesce(F.col("n_hits"), F.lit(0)).cast("long")
+    )
+    frac = (
+        F.floor(
+            F.col("n_hits").cast("double")
+            / F.greatest(F.col("n_ngrams"), F.lit(1)).cast("double")
+            * 1e6
+        )
+        / 1e6
+    )
+    return joined.select(
+        id_col,
+        "n_ngrams",
+        "n_hits",
+        frac.alias("contamination_frac"),
+        (F.col("n_hits") > 0).alias("contaminated"),
+    )

@@ -1,0 +1,101 @@
+"""Benchmark decontamination (operators/decontaminate.py) unit vectors.
+
+Hand-computed truths over tiny constructed docs: n-gram counting,
+distinct-per-doc hit semantics, short-doc guard, case-insensitivity.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from deduplicatr_spark.operators.decontaminate import (
+    ngram_array,
+    ngram_contamination,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        # doc 1: 7 tokens -> 3 distinct 5-grams, one of them leaked
+        (1, "the quick brown fox jumps over fences"),
+        # doc 2: exactly the benchmark doc (verbatim leak, frac 1.0)
+        (2, "alpha beta gamma delta epsilon zeta"),
+        # doc 3: repeats the same leaked 5-gram twice -> still 1 hit
+        (3, "alpha beta gamma delta epsilon alpha beta gamma delta epsilon"),
+        # doc 4: too short for any 5-gram
+        (4, "one two three four"),
+        # doc 5: clean
+        (5, "red orange yellow green blue indigo violet"),
+        # doc 6: case-variant leak (decontamination is case-insensitive)
+        (6, "ALPHA Beta GAMMA delta EPSILON tail tokens here"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def bench_set(spark):
+    return spark.createDataFrame(
+        [("alpha beta gamma delta epsilon zeta",),
+         ("the quick brown fox jumps",)],
+        "text string",
+    )
+
+
+def test_ngram_array_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x y"), (3, "a b c d e a b c d e")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: sorted(r["g"])
+        for r in df.select("doc_id", ngram_array("text", 5).alias("g")).collect()
+    }
+    assert got[1] == ["a b c d e", "b c d e f", "c d e f g"]
+    assert got[2] == []
+    # 10 tokens -> 6 positional 5-grams, 5 distinct (the wraparound dup)
+    assert len(got[3]) == 5
+
+
+def test_contamination_stats(corpus, bench_set):
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in ngram_contamination(corpus, bench_set, n=5).collect()
+    }
+    # doc 1: grams {the..jumps, quick..over, brown..fences}; bench doc 2
+    # contributes exactly "the quick brown fox jumps"
+    assert out[1]["n_ngrams"] == 3
+    assert out[1]["n_hits"] == 1
+    assert out[1]["contaminated"] is True
+    assert out[1]["contamination_frac"] == pytest.approx(0.333333, abs=1e-6)
+    # doc 2: verbatim benchmark member
+    assert out[2]["n_hits"] == out[2]["n_ngrams"] == 2
+    assert out[2]["contamination_frac"] == 1.0
+    # doc 3: leaked gram appears twice in-doc but grams are DISTINCT
+    assert out[3]["n_hits"] == 1
+    # doc 4: shorter than n -> zero grams, never flagged
+    assert out[4]["n_ngrams"] == 0
+    assert out[4]["n_hits"] == 0
+    assert out[4]["contaminated"] is False
+    # doc 5: clean
+    assert out[5]["n_hits"] == 0
+    assert out[5]["contaminated"] is False
+    # doc 6: case-variant leak still caught
+    assert out[6]["n_hits"] >= 1
+    assert out[6]["contaminated"] is True
+
+
+def test_broadcast_in_plan(corpus, bench_set):
+    """The benchmark side must reach the corpus via a broadcast join —
+    the corpus never shuffles to meet an MB-scale benchmark set."""
+    plan = ngram_contamination(corpus, bench_set, n=5)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_empty_benchmark(corpus, spark):
+    bench = spark.createDataFrame([], "text string")
+    out = ngram_contamination(corpus, bench, n=5)
+    assert out.filter(F.col("contaminated")).count() == 0
+    assert out.count() == corpus.count()

@@ -38,7 +38,9 @@ from deduplicatr_spark.functions.hashing import normalized
 from deduplicatr_spark.functions.multimodal import extract_meta, to_binary_docs
 from deduplicatr_spark.operators.connected_components import connected_components
 from deduplicatr_spark.operators.containment import suppress_contained
+from deduplicatr_spark.functions import pii as PII
 from deduplicatr_spark.operators.decontaminate import ngram_contamination
+from deduplicatr_spark.operators.linedup import corpus_line_stats
 from deduplicatr_spark.operators.exact import duplicate_groups, exact_canonical
 from deduplicatr_spark.operators.lsh import lsh_candidate_pairs
 from deduplicatr_spark.operators.pigeonhole import simhash_candidate_pairs
@@ -367,6 +369,56 @@ def _q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
     bench = d.filter(F.col("doc_id") % 17 == 0)
     return ngram_contamination(d, bench, n=5).orderBy("doc_id")
+
+
+def _q_corpus_line_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document line-level dedup stats (RefinedWeb §4.2 / CCNet
+    boilerplate signal): per doc, how many of its distinct ≥8-char
+    lines appear in at least one OTHER document of the planted corpus.
+    The corpus's exact copies and mirrored repo guarantee real sharing.
+    Exchanges key on xxhash64(line) — 8 bytes per key at any line
+    length; the oracle groups on the raw line string, so a hash
+    collision would surface as a driver-gate mismatch."""
+    return corpus_line_stats(
+        _corpus(spark, sf_dir), text_col="content"
+    ).orderBy("doc_id")
+
+
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (StarCoder §3.2 / Dolma-style regex
+    pass). PII is PLANTED deterministically (emails+SSN on doc_id%13,
+    IPv4 on doc_id%11 — word-salad text has none), then counted and
+    redacted with JVM regex built-ins in one codegen pass. The oracle
+    compares sha256 of the redacted text, proving byte-identical
+    redaction without shipping text through the gate."""
+    d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com id 123-45-6789"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" host 10.0."),
+                    (F.col("doc_id") % 200).cast("string"),
+                    F.lit(".7"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return planted.select(
+        "doc_id",
+        *PII.pii_count_columns("text"),
+        F.sha2(PII.redacted("text"), 256).alias("redacted_sha256"),
+    ).orderBy("doc_id")
 
 
 def _q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -981,6 +1033,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": _q_langid,
         "repetition_stats": _q_repetition_stats,
         "decontamination": _q_decontamination,
+        "corpus_line_stats": _q_corpus_line_stats,
+        "pii_scrub": _q_pii_scrub,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "scan_filter": _q_scan_filter,
         "embedding_topk": _q_embedding_topk,
@@ -1183,6 +1237,67 @@ WITH t AS (
 SELECT doc_id, reason = 'ok' AS keep, reason FROM r
 """,
         "langid": _langid_sql(),
+        "corpus_line_stats": CORPUS_SQL + """
+, dl AS (
+  SELECT doc_id, unnest(list_distinct(list_filter(
+           list_transform(string_split(content, chr(10)),
+                          x -> regexp_replace(x, '^\\s+|\\s+$', '', 'g')),
+           x -> x <> ''))) AS line
+  FROM corpus
+), q AS (
+  SELECT doc_id, line FROM dl WHERE length(line) >= 8
+), f AS (
+  SELECT line, count(*) AS line_docs FROM q GROUP BY line
+), p AS (
+  SELECT q.doc_id,
+         count(*) AS n_lines,
+         sum(CASE WHEN f.line_docs >= 2 THEN 1 ELSE 0 END) AS n_shared_lines
+  FROM q JOIN f USING (line) GROUP BY q.doc_id
+)
+SELECT c.doc_id,
+       CAST(coalesce(p.n_lines, 0) AS BIGINT) AS n_lines,
+       CAST(coalesce(p.n_shared_lines, 0) AS BIGINT) AS n_shared_lines,
+       floor(CAST(coalesce(p.n_shared_lines, 0) AS DOUBLE)
+             / CAST(greatest(coalesce(p.n_lines, 0), 1) AS DOUBLE) * 1000000)
+         / 1000000.0 AS shared_line_frac
+FROM corpus c LEFT JOIN p ON c.doc_id = p.doc_id
+ORDER BY c.doc_id
+""",
+        "pii_scrub": """
+WITH planted AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 13 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com id 123-45-6789'
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' host 10.0.' || CAST(doc_id % 200 AS VARCHAR) || '.7'
+                 ELSE '' END AS text
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+         AS n_email,
+       CAST(len(regexp_extract_all(text,
+         '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT)
+         AS n_ipv4,
+       CAST(len(regexp_extract_all(text,
+         '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS BIGINT) AS n_ssn,
+       len(regexp_extract_all(text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+       + len(regexp_extract_all(text,
+         '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+       + len(regexp_extract_all(text,
+         '\\b\\d{3}-\\d{2}-\\d{4}\\b')) > 0 AS has_pii,
+       sha256(regexp_replace(regexp_replace(regexp_replace(text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+         '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IPV4]', 'g'),
+         '\\b\\d{3}-\\d{2}-\\d{4}\\b', '[ID]', 'g')) AS redacted_sha256
+FROM planted
+ORDER BY doc_id
+""",
         "decontamination": """
 WITH t AS (
   SELECT doc_id,

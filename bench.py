@@ -35,6 +35,7 @@ from deduplicatr_spark.functions.features import features_udf  # noqa: E402
 from deduplicatr_spark.functions.hashing import normalized  # noqa: E402
 from deduplicatr_spark.operators.embedding_dedup import embedding_dup_pairs  # noqa: E402
 from deduplicatr_spark.operators.decontaminate import ngram_contamination  # noqa: E402
+from deduplicatr_spark.operators.linedup import corpus_line_stats  # noqa: E402
 from deduplicatr_spark.operators.exact import duplicate_groups, with_identity  # noqa: E402
 from deduplicatr_spark.operators.incremental import (  # noqa: E402
     band_bucket_stats,
@@ -323,6 +324,18 @@ def main() -> None:
         ).filter(F.col("contaminated")).count()
 
     timed("decontamination", _decon, repeats=2)
+
+    # q5c: cross-corpus line-level dedup stats (RefinedWeb strip-pass
+    # signal) — doc-frequency agg + count join, keyed on xxhash64(line)
+    def _linedup():
+        ided = corpus.withColumn(
+            "doc_id", F.xxhash64("repo", "path", "commit")
+        )
+        corpus_line_stats(ided, text_col="content").agg(
+            F.sum("n_shared_lines")
+        ).collect()
+
+    timed("corpus_line_stats", _linedup, repeats=2)
 
     # q6: embedding brute-force cosine top-k
     spark.catalog.clearCache()

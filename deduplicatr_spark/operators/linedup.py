@@ -1,0 +1,98 @@
+"""Cross-document line-level dedup stats (RefinedWeb / CCNet style).
+
+Intra-document repetition (functions/text.py § repetition_columns)
+catches a doc repeating ITSELF; this operator catches lines repeated
+ACROSS the corpus — license headers, generated-code preambles, shared
+boilerplate — the signal RefinedWeb (Penedo et al. 2023 §4.2) and
+CCNet (Wenzek et al. 2020 §3.1, paragraph-level) strip before
+training. Reported per document: qualifying-line count, count of lines
+shared with at least ``min_docs - 1`` other documents, and the shared
+fraction.
+
+Scale shape (100 TB corpus):
+
+* per-doc lines are DISTINCT'd inside the row (``array_distinct``
+  before explode) so a doc repeating its own boilerplate contributes
+  one vote per line — corpus-level counts are *document* frequencies,
+  and the explode volume is bounded by distinct lines per doc;
+* the line table keys every exchange on ``xxhash64(line)`` (8 bytes),
+  never the line text, so shuffle width is constant regardless of line
+  length; the 2^-64 collision risk is the standard content-addressing
+  trade (same as MinHash bucket keys). The DuckDB oracle groups on the
+  raw line string — any collision would surface as a driver-gate hash
+  mismatch, none has;
+* frequency aggregation is a partial+final hash aggregate (map-side
+  combine absorbs hot boilerplate lines before the exchange); the
+  count join back is an equi shuffled-hash join on the same uniform
+  8-byte key, with AQE skew-split covering pathological hot lines;
+* docs with zero qualifying lines re-enter via a left join from the
+  id spine, so the output is total over the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from deduplicatr_spark.functions.text import nonempty_lines
+
+
+def corpus_line_stats(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_line_len: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-doc cross-corpus duplicated-line stats.
+
+    ``min_line_len`` drops trivia lines ("}", "end") whose collisions
+    are meaningless; ``min_docs`` is the document-frequency threshold
+    at which a line counts as shared (default: any other doc has it).
+    Returns (id_col, n_lines, n_shared_lines, shared_line_frac) with
+    the fraction floor-truncated at 1e-6 (repo oracle convention).
+    """
+    doc_lines = (
+        corpus.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(nonempty_lines(text_col))).alias("line"),
+        )
+        .filter(F.length("line") >= min_line_len)
+        .select(id_col, F.xxhash64("line").alias("line_hash"))
+    )
+    freq = doc_lines.groupBy("line_hash").agg(
+        F.count("*").alias("line_docs")
+    )
+    per_doc = (
+        doc_lines.join(freq, "line_hash")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(
+                F.when(F.col("line_docs") >= min_docs, 1).otherwise(0)
+            ).alias("n_shared_lines"),
+        )
+    )
+    spine = corpus.select(id_col)
+    joined = (
+        spine.join(per_doc, id_col, "left")
+        .withColumn("n_lines", F.coalesce("n_lines", F.lit(0)).cast("long"))
+        .withColumn(
+            "n_shared_lines",
+            F.coalesce("n_shared_lines", F.lit(0)).cast("long"),
+        )
+    )
+    frac = (
+        F.floor(
+            F.col("n_shared_lines").cast("double")
+            / F.greatest(F.col("n_lines"), F.lit(1)).cast("double")
+            * 1e6
+        )
+        / 1e6
+    )
+    return joined.select(
+        id_col,
+        "n_lines",
+        "n_shared_lines",
+        frac.alias("shared_line_frac"),
+    )

@@ -1,0 +1,85 @@
+"""Unit vectors for cross-corpus line dedup (operators/linedup.py) and
+PII detection/redaction (functions/pii.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from deduplicatr_spark.functions.pii import pii_count_columns, redacted
+from deduplicatr_spark.operators.linedup import corpus_line_stats
+
+HEADER = "licensed under the apache license"
+
+
+@pytest.fixture(scope="module")
+def line_corpus(spark):
+    rows = [
+        # docs 1+2 share the header line; their bodies are unique
+        (1, HEADER + "\nalpha body one\n  \nshort"),
+        (2, HEADER + "\nbeta body two lines"),
+        # doc 3: repeats the header INSIDE itself twice -> one vote,
+        # still shared (docs 1,2 have it)
+        (3, HEADER + "\n" + HEADER + "\ngamma body three"),
+        # doc 4: fully unique content
+        (4, "delta unique first line\ndelta unique second line"),
+        # doc 5: only sub-threshold lines (every line < 8 chars)
+        (5, "a\nbb\nccc"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_corpus_line_stats(line_corpus):
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in corpus_line_stats(line_corpus, min_line_len=8).collect()
+    }
+    # doc 1: lines >= 8 chars after trim: header + "alpha body one"
+    # ("short" is 5 chars, blank line dropped); header is shared
+    assert out[1]["n_lines"] == 2
+    assert out[1]["n_shared_lines"] == 1
+    assert out[1]["shared_line_frac"] == pytest.approx(0.5)
+    # doc 3: header distinct'd within the doc -> 2 lines, 1 shared
+    assert out[3]["n_lines"] == 2
+    assert out[3]["n_shared_lines"] == 1
+    # doc 4: nothing shared
+    assert out[4]["n_shared_lines"] == 0
+    # doc 5: zero qualifying lines but still present with frac 0
+    assert out[5]["n_lines"] == 0
+    assert out[5]["shared_line_frac"] == 0.0
+
+
+def test_line_stats_min_docs_threshold(line_corpus):
+    # with min_docs=3 the header (in docs 1,2,3) still qualifies, but
+    # nothing else does; raise to 4 and nothing is shared
+    out3 = corpus_line_stats(line_corpus, min_docs=3)
+    assert out3.agg(F.sum("n_shared_lines")).collect()[0][0] == 3
+    out4 = corpus_line_stats(line_corpus, min_docs=4)
+    assert out4.agg(F.sum("n_shared_lines")).collect()[0][0] == 0
+
+
+def test_pii_counts_and_redaction(spark):
+    rows = [
+        (1, "mail a.b+c@example.co.uk then 10.0.0.7 and 123-45-6789 end"),
+        (2, "no pii here at all"),
+        (3, "two mails x@y.io z@w.ai"),
+        # the email's host is dotted digits: email pass must win
+        (4, "edge a@1.2.3.4x not-ssn 1234-56-7890"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in df.select(
+            "doc_id", *pii_count_columns("text"), redacted("text").alias("r")
+        ).collect()
+    }
+    assert out[1]["n_email"] == 1
+    assert out[1]["n_ipv4"] == 1
+    assert out[1]["n_ssn"] == 1
+    assert out[1]["has_pii"] is True
+    assert out[1]["r"] == "mail [EMAIL] then [IPV4] and [ID] end"
+    assert out[2]["has_pii"] is False
+    assert out[2]["r"] == "no pii here at all"
+    assert out[3]["n_email"] == 2
+    # SSN pattern is \b-anchored: 1234-56-7890 must NOT match
+    assert out[4]["n_ssn"] == 0

@@ -166,6 +166,44 @@ def main() -> None:
         "candidates only. Total shuffle ∝ delta + matched buckets.",
     ))
 
+    sections.append((
+        "IVF-flat ANN top-k (operators/topk.py § ivf_topk)",
+        captured_explain(em._q_ivf_topk(spark, SF)),
+        "What to check: the centroid table is BROADCAST for cell "
+        "assignment (BroadcastNestedLoopJoin + min_by partial agg) — the "
+        "corpus is assigned map-side and never shuffles to be assigned; "
+        "the probe join exchanges only (query, cell) × cell-local rows, "
+        "so re-rank volume is corpus/n_cells × nprobe per query, not "
+        "corpus. Exact cosine re-rank stays in zip_with/aggregate "
+        "higher-order functions JVM-side.",
+    ))
+
+    sections.append((
+        "Benchmark decontamination (operators/decontaminate.py)",
+        captured_explain(em._q_decontamination(spark, SF)),
+        "What to check: the benchmark gram set reaches the corpus via "
+        "BroadcastExchange + BroadcastHashJoin — benchmark suites are "
+        "MB-scale by construction, so the 100 TB corpus-side gram stream "
+        "is filtered BEFORE any exchange and only true hits reach the "
+        "per-doc aggregation shuffle; n-gram construction is all JVM "
+        "array built-ins inside codegen (no Python boundary); per-doc "
+        "totals come from F.size on the unexploded array (no second "
+        "explode).",
+    ))
+
+    sections.append((
+        "Cross-corpus line dedup stats (operators/linedup.py)",
+        captured_explain(em._q_corpus_line_stats(spark, SF)),
+        "What to check: every exchange keys on xxhash64(line) — 8 bytes "
+        "regardless of line length, so boilerplate-heavy corpora don't "
+        "inflate shuffle width; the doc-frequency groupBy is a "
+        "partial+final HashAggregate (hot license-header lines are "
+        "absorbed map-side); the count join back is an equi "
+        "shuffled-hash join on the same uniform key with AQE skew-split "
+        "armed; per-doc array_distinct bounds the explode at distinct "
+        "lines per doc.",
+    ))
+
     amp = amplified_corpus(spark, SF, 4)
     sections.append((
         "Amplified corpus scan + identity (bench input)",

@@ -579,6 +579,54 @@ def _emb_with_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.unionByName(planted)
 
 
+def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster-local semantic prune over
+    embeddings ∪ planted twins. Coarse cells from the deterministic
+    64-lowest-id quantizer (as ivf_topk); candidate pairs via the
+    shared capped bucket core keyed on cell_id; exact cosine ≥ 0.8
+    verify (twins sit at ≥ 0.90, background tops out ≈ 0.67, so no
+    boundary pair exists); keep rule = local dominance toward lower
+    centroid-similarity (the paper's keep-the-edge-example greedy made
+    order-free). Restricted to margin-solid cell assignments on BOTH
+    sides so float-summation order can't flip a Voronoi boundary. The
+    oracle recomputes everything via all-pairs-within-cell SQL, so a
+    missed candidate or a wrong keep goes red."""
+    from deduplicatr_spark.operators.semdedup import semdedup
+    from deduplicatr_spark.operators.topk import _sq_dist
+
+    c = _emb_with_planted(spark, sf_dir)
+    w0 = Window.orderBy("vec_id")
+    centroids = (
+        c.orderBy("vec_id").limit(64)
+        .select((F.row_number().over(w0) - 1).cast("long").alias("cell_id"),
+                F.col("v").alias("cv"))
+    )
+    scored = c.join(F.broadcast(centroids)).withColumn(
+        "_d", _sq_dist(F.col("v"), F.col("cv"))
+    )
+    wv = Window.partitionBy("vec_id").orderBy(
+        F.col("_d").asc(), F.col("cell_id").asc()
+    )
+    solid_ids = (
+        scored.withColumn("_rk", F.row_number().over(wv))
+        .filter(F.col("_rk") <= 2)
+        .groupBy("vec_id")
+        .agg(F.min("_d").alias("d1"), F.max("_d").alias("d2"))
+        .filter(
+            (F.col("d2") - F.col("d1"))
+            > F.lit(1e-6) * F.greatest(F.col("d1"), F.lit(1e-12))
+        )
+        .select("vec_id")
+    )
+    # caps sized to be non-binding at bench scales: correctness queries
+    # must exercise the UNCAPPED semantics the oracle computes
+    cfg = PipelineConfig(max_bucket_size=4096)
+    result, _drops = semdedup(
+        c.join(solid_ids, "vec_id"), centroids, tau=0.8, config=cfg
+    )
+    return result.orderBy("vec_id")
+
+
 def _q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (training-data dedup by vector
     similarity), cosine ≥ 0.9, via banded hyperplane LSH + bucketed
@@ -1039,6 +1087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_filter": _q_scan_filter,
         "embedding_topk": _q_embedding_topk,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
+        "semdedup_prune": _q_semdedup,
         "lsh_topk": _q_lsh_topk,
         "ivf_topk": _q_ivf_topk,
         "multimodal_meta": _q_multimodal_meta,
@@ -1597,6 +1646,60 @@ WITH base AS (
 )
 SELECT vec_id AS q_id, vec_id + 100000 AS n_id, CAST(1 AS BIGINT) AS rank
 FROM qual
+""",
+        "semdedup_prune": """
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), c AS (
+  SELECT * FROM base
+  UNION ALL
+  SELECT vec_id + 100000, list_concat([v[1] + 0.5], v[2:64]) FROM base
+), cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell_id, v AS cv
+  FROM (SELECT * FROM c ORDER BY vec_id LIMIT 64)
+), dists AS (
+  SELECT x.vec_id, ct.cell_id,
+         list_sum(list_transform(range(1, 65),
+           i -> (x.v[i] - ct.cv[i]) * (x.v[i] - ct.cv[i]))) AS d
+  FROM c x, cent ct
+), rk AS (
+  SELECT vec_id, cell_id, d,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d, cell_id) AS rk
+  FROM dists
+), a AS (
+  SELECT r1.vec_id, r1.cell_id
+  FROM (SELECT * FROM rk WHERE rk = 1) r1
+  JOIN (SELECT * FROM rk WHERE rk = 2) r2 USING (vec_id)
+  WHERE (r2.d - r1.d) > 1e-6 * greatest(r1.d, 1e-12)
+), s AS (
+  SELECT a.vec_id, a.cell_id, x.v,
+         CASE WHEN sqrt(list_sum(list_transform(x.v, q -> q * q)))
+                   * sqrt(list_sum(list_transform(ct.cv, q -> q * q))) > 0
+              THEN list_dot_product(x.v, ct.cv)
+                   / (sqrt(list_sum(list_transform(x.v, q -> q * q)))
+                      * sqrt(list_sum(list_transform(ct.cv, q -> q * q))))
+              ELSE 0.0 END AS cs
+  FROM a JOIN c x USING (vec_id) JOIN cent ct USING (cell_id)
+), e AS (
+  SELECT x.vec_id AS me, x.cs AS my_cs, y.vec_id AS other, y.cs AS other_cs
+  FROM s x JOIN s y
+    ON x.cell_id = y.cell_id AND x.vec_id <> y.vec_id
+  WHERE CASE WHEN sqrt(list_sum(list_transform(x.v, q -> q * q)))
+                  * sqrt(list_sum(list_transform(y.v, q -> q * q))) > 0
+             THEN list_dot_product(x.v, y.v)
+                  / (sqrt(list_sum(list_transform(x.v, q -> q * q)))
+                     * sqrt(list_sum(list_transform(y.v, q -> q * q))))
+             ELSE 0.0 END >= 0.8
+), dom AS (
+  SELECT DISTINCT me AS vec_id FROM e
+  WHERE other_cs < my_cs OR (other_cs = my_cs AND other < me)
+)
+SELECT s.vec_id,
+       CAST(s.cell_id AS BIGINT) AS cell_id,
+       floor(s.cs * 1000000) / 1000000.0 AS centroid_sim,
+       s.vec_id NOT IN (SELECT vec_id FROM dom) AS keep
+FROM s
+ORDER BY s.vec_id
 """,
         # delta assignment: exact copies inherit via sha256, whitespace
         # variants via the band join + Jaccard-1 best match (both land

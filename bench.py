@@ -47,6 +47,7 @@ from deduplicatr_spark.sources.scratch import (  # noqa: E402
     claim_scratch_root,
     sweep_stale_scratch,
 )
+from deduplicatr_spark.operators.semdedup import semdedup  # noqa: E402
 from deduplicatr_spark.operators.suffix_array import substring_pairs  # noqa: E402
 from deduplicatr_spark.operators.topk import brute_force_topk  # noqa: E402
 from deduplicatr_spark.operators.verify import verify_pairs  # noqa: E402
@@ -361,6 +362,25 @@ def main() -> None:
         release_tracked()
 
     timed("embedding_dup_pairs", _embdup, repeats=2)
+
+    # q8: SemDeDup cluster-local semantic prune (64 deterministic
+    # coarse cells, cosine >= 0.9 within-cell, dominance keep rule)
+    w0 = Window.orderBy("vec_id")
+    sem_cents = (
+        emb_v.orderBy("vec_id").limit(64)
+        .select((F.row_number().over(w0) - 1).cast("long").alias("cell_id"),
+                F.col("v").alias("cv"))
+    )
+
+    def _semdedup():
+        result, _ = semdedup(
+            emb_v, sem_cents, tau=0.9,
+            config=PipelineConfig(max_bucket_size=4096),
+        )
+        result.filter(~F.col("keep")).count()
+        release_tracked()
+
+    timed("semdedup_prune", _semdedup, repeats=2)
     emb_v.unpersist()
 
     total = round(sum(timings.values()), 3)

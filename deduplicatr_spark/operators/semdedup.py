@@ -1,0 +1,141 @@
+"""SemDeDup: cluster-local semantic deduplication over embeddings.
+
+Public method (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+at web-scale through semantic deduplication", arXiv:2303.09540):
+k-means-cluster the embedding space, compare vectors only WITHIN a
+cluster, and among sets of semantic duplicates (cosine ≥ τ) keep the
+example FARTHEST from the centroid — pruning redundancy while
+preserving the cluster's edge examples.
+
+Spark realization, composed from the engine's existing scale
+machinery:
+
+* **assignment** = broadcast nested-loop over the (small, trained
+  offline) centroid table + ``min_by`` partial aggregation — the
+  corpus is assigned map-side and NEVER shuffles to be assigned
+  (same shape as operators/topk.py § ivf_topk);
+* **within-cluster candidate pairs** = the shared bucket core
+  (operators/lsh.py § keyed_candidate_pairs) keyed on ``cell_id`` —
+  inherits the per-bucket pair cap, pre-shuffle hot-bucket thinning
+  and the no-silent-caps drop ledger, so one mega-cluster cannot
+  produce a quadratic blowup silently (the paper caps cluster size
+  for the same reason);
+* **verification** = exact cosine on candidate pairs via
+  ``zip_with``/``aggregate`` JVM built-ins — vectors ship through
+  exactly one equi-join per side, volume ∝ candidate pairs;
+* **keep rule** = LOCAL DOMINANCE, an order-free determinization of
+  the paper's "keep lowest centroid-similarity" greedy: drop ``d``
+  iff some τ-neighbor ``e`` has (centroid_sim, id) strictly lower.
+  Within a fully-connected duplicate set this keeps exactly the
+  minimum-centroid-sim member (the paper's choice); on chain-shaped
+  threshold graphs it additionally keeps members that are not
+  τ-close to the survivor — a superset of the greedy's diversity,
+  computed in one aggregation instead of a sequential sweep.
+
+Determinism: ties on centroid similarity break by id; assignment ties
+break by cell_id. The whole operator is 2 shuffles (pair-gen bucket
+shuffle + the per-doc dominance aggregation) plus the verify joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from deduplicatr_spark.config import PipelineConfig
+from deduplicatr_spark.functions.vectors import cosine
+from deduplicatr_spark.operators.lsh import keyed_candidate_pairs
+from deduplicatr_spark.operators.topk import _sq_dist
+
+
+def assign_cells(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Nearest-centroid assignment: (id_col, cell_id, centroid_sim).
+
+    ``centroids``: (cell_id long, cv array<double>), trained offline
+    and small enough to broadcast (the k-means metric is squared L2,
+    matching ivf_topk; ``centroid_sim`` is the cosine used by the
+    SemDeDup keep rule). Ties break by lowest cell_id.
+    """
+    scored = emb.join(F.broadcast(centroids)).select(
+        id_col,
+        "cell_id",
+        _sq_dist(F.col(vec_col), F.col("cv")).alias("_d"),
+        cosine(F.col(vec_col), F.col("cv")).alias("_cs"),
+    )
+    return scored.groupBy(id_col).agg(
+        F.min_by("cell_id", F.struct("_d", "cell_id")).alias("cell_id"),
+        F.min_by("_cs", F.struct("_d", "cell_id")).alias("centroid_sim"),
+    )
+
+
+def semdedup(
+    emb: DataFrame,
+    centroids: DataFrame,
+    tau: float,
+    config: PipelineConfig,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> tuple[DataFrame, DataFrame]:
+    """Cluster-local semantic prune. Returns ``(result, drop_stats)``.
+
+    ``result``: (id_col, cell_id, centroid_sim floor-6, keep) — total
+    over the input; ``keep=false`` rows are the semantic duplicates a
+    training pipeline would drop. ``drop_stats`` is the bucket core's
+    no-silent-caps ledger (capped docs / hot buckets, zeros when the
+    caps never bound).
+    """
+    assigned = assign_cells(emb, centroids, id_col, vec_col)
+
+    keyed = assigned.select(
+        F.col(id_col).alias("doc_id"), F.col("cell_id").alias("band_hash")
+    )
+    cand, drop_stats = keyed_candidate_pairs(keyed, config)
+
+    vecs = emb.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_vv"))
+    verified = (
+        cand.join(vecs.withColumnRenamed("_vid", "doc_a").withColumnRenamed("_vv", "_va"), "doc_a")
+        .join(vecs.withColumnRenamed("_vid", "doc_b").withColumnRenamed("_vv", "_vb"), "doc_b")
+        .withColumn("_cos", cosine(F.col("_va"), F.col("_vb")))
+        .filter(F.col("_cos") >= F.lit(tau))
+        .select("doc_a", "doc_b")
+    )
+
+    sims = assigned.select(
+        F.col(id_col).alias("_sid"), F.col("centroid_sim").alias("_scs")
+    )
+    # both directions so each endpoint sees each neighbor once
+    edges = verified.select(
+        F.col("doc_a").alias("me"), F.col("doc_b").alias("other")
+    ).unionByName(
+        verified.select(F.col("doc_b").alias("me"), F.col("doc_a").alias("other"))
+    )
+    with_sims = (
+        edges.join(sims.withColumnRenamed("_sid", "me").withColumnRenamed("_scs", "my_cs"), "me")
+        .join(sims.withColumnRenamed("_sid", "other").withColumnRenamed("_scs", "other_cs"), "other")
+    )
+    dominated = (
+        with_sims.filter(
+            (F.col("other_cs") < F.col("my_cs"))
+            | ((F.col("other_cs") == F.col("my_cs")) & (F.col("other") < F.col("me")))
+        )
+        .select(F.col("me").alias(id_col))
+        .distinct()
+    )
+
+    result = (
+        assigned.join(
+            dominated.withColumn("_drop", F.lit(True)), id_col, "left"
+        )
+        .select(
+            id_col,
+            "cell_id",
+            (F.floor(F.col("centroid_sim") * 1e6) / 1e6).alias("centroid_sim"),
+            F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep"),
+        )
+    )
+    return result, drop_stats

@@ -1,0 +1,83 @@
+"""Unit vectors for SemDeDup (operators/semdedup.py) on constructed
+geometry: two well-separated cells, a duplicate set inside one of
+them, hand-computed dominance."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from deduplicatr_spark.config import PipelineConfig
+from deduplicatr_spark.operators.semdedup import assign_cells, semdedup
+
+DIM = 4
+CFG = PipelineConfig(max_bucket_size=256)
+
+VEC_SCHEMA = T.StructType([
+    T.StructField("vec_id", T.LongType()),
+    T.StructField("v", T.ArrayType(T.DoubleType())),
+])
+CENT_SCHEMA = T.StructType([
+    T.StructField("cell_id", T.LongType()),
+    T.StructField("cv", T.ArrayType(T.DoubleType())),
+])
+
+
+def _unit(*xs):
+    n = math.sqrt(sum(x * x for x in xs))
+    return [x / n for x in xs]
+
+
+@pytest.fixture(scope="module")
+def fixture(spark):
+    centroids = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])], CENT_SCHEMA
+    )
+    vecs = [
+        # cell 0: three near-identical vectors (pairwise cos > 0.99),
+        # centroid_sims strictly ordered: 10 < 11 < 12
+        (10, _unit(1.0, 0.10, 0.0, 0.0)),
+        (11, _unit(1.0, 0.06, 0.0, 0.0)),
+        (12, _unit(1.0, 0.02, 0.0, 0.0)),
+        # cell 0: far from the trio (cos to them < tau) but same cell
+        (13, _unit(1.0, -0.9, 0.0, 0.0)),
+        # cell 1: a lone vector — no within-cell neighbor at all
+        (20, _unit(0.1, 1.0, 0.0, 0.0)),
+    ]
+    return spark.createDataFrame(vecs, VEC_SCHEMA), centroids
+
+
+def test_assign_cells(fixture):
+    emb, centroids = fixture
+    got = {r["vec_id"]: r["cell_id"] for r in assign_cells(emb, centroids).collect()}
+    assert got == {10: 0, 11: 0, 12: 0, 13: 0, 20: 1}
+
+
+def test_semdedup_dominance(fixture):
+    emb, centroids = fixture
+    result, drops = semdedup(emb, centroids, tau=0.95, config=CFG)
+    rows = {r["vec_id"]: r.asDict() for r in result.collect()}
+    assert len(rows) == 5
+    # trio: vec 10 has the LOWEST centroid_sim -> survives; 11 and 12
+    # are dominated (each has a tau-neighbor with lower centroid_sim)
+    assert rows[10]["keep"] is True
+    assert rows[11]["keep"] is False
+    assert rows[12]["keep"] is False
+    # no tau-neighbor -> kept
+    assert rows[13]["keep"] is True
+    assert rows[20]["keep"] is True
+    # centroid_sim ordering is reflected in the output (floored)
+    assert rows[10]["centroid_sim"] < rows[11]["centroid_sim"] < rows[12]["centroid_sim"]
+    # caps never bound at this scale: ledger is all zeros
+    d = drops.collect()[0]
+    assert d["capped_docs"] == 0 and d["hot_buckets"] == 0
+
+
+def test_semdedup_tau_disables(fixture):
+    # tau above the trio's pairwise cosine -> nothing is pruned
+    emb, centroids = fixture
+    result, _ = semdedup(emb, centroids, tau=0.9999, config=CFG)
+    assert result.filter(~F.col("keep")).count() == 0

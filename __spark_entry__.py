@@ -504,16 +504,11 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     differences between engines cannot flip a boundary assignment.
     Such a query's top-1 must be its twin; a quantizer, assignment,
     probe or re-rank bug goes red."""
-    from deduplicatr_spark.operators.topk import _sq_dist, ivf_topk
+    from deduplicatr_spark.operators.topk import _sq_dist, default_centroids, ivf_topk
     from deduplicatr_spark.functions.vectors import cosine
 
     c = _emb_with_planted(spark, sf_dir)
-    w0 = Window.orderBy("vec_id")
-    centroids = (
-        c.orderBy("vec_id").limit(64)
-        .select((F.row_number().over(w0) - 1).cast("long").alias("cell_id"),
-                F.col("v").alias("cv"))
-    )
+    centroids = default_centroids(c, 64, vec_col="v")
     # margin-robust assignment: best + runner-up distance per vector
     scored = c.join(F.broadcast(centroids)).withColumn(
         "_d", _sq_dist(F.col("v"), F.col("cv"))
@@ -592,15 +587,10 @@ def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle recomputes everything via all-pairs-within-cell SQL, so a
     missed candidate or a wrong keep goes red."""
     from deduplicatr_spark.operators.semdedup import semdedup
-    from deduplicatr_spark.operators.topk import _sq_dist
+    from deduplicatr_spark.operators.topk import _sq_dist, default_centroids
 
     c = _emb_with_planted(spark, sf_dir)
-    w0 = Window.orderBy("vec_id")
-    centroids = (
-        c.orderBy("vec_id").limit(64)
-        .select((F.row_number().over(w0) - 1).cast("long").alias("cell_id"),
-                F.col("v").alias("cv"))
-    )
+    centroids = default_centroids(c, 64, vec_col="v")
     scored = c.join(F.broadcast(centroids)).withColumn(
         "_d", _sq_dist(F.col("v"), F.col("cv"))
     )
@@ -1290,7 +1280,8 @@ SELECT doc_id, reason = 'ok' AS keep, reason FROM r
 , dl AS (
   SELECT doc_id, unnest(list_distinct(list_filter(
            list_transform(string_split(content, chr(10)),
-                          x -> regexp_replace(x, '^\\s+|\\s+$', '', 'g')),
+                          x -> regexp_replace(x,
+                            '^[ \\t\\r\\f\\x0B]+|[ \\t\\r\\f\\x0B]+$', '', 'g')),
            x -> x <> ''))) AS line
   FROM corpus
 ), q AS (
@@ -1385,7 +1376,8 @@ WITH t AS (
   SELECT doc_id,
          list_filter(
            list_transform(string_split(text, chr(10)),
-                          x -> regexp_replace(x, '^\\s+|\\s+$', '', 'g')),
+                          x -> regexp_replace(x,
+                            '^[ \\t\\r\\f\\x0B]+|[ \\t\\r\\f\\x0B]+$', '', 'g')),
            x -> x <> '') AS ls
   FROM documents WHERE text IS NOT NULL
 ), s AS (

@@ -49,7 +49,7 @@ from deduplicatr_spark.sources.scratch import (  # noqa: E402
 )
 from deduplicatr_spark.operators.semdedup import semdedup  # noqa: E402
 from deduplicatr_spark.operators.suffix_array import substring_pairs  # noqa: E402
-from deduplicatr_spark.operators.topk import brute_force_topk  # noqa: E402
+from deduplicatr_spark.operators.topk import brute_force_topk, default_centroids  # noqa: E402
 from deduplicatr_spark.operators.verify import verify_pairs  # noqa: E402
 from deduplicatr_spark.plans.pipeline import DedupPipeline  # noqa: E402
 
@@ -365,12 +365,7 @@ def main() -> None:
 
     # q8: SemDeDup cluster-local semantic prune (64 deterministic
     # coarse cells, cosine >= 0.9 within-cell, dominance keep rule)
-    w0 = Window.orderBy("vec_id")
-    sem_cents = (
-        emb_v.orderBy("vec_id").limit(64)
-        .select((F.row_number().over(w0) - 1).cast("long").alias("cell_id"),
-                F.col("v").alias("cv"))
-    )
+    sem_cents = default_centroids(emb_v, 64, vec_col="v")
 
     def _semdedup():
         result, _ = semdedup(

@@ -84,8 +84,12 @@ def nonempty_lines(col: str | Column = "text") -> Column:
     intra-document repetition analysis (for source code, the natural
     granularity). Pure JVM array functions; no shuffle, no UDF."""
     c = F.col(col) if isinstance(col, str) else col
+    # explicit whitespace class, not \s: Java \s includes \x0B while
+    # RE2's (the DuckDB oracle's) historically does not — the explicit
+    # class has identical semantics in both engines
     trimmed = F.transform(
-        F.split(c, "\n"), lambda x: F.regexp_replace(x, r"^\s+|\s+$", "")
+        F.split(c, "\n"),
+        lambda x: F.regexp_replace(x, r"^[ \t\r\f\x0B]+|[ \t\r\f\x0B]+$", ""),
     )
     return F.filter(trimmed, lambda x: x != "")
 

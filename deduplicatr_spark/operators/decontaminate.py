@@ -33,10 +33,12 @@ than ``n`` tokens have zero n-grams and are never flagged.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from deduplicatr_spark.functions.text import tokens
+from deduplicatr_spark.operators.lsh import _track
 
 
 def ngram_array(col: str | Column, n: int) -> Column:
@@ -77,8 +79,14 @@ def ngram_contamination(
         benchmark.select(F.explode(ngram_array(text_col, n)).alias("gram"))
         .distinct()
     )
-    with_grams = corpus.select(
-        F.col(id_col), ngram_array(text_col, n).alias("_grams")
+    # persisted: both `hits` and `totals` consume this frame, and Spark
+    # has no cross-branch CSE for the split/slice/distinct gram build —
+    # without the persist every document is tokenized twice per action
+    # (released via lsh.release_tracked, the repo-wide cache ledger)
+    with_grams = _track(
+        corpus.select(
+            F.col(id_col), ngram_array(text_col, n).alias("_grams")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
     )
     hits = (
         with_grams.select(id_col, F.explode("_grams").alias("gram"))

@@ -31,10 +31,12 @@ Scale shape (100 TB corpus):
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from deduplicatr_spark.functions.text import nonempty_lines
+from deduplicatr_spark.operators.lsh import _track
 
 
 def corpus_line_stats(
@@ -52,13 +54,18 @@ def corpus_line_stats(
     Returns (id_col, n_lines, n_shared_lines, shared_line_frac) with
     the fraction floor-truncated at 1e-6 (repo oracle convention).
     """
-    doc_lines = (
+    # persisted: the frequency agg and the count-back join each consume
+    # this frame — without the persist the corpus split/trim/distinct/
+    # explode subtree runs twice per action (released via
+    # lsh.release_tracked, the repo-wide cache ledger)
+    doc_lines = _track(
         corpus.select(
             F.col(id_col),
             F.explode(F.array_distinct(nonempty_lines(text_col))).alias("line"),
         )
         .filter(F.length("line") >= min_line_len)
         .select(id_col, F.xxhash64("line").alias("line_hash"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     freq = doc_lines.groupBy("line_hash").agg(
         F.count("*").alias("line_docs")

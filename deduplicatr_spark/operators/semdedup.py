@@ -23,28 +23,46 @@ machinery:
 * **verification** = exact cosine on candidate pairs via
   ``zip_with``/``aggregate`` JVM built-ins — vectors ship through
   exactly one equi-join per side, volume ∝ candidate pairs;
-* **keep rule** = LOCAL DOMINANCE, an order-free determinization of
-  the paper's "keep lowest centroid-similarity" greedy: drop ``d``
-  iff some τ-neighbor ``e`` has (centroid_sim, id) strictly lower.
-  Within a fully-connected duplicate set this keeps exactly the
-  minimum-centroid-sim member (the paper's choice); on chain-shaped
-  threshold graphs it additionally keeps members that are not
-  τ-close to the survivor — a superset of the greedy's diversity,
-  computed in one aggregation instead of a sequential sweep.
+* **keep rule**, two modes:
+
+  - ``"dominance"`` (default): drop ``d`` iff ANY τ-neighbor has
+    (centroid_sim, id) strictly lower — regardless of whether that
+    neighbor itself survives. This is exactly the released SemDeDup
+    implementation's triangular-matrix rule (sort by similarity to
+    centroid, remove a point if it is τ-close to any point EARLIER in
+    the order, kept or not), made order-free: within a
+    fully-connected duplicate set it keeps exactly the
+    minimum-centroid-sim member (the paper's keep-the-edge-example
+    choice). CAVEAT, inherited from the public method: on
+    chain-shaped threshold graphs (A–B and B–C τ-close, A–C not) a
+    monotone centroid-sim ordering drops BOTH B and C, so C loses
+    its content with no kept τ-neighbor. One aggregation, no
+    iteration.
+  - ``"mis"``: greedy maximal-independent-set in ascending
+    (centroid_sim, id) order WITHIN each τ-connected component —
+    drop ``d`` iff some KEPT earlier neighbor is τ-close. Guarantees
+    every dropped doc has a kept τ-neighbor (no chain data loss), at
+    the cost of a connected-components pass plus a per-component
+    sequential sweep (``applyInPandas``; component size is bounded
+    by the bucket core's pair caps, and the sweep state is one bool
+    per member).
 
 Determinism: ties on centroid similarity break by id; assignment ties
-break by cell_id. The whole operator is 2 shuffles (pair-gen bucket
+break by cell_id. The dominance mode is 2 shuffles (pair-gen bucket
 shuffle + the per-doc dominance aggregation) plus the verify joins.
 """
 
 from __future__ import annotations
 
+import pandas as pd
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from deduplicatr_spark.config import PipelineConfig
 from deduplicatr_spark.functions.vectors import cosine
-from deduplicatr_spark.operators.lsh import keyed_candidate_pairs
+from deduplicatr_spark.operators.connected_components import connected_components
+from deduplicatr_spark.operators.lsh import _track, keyed_candidate_pairs
 from deduplicatr_spark.operators.topk import _sq_dist
 
 
@@ -80,6 +98,7 @@ def semdedup(
     config: PipelineConfig,
     id_col: str = "vec_id",
     vec_col: str = "v",
+    keep_rule: str = "dominance",
 ) -> tuple[DataFrame, DataFrame]:
     """Cluster-local semantic prune. Returns ``(result, drop_stats)``.
 
@@ -87,9 +106,21 @@ def semdedup(
     over the input; ``keep=false`` rows are the semantic duplicates a
     training pipeline would drop. ``drop_stats`` is the bucket core's
     no-silent-caps ledger (capped docs / hot buckets, zeros when the
-    caps never bound).
+    caps never bound). ``keep_rule``: "dominance" (released-SemDeDup
+    parity) or "mis" (every dropped doc keeps a τ-close survivor) —
+    semantics in the module docstring.
     """
-    assigned = assign_cells(emb, centroids, id_col, vec_col)
+    if keep_rule not in ("dominance", "mis"):
+        raise ValueError(f"unknown keep_rule: {keep_rule!r}")
+    # persisted: the assignment (a corpus × centroids nested-loop +
+    # min_by agg) feeds the pair-gen keying, both sides of the
+    # neighbor-sim join and the result base — without the persist it
+    # recomputes ~4× per action (released via lsh.release_tracked)
+    assigned = _track(
+        assign_cells(emb, centroids, id_col, vec_col).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+    )
 
     keyed = assigned.select(
         F.col(id_col).alias("doc_id"), F.col("cell_id").alias("band_hash")
@@ -118,14 +149,20 @@ def semdedup(
         edges.join(sims.withColumnRenamed("_sid", "me").withColumnRenamed("_scs", "my_cs"), "me")
         .join(sims.withColumnRenamed("_sid", "other").withColumnRenamed("_scs", "other_cs"), "other")
     )
-    dominated = (
-        with_sims.filter(
-            (F.col("other_cs") < F.col("my_cs"))
-            | ((F.col("other_cs") == F.col("my_cs")) & (F.col("other") < F.col("me")))
+    if keep_rule == "mis":
+        # CC iterates over the edge frame and the component sweep reads
+        # it again — persist so the verify joins run once
+        verified = _track(verified.persist(StorageLevel.MEMORY_AND_DISK))
+        dominated = _mis_dropped(with_sims, verified, config, id_col)
+    else:
+        dominated = (
+            with_sims.filter(
+                (F.col("other_cs") < F.col("my_cs"))
+                | ((F.col("other_cs") == F.col("my_cs")) & (F.col("other") < F.col("me")))
+            )
+            .select(F.col("me").alias(id_col))
+            .distinct()
         )
-        .select(F.col("me").alias(id_col))
-        .distinct()
-    )
 
     result = (
         assigned.join(
@@ -139,3 +176,61 @@ def semdedup(
         )
     )
     return result, drop_stats
+
+
+def _mis_dropped(
+    with_sims: DataFrame,
+    verified: DataFrame,
+    config: PipelineConfig,
+    id_col: str,
+) -> DataFrame:
+    """Dropped ids under the greedy-MIS keep rule: within each
+    τ-connected component, sweep members in ascending (centroid_sim,
+    id) order and drop a member iff a KEPT earlier member is τ-close.
+
+    Scale shape: components are duplicate groups whose edge counts are
+    bounded by the bucket core's per-bucket pair caps; each component's
+    sweep ships its (id, cs) members and τ-edges to one task via
+    cogrouped ``applyInPandas`` — state is one bool per member."""
+    labels, _ = connected_components(verified, config)
+    nodes = (
+        with_sims.select(F.col("me").alias("_n"), F.col("my_cs").alias("_cs"))
+        .distinct()
+        .join(
+            labels.select(
+                F.col("doc_id").alias("_n"), F.col("cluster_id").alias("_comp")
+            ),
+            "_n",
+        )
+        .select("_comp", "_n", "_cs")
+    )
+    comp_edges = verified.join(
+        labels.select(
+            F.col("doc_id").alias("doc_a"), F.col("cluster_id").alias("_comp")
+        ),
+        "doc_a",
+    ).select("_comp", "doc_a", "doc_b")
+
+    def _sweep(
+        nodes_pdf: pd.DataFrame, edges_pdf: pd.DataFrame
+    ) -> pd.DataFrame:
+        adj: dict[int, set[int]] = {}
+        for a, b in zip(edges_pdf["doc_a"], edges_pdf["doc_b"]):
+            adj.setdefault(int(a), set()).add(int(b))
+            adj.setdefault(int(b), set()).add(int(a))
+        kept: set[int] = set()
+        dropped: list[int] = []
+        for n in nodes_pdf.sort_values(["_cs", "_n"])["_n"]:
+            n = int(n)
+            if not kept.isdisjoint(adj.get(n, ())):
+                dropped.append(n)
+            else:
+                kept.add(n)
+        return pd.DataFrame({"_n": dropped}, dtype="int64")
+
+    return (
+        nodes.groupBy("_comp")
+        .cogroup(comp_edges.groupBy("_comp"))
+        .applyInPandas(_sweep, schema="_n long")
+        .select(F.col("_n").alias(id_col))
+    )

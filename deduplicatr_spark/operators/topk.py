@@ -69,6 +69,27 @@ def _sq_dist(a, b):
     )
 
 
+def default_centroids(
+    corpus: DataFrame,
+    n_cells: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic test/oracle quantizer: the ``n_cells`` lowest-id
+    corpus vectors as (cell_id long, cv array<double>). Production
+    callers train a balanced quantizer offline and pass it instead;
+    this convention exists so Spark, the DuckDB oracle and the bench
+    all derive the SAME centroid table from the same input."""
+    w0 = Window.orderBy(id_col)
+    return (
+        corpus.orderBy(id_col).limit(n_cells)
+        .select(
+            (F.row_number().over(w0) - 1).cast("long").alias("cell_id"),
+            F.transform(vec_col, lambda x: x.cast("double")).alias("cv"),
+        )
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -97,14 +118,7 @@ def ivf_topk(
     c = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("_cv"))
     q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("_qv"))
     if centroids is None:
-        w0 = Window.orderBy("n_id")
-        centroids = (
-            c.orderBy("n_id").limit(n_cells)
-            .select(
-                (F.row_number().over(w0) - 1).cast("long").alias("cell_id"),
-                F.transform("_cv", lambda x: x.cast("double")).alias("cv"),
-            )
-        )
+        centroids = default_centroids(corpus, n_cells, id_col, vec_col)
     cents = F.broadcast(centroids)
 
     def assign(df: DataFrame, idc: str, vc: str, probes: int) -> DataFrame:

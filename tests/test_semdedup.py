@@ -81,3 +81,56 @@ def test_semdedup_tau_disables(fixture):
     emb, centroids = fixture
     result, _ = semdedup(emb, centroids, tau=0.9999, config=CFG)
     assert result.filter(~F.col("keep")).count() == 0
+
+
+@pytest.fixture(scope="module")
+def chain_fixture(spark):
+    """Chain-shaped threshold graph in one cell: A-B and B-C are
+    tau-close, A-C is not; centroid sims strictly ordered A < B < C.
+    Arc geometry: angles 0.3/0.2/0.1 rad from the centroid, so
+    cos(A,B)=cos(B,C)=cos(0.1)~0.995, cos(A,C)=cos(0.2)~0.980 —
+    tau=0.99 separates them."""
+    centroids = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 0.0, 1.0, 0.0])], CENT_SCHEMA
+    )
+    vecs = [
+        (30, [math.cos(0.3), math.sin(0.3), 0.0, 0.0]),  # A, lowest cs
+        (31, [math.cos(0.2), math.sin(0.2), 0.0, 0.0]),  # B
+        (32, [math.cos(0.1), math.sin(0.1), 0.0, 0.0]),  # C, highest cs
+    ]
+    return spark.createDataFrame(vecs, VEC_SCHEMA), centroids
+
+
+def test_semdedup_chain_dominance(chain_fixture):
+    # released-implementation parity: B dropped (A is a lower-cs
+    # tau-neighbor) AND C dropped (B is a lower-cs tau-neighbor, even
+    # though B itself does not survive) — the chain caveat the module
+    # docstring documents
+    emb, centroids = chain_fixture
+    result, _ = semdedup(emb, centroids, tau=0.99, config=CFG)
+    got = {r["vec_id"]: r["keep"] for r in result.collect()}
+    assert got == {30: True, 31: False, 32: False}
+
+
+def test_semdedup_chain_mis(chain_fixture):
+    # greedy-MIS rule: C is re-kept because its only tau-neighbor B was
+    # dropped — every dropped doc (B) has a KEPT tau-neighbor (A)
+    emb, centroids = chain_fixture
+    result, _ = semdedup(emb, centroids, tau=0.99, config=CFG, keep_rule="mis")
+    got = {r["vec_id"]: r["keep"] for r in result.collect()}
+    assert got == {30: True, 31: False, 32: True}
+
+
+def test_semdedup_mis_matches_dominance_on_pairs(fixture):
+    # on fully-connected duplicate sets (the planted-twin shape the
+    # driver gate exercises) the two rules agree exactly
+    emb, centroids = fixture
+    dom, _ = semdedup(emb, centroids, tau=0.95, config=CFG)
+    mis, _ = semdedup(emb, centroids, tau=0.95, config=CFG, keep_rule="mis")
+    assert sorted(map(tuple, dom.collect())) == sorted(map(tuple, mis.collect()))
+
+
+def test_semdedup_bad_keep_rule(fixture):
+    emb, centroids = fixture
+    with pytest.raises(ValueError):
+        semdedup(emb, centroids, tau=0.95, config=CFG, keep_rule="nope")

@@ -66,6 +66,19 @@ def test_repetition_columns(spark):
     assert r["dup_line_char_frac"] == math.floor(2 / 3 * 1e6) / 1e6
 
 
+def test_nonempty_lines_trims_vertical_tab(spark):
+    # the explicit trim class must strip \x0B (Java \s does, RE2 \s
+    # historically does not — the class pins both engines to the same
+    # behavior) and \f/\r/\t/space, and drop whitespace-only lines
+    from deduplicatr_spark.functions.text import nonempty_lines
+
+    df = spark.createDataFrame(
+        [("header\x0b\n\tcode \f\n\x0b \r\nkeep",)], "text string"
+    )
+    got = df.select(nonempty_lines("text").alias("ls")).collect()[0]["ls"]
+    assert got == ["header", "code", "keep"]
+
+
 def test_fingerprint_normalizes_whitespace(spark):
     df = spark.createDataFrame(
         [("a  b\n\nc",), ("a b c",), ("a b d",)], "text string"

@@ -933,6 +933,34 @@ def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style training-sequence packing (operators/packing.py):
+    docs concatenate per stream in doc_id order and the token stream
+    is sliced into 512-token sequences; a doc may straddle a boundary.
+    8 streams via doc_id % 8 so DuckDB mirrors the assignment exactly
+    (the production default is xxhash64-balanced). The oracle replays
+    the identical per-stream running-sum window — a stream, order,
+    cumsum, zero-token or boundary bug goes red."""
+    from deduplicatr_spark.operators.packing import pack_sequences
+
+    d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    return pack_sequences(
+        d, seq_len=512, stream_expr=F.pmod(F.col("doc_id"), F.lit(8))
+    )
+
+
+def _q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus mixing (operators/packing.py): per source,
+    keep docs in content-sha order until 700 tokens are reached (the
+    straddling doc is kept — budget is a floor). The oracle replays
+    the identical per-stratum cumulative window."""
+    from deduplicatr_spark.operators.packing import token_budget_sample
+
+    d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    out = token_budget_sample(d, token_budget=700, strata_cols=["source"])
+    return out.select("doc_id", "source", "n_tokens", "cum_tokens")
+
+
 def _q_winnow_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) fingerprint dup pairs — position-robust copy
     detection with the w+k−1 guarantee (operators/winnow.py), verified
@@ -1089,6 +1117,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_assign": _q_incremental_assign,
         "cluster_representatives": _q_cluster_representatives,
         "stratified_sample": _q_stratified_sample,
+        "sequence_pack": _q_sequence_pack,
+        "token_budget_sample": _q_token_budget_sample,
         "winnow_dup_pairs": _q_winnow_dup_pairs,
         "dedup_pipeline": _q_dedup_pipeline,
     }
@@ -1747,6 +1777,42 @@ SELECT doc_id, source, lang, sample_rank FROM (
          ) AS sample_rank
   FROM documents WHERE text IS NOT NULL
 ) WHERE sample_rank <= 5
+""",
+        "sequence_pack": f"""
+WITH t AS (
+  SELECT doc_id, doc_id % 8 AS stream,
+         CAST(len({_TOKS.format(c="text")}) AS BIGINT) AS n_tokens
+  FROM documents WHERE text IS NOT NULL
+), c AS (
+  SELECT doc_id, stream, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (
+           PARTITION BY stream ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS tok_start
+  FROM t WHERE n_tokens > 0
+)
+SELECT doc_id, CAST(stream AS BIGINT) AS stream, n_tokens, tok_start,
+       CAST(stream * 1099511627776 + tok_start // 512 AS BIGINT) AS first_seq,
+       CAST(stream * 1099511627776 + (tok_start + n_tokens - 1) // 512
+            AS BIGINT) AS last_seq
+FROM c
+""",
+        "token_budget_sample": f"""
+WITH t AS (
+  SELECT doc_id, source, sha256(text) AS k,
+         CAST(len({_TOKS.format(c="text")}) AS BIGINT) AS n_tokens
+  FROM documents WHERE text IS NOT NULL
+), c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY k, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS tok_before
+  FROM t
+)
+SELECT doc_id, source, n_tokens,
+       CAST(tok_before + n_tokens AS BIGINT) AS cum_tokens
+FROM c WHERE tok_before < 700
 """,
         # identical normalized content ⇒ identical winnow fingerprint
         # sets ⇒ Jaccard exactly 1 — every fingerprint pair must surface

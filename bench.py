@@ -36,6 +36,7 @@ from deduplicatr_spark.functions.hashing import normalized  # noqa: E402
 from deduplicatr_spark.operators.embedding_dedup import embedding_dup_pairs  # noqa: E402
 from deduplicatr_spark.operators.decontaminate import ngram_contamination  # noqa: E402
 from deduplicatr_spark.operators.linedup import corpus_line_stats  # noqa: E402
+from deduplicatr_spark.operators.packing import pack_sequences  # noqa: E402
 from deduplicatr_spark.operators.exact import duplicate_groups, with_identity  # noqa: E402
 from deduplicatr_spark.operators.incremental import (  # noqa: E402
     band_bucket_stats,
@@ -312,6 +313,19 @@ def main() -> None:
         ).groupBy("l").agg(F.sum("t"), F.sum("b")).count()
 
     timed("token_stats", _text, repeats=2)
+
+    # q5a: GPT-style sequence packing (per-stream running-sum windows)
+    def _pack():
+        ided = corpus.withColumn(
+            "doc_id", F.xxhash64("repo", "path", "commit")
+        )
+        pack_sequences(
+            ided, seq_len=2048, n_streams=256, text_col="content"
+        ).groupBy("stream").agg(
+            F.max("last_seq"), F.sum("n_tokens")
+        ).count()
+
+    timed("sequence_pack", _pack, repeats=2)
 
     # q5b: benchmark decontamination (broadcast n-gram overlap) — the
     # doc_id%17 slice of the corpus stands in for the held-out eval set

@@ -1,0 +1,155 @@
+"""Training-sequence packing and token-budget corpus mixing.
+
+The last mile of a pre-training data pipeline, after dedup/quality/
+shaping: (a) pack documents into fixed-length training sequences and
+(b) select documents per source until a token budget is met.
+
+``pack_sequences`` is the GPT-style packing recipe (public method:
+GPT-2/GPT-3 data preparation — documents are concatenated in a fixed
+order with separators implied by the consumer, and the token stream is
+sliced into ``seq_len``-token windows; a document may straddle a
+window boundary). A single global concatenation order would serialize
+on one reducer at 10^12 docs, so the corpus is first split into
+``n_streams`` independent streams (hash-balanced by default) and each
+stream packs independently — the standard data-parallel sharding every
+large tokenization run uses (each worker packs its shard):
+
+* one exchange keyed on ``stream`` (uniform by construction);
+* the per-stream running token count is an ordered-window ``sum`` —
+  Spark sorts within the stream partition only, never globally;
+* sequence ids are globally unique longs: ``stream * 2**40 + k``
+  (safe for < 2^23 streams × 2^40·seq_len tokens per stream).
+
+``token_budget_sample`` is the corpus-mixing primitive used by
+The Pile / Dolma style mixture recipes: "take N tokens per source".
+Selection order is content-keyed (sha256) like stratified_sample, so
+the draw is reproducible across runs, partitionings and resume; the
+document that straddles the budget boundary is INCLUDED (the budget
+is a floor, not a ceiling — deterministic either way, this choice
+never under-fills). Cost is one shuffle on the strata key plus a
+per-stratum sort — inherent to any deterministic prefix-of-an-order
+selection; for one giant stratum, pre-split it into streams with
+per-stream budgets (budget/n_streams), exactly as pack_sequences
+does.
+
+Both operators are pure window/aggregate plans: no UDFs, no Python in
+the hot path, token counts from ``functions/text.token_count`` (JVM
+split) or a caller-supplied token-count column (e.g. a real tokenizer
+run upstream).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from deduplicatr_spark.functions.text import token_count
+
+SEQ_STREAM_SHIFT = 2**40
+
+
+def _with_tokens(
+    docs: DataFrame, token_count_col: str | None, text_col: str
+) -> Column:
+    if token_count_col is not None:
+        return F.col(token_count_col).cast("long")
+    return token_count(text_col).cast("long")
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int,
+    n_streams: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_count_col: str | None = None,
+    stream_expr: Column | None = None,
+) -> DataFrame:
+    """Assign every document a position in the packed token stream.
+
+    Returns (id_col, stream, n_tokens, tok_start, first_seq, last_seq):
+    ``tok_start`` is the document's first-token offset within its
+    stream; ``first_seq``/``last_seq`` are the global ids of the
+    training sequences the document touches (equal unless the doc
+    straddles a boundary; a doc longer than ``seq_len`` spans several).
+    Zero-token documents are EXCLUDED — they occupy no positions in
+    the token stream (mirror of the tokenizer dropping empty docs).
+
+    ``stream_expr`` overrides the stream assignment (default:
+    ``pmod(xxhash64(id_col), n_streams)``, hash-balanced). Determinism:
+    within a stream, docs concatenate in ascending ``id_col`` order —
+    total because ids are unique — so the packing is independent of
+    row arrival order and stable under resume.
+    """
+    stream = (
+        stream_expr
+        if stream_expr is not None
+        else F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_streams))
+    )
+    toks = _with_tokens(docs, token_count_col, text_col)
+    base = (
+        docs.select(
+            F.col(id_col),
+            stream.cast("long").alias("stream"),
+            toks.alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )
+    w = (
+        Window.partitionBy("stream")
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = base.withColumn(
+        "tok_start", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    )
+    first_k = F.floor(F.col("tok_start") / seq_len)
+    last_k = F.floor((F.col("tok_start") + F.col("n_tokens") - 1) / seq_len)
+    return packed.select(
+        id_col,
+        "stream",
+        "n_tokens",
+        "tok_start",
+        (F.col("stream") * SEQ_STREAM_SHIFT + first_k).cast("long").alias("first_seq"),
+        (F.col("stream") * SEQ_STREAM_SHIFT + last_k).cast("long").alias("last_seq"),
+    )
+
+
+def token_budget_sample(
+    docs: DataFrame,
+    token_budget: int,
+    strata_cols: list[str],
+    order_key: Column | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_count_col: str | None = None,
+) -> DataFrame:
+    """Per-stratum token-budget selection: within each combination of
+    ``strata_cols``, keep documents in ``order_key`` order (default:
+    sha256 of ``text_col`` — uniform, content-keyed, reproducible)
+    until the running token count reaches ``token_budget``. The doc
+    that crosses the boundary is kept (budget = floor). Zero-token
+    docs consume nothing and are kept whenever they sort before the
+    boundary.
+
+    Output: input columns + ``n_tokens`` + ``cum_tokens`` (running
+    total INCLUDING the row) for the selected rows.
+    """
+    key = order_key if order_key is not None else F.sha2(F.col(text_col), 256)
+    toks = _with_tokens(docs, token_count_col, text_col)
+    w = (
+        Window.partitionBy(*strata_cols)
+        .orderBy(key.asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_cum = (
+        docs.withColumn("n_tokens", toks)
+        .withColumn(
+            "_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+        )
+    )
+    return (
+        with_cum.filter(F.col("_before") < token_budget)
+        .withColumn("cum_tokens", (F.col("_before") + F.col("n_tokens")).cast("long"))
+        .drop("_before")
+    )

@@ -1,0 +1,91 @@
+"""Unit vectors for sequence packing and token-budget mixing
+(operators/packing.py) on constructed corpora with hand-computed
+offsets, boundary straddles and budget cuts."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from deduplicatr_spark.operators.packing import (
+    SEQ_STREAM_SHIFT,
+    pack_sequences,
+    token_budget_sample,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_pack_sequences_offsets_and_straddle(spark):
+    # one stream (mod 1): docs in id order with 3, 4, 6 tokens; L=5
+    # doc 1: [0,3) -> seq 0; doc 2: [3,7) -> straddles seqs 0-1;
+    # doc 3: [7,13) -> straddles seqs 1-2
+    d = _docs(spark, [(1, "a b c"), (2, "d e f g"), (3, "h i j k l m")])
+    out = pack_sequences(
+        d, seq_len=5, stream_expr=F.lit(0)
+    ).collect()
+    got = {r["doc_id"]: r.asDict() for r in out}
+    assert got[1]["tok_start"] == 0
+    assert (got[1]["first_seq"], got[1]["last_seq"]) == (0, 0)
+    assert got[2]["tok_start"] == 3
+    assert (got[2]["first_seq"], got[2]["last_seq"]) == (0, 1)
+    assert got[3]["tok_start"] == 7
+    assert (got[3]["first_seq"], got[3]["last_seq"]) == (1, 2)
+
+
+def test_pack_sequences_streams_independent_and_global_ids(spark):
+    # doc_id % 2 -> two streams, each packs from offset 0; sequence
+    # ids are globally distinct via the stream * 2^40 fold
+    d = _docs(spark, [(0, "a b"), (1, "c d"), (2, "e f"), (3, "g h")])
+    out = pack_sequences(
+        d, seq_len=3, stream_expr=F.pmod(F.col("doc_id"), F.lit(2))
+    ).collect()
+    got = {r["doc_id"]: r.asDict() for r in out}
+    assert got[0]["tok_start"] == 0 and got[2]["tok_start"] == 2
+    assert got[1]["tok_start"] == 0 and got[3]["tok_start"] == 2
+    assert got[1]["first_seq"] == SEQ_STREAM_SHIFT  # stream 1, seq 0
+    assert got[0]["first_seq"] == 0
+
+
+def test_pack_sequences_drops_zero_token_docs(spark):
+    d = _docs(spark, [(1, "a b c"), (2, "   "), (3, "")])
+    out = pack_sequences(d, seq_len=5, stream_expr=F.lit(0))
+    assert [r["doc_id"] for r in out.collect()] == [1]
+
+
+def test_pack_sequences_order_independent(spark):
+    rows = [(i, f"tok{i} " * (1 + i % 4)) for i in range(40)]
+    a = pack_sequences(_docs(spark, rows), 7, n_streams=4).collect()
+    b = pack_sequences(
+        _docs(spark, list(reversed(rows))).repartition(7), 7, n_streams=4
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_token_budget_sample_boundary_kept(spark):
+    # one stratum; order by sha(text) is fixed by choosing order_key=id
+    d = spark.createDataFrame(
+        [(1, "s", "a b c"), (2, "s", "d e f"), (3, "s", "g h i")],
+        "doc_id long, source string, text string",
+    )
+    out = token_budget_sample(
+        d, token_budget=4, strata_cols=["source"], order_key=F.col("doc_id")
+    ).collect()
+    got = {r["doc_id"]: r["cum_tokens"] for r in out}
+    # doc 1 fills 3, doc 2 STARTS below budget 4 -> kept (floor rule),
+    # doc 3 starts at 6 >= 4 -> cut
+    assert got == {1: 3, 2: 6}
+
+
+def test_token_budget_sample_per_stratum(spark):
+    d = spark.createDataFrame(
+        [(1, "x", "a b"), (2, "x", "c d"), (3, "y", "e f")],
+        "doc_id long, source string, text string",
+    )
+    out = token_budget_sample(
+        d, token_budget=2, strata_cols=["source"], order_key=F.col("doc_id")
+    ).collect()
+    # each stratum admits its first doc (starts at 0 < 2); x's second
+    # doc starts at 2 -> cut; y has only one doc
+    assert sorted(r["doc_id"] for r in out) == [1, 3]

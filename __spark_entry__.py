@@ -617,6 +617,45 @@ def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result.orderBy("vec_id")
 
 
+def _q_semdedup_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup under the greedy-MIS keep rule (CC over τ-edges +
+    per-component cogrouped sweep, operators/semdedup.py § _mis_dropped).
+    On this corpus every τ-component is a planted twin PAIR (background
+    cosine tops out ≈0.67 < τ), and on pair/fully-connected components
+    the MIS and dominance rules provably coincide — so the dominance
+    oracle SQL is the exact MIS truth here, and a regression in the CC
+    pass, the component join or the sweep goes red. (The rules'
+    divergence on chain graphs is pinned by tests/test_semdedup.py.)"""
+    from deduplicatr_spark.operators.semdedup import semdedup
+    from deduplicatr_spark.operators.topk import _sq_dist, default_centroids
+
+    c = _emb_with_planted(spark, sf_dir)
+    centroids = default_centroids(c, 64, vec_col="v")
+    scored = c.join(F.broadcast(centroids)).withColumn(
+        "_d", _sq_dist(F.col("v"), F.col("cv"))
+    )
+    wv = Window.partitionBy("vec_id").orderBy(
+        F.col("_d").asc(), F.col("cell_id").asc()
+    )
+    solid_ids = (
+        scored.withColumn("_rk", F.row_number().over(wv))
+        .filter(F.col("_rk") <= 2)
+        .groupBy("vec_id")
+        .agg(F.min("_d").alias("d1"), F.max("_d").alias("d2"))
+        .filter(
+            (F.col("d2") - F.col("d1"))
+            > F.lit(1e-6) * F.greatest(F.col("d1"), F.lit(1e-12))
+        )
+        .select("vec_id")
+    )
+    cfg = PipelineConfig(max_bucket_size=4096)
+    result, _drops = semdedup(
+        c.join(solid_ids, "vec_id"), centroids, tau=0.8, config=cfg,
+        keep_rule="mis",
+    )
+    return result.orderBy("vec_id")
+
+
 def _q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (training-data dedup by vector
     similarity), cosine ≥ 0.9, via banded hyperplane LSH + bucketed
@@ -1106,6 +1145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": _q_embedding_topk,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
         "semdedup_prune": _q_semdedup,
+        "semdedup_prune_mis": _q_semdedup_mis,
         "lsh_topk": _q_lsh_topk,
         "ivf_topk": _q_ivf_topk,
         "multimodal_meta": _q_multimodal_meta,
@@ -1178,7 +1218,7 @@ FROM b
 def oracle_sql() -> dict[str, str]:
     toks = _TOKS.format(c="text")
     grams = _GRAMS3.format(t="toks")
-    return {
+    return _add_aliases({
         "exact_dup_groups": CORPUS_SQL + """
 SELECT sha256 AS sha256,
        count(*) AS n_dups,
@@ -1839,4 +1879,12 @@ SELECT repo, path, sha256, size,
        TRUE AS cluster_ok
 FROM fpm
 """,
-    }
+    })
+
+
+def _add_aliases(d: dict[str, str]) -> dict[str, str]:
+    # the MIS and dominance keep rules provably coincide on pair /
+    # fully-connected components, which is all this corpus contains
+    # (see _q_semdedup_mis docstring) - same truth, different code path
+    d["semdedup_prune_mis"] = d["semdedup_prune"]
+    return d

@@ -27,13 +27,15 @@ touches only:
    (max Jaccard, then min cluster id — deterministic), or founds a new
    cluster keyed by its own doc_id.
 
-Known limitation (documented contract): delta-internal NEAR duplicates
-(two new docs that are near-dups of each other but match nothing in the
-base) each found their own cluster within the increment — they merge
-when the next BATCH run re-clusters, or by running the delta through
-the full pipeline when delta-internal near-dup linking matters. Linking
-them in-increment would be a delta×delta LSH pass (delta-sized, cheap,
-but it changes the increment's "assign against base" contract).
+4. **Delta-internal near linking** (default on) — would-be-fresh
+   canonicals (no base match) run a delta×delta pass through the
+   SHARED bucket core (same caps/thinning/ledger as the batch stage),
+   exact-Jaccard verify, connected components: near-dup new docs found
+   ONE cluster (min doc_id) instead of silently splitting. The pass is
+   delta-sized (only unmatched canonicals' already-computed features);
+   disable with ``link_delta_near=False`` to restore the pure
+   "assign against base" contract (linked docs then merge at the next
+   batch re-cluster).
 
 ``IncrementalPipeline`` wraps the same stages with CheckpointStore
 commits (i1_identity → i2_exact/i2_rest → i3_features → i4_near →
@@ -51,8 +53,13 @@ from pyspark.sql import functions as F
 from deduplicatr_spark.config import PipelineConfig
 from deduplicatr_spark.functions.features import features_udf
 from deduplicatr_spark.functions.hashing import normalized
+from deduplicatr_spark.operators.connected_components import connected_components
 from deduplicatr_spark.operators.exact import with_identity
-from deduplicatr_spark.operators.lsh import _track, explode_bands
+from deduplicatr_spark.operators.lsh import (
+    _track,
+    explode_bands,
+    keyed_candidate_pairs,
+)
 
 
 def band_bucket_stats(base_features: DataFrame) -> DataFrame:
@@ -204,21 +211,69 @@ def near_assign(
     return near, drop_stats
 
 
+def link_delta_near(
+    feats: DataFrame,
+    fresh_ids: DataFrame,
+    config: PipelineConfig,
+) -> tuple[DataFrame, DataFrame]:
+    """Delta-internal near-dup linking among would-be-fresh canonicals:
+    band self-join through the shared bucket core (caps + thinning +
+    ledger), exact-Jaccard verify, connected components.
+
+    Returns ``(links, drop_stats)`` — links: (doc_id, link_id = min
+    doc_id of the τ-component) for every linked doc; drop_stats: the
+    bucket core's one-row no-silent-caps ledger."""
+    fresh_feats = feats.join(fresh_ids.select("doc_id"), "doc_id")
+    keyed = explode_bands(fresh_feats).select("doc_id", "band_hash")
+    pairs, drop_stats = keyed_candidate_pairs(keyed, config)
+
+    sh = fresh_feats.select("doc_id", "shingles")
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    union = F.size("_sa") + F.size("_sb") - inter
+    verified = (
+        pairs.join(
+            sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("_sa")),
+            "doc_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("_sb")),
+            "doc_b",
+        )
+        .withColumn(
+            "_j",
+            F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(
+                F.lit(0.0)
+            ),
+        )
+        .filter(F.col("_j") >= config.jaccard_tau)
+        .select("doc_a", "doc_b")
+    )
+    labels, _ = connected_components(verified, config)
+    return labels.select("doc_id", F.col("cluster_id").alias("link_id")), drop_stats
+
+
 def finalize_assignments(
     exact: DataFrame,
     rest: DataFrame,
     delta_dups: DataFrame,
     near: DataFrame,
+    delta_links: DataFrame | None = None,
 ) -> DataFrame:
     """Stage 4: union the paths; unmatched canonicals found their own
-    cluster; delta-internal exact copies inherit their canonical's."""
-    fresh = (
-        rest.select("doc_id")
-        .join(near.select("doc_id"), "doc_id", "left_anti")
-        .select(
+    cluster (or their delta-internal τ-component's min id when
+    ``delta_links`` is given); delta-internal exact copies inherit
+    their canonical's."""
+    fresh = rest.select("doc_id").join(near.select("doc_id"), "doc_id", "left_anti")
+    if delta_links is not None:
+        fresh = fresh.join(delta_links, "doc_id", "left").select(
+            "doc_id",
+            F.coalesce("link_id", "doc_id").alias("cluster_id"),
+            F.lit("new").alias("via"),
+        )
+    else:
+        fresh = fresh.select(
             "doc_id", F.col("doc_id").alias("cluster_id"), F.lit("new").alias("via")
         )
-    )
     canon_assign = near.unionByName(fresh).select(
         F.col("doc_id").alias("canon_id"), F.col("cluster_id").alias("_ccl")
     )
@@ -235,6 +290,7 @@ def incremental_assign(
     base_clusters: DataFrame,
     config: PipelineConfig,
     base_band_stats: DataFrame | None = None,
+    link_delta_internal: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """One-shot composition of the stages above. Returns
     ``(assignments, drop_stats)``.
@@ -248,8 +304,11 @@ def incremental_assign(
     ``band_bucket_stats``.
 
     ``assignments``: (doc_id, cluster_id, via ∈ {exact, near, new})
-    for every delta row. ``drop_stats``: one-row ledger of thinned hot
-    base buckets.
+    for every delta row; with ``link_delta_internal`` (default) fresh
+    docs that are near-dups of each other share one cluster (min
+    doc_id of the τ-component). ``drop_stats``: one-row ledger of
+    thinned hot base buckets, plus the delta self-join's bucket-core
+    drops when linking is on.
     """
     new_ident = with_identity(new_docs)
     exact, rest, delta_dups = exact_split(new_ident, base_identity, base_clusters)
@@ -262,7 +321,24 @@ def incremental_assign(
     near, drop_stats = near_assign(
         feats, base_features, base_clusters, config, base_band_stats
     )
-    return finalize_assignments(exact, rest, delta_dups, near), drop_stats
+    links = None
+    if link_delta_internal:
+        fresh_ids = rest.select("doc_id").join(
+            near.select("doc_id"), "doc_id", "left_anti"
+        )
+        links, link_drops = link_delta_near(feats, fresh_ids, config)
+        # one combined 1-row ledger: base-side hot buckets + the delta
+        # self-join's bucket-core drops (both zeros when nothing bound)
+        drop_stats = drop_stats.crossJoin(
+            link_drops.select(
+                F.col("capped_docs").alias("delta_capped_docs"),
+                F.col("hot_buckets").alias("delta_hot_buckets"),
+            )
+        )
+    return (
+        finalize_assignments(exact, rest, delta_dups, near, delta_links=links),
+        drop_stats,
+    )
 
 
 class IncrementalPipeline:
@@ -277,7 +353,7 @@ class IncrementalPipeline:
     """
 
     STAGES = ["i1_identity", "i2_exact", "i2_rest", "i2_delta_dups",
-              "i3_features", "i4_near", "i5_assignments"]
+              "i3_features", "i4_near", "i4b_delta_links", "i5_assignments"]
 
     def __init__(self, spark: SparkSession, config: PipelineConfig,
                  checkpoint_root: str):
@@ -341,9 +417,24 @@ class IncrementalPipeline:
 
         near = store.get_or_compute("i4_near", _near)
 
+        def _links():
+            fresh_ids = rest.select("doc_id").join(
+                near.select("doc_id"), "doc_id", "left_anti"
+            )
+            links, drops = link_delta_near(feats, fresh_ids, cfg)
+            d = drops.collect()[0].asDict()
+            store.write_metrics(
+                [{"stage": "i4b_delta_links", "kind": "delta_bucket_drops", **d}]
+            )
+            return links
+
+        links = store.get_or_compute("i4b_delta_links", _links)
+
         out = store.get_or_compute(
             "i5_assignments",
-            lambda: finalize_assignments(exact, rest, delta_dups, near),
+            lambda: finalize_assignments(
+                exact, rest, delta_dups, near, delta_links=links
+            ),
         )
         release_tracked()
         return out

@@ -90,6 +90,40 @@ def test_delta_internal_exact_dups_share_cluster(spark):
     assert len(got) == 4
 
 
+def test_delta_internal_near_dups_share_cluster(spark):
+    """Two new docs that are near-dups OF EACH OTHER and match nothing
+    in the base must found ONE cluster (min doc_id of the component),
+    not two — the delta-internal near-linking pass; with linking off,
+    the old split behavior is restored."""
+    base_rows, base_ident, clusters, feats, ids, lo = _base_fixture(spark)
+    fresh_txt = "completely novel implementation of nothing at all " * 10
+    new_rows = [
+        ("rX", "g1.py", "c1", "py", fresh_txt),
+        # whitespace variant: different sha, Jaccard 1 vs g1
+        ("rX", "g2.py", "c1", "py", fresh_txt.replace(" ", "  ")),
+        # disjoint singleton stays its own cluster
+        ("rX", "solo.py", "c1", "py", "nothing in common with anything " * 20),
+    ]
+    new = spark.createDataFrame(new_rows, DOCS_SCHEMA)
+    nid = {r["path"]: r["doc_id"] for r in with_identity(new).collect()}
+
+    out, drops = incremental_assign(new, base_ident, feats, clusters, CFG)
+    got = {r["doc_id"]: (r["cluster_id"], r["via"]) for r in out.collect()}
+    canon_g = min(nid["g1.py"], nid["g2.py"])
+    assert got[nid["g1.py"]] == (canon_g, "new")
+    assert got[nid["g2.py"]] == (canon_g, "new")  # linked, not split
+    assert got[nid["solo.py"]] == (nid["solo.py"], "new")
+    d = drops.collect()[0]
+    assert d["delta_capped_docs"] == 0 and d["delta_hot_buckets"] == 0
+
+    out_off, _ = incremental_assign(
+        new, base_ident, feats, clusters, CFG, link_delta_internal=False
+    )
+    got_off = {r["doc_id"]: r["cluster_id"] for r in out_off.collect()}
+    assert got_off[nid["g1.py"]] == nid["g1.py"]
+    assert got_off[nid["g2.py"]] == nid["g2.py"]
+
+
 def test_exact_copy_of_unclustered_base_doc_still_exact(spark):
     """A base doc missing from base_clusters (CC labels omit isolated
     nodes) must still catch its exact delta copy — coalesced to its own

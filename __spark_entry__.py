@@ -347,6 +347,17 @@ def _q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical Gopher quality rule set (Rae et al. 2021 Appendix
+    A1.1: word-count bounds, mean word length, symbol ratio, bullet /
+    ellipsis line fractions, alpha-word fraction, distinct stop-word
+    floor) — one codegen pass of JVM built-ins
+    (functions/text.py § gopher_quality_columns). The oracle recomputes
+    every signal and the first-failing-rule verdict from the raw text."""
+    d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    return d.select("doc_id", *TXT.gopher_quality_columns("text"))
+
+
 def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra-document line-repetition signals (Gopher / RefinedWeb
     quality heuristics): duplicate-line fraction and the character mass
@@ -1137,6 +1148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": _q_quality_filter,
         "langid": _q_langid,
         "repetition_stats": _q_repetition_stats,
+        "gopher_rules": _q_gopher_rules,
         "decontamination": _q_decontamination,
         "corpus_line_stats": _q_corpus_line_stats,
         "pii_scrub": _q_pii_scrub,
@@ -1440,6 +1452,64 @@ SELECT t.doc_id,
        coalesce(h.n_hits, 0) > 0 AS contaminated
 FROM t LEFT JOIN h ON t.doc_id = h.doc_id
 ORDER BY t.doc_id
+""",
+        "gopher_rules": f"""
+WITH t AS (
+  SELECT doc_id, text, {_TOKS.format(c="text")} AS toks,
+         list_filter(
+           list_transform(string_split(text, chr(10)),
+                          x -> regexp_replace(x,
+                            '^[ \\t\\r\\f\\x0B]+|[ \\t\\r\\f\\x0B]+$', '', 'g')),
+           x -> x <> '') AS ls
+  FROM documents WHERE text IS NOT NULL
+), m AS (
+  SELECT doc_id,
+    CAST(len(toks) AS BIGINT) AS n_words,
+    CAST(greatest(len(toks), 1) AS DOUBLE) AS safe_w,
+    CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+         AS DOUBLE) AS word_chars,
+    CAST(len(regexp_extract_all(text, '#'))
+         + len(regexp_extract_all(text, '\\.\\.\\.'))
+         + len(regexp_extract_all(text, '…')) AS DOUBLE) AS n_sym,
+    CAST(greatest(len(ls), 1) AS DOUBLE) AS safe_l,
+    CAST(len(list_filter(ls, x -> substr(x, 1, 1) IN ('•', '-', '*')))
+         AS DOUBLE) AS n_bullet,
+    CAST(len(list_filter(ls, x -> ends_with(x, '...') OR ends_with(x, '…')))
+         AS DOUBLE) AS n_ellip,
+    CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+         AS DOUBLE) AS n_alpha,
+    CAST(len(list_intersect(
+           list_distinct(list_transform(toks, x -> lower(x))),
+           ['the','be','to','of','and','that','have','with'])) AS BIGINT)
+      AS n_gopher_stops
+  FROM t
+), r AS (
+  SELECT doc_id, n_words,
+    floor(word_chars / safe_w * 1000000) / 1000000.0 AS mean_word_len,
+    floor(n_sym / safe_w * 1000000) / 1000000.0 AS symbol_ratio,
+    floor(n_bullet / safe_l * 1000000) / 1000000.0 AS bullet_line_frac,
+    floor(n_ellip / safe_l * 1000000) / 1000000.0 AS ellipsis_line_frac,
+    floor(n_alpha / safe_w * 1000000) / 1000000.0 AS alpha_word_frac,
+    n_gopher_stops
+  FROM m
+)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_line_frac,
+       ellipsis_line_frac, alpha_word_frac, n_gopher_stops,
+       reason = 'ok' AS gopher_keep, reason AS gopher_reason
+FROM (
+  SELECT *,
+    CASE WHEN n_words < 50 THEN 'too_few_words'
+         WHEN n_words > 100000 THEN 'too_many_words'
+         WHEN mean_word_len < 3.0 THEN 'words_too_short'
+         WHEN mean_word_len > 10.0 THEN 'words_too_long'
+         WHEN symbol_ratio > 0.1 THEN 'symbol_heavy'
+         WHEN bullet_line_frac > 0.9 THEN 'bullet_heavy'
+         WHEN ellipsis_line_frac > 0.3 THEN 'ellipsis_heavy'
+         WHEN alpha_word_frac < 0.8 THEN 'non_alpha_words'
+         WHEN n_gopher_stops < 2 THEN 'too_few_stop_words'
+         ELSE 'ok' END AS reason
+  FROM r
+)
 """,
         "repetition_stats": """
 WITH t AS (

@@ -166,3 +166,88 @@ def word_ngrams(n: int, col: str | Column = "text") -> Column:
     return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
         F.array_distinct(grams)
     )
+
+
+# the eight words Gopher (Rae et al. 2021, Appendix A1.1) requires at
+# least two of — distinct presences, not occurrence counts
+GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_columns(col: str = "text") -> list[Column]:
+    """The canonical Gopher document-quality rule set (Rae et al. 2021,
+    Appendix A1.1 — the filter MassiveText/RefinedWeb/Dolma derive
+    from), as one codegen pass of JVM built-ins, zero shuffles:
+
+    1. word count in [50, 100000]
+    2. mean word length in [3, 10]
+    3. symbol-to-word ratio ('#', '...', '…') <= 0.1
+    4. fraction of lines starting with a bullet ('•', '-', '*') <= 0.9
+    5. fraction of lines ending with an ellipsis <= 0.3
+    6. fraction of words containing an alphabetic character >= 0.8
+    7. at least 2 distinct words from GOPHER_STOPS
+
+    String predicates stick to constructs with identical Java-regex /
+    RE2 semantics (literal counts, [A-Za-z], substring/suffix tests) so
+    the DuckDB oracle reproduces every ratio bit-for-bit; ratios use
+    the repo's floor(x*1e6)/1e6 convention. Returns the signal columns
+    plus ``gopher_keep`` and the first failing rule in
+    ``gopher_reason``.
+    """
+    toks = tokens(col)
+    n_words = F.size(toks).cast("long")
+    safe_w = F.greatest(n_words, F.lit(1)).cast("double")
+    zero = F.lit(0).cast("long")
+    word_chars = F.aggregate(toks, zero, lambda a, x: a + F.length(x).cast("long"))
+    mean_wl = F.floor(word_chars.cast("double") / safe_w * 1e6) / 1e6
+
+    n_sym = (
+        F.regexp_count(F.col(col), F.lit("#"))
+        + F.regexp_count(F.col(col), F.lit(r"\.\.\."))
+        + F.regexp_count(F.col(col), F.lit("…"))
+    ).cast("long")
+    sym_ratio = F.floor(n_sym.cast("double") / safe_w * 1e6) / 1e6
+
+    lines = nonempty_lines(col)
+    n_lines = F.size(lines).cast("long")
+    safe_l = F.greatest(n_lines, F.lit(1)).cast("double")
+    first = lambda x: F.substring(x, 1, 1)  # noqa: E731
+    n_bullet = F.size(
+        F.filter(lines, lambda x: (first(x) == "•") | (first(x) == "-") | (first(x) == "*"))
+    ).cast("long")
+    n_ellip = F.size(
+        F.filter(lines, lambda x: x.endswith("...") | x.endswith("…"))
+    ).cast("long")
+    bullet_frac = F.floor(n_bullet.cast("double") / safe_l * 1e6) / 1e6
+    ellip_frac = F.floor(n_ellip.cast("double") / safe_l * 1e6) / 1e6
+
+    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]"))).cast("long")
+    alpha_frac = F.floor(n_alpha.cast("double") / safe_w * 1e6) / 1e6
+
+    stops = F.array(*[F.lit(s) for s in GOPHER_STOPS])
+    n_stops = F.size(
+        F.array_intersect(F.array_distinct(F.transform(toks, F.lower)), stops)
+    ).cast("long")
+
+    reason = (
+        F.when(n_words < 50, F.lit("too_few_words"))
+        .when(n_words > 100000, F.lit("too_many_words"))
+        .when(mean_wl < 3.0, F.lit("words_too_short"))
+        .when(mean_wl > 10.0, F.lit("words_too_long"))
+        .when(sym_ratio > 0.1, F.lit("symbol_heavy"))
+        .when(bullet_frac > 0.9, F.lit("bullet_heavy"))
+        .when(ellip_frac > 0.3, F.lit("ellipsis_heavy"))
+        .when(alpha_frac < 0.8, F.lit("non_alpha_words"))
+        .when(n_stops < 2, F.lit("too_few_stop_words"))
+        .otherwise(F.lit("ok"))
+    )
+    return [
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        sym_ratio.alias("symbol_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ellip_frac.alias("ellipsis_line_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        n_stops.alias("n_gopher_stops"),
+        (reason == "ok").alias("gopher_keep"),
+        reason.alias("gopher_reason"),
+    ]

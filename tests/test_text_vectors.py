@@ -79,6 +79,47 @@ def test_nonempty_lines_trims_vertical_tab(spark):
     assert got == ["header", "code", "keep"]
 
 
+def test_gopher_quality_rules(spark):
+    # one constructed doc per rule, plus precedence checks
+    from deduplicatr_spark.functions.text import gopher_quality_columns
+
+    base = "the quick brown fox jumps over that lazy dog have with "  # 11 words
+    line = "- item one two the of have with more words here"  # bullet, 11 words
+    eline = "item one two the of have with more words here now..."  # 11 words
+    docs = [
+        (0, base * 6),                      # ok: 66 words, mean 4.0, 4 stops
+        (1, "the of and"),                  # too_few_words (3)
+        (2, "ab " * 60),                    # words_too_short (mean 2 < 3),
+                                            # fires BEFORE stop-word rule
+        (3, base * 6 + "# " * 8),           # symbol_heavy: 8/74 > 0.1
+        (4, "\n".join([line] * 10)),        # bullet_heavy: frac 1.0
+        (5, "\n".join([eline] * 10)),       # ellipsis_heavy: 10/110 syms ok,
+                                            # line frac 1.0 > 0.3
+        (6, "1234 " * 60),                  # non_alpha_words: mean 4, alpha 0
+        (7, "alpha beta gamma delta " * 15),  # too_few_stop_words
+        (8, ""),                            # empty -> too_few_words, no /0
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in df.select("doc_id", *gopher_quality_columns("text")).collect()
+    }
+    assert rows[0]["gopher_keep"] is True and rows[0]["gopher_reason"] == "ok"
+    assert rows[0]["n_words"] == 66 and rows[0]["mean_word_len"] == 4.0
+    assert rows[0]["n_gopher_stops"] == 4
+    expected = {
+        1: "too_few_words", 2: "words_too_short", 3: "symbol_heavy",
+        4: "bullet_heavy", 5: "ellipsis_heavy", 6: "non_alpha_words",
+        7: "too_few_stop_words", 8: "too_few_words",
+    }
+    for did, reason in expected.items():
+        assert rows[did]["gopher_reason"] == reason, (did, rows[did])
+        assert rows[did]["gopher_keep"] is False
+    assert rows[4]["bullet_line_frac"] == 1.0
+    assert rows[5]["ellipsis_line_frac"] == 1.0
+    assert rows[6]["alpha_word_frac"] == 0.0
+
+
 def test_fingerprint_normalizes_whitespace(spark):
     df = spark.createDataFrame(
         [("a  b\n\nc",), ("a b c",), ("a b d",)], "text string"

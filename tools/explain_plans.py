@@ -204,6 +204,29 @@ def main() -> None:
         "lines per doc.",
     ))
 
+    sections.append((
+        "SemDeDup cluster-local semantic prune (operators/semdedup.py)",
+        captured_explain(em._q_semdedup(spark, SF)),
+        "What to check: cell assignment is BroadcastNestedLoopJoin over "
+        "the (tiny, offline-trained) centroid table + a min_by partial "
+        "HashAggregate — the corpus never shuffles to be assigned; the "
+        "assignment frame is an InMemoryRelation (persisted once, read "
+        "by pair-gen keying, both sides of the neighbor-sim join and "
+        "the result base); within-cell candidates run through the "
+        "shared capped bucket core (one range exchange); vectors ship "
+        "through exactly one equi-join per side of the cosine verify.",
+    ))
+
+    sections.append((
+        "GPT-style sequence packing (operators/packing.py)",
+        captured_explain(em._q_sequence_pack(spark, SF)),
+        "What to check: exactly ONE exchange, keyed on the hash-balanced "
+        "stream id (never a global order); the running token count is a "
+        "per-stream window sort inside the stream partition; token "
+        "counting is JVM split/size inside codegen — no UDF, no Python "
+        "boundary, no second scan.",
+    ))
+
     amp = amplified_corpus(spark, SF, 4)
     sections.append((
         "Amplified corpus scan + identity (bench input)",

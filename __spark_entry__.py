@@ -358,6 +358,17 @@ def _q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", *TXT.gopher_quality_columns("text"))
 
 
+def _q_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The n-gram half of Gopher's repetition signals (top-2-gram and
+    duplicated-5-gram character fractions, Rae et al. 2021 A1.1 —
+    gram-char-mass denominators, documented deviation). Spark computes
+    per row with a sorted run-length F.aggregate scan — no explode, no
+    shuffle; the oracle recomputes via unnest + GROUP BY, so the two
+    independent formulations cross-check each other exactly."""
+    d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    return d.select("doc_id", *TXT.repeated_ngram_columns("text"))
+
+
 def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra-document line-repetition signals (Gopher / RefinedWeb
     quality heuristics): duplicate-line fraction and the character mass
@@ -1149,6 +1160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": _q_langid,
         "repetition_stats": _q_repetition_stats,
         "gopher_rules": _q_gopher_rules,
+        "repeated_ngrams": _q_repeated_ngrams,
         "decontamination": _q_decontamination,
         "corpus_line_stats": _q_corpus_line_stats,
         "pii_scrub": _q_pii_scrub,
@@ -1452,6 +1464,55 @@ SELECT t.doc_id,
        coalesce(h.n_hits, 0) > 0 AS contaminated
 FROM t LEFT JOIN h ON t.doc_id = h.doc_id
 ORDER BY t.doc_id
+""",
+        "repeated_ngrams": f"""
+WITH t AS (
+  SELECT doc_id,
+         list_transform({_TOKS.format(c="text")}, x -> lower(x)) AS toks
+  FROM documents WHERE text IS NOT NULL
+), g2 AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+         ELSE list_transform(range(1, len(toks)),
+                             i -> toks[i] || ' ' || toks[i+1]) END AS grams
+  FROM t
+), c2 AS (
+  SELECT doc_id, gram, count(*) AS cnt
+  FROM (SELECT doc_id, unnest(grams) AS gram FROM g2) GROUP BY doc_id, gram
+), tot2 AS (
+  SELECT doc_id, CAST(greatest(sum(cnt * length(gram)), 1) AS DOUBLE) AS total
+  FROM c2 GROUP BY doc_id
+), top2 AS (
+  SELECT doc_id, cnt * length(gram) AS chars,
+         row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram ASC)
+           AS rk
+  FROM c2
+), g5 AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) < 5 THEN CAST([] AS VARCHAR[])
+         ELSE list_transform(range(1, len(toks) - 3),
+                i -> array_to_string(list_slice(toks, i, i + 4), ' ')) END
+      AS grams
+  FROM t
+), c5 AS (
+  SELECT doc_id, gram, count(*) AS cnt
+  FROM (SELECT doc_id, unnest(grams) AS gram FROM g5) GROUP BY doc_id, gram
+), tot5 AS (
+  SELECT doc_id,
+         CAST(greatest(sum(cnt * length(gram)), 1) AS DOUBLE) AS total,
+         CAST(coalesce(sum(CASE WHEN cnt > 1 THEN cnt * length(gram)
+                                ELSE 0 END), 0) AS DOUBLE) AS dupc
+  FROM c5 GROUP BY doc_id
+)
+SELECT t.doc_id,
+  floor(CAST(coalesce(t2.chars, 0) AS DOUBLE) / coalesce(tt2.total, 1)
+        * 1000000) / 1000000.0 AS top_2gram_char_frac,
+  floor(coalesce(t5.dupc, 0) / coalesce(t5.total, 1) * 1000000) / 1000000.0
+    AS dup_5gram_char_frac
+FROM t
+LEFT JOIN (SELECT doc_id, chars FROM top2 WHERE rk = 1) t2 ON t.doc_id = t2.doc_id
+LEFT JOIN tot2 tt2 ON t.doc_id = tt2.doc_id
+LEFT JOIN tot5 t5 ON t.doc_id = t5.doc_id
 """,
         "gopher_rules": f"""
 WITH t AS (

@@ -251,3 +251,110 @@ def gopher_quality_columns(col: str = "text") -> list[Column]:
         (reason == "ok").alias("gopher_keep"),
         reason.alias("gopher_reason"),
     ]
+
+
+def word_ngrams_all(n: int, col: str | Column = "text") -> Column:
+    """Word n-grams WITH multiplicity (space-joined, lowercased) — the
+    input for frequency-based repetition signals, unlike the distinct
+    sets ``word_ngrams`` returns for overlap tests."""
+    toks = F.transform(tokens(col), lambda t: F.lower(t))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(grams)
+
+
+def repeated_ngram_columns(
+    col: str = "text", n_top: int = 2, n_dup: int = 5
+) -> list[Column]:
+    """The n-gram half of Gopher's repetition signals (Rae et al. 2021,
+    Appendix A1.1): the character fraction of the MOST FREQUENT
+    ``n_top``-gram and the character fraction of all DUPLICATED
+    ``n_dup``-grams. Deviations from the paper, pinned for oracle
+    parity: fractions are gram-char-mass / total-gram-char-mass (every
+    occurrence counts its full gram length — the paper's overlap-aware
+    character attribution is not reproduced; this ratio is bounded in
+    [0, 1] by construction), and ties on the top count break to the
+    lexicographically smallest gram.
+
+    Scale shape: ONE per-row pass — sort the doc's gram array, then a
+    single ``F.aggregate`` run-length scan (accumulator: current run +
+    best run + duplicate char mass). No explode, no shuffle, no UDF at
+    any corpus size; the DuckDB oracle recomputes via unnest+GROUP BY,
+    so the two independent formulations cross-check each other.
+    """
+    def _gram_chars(n: int) -> Column:
+        zero = F.lit(0).cast("long")
+        return F.greatest(
+            F.aggregate(
+                word_ngrams_all(n, col), zero,
+                lambda a, g: a + F.length(g).cast("long"),
+            ),
+            F.lit(1),
+        ).cast("double")
+
+    def _scan(n: int) -> Column:
+        sg = F.array_sort(word_ngrams_all(n, col))
+        zero = F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best_cnt"),
+            F.lit("").alias("best_gram"),
+            F.lit(0).cast("long").alias("dup_chars"),
+        )
+
+        def _closed_best_cnt(acc):
+            better = (acc["run"] > acc["best_cnt"]) | (
+                (acc["run"] == acc["best_cnt"]) & (acc["prev"] < acc["best_gram"])
+            )
+            return F.when(better, acc["run"]).otherwise(acc["best_cnt"])
+
+        def _closed_best_gram(acc):
+            better = (acc["run"] > acc["best_cnt"]) | (
+                (acc["run"] == acc["best_cnt"]) & (acc["prev"] < acc["best_gram"])
+            )
+            return F.when(better, acc["prev"]).otherwise(acc["best_gram"])
+
+        def _closed_dup(acc):
+            return F.when(
+                acc["run"] > 1,
+                acc["dup_chars"] + acc["run"] * F.length(acc["prev"]).cast("long"),
+            ).otherwise(acc["dup_chars"])
+
+        def merge(acc, g):
+            same = g == acc["prev"]
+            return F.struct(
+                g.alias("prev"),
+                F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+                F.when(same, acc["best_cnt"]).otherwise(_closed_best_cnt(acc)).alias("best_cnt"),
+                F.when(same, acc["best_gram"]).otherwise(_closed_best_gram(acc)).alias("best_gram"),
+                F.when(same, acc["dup_chars"]).otherwise(_closed_dup(acc)).alias("dup_chars"),
+            )
+
+        def finish(acc):
+            return F.struct(
+                _closed_best_cnt(acc).alias("best_cnt"),
+                _closed_best_gram(acc).alias("best_gram"),
+                _closed_dup(acc).alias("dup_chars"),
+            )
+
+        return F.aggregate(sg, zero, merge, finish)
+
+    top = _scan(n_top)
+    dup = _scan(n_dup)
+
+    def _floor6(x: Column) -> Column:
+        return F.floor(x * 1e6) / 1e6
+
+    top_chars = top["best_cnt"] * F.length(top["best_gram"]).cast("long")
+    return [
+        _floor6(top_chars.cast("double") / _gram_chars(n_top)).alias(
+            f"top_{n_top}gram_char_frac"
+        ),
+        _floor6(dup["dup_chars"].cast("double") / _gram_chars(n_dup)).alias(
+            f"dup_{n_dup}gram_char_frac"
+        ),
+    ]

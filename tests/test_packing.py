@@ -63,6 +63,18 @@ def test_pack_sequences_order_independent(spark):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
 
+def test_pack_sequences_single_exchange(spark):
+    """The packing plan must contain exactly ONE exchange (the stream
+    shuffle) and no UDF boundary — the scale contract PLANS.md reviews:
+    a global concatenation order would show a single-partition sort or
+    a second exchange here."""
+    d = _docs(spark, [(i, "a b c") for i in range(10)])
+    plan = pack_sequences(d, seq_len=4, n_streams=4)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "Python" not in plan and "Arrow" not in plan
+
+
 def test_token_budget_sample_boundary_kept(spark):
     # one stratum; order by sha(text) is fixed by choosing order_key=id
     d = spark.createDataFrame(

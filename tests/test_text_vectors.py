@@ -79,6 +79,33 @@ def test_nonempty_lines_trims_vertical_tab(spark):
     assert got == ["header", "code", "keep"]
 
 
+def test_repeated_ngram_fractions(spark):
+    # hand-computed run-length-scan vectors (gram-char-mass denominators)
+    from deduplicatr_spark.functions.text import repeated_ngram_columns
+
+    docs = [
+        # bigrams: "a b"x2, "b a"x2, "a c" -> top "a b" (tie broken to
+        # the lexicographically smallest), 2*3 / 15 gram chars = 0.4
+        (0, "a b a b a c"),
+        # all-unique bigrams: top cnt 1 -> 3/6... "x y","y z": 3+3=6 -> 0.5
+        (1, "x y z"),
+        (2, ""),  # no grams -> both 0, no div-by-zero
+        # every 5-gram occurs 3x (cyclic) -> all duplicated -> dup frac 1.0
+        (3, "q w e r t q w e r t q w e r t"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in df.select("doc_id", *repeated_ngram_columns("text")).collect()
+    }
+    assert rows[0]["top_2gram_char_frac"] == 0.4
+    assert rows[1]["top_2gram_char_frac"] == 0.5
+    assert rows[2] == {"doc_id": 2, "top_2gram_char_frac": 0.0,
+                       "dup_5gram_char_frac": 0.0}
+    assert rows[3]["dup_5gram_char_frac"] == 1.0
+    assert rows[0]["dup_5gram_char_frac"] == 0.0
+
+
 def test_gopher_quality_rules(spark):
     # one constructed doc per rule, plus precedence checks
     from deduplicatr_spark.functions.text import gopher_quality_columns

@@ -1022,6 +1022,19 @@ def _q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", "n_tokens", "cum_tokens")
 
 
+def _q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (operators/packing.py):
+    64-token windows every 48 tokens (16-token overlap), the BERT/HF
+    ``return_overflowing_tokens`` recipe. The oracle regenerates every
+    window with DuckDB range+slice and sha256s the rejoined text, so a
+    boundary, stride, tail-suppression or join-delimiter bug goes red
+    on the chunk hash itself."""
+    from deduplicatr_spark.operators.packing import chunk_documents
+
+    d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    return chunk_documents(d, chunk_len=64, stride=48)
+
+
 def _q_winnow_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) fingerprint dup pairs — position-robust copy
     detection with the w+k−1 guarantee (operators/winnow.py), verified
@@ -1184,6 +1197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_pack": _q_sequence_pack,
         "token_budget_sample": _q_token_budget_sample,
         "winnow_dup_pairs": _q_winnow_dup_pairs,
+        "chunk_windows": _q_chunk_windows,
         "dedup_pipeline": _q_dedup_pipeline,
     }
 
@@ -1996,6 +2010,28 @@ FROM c WHERE tok_before < 700
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        1.0 AS winnow_jaccard
 FROM fpm a JOIN fpm b ON a.f = b.f AND a.doc_id < b.doc_id
+""",
+        # every window regenerated independently: range() starts,
+        # slice+rejoin, sha256 over the chunk text itself
+        "chunk_windows": f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS.format(c="text")} AS toks
+  FROM documents WHERE text IS NOT NULL
+), n AS (
+  SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0
+), s AS (
+  SELECT doc_id, toks, n,
+         unnest(range(0, greatest(n - 64 + 48, 1), 48)) AS tok_start
+  FROM n
+)
+SELECT doc_id,
+  CAST(tok_start // 48 AS BIGINT) AS chunk_index,
+  CAST(tok_start AS BIGINT) AS tok_start,
+  CAST(least(64, n - tok_start) AS BIGINT) AS n_chunk_tokens,
+  sha256(array_to_string(
+    toks[tok_start + 1 : tok_start + least(64, n - tok_start)], ' '
+  )) AS chunk_sha256
+FROM s
 """,
         # identity columns must round-trip the pipeline; cluster_ok
         # asserts one cluster per fingerprint group end-to-end

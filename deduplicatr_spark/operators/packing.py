@@ -43,7 +43,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from deduplicatr_spark.functions.text import token_count
+from deduplicatr_spark.functions.text import token_count, tokens
 
 SEQ_STREAM_SHIFT = 2**40
 
@@ -113,6 +113,72 @@ def pack_sequences(
         (F.col("stream") * SEQ_STREAM_SHIFT + first_k).cast("long").alias("first_seq"),
         (F.col("stream") * SEQ_STREAM_SHIFT + last_k).cast("long").alias("last_seq"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_len: int,
+    stride: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    with_text: bool = False,
+) -> DataFrame:
+    """Slice each document into fixed token windows with overlap.
+
+    The long-document prep step used before context-window training and
+    retrieval indexing (the sliding-window recipe of BERT/HF
+    ``return_overflowing_tokens``): windows of ``chunk_len`` whitespace
+    tokens starting every ``stride`` tokens (``stride = chunk_len`` ⇒
+    disjoint; ``stride = chunk_len - overlap`` ⇒ overlapping). A window
+    is emitted only if the previous one did not already reach the end
+    of the document, so no chunk is fully contained in its predecessor;
+    every doc with ≥1 token emits ≥1 chunk, and the final chunk may be
+    short. Zero-token docs emit nothing.
+
+    Output: ``(id_col, chunk_index, tok_start, n_chunk_tokens,
+    chunk_sha256[, chunk_text])``. ``chunk_sha256`` hashes the
+    space-rejoined window — chunk-level exact dedup is then just
+    ``exact.dup_groups`` keyed on it.
+
+    Scale: a pure per-row generate (sequence → explode) — no shuffle,
+    no UDF, embarrassingly parallel; cost is the ~``chunk_len/stride``×
+    text amplification of overlapping windows, borne only by rows
+    longer than ``chunk_len``.
+    """
+    if stride is None:
+        stride = chunk_len
+    if not (0 < stride <= chunk_len):
+        raise ValueError(f"stride must be in (0, chunk_len]: {stride}")
+    toks = tokens(text_col)
+    base = docs.select(
+        F.col(id_col), toks.alias("_toks"), F.size(toks).alias("_n")
+    ).filter(F.col("_n") > 0)
+    # last admissible start: the largest multiple of stride s with
+    # s - stride + chunk_len < n (its predecessor stopped short of the end)
+    last_start = F.greatest(
+        F.col("_n") - chunk_len + stride - F.lit(1), F.lit(0)
+    )
+    exploded = base.select(
+        id_col,
+        "_toks",
+        "_n",
+        F.explode(
+            F.sequence(F.lit(0), last_start, F.lit(stride))
+        ).alias("tok_start"),
+    )
+    n_chunk = F.least(F.lit(chunk_len), F.col("_n") - F.col("tok_start"))
+    chunk_text = F.array_join(
+        F.slice(F.col("_toks"), F.col("tok_start") + 1, n_chunk), " "
+    )
+    out = exploded.select(
+        id_col,
+        (F.col("tok_start") / stride).cast("long").alias("chunk_index"),
+        F.col("tok_start").cast("long"),
+        n_chunk.cast("long").alias("n_chunk_tokens"),
+        F.sha2(chunk_text, 256).alias("chunk_sha256"),
+        *([chunk_text.alias("chunk_text")] if with_text else []),
+    )
+    return out
 
 
 def token_budget_sample(

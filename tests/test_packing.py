@@ -101,3 +101,47 @@ def test_token_budget_sample_per_stratum(spark):
     # each stratum admits its first doc (starts at 0 < 2); x's second
     # doc starts at 2 -> cut; y has only one doc
     assert sorted(r["doc_id"] for r in out) == [1, 3]
+
+
+def test_chunk_documents_windows_and_tail(spark):
+    # 10 tokens, chunk_len=4, stride=3: starts 0,3,6 (start 9 is
+    # suppressed: the window at 6 already reaches token 10); last
+    # chunk is short (tokens 6..9)
+    from deduplicatr_spark.operators.packing import chunk_documents
+
+    d = _docs(spark, [(1, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9")])
+    out = sorted(
+        chunk_documents(d, chunk_len=4, stride=3, with_text=True).collect(),
+        key=lambda r: r["chunk_index"],
+    )
+    assert [(r["tok_start"], r["n_chunk_tokens"], r["chunk_text"]) for r in out] == [
+        (0, 4, "t0 t1 t2 t3"),
+        (3, 4, "t3 t4 t5 t6"),
+        (6, 4, "t6 t7 t8 t9"),
+    ]
+    assert [r["chunk_index"] for r in out] == [0, 1, 2]
+
+
+def test_chunk_documents_short_and_empty_docs(spark):
+    from deduplicatr_spark.operators.packing import chunk_documents
+
+    d = _docs(spark, [(1, "a b"), (2, "   "), (3, None), (4, "x")])
+    out = chunk_documents(d.filter(F.col("text").isNotNull()),
+                          chunk_len=5, stride=5, with_text=True).collect()
+    got = {r["doc_id"]: r for r in out}
+    # short docs emit exactly one full-coverage chunk; blank emits none
+    assert set(got) == {1, 4}
+    assert (got[1]["n_chunk_tokens"], got[1]["chunk_text"]) == (2, "a b")
+    assert (got[4]["n_chunk_tokens"], got[4]["chunk_text"]) == (1, "x")
+
+
+def test_chunk_documents_no_shuffle(spark):
+    """Chunking is a pure per-row generate: the executed plan must
+    contain NO exchange and no Python/Arrow boundary."""
+    from deduplicatr_spark.operators.packing import chunk_documents
+
+    d = _docs(spark, [(i, "a b c d e f") for i in range(10)])
+    plan = chunk_documents(d, chunk_len=3, stride=2)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "Arrow" not in plan

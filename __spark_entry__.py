@@ -358,6 +358,41 @@ def _q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", *TXT.gopher_quality_columns("text"))
 
 
+def _q_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical C4 cleaning rule set (Raffel et al. 2020 §2.2):
+    line-level retention (terminal punctuation, ≥5 words, no
+    'javascript') and the page-level lorem-ipsum / curly-brace /
+    ≥3-sentence verdict (functions/text.py § c4_quality_columns).
+
+    The documents table has no line structure (single-line, no
+    punctuation — every doc would fail identically), so the query
+    plants a deterministic 5-line page per doc keyed on doc_id:
+    doc_id%7 → a javascript line (its drop leaves only 2 sentences ⇒
+    too_few_sentences), %13 → lorem ipsum, %11 → a curly brace on an
+    already-dropped line (page-level check must still catch it), plus
+    an always-dropped no-terminal line and a <5-word line. The oracle
+    builds the identical page, re-runs the full line filter and sha256s
+    the retained text — a single mis-kept line or wrong precedence
+    flips the hash."""
+    d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    did = F.col("doc_id")
+    line1 = F.concat(F.substring("text", 1, 80), F.lit(" end of line one."))
+    line2 = F.when(
+        did % 11 == 0, F.lit("no terminal punctuation here {")
+    ).otherwise(F.lit("no terminal punctuation here"))
+    line3 = F.lit("Short line.")
+    line4 = F.when(
+        did % 7 == 0, F.lit("this line mentions JavaScript framework code.")
+    ).otherwise(F.lit("another valid sentence with enough words here."))
+    line5 = F.when(
+        did % 13 == 0, F.lit("lorem ipsum dolor sit amet today.")
+    ).otherwise(F.lit("closing sentence with five words total."))
+    page = F.concat_ws("\n", line1, line2, line3, line4, line5)
+    return d.select("doc_id", page.alias("_page")).select(
+        "doc_id", *TXT.c4_quality_columns("_page")
+    )
+
+
 def _q_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The n-gram half of Gopher's repetition signals (top-2-gram and
     duplicated-5-gram character fractions, Rae et al. 2021 A1.1 —
@@ -1173,6 +1208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": _q_langid,
         "repetition_stats": _q_repetition_stats,
         "gopher_rules": _q_gopher_rules,
+        "c4_rules": _q_c4_rules,
         "repeated_ngrams": _q_repeated_ngrams,
         "decontamination": _q_decontamination,
         "corpus_line_stats": _q_corpus_line_stats,
@@ -1584,6 +1620,59 @@ FROM (
          WHEN n_gopher_stops < 2 THEN 'too_few_stop_words'
          ELSE 'ok' END AS reason
   FROM r
+)
+""",
+        # identical planted page, full line filter replayed; sha256 of
+        # the retained text proves byte-identical retention
+        "c4_rules": """
+WITH d AS (
+  SELECT doc_id,
+    substr(text, 1, 80) || ' end of line one.' || chr(10) ||
+    'no terminal punctuation here' ||
+      CASE WHEN doc_id % 11 = 0 THEN ' {' ELSE '' END || chr(10) ||
+    'Short line.' || chr(10) ||
+    CASE WHEN doc_id % 7 = 0
+         THEN 'this line mentions JavaScript framework code.'
+         ELSE 'another valid sentence with enough words here.' END
+      || chr(10) ||
+    CASE WHEN doc_id % 13 = 0
+         THEN 'lorem ipsum dolor sit amet today.'
+         ELSE 'closing sentence with five words total.' END AS text
+  FROM documents WHERE text IS NOT NULL
+), t AS (
+  SELECT doc_id, text,
+         list_filter(
+           list_transform(string_split(text, chr(10)),
+                          x -> regexp_replace(x,
+                            '^[ \\t\\r\\f\\x0B]+|[ \\t\\r\\f\\x0B]+$', '', 'g')),
+           x -> x <> '') AS ls
+  FROM d
+), k AS (
+  SELECT doc_id, text, ls,
+    list_filter(ls, x ->
+      right(x, 1) IN ('.', '!', '?', '"')
+      AND len(string_split_regex(x, '[ \\t]+')) >= 5
+      AND NOT contains(lower(x), 'javascript')) AS kept
+  FROM t
+), s AS (
+  SELECT doc_id, text,
+    CAST(len(ls) AS BIGINT) AS n_lines,
+    CAST(len(kept) AS BIGINT) AS n_kept_lines,
+    CAST(len(regexp_extract_all(
+           coalesce(array_to_string(kept, chr(10)), ''), '[.!?]'))
+         AS BIGINT) AS n_sentences,
+    sha256(coalesce(array_to_string(kept, chr(10)), '')) AS c4_sha256
+  FROM k
+)
+SELECT doc_id, n_lines, n_kept_lines, n_sentences, c4_sha256,
+       reason = 'ok' AS c4_keep, reason AS c4_reason
+FROM (
+  SELECT *,
+    CASE WHEN n_sentences < 3 THEN 'too_few_sentences'
+         WHEN contains(lower(text), 'lorem ipsum') THEN 'lorem_ipsum'
+         WHEN contains(text, '{') THEN 'curly_brace'
+         ELSE 'ok' END AS reason
+  FROM s
 )
 """,
         "repetition_stats": """

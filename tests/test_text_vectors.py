@@ -392,3 +392,46 @@ def test_ngram_prefix_filter_equals_naive(spark):
         if j6 >= tau:
             want.add((a, b, j6))
     assert got == want
+
+
+def test_c4_quality_rules(spark):
+    from deduplicatr_spark.functions.text import c4_quality_columns
+
+    good = "this sentence has enough words to be retained."
+    docs = [
+        # 3 retained lines -> keep
+        (0, "\n".join([good, good, good])),
+        # terminal-punct line with <5 words is dropped -> 2 sentences
+        (1, "\n".join([good, good, "Too short."])),
+        # javascript line dropped case-insensitively -> 2 sentences
+        (2, "\n".join([good, good, "please enable JAVASCRIPT to continue."])),
+        # no terminal punctuation -> dropped even with many words
+        (3, "\n".join([good, good, "plenty of words but no terminal mark"])),
+        # lorem ipsum fires at page level (sentence rule passes first)
+        (4, "\n".join([good, good, "lorem ipsum dolor sit amet today."])),
+        # curly brace on a DROPPED line must still fail the page
+        (5, "\n".join([good, good, good, "code marker { on dropped line"])),
+        # sentence rule precedes lorem-ipsum when both fail
+        (6, "lorem ipsum dolor sit amet."),
+        # question/exclamation/quote all count as terminal
+        (7, 'is this a question with words?\n' +
+            'what an exclamation with words!\n' +
+            '"a quoted sentence with words."'),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in df.select("doc_id", *c4_quality_columns("text")).collect()
+    }
+    assert rows[0]["c4_keep"] is True and rows[0]["n_kept_lines"] == 3
+    for i in (1, 2, 3):
+        assert rows[i]["c4_reason"] == "too_few_sentences", i
+        assert rows[i]["n_kept_lines"] == 2, i
+    assert rows[4]["c4_reason"] == "lorem_ipsum"
+    assert rows[5]["c4_reason"] == "curly_brace"
+    assert rows[5]["n_kept_lines"] == 3
+    assert rows[6]["c4_reason"] == "too_few_sentences"
+    assert rows[7]["c4_keep"] is True and rows[7]["n_kept_lines"] == 3
+    # retained-text hash: doc 1 and doc 2 retain the identical two lines
+    assert rows[1]["c4_sha256"] == rows[2]["c4_sha256"]
+    assert rows[0]["c4_sha256"] != rows[1]["c4_sha256"]

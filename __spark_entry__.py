@@ -393,6 +393,57 @@ def _q_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + URL-level dedup (functions/urls.py) —
+    the first pass of CCNet/RefinedWeb-style web pipelines. The
+    documents table carries no URL, so the query plants four raw
+    variants per page keyed on doc_id: case-folded host, www + trailing
+    slash, explicit :443 + tracking params, and reordered real params +
+    fragment. Variants 0-2 must collapse to one normalized URL and
+    variant 3 to another (its ?a=1&b=2 survives, sorted); group sizes
+    and min-doc canonicals come from a window over the normalized
+    string. The oracle replays the identical normalization chain in
+    DuckDB — any scheme/host/port/slash/param-sort/tracking-filter
+    divergence flips the hash."""
+    from deduplicatr_spark.functions.urls import normalize_url
+
+    d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    did = F.col("doc_id")
+    g = (did % 97).cast("string")
+    url = (
+        F.when(did % 4 == 0, F.concat(F.lit("https://Example.COM/Page/"), g))
+        .when(
+            did % 4 == 1,
+            F.concat(F.lit("http://www.example.com/Page/"), g, F.lit("/")),
+        )
+        .when(
+            did % 4 == 2,
+            F.concat(
+                F.lit("https://example.com:443/Page/"),
+                g,
+                F.lit("?utm_source=feed&gclid=abc"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://example.com/Page/"), g, F.lit("?b=2&a=1#frag")
+            )
+        )
+    )
+    w = Window.partitionBy("norm_url")
+    return (
+        d.select("doc_id", url.alias("url"))
+        .withColumn("norm_url", normalize_url("url"))
+        .select(
+            "doc_id",
+            "url",
+            "norm_url",
+            F.count("*").over(w).cast("long").alias("url_group_size"),
+            F.min("doc_id").over(w).cast("long").alias("canonical_doc"),
+        )
+    )
+
+
 def _q_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The n-gram half of Gopher's repetition signals (top-2-gram and
     duplicated-5-gram character fractions, Rae et al. 2021 A1.1 —
@@ -1209,6 +1260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition_stats,
         "gopher_rules": _q_gopher_rules,
         "c4_rules": _q_c4_rules,
+        "url_dedup": _q_url_dedup,
         "repeated_ngrams": _q_repeated_ngrams,
         "decontamination": _q_decontamination,
         "corpus_line_stats": _q_corpus_line_stats,
@@ -1674,6 +1726,48 @@ FROM (
          ELSE 'ok' END AS reason
   FROM s
 )
+""",
+        # identical planted variants; the normalization chain is
+        # replayed step by step (fragment, scheme, host case/www/port,
+        # trailing slash, tracking-param filter + sort)
+        "url_dedup": """
+WITH raw AS (
+  SELECT doc_id,
+    CASE doc_id % 4
+      WHEN 0 THEN 'https://Example.COM/Page/' || (doc_id % 97)
+      WHEN 1 THEN 'http://www.example.com/Page/' || (doc_id % 97) || '/'
+      WHEN 2 THEN 'https://example.com:443/Page/' || (doc_id % 97)
+                  || '?utm_source=feed&gclid=abc'
+      ELSE 'https://example.com/Page/' || (doc_id % 97) || '?b=2&a=1#frag'
+    END AS url
+  FROM documents WHERE text IS NOT NULL
+), u AS (
+  SELECT doc_id, url,
+    regexp_replace(regexp_replace(trim(url), '#.*$', ''),
+                   '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS u2
+  FROM raw
+), parts AS (
+  SELECT doc_id, url,
+    regexp_replace(regexp_replace(
+        lower(regexp_extract(u2, '^[^/?]+')), '^www\\.', ''),
+      ':(80|443)$', '') AS host,
+    regexp_replace(regexp_extract(u2, '^[^/?]+([^?]*)', 1), '/+$', '')
+      AS path,
+    coalesce(array_to_string(list_sort(list_filter(
+        string_split(regexp_extract(u2, '\\?(.*)$', 1), '&'),
+        p -> NOT regexp_matches(p, '^(utm_[A-Za-z0-9_]*|fbclid|gclid)(=|$)')
+      )), '&'), '') AS qn
+  FROM u
+), n AS (
+  SELECT doc_id, url,
+    host || path || CASE WHEN qn <> '' THEN '?' || qn ELSE '' END
+      AS norm_url
+  FROM parts
+)
+SELECT doc_id, url, norm_url,
+  CAST(count(*) OVER (PARTITION BY norm_url) AS BIGINT) AS url_group_size,
+  CAST(min(doc_id) OVER (PARTITION BY norm_url) AS BIGINT) AS canonical_doc
+FROM n
 """,
         "repetition_stats": """
 WITH t AS (

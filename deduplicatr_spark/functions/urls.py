@@ -1,0 +1,59 @@
+"""URL canonicalization for URL-level dedup — the cheap first pass of
+every web-corpus pipeline (CCNet §2; RefinedWeb §3.1 runs URL dedup
+before any content pass: at crawl scale most duplicates are literal
+re-fetches of the same page, caught without touching content).
+
+``normalize_url`` is one codegen chain of JVM built-ins (regexp +
+array functions — zero shuffles, zero UDFs):
+
+1. strip the fragment (``#…``);
+2. strip the scheme (``http://``, ``https://``, any RFC-3986 scheme);
+3. hostname: lowercase, strip a leading ``www.``, strip explicit
+   default ports ``:80``/``:443``;
+4. path: strip trailing slashes (``/a/b/`` ≡ ``/a/b``);
+5. query: drop tracking parameters (``utm_*``, ``fbclid``, ``gclid``),
+   sort the survivors byte-lexicographically, rejoin — parameter order
+   never distinguishes pages.
+
+Case is preserved in path and query (paths are case-sensitive per RFC
+3986; only the host is case-folded). Sorting note: Spark's
+``array_sort`` compares UTF-16 code units, DuckDB's ``list_sort``
+UTF-8 bytes — identical ordering for ASCII query strings (the planted
+oracle stays ASCII; non-BMP params could order differently).
+
+Dedup by normalized URL is then a plain hash aggregation on the
+canonical string — partial+final agg, broadcast-free, scale-safe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TRACKING_PARAM_RE = "^(utm_[A-Za-z0-9_]*|fbclid|gclid)(=|$)"
+
+
+def normalize_url(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    u = F.regexp_replace(F.trim(c), "#.*$", "")
+    u = F.regexp_replace(u, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    raw_host = F.regexp_extract(u, "^[^/?]+", 0)
+    host = F.regexp_replace(
+        F.regexp_replace(F.lower(raw_host), r"^www\.", ""), ":(80|443)$", ""
+    )
+    path = F.regexp_replace(
+        F.regexp_extract(u, "^[^/?]+([^?]*)", 1), "/+$", ""
+    )
+    query = F.regexp_extract(u, r"\?(.*)$", 1)
+    kept = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: ~p.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    qn = F.array_join(kept, "&")
+    return F.concat(
+        host,
+        path,
+        F.when(qn != "", F.concat(F.lit("?"), qn)).otherwise(F.lit("")),
+    )

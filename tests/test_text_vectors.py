@@ -435,3 +435,31 @@ def test_c4_quality_rules(spark):
     # retained-text hash: doc 1 and doc 2 retain the identical two lines
     assert rows[1]["c4_sha256"] == rows[2]["c4_sha256"]
     assert rows[0]["c4_sha256"] != rows[1]["c4_sha256"]
+
+
+def test_normalize_url(spark):
+    from deduplicatr_spark.functions.urls import normalize_url
+
+    cases = [
+        (0, "https://Example.COM/Page/7"),
+        (1, "http://www.example.com/Page/7/"),
+        (2, "https://example.com:443/Page/7?utm_source=feed&gclid=abc"),
+        (3, "https://example.com/Page/7?b=2&a=1#frag"),
+        (4, "example.com/Page/7"),                 # scheme-less
+        (5, "https://example.com:8080/x"),          # non-default port kept
+        (6, "https://example.com/CaseSensitive/P"), # path case preserved
+        (7, "https://example.com/x?utm_a=1&utm_b=2"),  # all-tracking query
+        (8, "https://example.com/"),                # bare root
+    ]
+    df = spark.createDataFrame(cases, "i long, url string")
+    got = {
+        r["i"]: r["n"]
+        for r in df.select("i", normalize_url("url").alias("n")).collect()
+    }
+    # variants 0,1,2,4 collapse; 3 keeps its sorted real params
+    assert got[0] == got[1] == got[2] == got[4] == "example.com/Page/7"
+    assert got[3] == "example.com/Page/7?a=1&b=2"
+    assert got[5] == "example.com:8080/x"
+    assert got[6] == "example.com/CaseSensitive/P"
+    assert got[7] == "example.com/x"
+    assert got[8] == "example.com"

@@ -444,6 +444,48 @@ def _q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic, leakage-free train/val/test split: the bucket is
+    keyed on sha256 of the CONTENT (first 4 hex chars → 0..65535), so
+    byte-identical documents always land in the same split — the
+    standard guard against eval leakage through exact duplicates. 90/5/5
+    by bucket thresholds; reproducible across runs, partitionings and
+    engines (no RNG anywhere). The oracle folds the same hex digits by
+    hand — a hash-key, threshold or boundary bug goes red."""
+    d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    sha = F.sha2(F.col("text"), 256)
+    bucket = F.conv(F.substring(sha, 1, 4), 16, 10).cast("long")
+    split = (
+        F.when(bucket < 58982, F.lit("train"))      # 0.90 * 65536
+        .when(bucket < 62259, F.lit("val"))         # 0.95 * 65536
+        .otherwise(F.lit("test"))
+    )
+    return d.select(
+        "doc_id",
+        sha.alias("sha256"),
+        bucket.alias("split_bucket"),
+        split.alias("split"),
+    )
+
+
+def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide vocabulary extraction: top-20 lowercased whitespace
+    tokens by total count (tokenizer vocab building / corpus-stats
+    primitive). Partial+final hash aggregation on the token, then a
+    TakeOrderedAndProject top-k — no global sort shuffle; ties broken
+    by token string so the cut is total-ordered and engine-independent.
+    The oracle recomputes the full count table and replays the same
+    ordered cut."""
+    d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    toks = d.select(
+        F.explode(TXT.tokens("text")).alias("raw_tok")
+    ).select(F.lower(F.col("raw_tok")).alias("token"))
+    counts = toks.groupBy("token").agg(F.count("*").cast("long").alias("n_occurrences"))
+    return counts.orderBy(
+        F.col("n_occurrences").desc(), F.col("token").asc()
+    ).limit(20)
+
+
 def _q_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The n-gram half of Gopher's repetition signals (top-2-gram and
     duplicated-5-gram character fractions, Rae et al. 2021 A1.1 —
@@ -1261,6 +1303,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": _q_gopher_rules,
         "c4_rules": _q_c4_rules,
         "url_dedup": _q_url_dedup,
+        "split_assign": _q_split_assign,
+        "vocab_topk": _q_vocab_topk,
         "repeated_ngrams": _q_repeated_ngrams,
         "decontamination": _q_decontamination,
         "corpus_line_stats": _q_corpus_line_stats,
@@ -1768,6 +1812,37 @@ SELECT doc_id, url, norm_url,
   CAST(count(*) OVER (PARTITION BY norm_url) AS BIGINT) AS url_group_size,
   CAST(min(doc_id) OVER (PARTITION BY norm_url) AS BIGINT) AS canonical_doc
 FROM n
+""",
+        # the hex fold is written out digit by digit — an independent
+        # formulation of Spark's conv(substr(sha,1,4),16,10)
+        "split_assign": """
+WITH s AS (
+  SELECT doc_id, sha256(text) AS sha256 FROM documents
+  WHERE text IS NOT NULL
+), b AS (
+  SELECT doc_id, sha256,
+    CAST((strpos('0123456789abcdef', substr(sha256, 1, 1)) - 1) * 4096
+       + (strpos('0123456789abcdef', substr(sha256, 2, 1)) - 1) * 256
+       + (strpos('0123456789abcdef', substr(sha256, 3, 1)) - 1) * 16
+       + (strpos('0123456789abcdef', substr(sha256, 4, 1)) - 1)
+      AS BIGINT) AS split_bucket
+  FROM s
+)
+SELECT doc_id, sha256, split_bucket,
+  CASE WHEN split_bucket < 58982 THEN 'train'
+       WHEN split_bucket < 62259 THEN 'val'
+       ELSE 'test' END AS split
+FROM b
+""",
+        "vocab_topk": f"""
+SELECT lower(t.tok) AS token,
+       CAST(count(*) AS BIGINT) AS n_occurrences
+FROM documents d,
+     unnest({_TOKS.format(c="d.text")}) AS t(tok)
+WHERE d.text IS NOT NULL
+GROUP BY lower(t.tok)
+ORDER BY n_occurrences DESC, token ASC
+LIMIT 20
 """,
         "repetition_stats": """
 WITH t AS (

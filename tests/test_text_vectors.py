@@ -463,3 +463,25 @@ def test_normalize_url(spark):
     assert got[6] == "example.com/CaseSensitive/P"
     assert got[7] == "example.com/x"
     assert got[8] == "example.com"
+
+
+def test_split_assign_leakage_free(spark):
+    """Byte-identical docs must land in the same split (content-hash
+    bucketing), regardless of doc_id; bucket is the first 4 sha hex
+    chars as an int."""
+    import __spark_entry__ as em
+    import pyspark.sql.functions as F
+
+    d = spark.createDataFrame(
+        [(1, "same content here"), (999, "same content here"),
+         (2, "different content")],
+        "doc_id long, text string",
+    ).withColumn("lang", F.lit("en")).withColumn("source", F.lit("s")) \
+     .withColumn("n_chars", F.length("text").cast("long"))
+    import tempfile, os
+    tmp = tempfile.mkdtemp(prefix="splittest_")
+    d.write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+    out = {r["doc_id"]: r for r in em.queries()["split_assign"](spark, tmp).collect()}
+    assert out[1]["split"] == out[999]["split"]
+    assert out[1]["split_bucket"] == out[999]["split_bucket"]
+    assert 0 <= out[2]["split_bucket"] < 65536

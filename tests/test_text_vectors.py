@@ -485,3 +485,15 @@ def test_split_assign_leakage_free(spark):
     assert out[1]["split"] == out[999]["split"]
     assert out[1]["split_bucket"] == out[999]["split_bucket"]
     assert 0 <= out[2]["split_bucket"] < 65536
+
+
+def test_vocab_topk_plan_shape(spark):
+    """Top-k must be TakeOrderedAndProject over a partial+final hash
+    aggregation — never a global sort of the count table."""
+    import __spark_entry__ as em
+
+    plan = em.queries()["vocab_topk"](spark, "/root/testdata/sf0.001") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "Python" not in plan and "Arrow" not in plan

@@ -227,6 +227,31 @@ def main() -> None:
         "boundary, no second scan.",
     ))
 
+    sections.append((
+        "Quality rule stacks + chunking (C4, Gopher, chunk_documents)",
+        captured_explain(
+            em._q_c4_rules(spark, SF)
+            .join(em._q_gopher_rules(spark, SF), "doc_id")
+            .join(em._q_chunk_windows(spark, SF), "doc_id")
+        ),
+        "What to check: the C4 and Gopher rule sets and the sliding-"
+        "window chunker are each a single WholeStageCodegen span over "
+        "the scan — zero exchanges, zero Python boundaries; joined here "
+        "only to render all three in one tree (the joins belong to this "
+        "doc query, not the operators). Chunking's explode(sequence(...)) "
+        "is a per-row Generate inside codegen.",
+    ))
+
+    sections.append((
+        "URL dedup + vocab top-k (functions/urls.py, vocab_topk)",
+        captured_explain(em._q_url_dedup(spark, SF)),
+        "What to check: normalization is one codegen regexp/array chain; "
+        "the ONLY exchange is the window partition on norm_url (group "
+        "stats). vocab_topk (not shown) plan-asserts partial+final "
+        "HashAggregate + TakeOrderedAndProject in its test — the top-k "
+        "never global-sorts.",
+    ))
+
     amp = amplified_corpus(spark, SF, 4)
     sections.append((
         "Amplified corpus scan + identity (bench input)",

@@ -314,6 +314,33 @@ def main() -> None:
 
     timed("token_stats", _text, repeats=2)
 
+    # q5t: quality/shaping stack — C4 + Gopher rule sets in one codegen
+    # pass, then sliding-window chunking (explode(sequence)) over the
+    # same corpus; all JVM built-ins, zero shuffles besides the final agg
+    def _shaping():
+        from deduplicatr_spark.functions.text import (
+            c4_quality_columns,
+            gopher_quality_columns,
+        )
+        from deduplicatr_spark.operators.packing import chunk_documents
+
+        ided = corpus.withColumn(
+            "doc_id", F.xxhash64("repo", "path", "commit")
+        )
+        ided.select(
+            "doc_id",
+            *c4_quality_columns("content"),
+            *gopher_quality_columns("content"),
+        ).agg(
+            F.sum(F.col("c4_keep").cast("long")),
+            F.sum(F.col("gopher_keep").cast("long")),
+        ).collect()
+        chunk_documents(
+            ided, chunk_len=512, stride=384, text_col="content"
+        ).agg(F.count("*"), F.sum("n_chunk_tokens")).collect()
+
+    timed("quality_shaping", _shaping, repeats=2)
+
     # q5a: GPT-style sequence packing (per-stream running-sum windows)
     def _pack():
         ided = corpus.withColumn(

@@ -1,0 +1,96 @@
+"""Structured Streaming ingest with exact dedup.
+
+The streaming twin of the incremental batch path
+(operators/incremental.py): new document files land in a directory and
+must be admitted exactly once — never a byte-duplicate of anything
+seen earlier in the stream, and optionally never a duplicate of the
+already-indexed batch corpus.
+
+Composition (all standard Structured Streaming machinery — no custom
+state handling):
+
+* ``readStream.parquet`` file source — the source itself is
+  exactly-once: processed files are recorded in the checkpoint's file
+  index, so a restart never re-admits a batch;
+* identity = ``sha2(content, 256)`` + byte size, computed in codegen;
+* ``dropDuplicates([sha256])`` — STATE-STORE-BACKED stream dedup: the
+  key set partitions across executors by the shuffle hash of sha256
+  and persists in the checkpoint, so duplicates are caught across
+  micro-batches AND across restarts. Exact-dup state intentionally
+  never expires (a copy of anything ever admitted is still a copy);
+  where bounded state is required, pass ``within_watermark`` to use
+  ``dropDuplicatesWithinWatermark`` over a processing-time column
+  instead. At 100 TB-of-admitted-corpus scale the key set is ~32
+  bytes/doc spread over the state store — configure the RocksDB
+  provider (``spark.sql.streaming.stateStore.providerClass``) so
+  state spills to local disk instead of living on the JVM heap;
+* optional stream-static LEFT ANTI join against the batch corpus's
+  identity table — stateless (the static side is re-planned per
+  micro-batch, so a growing base table is picked up without restart);
+* append-mode parquet sink, checkpointed.
+
+Tests drive it with ``trigger(availableNow=True)`` — process
+everything pending, then stop — which is also the recommended
+incremental-batch deployment mode (a cron'd availableNow run is the
+streaming path with batch economics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+DOC_STREAM_SCHEMA = (
+    "repo string, path string, commit string, lang string, content string"
+)
+
+
+def streaming_exact_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    base_identity: DataFrame | None = None,
+    schema: str = DOC_STREAM_SCHEMA,
+    content_col: str = "content",
+    available_now: bool = True,
+    within_watermark: str | None = None,
+) -> StreamingQuery:
+    """Start the streaming dedup ingest; returns the StreamingQuery.
+
+    ``base_identity`` — static frame with a ``sha256`` column (e.g. the
+    batch pipeline's s1 identity checkpoint); stream rows matching it
+    are dropped before the sink. ``within_watermark`` — e.g. ``"24
+    hours"``: bound dedup state to a processing-time window via
+    ``dropDuplicatesWithinWatermark`` (trades unbounded exactness for
+    bounded state).
+    """
+    src = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(input_dir)
+    )
+    ident = src.withColumn("sha256", F.sha2(F.col(content_col), 256)).withColumn(
+        "size", F.length(content_col).cast("long")
+    )
+    if within_watermark is not None:
+        ident = ident.withColumn("_ingest_ts", F.current_timestamp()).withWatermark(
+            "_ingest_ts", within_watermark
+        )
+        deduped = ident.dropDuplicatesWithinWatermark(["sha256"]).drop("_ingest_ts")
+    else:
+        deduped = ident.dropDuplicates(["sha256"])
+    if base_identity is not None:
+        deduped = deduped.join(
+            base_identity.select("sha256"), "sha256", "left_anti"
+        )
+    writer = (
+        deduped.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -444,6 +444,36 @@ def _q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_license_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """License detection for code corpora (functions/licenses.py — The
+    Stack's admission gate): SPDX tag extraction, heuristic canonical-
+    phrase fallback, permissive/copyleft classification. Six planted
+    header variants keyed on doc_id exercise the SPDX-beats-heuristic
+    precedence (variant 0 carries BOTH an SPDX MIT tag and an Apache
+    phrase), heuristic-only detection, copyleft prefixes and the
+    no-license path. The oracle replays extraction and the ordered
+    phrase/classification CASEs."""
+    from deduplicatr_spark.functions.licenses import license_columns
+
+    d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    v = F.col("doc_id") % 6
+    header = (
+        F.when(v == 0, F.lit(
+            "// SPDX-License-Identifier: MIT\n// derived from Apache License code\n"))
+        .when(v == 1, F.lit(
+            "/* Licensed under the Apache License, Version 2.0 */\n"))
+        .when(v == 2, F.lit(
+            "// This file is free software under the\n"
+            "// GNU General Public License v3.\n"))
+        .when(v == 3, F.lit("# SPDX-License-Identifier: GPL-3.0-or-later\n"))
+        .when(v == 4, F.lit("/* BSD 3-Clause License */\n"))
+        .otherwise(F.lit(""))
+    )
+    return d.select(
+        "doc_id", F.concat(header, F.col("text")).alias("_src")
+    ).select("doc_id", *license_columns("_src"))
+
+
 def _q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic, leakage-free train/val/test split: the bucket is
     keyed on sha256 of the CONTENT (first 4 hex chars → 0..65535), so
@@ -1303,6 +1333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": _q_gopher_rules,
         "c4_rules": _q_c4_rules,
         "url_dedup": _q_url_dedup,
+        "license_scan": _q_license_scan,
         "split_assign": _q_split_assign,
         "vocab_topk": _q_vocab_topk,
         "repeated_ngrams": _q_repeated_ngrams,
@@ -1812,6 +1843,60 @@ SELECT doc_id, url, norm_url,
   CAST(count(*) OVER (PARTITION BY norm_url) AS BIGINT) AS url_group_size,
   CAST(min(doc_id) OVER (PARTITION BY norm_url) AS BIGINT) AS canonical_doc
 FROM n
+""",
+        # identical planted headers; extraction + ordered phrase and
+        # classification CASEs replayed
+        "license_scan": """
+WITH src AS (
+  SELECT doc_id,
+    CASE doc_id % 6
+      WHEN 0 THEN '// SPDX-License-Identifier: MIT' || chr(10) ||
+                  '// derived from Apache License code' || chr(10)
+      WHEN 1 THEN '/* Licensed under the Apache License, Version 2.0 */'
+                  || chr(10)
+      WHEN 2 THEN '// This file is free software under the' || chr(10) ||
+                  '// GNU General Public License v3.' || chr(10)
+      WHEN 3 THEN '# SPDX-License-Identifier: GPL-3.0-or-later' || chr(10)
+      WHEN 4 THEN '/* BSD 3-Clause License */' || chr(10)
+      ELSE '' END || text AS c
+  FROM documents WHERE text IS NOT NULL
+), e AS (
+  SELECT doc_id,
+    regexp_extract(c, 'SPDX-License-Identifier:[ \\t]*([A-Za-z0-9.+-]+)', 1)
+      AS spdx_id,
+    CASE WHEN contains(c, 'GNU AFFERO GENERAL PUBLIC LICENSE')
+           THEN 'AGPL-3.0-only'
+         WHEN contains(c, 'GNU LESSER GENERAL PUBLIC LICENSE')
+           THEN 'LGPL-3.0-only'
+         WHEN contains(c, 'GNU General Public License') THEN 'GPL-3.0-only'
+         WHEN contains(c, 'Apache License') THEN 'Apache-2.0'
+         WHEN contains(c, 'MIT License') THEN 'MIT'
+         WHEN contains(c, 'Mozilla Public License') THEN 'MPL-2.0'
+         WHEN contains(c, 'BSD 3-Clause') THEN 'BSD-3-Clause'
+         WHEN contains(c, 'BSD 2-Clause') THEN 'BSD-2-Clause'
+         ELSE '' END AS heur
+  FROM src
+), lid AS (
+  SELECT doc_id, spdx_id,
+    CASE WHEN spdx_id <> '' THEN spdx_id ELSE heur END AS license_id
+  FROM e
+)
+SELECT doc_id, spdx_id, license_id,
+  CASE WHEN license_id IN ('MIT','Apache-2.0','BSD-2-Clause','BSD-3-Clause',
+                           'ISC','Unlicense','Zlib','MPL-2.0')
+         THEN 'permissive'
+       WHEN license_id LIKE 'GPL-%' OR license_id LIKE 'AGPL-%'
+         OR license_id LIKE 'LGPL-%' OR license_id LIKE 'EUPL-%'
+         OR license_id LIKE 'CC-BY-SA%' THEN 'copyleft'
+       ELSE 'unknown' END AS license_class,
+  (CASE WHEN license_id IN ('MIT','Apache-2.0','BSD-2-Clause','BSD-3-Clause',
+                            'ISC','Unlicense','Zlib','MPL-2.0')
+          THEN 'permissive'
+        WHEN license_id LIKE 'GPL-%' OR license_id LIKE 'AGPL-%'
+          OR license_id LIKE 'LGPL-%' OR license_id LIKE 'EUPL-%'
+          OR license_id LIKE 'CC-BY-SA%' THEN 'copyleft'
+        ELSE 'unknown' END) = 'permissive' AS license_permissive
+FROM lid
 """,
         # the hex fold is written out digit by digit — an independent
         # formulation of Spark's conv(substr(sha,1,4),16,10)

@@ -497,3 +497,32 @@ def test_vocab_topk_plan_shape(spark):
     assert "TakeOrderedAndProject" in plan
     assert plan.count("HashAggregate") >= 2
     assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_license_columns(spark):
+    from deduplicatr_spark.functions.licenses import license_columns
+
+    docs = [
+        # SPDX beats heuristic phrase
+        (0, "// SPDX-License-Identifier: MIT\n// from Apache License code\n"),
+        (1, "/* Licensed under the Apache License, Version 2.0 */\ncode"),
+        (2, "// GNU General Public License v3 applies.\ncode"),
+        (3, "# SPDX-License-Identifier: GPL-3.0-or-later\ncode"),
+        (4, "plain code, no license"),
+        # LGPL phrase must not fall through to the GPL phrase
+        (5, "GNU LESSER GENERAL PUBLIC LICENSE\nGNU General Public License"),
+        (6, "// SPDX-License-Identifier: BSD-3-Clause\ncode"),
+    ]
+    df = spark.createDataFrame(docs, "i long, content string")
+    got = {
+        r["i"]: r.asDict()
+        for r in df.select("i", *license_columns("content")).collect()
+    }
+    assert got[0]["license_id"] == "MIT" and got[0]["license_permissive"]
+    assert got[1]["license_id"] == "Apache-2.0" and got[1]["spdx_id"] == ""
+    assert got[2]["license_class"] == "copyleft"
+    assert got[3]["license_id"] == "GPL-3.0-or-later"
+    assert got[3]["license_class"] == "copyleft"
+    assert got[4]["license_id"] == "" and got[4]["license_class"] == "unknown"
+    assert got[5]["license_id"] == "LGPL-3.0-only"
+    assert got[6]["license_class"] == "permissive"

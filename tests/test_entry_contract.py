@@ -1,0 +1,37 @@
+"""Driver-contract invariants for __spark_entry__ that don't need a
+SparkSession: every query has an oracle, every oracle has a query, and
+the oracle SQL at least parses in DuckDB against empty views — a
+syntax error or key drift fails here in seconds instead of in the
+driver's correctness gate."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+import __spark_entry__ as em
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+DOC_COLS = "doc_id BIGINT, text VARCHAR, lang VARCHAR, source VARCHAR, n_chars BIGINT"
+EMB_COLS = "vec_id BIGINT, embedding FLOAT[], label INTEGER"
+
+
+def test_every_query_has_oracle_and_vice_versa():
+    qs, os_ = set(em.queries()), set(em.oracle_sql())
+    assert qs == os_, (sorted(qs - os_), sorted(os_ - qs))
+
+
+@pytest.mark.parametrize("name", sorted(em.oracle_sql()))
+def test_oracle_sql_parses(name):
+    con = duckdb.connect()
+    for t in TABLES:
+        cols = DOC_COLS if t == "documents" else (
+            EMB_COLS if t == "embeddings" else "id BIGINT"
+        )
+        con.sql(f"CREATE TABLE {t} ({cols})")
+    # empty tables: the query must plan and run, returning 0 rows
+    con.sql(em.oracle_sql()[name]).fetchall()

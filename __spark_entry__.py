@@ -444,6 +444,44 @@ def _q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression-ratio quality signal (functions/
+    compressibility.py — the Dolma/DataTrove gzip-ratio filter) via an
+    Arrow-batched pandas UDF. zlib cannot run in SQL, so truth is
+    PLANTED: even doc_ids get a 16-char block repeated 64× (ratio
+    certainly > 5 → 'repetitive'), odd doc_ids get four chained sha256
+    hex digests (256 high-entropy chars, ratio certainly < 2 →
+    'incompressible'); the oracle asserts the class from the
+    construction. A kernel bug, batch misalignment or threshold error
+    flips classes and goes red."""
+    from deduplicatr_spark.functions.compressibility import (
+        compressibility_class,
+        zlib_ratio,
+    )
+
+    d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    sha = F.sha2(F.col("text"), 256)
+    planted = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.repeat(F.substring("text", 1, 16), 64),
+    ).otherwise(
+        F.concat(
+            sha,
+            F.sha2(F.concat(F.col("text"), F.lit("a")), 256),
+            F.sha2(F.concat(F.col("text"), F.lit("b")), 256),
+            F.sha2(F.concat(F.col("text"), F.lit("c")), 256),
+        )
+    )
+    return (
+        d.select("doc_id", planted.alias("_t"))
+        .withColumn("_ratio", zlib_ratio()(F.col("_t")))
+        .select(
+            "doc_id",
+            compressibility_class(F.col("_ratio")).alias("compress_class"),
+        )
+    )
+
+
 def _q_license_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """License detection for code corpora (functions/licenses.py — The
     Stack's admission gate): SPDX tag extraction, heuristic canonical-
@@ -1334,6 +1372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_rules": _q_c4_rules,
         "url_dedup": _q_url_dedup,
         "license_scan": _q_license_scan,
+        "compressibility": _q_compressibility,
         "split_assign": _q_split_assign,
         "vocab_topk": _q_vocab_topk,
         "repeated_ngrams": _q_repeated_ngrams,
@@ -1843,6 +1882,14 @@ SELECT doc_id, url, norm_url,
   CAST(count(*) OVER (PARTITION BY norm_url) AS BIGINT) AS url_group_size,
   CAST(min(doc_id) OVER (PARTITION BY norm_url) AS BIGINT) AS canonical_doc
 FROM n
+""",
+        # truth by construction: the class is determined by the planted
+        # text's entropy, which the oracle knows without running zlib
+        "compressibility": """
+SELECT doc_id,
+  CASE WHEN doc_id % 2 = 0 THEN 'repetitive'
+       ELSE 'incompressible' END AS compress_class
+FROM documents WHERE text IS NOT NULL
 """,
         # identical planted headers; extraction + ordered phrase and
         # classification CASEs replayed

@@ -1,0 +1,55 @@
+"""Compression-ratio quality signal — the gzip/zlib-ratio heuristic
+used by Dolma and DataTrove-style pipelines: highly compressible text
+(ratio ≫ 1) is boilerplate/repetition; near-incompressible text is
+noise/binary. Both tails get filtered before training.
+
+zlib has no SQL equivalent, so this is a deliberate slow-path UDF done
+the right way: an Arrow-batched ``pandas_udf`` (one Python invocation
+per ~10k-row batch, zlib itself is C), never a row-at-a-time Python
+UDF. Cost is one UTF-8 encode + deflate pass per document — CPU-bound
+and embarrassingly parallel; no shuffle is introduced. Entry-query
+correctness is planted-truth (the driver oracle cannot run zlib): the
+query constructs documents whose compressibility class is certain by
+construction and asserts the classification, not the raw ratio.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql.functions import pandas_udf
+
+
+def zlib_ratio_series(texts: pd.Series) -> pd.Series:
+    """uncompressed_bytes / compressed_bytes; empty/null → 1.0.
+    Plain pandas kernel — unit-testable without a SparkSession."""
+
+    def ratio(t: str | None) -> float:
+        if not t:
+            return 1.0
+        b = t.encode("utf-8")
+        return len(b) / max(1, len(zlib.compress(b, 6)))
+
+    return texts.map(ratio)
+
+
+def zlib_ratio():
+    """Arrow-batched UDF over the kernel (built lazily: the pandas_udf
+    wrapper needs an active SparkSession for its return-type DDL)."""
+    return pandas_udf(zlib_ratio_series, "double")
+
+
+def compressibility_class(
+    ratio_col: Column, low: float = 2.0, high: float = 5.0
+) -> Column:
+    """'repetitive' (> high), 'incompressible' (< low), else 'normal'
+    — the two filtered tails plus the keep band."""
+    from pyspark.sql import functions as F
+
+    return (
+        F.when(ratio_col > high, F.lit("repetitive"))
+        .when(ratio_col < low, F.lit("incompressible"))
+        .otherwise(F.lit("normal"))
+    )

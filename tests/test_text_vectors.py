@@ -526,3 +526,15 @@ def test_license_columns(spark):
     assert got[4]["license_id"] == "" and got[4]["license_class"] == "unknown"
     assert got[5]["license_id"] == "LGPL-3.0-only"
     assert got[6]["license_class"] == "permissive"
+
+
+def test_zlib_ratio_kernel():
+    import pandas as pd
+    from deduplicatr_spark.functions.compressibility import zlib_ratio_series
+
+    fn = zlib_ratio_series
+    s = pd.Series(["", None, "abcdefgh" * 200, "x"])
+    out = fn(s)
+    assert out[0] == 1.0 and out[1] == 1.0
+    assert out[2] > 10.0          # repetition compresses hard
+    assert 0.0 < out[3] <= 1.0    # 1 byte: overhead exceeds input

@@ -83,3 +83,23 @@ def test_streaming_dedup_state_survives_restart(spark, dirs):
     # source's checkpoint index never re-processes a seen file)
     _run(spark, dirs)
     assert spark.read.parquet(dirs["out"]).count() == 2
+
+
+def test_streaming_dedup_within_watermark_mode(spark, dirs):
+    """Bounded-state mode: dropDuplicatesWithinWatermark over a
+    processing-time column still dedups within the processed window."""
+    _doc_rows(
+        spark,
+        [
+            ("r", "a.txt", "c0", "py", "dup doc"),
+            ("r", "b.txt", "c0", "py", "dup doc"),
+            ("r", "c.txt", "c0", "py", "other doc"),
+        ],
+    ).write.parquet(os.path.join(dirs["in"], "batch1"))
+    q = streaming_exact_dedup(
+        spark, dirs["in"], dirs["out"], dirs["ck"],
+        within_watermark="1 hour",
+    )
+    q.awaitTermination(180)
+    got = sorted(r["content"] for r in spark.read.parquet(dirs["out"]).collect())
+    assert got == ["dup doc", "other doc"]

@@ -444,6 +444,31 @@ def _q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (operators/diff.py): old = the documents table;
+    new = the same table with a planted mutation set — doc_id%13
+    removed, doc_id%7 (and not %13) text-modified, plus fresh ids
+    (doc_id+10000 for doc_id%11) added. The oracle recomputes each
+    class from the same construction via an independent full-outer
+    join — a join-side, null-handling or sha-compare bug goes red."""
+    from deduplicatr_spark.operators.diff import corpus_diff
+
+    d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    did = F.col("doc_id")
+    old = d.select("doc_id", F.col("text").alias("content"))
+    kept = d.filter(did % 13 != 0).select(
+        "doc_id",
+        F.when(did % 7 == 0, F.concat(F.col("text"), F.lit(" CHANGED")))
+        .otherwise(F.col("text"))
+        .alias("content"),
+    )
+    added = d.filter(did % 11 == 0).select(
+        (did + 10000).alias("doc_id"), F.col("text").alias("content")
+    )
+    new = kept.unionByName(added)
+    return corpus_diff(old, new, key_cols=["doc_id"])
+
+
 def _q_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """zlib compression-ratio quality signal (functions/
     compressibility.py — the Dolma/DataTrove gzip-ratio filter) via an
@@ -1373,6 +1398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": _q_url_dedup,
         "license_scan": _q_license_scan,
         "compressibility": _q_compressibility,
+        "corpus_diff": _q_corpus_diff,
         "split_assign": _q_split_assign,
         "vocab_topk": _q_vocab_topk,
         "repeated_ngrams": _q_repeated_ngrams,
@@ -1882,6 +1908,28 @@ SELECT doc_id, url, norm_url,
   CAST(count(*) OVER (PARTITION BY norm_url) AS BIGINT) AS url_group_size,
   CAST(min(doc_id) OVER (PARTITION BY norm_url) AS BIGINT) AS canonical_doc
 FROM n
+""",
+        # same planted mutation set, independent full-outer formulation
+        "corpus_diff": """
+WITH d AS (
+  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+), old_s AS (
+  SELECT doc_id, sha256(text) AS old_sha256 FROM d
+), new_s AS (
+  SELECT doc_id,
+    sha256(CASE WHEN doc_id % 7 = 0 THEN text || ' CHANGED' ELSE text END)
+      AS new_sha256
+  FROM d WHERE doc_id % 13 <> 0
+  UNION ALL
+  SELECT doc_id + 10000, sha256(text) FROM d WHERE doc_id % 11 = 0
+)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+  CASE WHEN o.doc_id IS NULL THEN 'added'
+       WHEN n.doc_id IS NULL THEN 'removed'
+       WHEN o.old_sha256 = n.new_sha256 THEN 'unchanged'
+       ELSE 'modified' END AS status,
+  o.old_sha256, n.new_sha256
+FROM old_s o FULL OUTER JOIN new_s n ON o.doc_id = n.doc_id
 """,
         # truth by construction: the class is determined by the planted
         # text's entropy, which the oracle knows without running zlib

@@ -1,0 +1,52 @@
+"""Corpus snapshot diff — the dataset-versioning primitive: given two
+snapshots of a corpus (yesterday's admitted set, today's), classify
+every logical document as added / removed / modified / unchanged by
+content hash. The audit companion to the incremental path
+(operators/incremental.py assigns the delta; this reports what the
+delta IS), and the dedup-pipeline analogue of an Iceberg snapshot
+diff done at content rather than file granularity.
+
+One full-outer equi shuffle join on the logical key (both sides
+partition by the same hash — co-located at any scale), comparing
+sha256 only: content never ships, so row width is key + 32-byte
+digest regardless of document size. Output is the classified key set;
+joining content back for downstream use is the caller's (pruned,
+filtered) scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    content_col: str = "content",
+    sha_col: str | None = None,
+) -> DataFrame:
+    """(key_cols..., status, old_sha256, new_sha256) for every logical
+    key present in either snapshot; ``status`` ∈ added | removed |
+    modified | unchanged. Pass ``sha_col`` when identity is already
+    materialized (e.g. the pipeline's s1 checkpoint) to skip hashing.
+    """
+
+    def ident(df: DataFrame, out: str) -> DataFrame:
+        sha: Column = (
+            F.col(sha_col) if sha_col else F.sha2(F.col(content_col), 256)
+        )
+        return df.select(*key_cols, sha.alias(out))
+
+    o = ident(old, "old_sha256")
+    n = ident(new, "new_sha256")
+    joined = o.join(n, on=key_cols, how="full_outer")
+    status = (
+        F.when(F.col("old_sha256").isNull(), F.lit("added"))
+        .when(F.col("new_sha256").isNull(), F.lit("removed"))
+        .when(F.col("old_sha256") == F.col("new_sha256"), F.lit("unchanged"))
+        .otherwise(F.lit("modified"))
+    )
+    return joined.select(*key_cols, status.alias("status"),
+                         "old_sha256", "new_sha256")

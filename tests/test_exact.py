@@ -104,3 +104,27 @@ def test_canonical_is_group_min(spark, tiny_docs):
         .count()
     )
     assert bad == 0
+
+
+def test_corpus_diff_classes(spark):
+    from deduplicatr_spark.operators.diff import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, content string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B2"), (4, "d")], "doc_id long, content string"
+    )
+    got = {r["doc_id"]: r for r in corpus_diff(old, new, ["doc_id"]).collect()}
+    assert got[1]["status"] == "unchanged"
+    assert got[2]["status"] == "modified"
+    assert got[3]["status"] == "removed" and got[3]["new_sha256"] is None
+    assert got[4]["status"] == "added" and got[4]["old_sha256"] is None
+
+    # sha_col passthrough: identical result from pre-materialized identity
+    import pyspark.sql.functions as F
+    oi = old.select("doc_id", F.sha2("content", 256).alias("sha"))
+    ni = new.select("doc_id", F.sha2("content", 256).alias("sha"))
+    again = {r["doc_id"]: r["status"]
+             for r in corpus_diff(oi, ni, ["doc_id"], sha_col="sha").collect()}
+    assert again == {k: v["status"] for k, v in got.items()}

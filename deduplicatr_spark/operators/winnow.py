@@ -78,27 +78,58 @@ def winnow_dup_pairs(
     docs_with_content: DataFrame, config: PipelineConfig
 ) -> tuple[DataFrame, DataFrame]:
     """(doc_id, content) → ((doc_a, doc_b, winnow_jaccard ≥ τ),
-    drop_stats). Candidates = docs sharing any fingerprint value
+    drop_stats).
+
+    Docs with IDENTICAL fingerprint sets are canonicalized first (the
+    same exact-dups-inherit-the-canonical design the batch pipeline
+    uses, SURVEY §2.3): the capped bucket core only ever sees one
+    representative per distinct set, verified rep pairs expand back to
+    member pairs (identical sets ⇒ identical Jaccard vs any third
+    doc), and in-group pairs are emitted directly at Jaccard exactly
+    1.0. Consequences at scale: exact-copy recall is DETERMINISTIC —
+    no per-value bucket cap can drop an identical pair (winnowed
+    minima are biased toward hash-space-low values, so on large
+    corpora individual fingerprint buckets go hot and short docs
+    could previously be sampled out of every bucket they appeared
+    in) — and candidate work scales with distinct sets, not docs.
+    Cross-set candidates = reps sharing any fingerprint value
     (bucketed, capped, ledgered — the shared core); verification =
     exact Jaccard over the full fingerprint sets, so precision is
     exact and recall inherits the winnowing guarantee minus only the
-    explicit, accounted bucket caps."""
+    explicit, accounted bucket caps.
+
+    Set identity is ``xxhash64(fps)`` (sorted-unique arrays, so equal
+    sets hash equal); a 2⁻⁶⁴ set-hash collision could only merge two
+    near-identical groups' expansions, and every emitted pair still
+    carries its exact verified Jaccard."""
     from deduplicatr_spark.operators.lsh import _track, keyed_candidate_pairs
 
     fps = docs_with_content.select(
         "doc_id", winnow_udf(config)(F.col("content")).alias("fps")
     ).filter(F.size("fps") > 0)
-    # persisted: the bucket explode and both verify joins scan it
-    fps = _track(fps.persist())
+    members = fps.select(
+        "doc_id", F.xxhash64("fps").alias("set_hash"), "fps"
+    )
+    # one shuffle on set_hash: canonical rep = min doc_id per set
+    from pyspark.sql import Window
 
-    keyed = fps.select("doc_id", F.explode("fps").alias("band_hash"))
+    w = Window.partitionBy("set_hash").orderBy("doc_id")
+    ranked = members.withColumn("_rn", F.row_number().over(w))
+    # persisted: reps feed the bucket explode and both verify joins;
+    # members feeds the two expansion joins and the in-group pairgen
+    reps = _track(
+        ranked.filter(F.col("_rn") == 1).select("doc_id", "set_hash", "fps").persist()
+    )
+    groups = _track(members.select("doc_id", "set_hash").persist())
+
+    keyed = reps.select("doc_id", F.explode("fps").alias("band_hash"))
     raw, drops = keyed_candidate_pairs(keyed, config, dedupe=False)
 
-    fa = fps.withColumnsRenamed({"doc_id": "doc_a", "fps": "_fa"})
-    fb = fps.withColumnsRenamed({"doc_id": "doc_b", "fps": "_fb"})
+    fa = reps.select(F.col("doc_id").alias("doc_a"), F.col("fps").alias("_fa"))
+    fb = reps.select(F.col("doc_id").alias("doc_b"), F.col("fps").alias("_fb"))
     inter = F.size(F.array_intersect("_fa", "_fb"))
     union = F.size("_fa") + F.size("_fb") - inter
-    pairs = (
+    rep_pairs = (
         raw.select("doc_a", "doc_b").distinct()
         .join(fa, "doc_a").join(fb, "doc_b")
         .withColumn(
@@ -109,4 +140,34 @@ def winnow_dup_pairs(
         .filter(F.col("winnow_jaccard") >= config.winnow_tau)
         .select("doc_a", "doc_b", "winnow_jaccard")
     )
+
+    # expand rep pairs to member pairs: identical sets ⇒ the verified
+    # Jaccard applies to every member on each side
+    rep_sets = reps.select(
+        F.col("doc_id").alias("_rep"), F.col("set_hash").alias("_sh")
+    )
+    ga = groups.select(F.col("set_hash").alias("_sha"), F.col("doc_id").alias("_ma"))
+    gb = groups.select(F.col("set_hash").alias("_shb"), F.col("doc_id").alias("_mb"))
+    cross = (
+        rep_pairs
+        .join(rep_sets.withColumnsRenamed({"_rep": "doc_a", "_sh": "_sha"}), "doc_a")
+        .join(rep_sets.withColumnsRenamed({"_rep": "doc_b", "_sh": "_shb"}), "doc_b")
+        .join(ga, "_sha").join(gb, "_shb")
+        .select(
+            F.least("_ma", "_mb").alias("doc_a"),
+            F.greatest("_ma", "_mb").alias("doc_b"),
+            "winnow_jaccard",
+        )
+    )
+    # in-group pairs: identical fingerprint sets, Jaccard exactly 1
+    intra = (
+        ga.join(gb, F.col("_sha") == F.col("_shb"))
+        .filter(F.col("_ma") < F.col("_mb"))
+        .select(
+            F.col("_ma").alias("doc_a"),
+            F.col("_mb").alias("doc_b"),
+            F.lit(1.0).alias("winnow_jaccard"),
+        )
+    )
+    pairs = cross.unionByName(intra)
     return pairs, drops.select("capped_docs", "hot_buckets", "hot_rows")

@@ -627,6 +627,47 @@ def _q_corpus_line_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _q_line_dedup_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-dedup STRIP pass (RefinedWeb §4.2 / CCNet §3.1): corpus-
+    repeated lines are REMOVED from every document, where
+    `corpus_line_stats` only reports them. Multi-line structure is
+    PLANTED (the raw word-salad docs are single-line): a shared header
+    banner on doc_id%3, a whitespace-padded shared footer on doc_id%4
+    (exercises trim semantics), and a 2-char 'ok' line on doc_id%5
+    that stays below min_line_len and must survive. The salad line
+    itself strips wherever the corpus's planted copies/mirrors repeat
+    it. The oracle replays the whole construction on raw strings and
+    compares sha256 of the stripped text — byte-identical line removal
+    proven without shipping text through the gate."""
+    from deduplicatr_spark.operators.linedup import strip_shared_lines
+
+    c = _corpus(spark, sf_dir)
+    planted = c.select(
+        "doc_id",
+        F.concat(
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit("// shared license header banner line\n"),
+            ).otherwise(F.lit("")),
+            F.col("content"),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.lit("\n   generated by build tool do not edit   "),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("\nok")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    out = strip_shared_lines(planted)
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "n_removed",
+        F.sha2("stripped_text", 256).alias("stripped_sha256"),
+    )
+
+
 def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction (StarCoder §3.2 / Dolma-style regex
     pass). PII is PLANTED deterministically (emails+SSN on doc_id%13,
@@ -1404,6 +1445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_ngrams": _q_repeated_ngrams,
         "decontamination": _q_decontamination,
         "corpus_line_stats": _q_corpus_line_stats,
+        "line_dedup_strip": _q_line_dedup_strip,
         "pii_scrub": _q_pii_scrub,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "scan_filter": _q_scan_filter,
@@ -1638,6 +1680,48 @@ SELECT c.doc_id,
          / 1000000.0 AS shared_line_frac
 FROM corpus c LEFT JOIN p ON c.doc_id = p.doc_id
 ORDER BY c.doc_id
+""",
+        # full replay on raw strings: planted multi-line docs, trimmed-
+        # line document frequency, per-position removal, sha256 of the
+        # rejoined survivors — a Spark hash collision or an order/
+        # boundary bug in the rewrite goes red on the text hash
+        "line_dedup_strip": CORPUS_SQL + """
+, pl AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN '// shared license header banner line' || chr(10)
+              ELSE '' END
+         || content
+         || CASE WHEN doc_id % 4 = 0
+                 THEN chr(10) || '   generated by build tool do not edit   '
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'ok' ELSE '' END
+           AS text
+  FROM corpus
+), t AS (
+  SELECT doc_id, string_split(text, chr(10)) AS ls FROM pl
+), lx AS (
+  SELECT doc_id, unnest(range(1, len(ls) + 1)) AS pos, ls FROM t
+), lt AS (
+  SELECT doc_id, pos, ls[pos] AS line,
+         regexp_replace(ls[pos],
+           '^[ \\t\\r\\f\\x0B]+|[ \\t\\r\\f\\x0B]+$', '', 'g') AS tr
+  FROM lx
+), shared AS (
+  SELECT tr FROM lt WHERE length(tr) >= 8
+  GROUP BY tr HAVING count(DISTINCT doc_id) >= 2
+), marked AS (
+  SELECT doc_id, pos, line,
+         (length(tr) >= 8 AND tr IN (SELECT tr FROM shared)) AS rm
+  FROM lt
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       sha256(coalesce(
+         string_agg(CASE WHEN NOT rm THEN line END, chr(10) ORDER BY pos),
+         '')) AS stripped_sha256
+FROM marked GROUP BY doc_id
 """,
         "pii_scrub": """
 WITH planted AS (

@@ -103,3 +103,71 @@ def corpus_line_stats(
         "n_shared_lines",
         frac.alias("shared_line_frac"),
     )
+
+
+_TRIM_RE = r"^[ \t\r\f\x0B]+|[ \t\r\f\x0B]+$"
+
+
+def strip_shared_lines(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_line_len: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """REMOVE corpus-repeated lines from each document — the strip pass
+    RefinedWeb (Penedo et al. 2023 §4.2, "line-wise corrections") and
+    CCNet (Wenzek et al. 2020 §3.1, paragraph dedup) apply before
+    training, where ``corpus_line_stats`` only reports the signal.
+
+    A line is stripped iff its TRIMMED form is ≥ ``min_line_len`` chars
+    and appears in ≥ ``min_docs`` distinct documents (one vote per doc
+    regardless of in-doc repetition — but every occurrence in a doc is
+    removed once the line qualifies). Surviving lines keep their
+    original text and order; sub-threshold and blank lines are never
+    candidates. Returns (id_col, n_lines, n_removed, stripped_text).
+
+    Scale shape: the corpus-wide frequency pass exchanges only
+    (doc_id, pos, xxhash64(trimmed line)) — constant row width at any
+    line length; removal positions travel back as int arrays on a
+    doc_id equi join; the rewrite itself is a JVM higher-order
+    ``filter`` with the index lambda over the original split — document
+    text is never shuffled by line and never touches Python. The
+    2⁻⁶⁴-per-line-pair hash collision trade is the standard
+    content-addressing one; the DuckDB oracle groups raw strings, so a
+    collision would go red at the driver gate."""
+    trimmed = F.regexp_replace(F.col("line"), _TRIM_RE, "")
+    lines = corpus.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("_t", trimmed)
+    keyed = _track(
+        lines.filter(F.length("_t") >= min_line_len)
+        .select(id_col, "pos", F.xxhash64("_t").alias("line_hash"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    shared = (
+        keyed.groupBy("line_hash")
+        .agg(F.count_distinct(id_col).alias("_df"))
+        .filter(F.col("_df") >= min_docs)
+        .select("line_hash")
+    )
+    removed = (
+        keyed.join(shared, "line_hash")
+        .groupBy(id_col)
+        .agg(F.collect_set("pos").alias("_rm"))
+    )
+    split_col = F.split(F.col(text_col), "\n")
+    kept = F.filter(
+        split_col, lambda x, i: ~F.array_contains(F.col("_rm"), i)
+    )
+    return (
+        corpus.join(removed, id_col, "left")
+        .withColumn("_rm", F.coalesce("_rm", F.array().cast("array<int>")))
+        .select(
+            id_col,
+            F.size(split_col).cast("long").alias("n_lines"),
+            F.size("_rm").cast("long").alias("n_removed"),
+            F.array_join(kept, "\n").alias("stripped_text"),
+        )
+    )

@@ -83,3 +83,68 @@ def test_pii_counts_and_redaction(spark):
     assert out[3]["n_email"] == 2
     # SSN pattern is \b-anchored: 1234-56-7890 must NOT match
     assert out[4]["n_ssn"] == 0
+
+
+# --- strip_shared_lines (the RefinedWeb/CCNet removal pass) ---------------
+
+
+def test_strip_shared_lines(line_corpus):
+    from deduplicatr_spark.operators.linedup import strip_shared_lines
+
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in strip_shared_lines(line_corpus, min_line_len=8).collect()
+    }
+    # header is in docs 1,2,3 -> stripped everywhere; bodies unique
+    assert out[1] == {
+        "doc_id": 1, "n_lines": 4, "n_removed": 1,
+        "stripped_text": "alpha body one\n  \nshort",
+    }
+    assert out[2]["stripped_text"] == "beta body two lines"
+    # EVERY occurrence goes once the line qualifies (doc 3 has it twice)
+    assert out[3] == {
+        "doc_id": 3, "n_lines": 3, "n_removed": 2,
+        "stripped_text": "gamma body three",
+    }
+    # unique and sub-threshold docs are untouched
+    assert out[4]["n_removed"] == 0
+    assert out[4]["stripped_text"] == "delta unique first line\ndelta unique second line"
+    assert out[5] == {
+        "doc_id": 5, "n_lines": 3, "n_removed": 0,
+        "stripped_text": "a\nbb\nccc",
+    }
+
+
+def test_strip_shared_lines_trim_and_empty(spark):
+    from deduplicatr_spark.operators.linedup import strip_shared_lines
+
+    rows = [
+        # whitespace-padded variants of the same trimmed line must vote
+        # and strip together; doc 11 then has NOTHING left
+        (10, HEADER + "\nkeep me body line"),
+        (11, "  " + HEADER + "\t"),
+        # min_docs=3 keeps a 2-doc line
+        (12, "only two docs share this\nunique tail twelve"),
+        (13, "only two docs share this\nunique tail thirteen"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in strip_shared_lines(df, min_line_len=8).collect()
+    }
+    assert out[10]["stripped_text"] == "keep me body line"
+    # all lines removed -> empty doc, counts still truthful
+    assert out[11] == {
+        "doc_id": 11, "n_lines": 1, "n_removed": 1, "stripped_text": "",
+    }
+    assert out[12]["n_removed"] == 1
+    assert out[12]["stripped_text"] == "unique tail twelve"
+
+    strict = {
+        r["doc_id"]: r.asDict()
+        for r in strip_shared_lines(df, min_line_len=8, min_docs=3).collect()
+    }
+    # at min_docs=3 nothing qualifies: both shared lines live in 2 docs
+    assert strict[12]["n_removed"] == 0
+    assert strict[11]["n_removed"] == 0
+    assert strict[11]["stripped_text"] == "  " + HEADER + "\t"

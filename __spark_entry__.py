@@ -579,6 +579,21 @@ def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(20)
 
 
+def _q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram LM scoring (operators/unigram_lm.py) —
+    the SQL-expressible analogue of CCNet's perplexity filter: every
+    doc's mean token log-prob under the corpus's own unigram
+    distribution. Per-token log-probs are integer micro-nats
+    (floor(ln(count)·1e6)) BEFORE the per-doc sum, so the aggregation
+    is exact integer arithmetic on both engines and only the final
+    mean/normalize touches floats. The oracle joins on the raw token
+    string — a tok-hash collision would go red."""
+    from deduplicatr_spark.operators.unigram_lm import unigram_logprob
+
+    d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    return unigram_logprob(d)
+
+
 def _q_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The n-gram half of Gopher's repetition signals (top-2-gram and
     duplicated-5-gram character fractions, Rae et al. 2021 A1.1 —
@@ -1442,6 +1457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_diff": _q_corpus_diff,
         "split_assign": _q_split_assign,
         "vocab_topk": _q_vocab_topk,
+        "unigram_logprob": _q_unigram_logprob,
         "repeated_ngrams": _q_repeated_ngrams,
         "decontamination": _q_decontamination,
         "corpus_line_stats": _q_corpus_line_stats,
@@ -2107,6 +2123,33 @@ WHERE d.text IS NOT NULL
 GROUP BY lower(t.tok)
 ORDER BY n_occurrences DESC, token ASC
 LIMIT 20
+""",
+        # raw-token-string join (collision-free truth vs Spark's
+        # xxhash64 keys); per-token micro-nat floor BEFORE the sum so
+        # the aggregate is exact-integer on both engines
+        "unigram_logprob": f"""
+WITH occ AS (
+  SELECT d.doc_id, lower(t.tok) AS token
+  FROM documents d, unnest({_TOKS.format(c="d.text")}) AS t(tok)
+  WHERE d.text IS NOT NULL
+), freq AS (
+  SELECT token, count(*) AS c FROM occ GROUP BY token
+), tot AS (
+  SELECT sum(c) AS n_total FROM freq
+), pd AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         sum(CAST(floor(ln(c) * 1000000) AS BIGINT)) AS sum_log_micro
+  FROM occ JOIN freq USING (token) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(pd.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(pd.sum_log_micro, 0) AS BIGINT) AS sum_log_micro,
+       CASE WHEN pd.n_tokens > 0 THEN
+         floor((pd.sum_log_micro / 1000000.0 / pd.n_tokens
+                - ln((SELECT n_total FROM tot))) * 1000000) / 1000000.0
+       END AS mean_logprob
+FROM documents d LEFT JOIN pd USING (doc_id)
+WHERE d.text IS NOT NULL
 """,
         "repetition_stats": """
 WITH t AS (

@@ -1,0 +1,102 @@
+"""Corpus-trained unigram language-model scoring.
+
+The SQL-expressible analogue of CCNet's LM-perplexity filter (Wenzek
+et al. 2020 §3.2 train a KenLM 5-gram on Wikipedia and rank CommonCrawl
+paragraphs by perplexity; Gopher and Llama reuse the same gate): train
+the simplest possible LM — unigram counts over the corpus itself,
+p(t) = count(t) / N — and score every document by its mean token
+log-probability. Out-of-distribution documents (wrong language, binary
+junk, symbol noise) have rare tokens and score far below the corpus
+mode; heavy-boilerplate docs score above it. No external model or data
+is needed, which is exactly why web-scale pipelines run this shape of
+pass first.
+
+Numeric contract (oracle parity): per-token log-probs are canonicalized
+to MICRO-NATS — ``floor(ln(count) * 1e6)`` as an integer — before the
+per-document sum, so the aggregation is exact integer arithmetic,
+order- and partitioning-independent (a raw float sum over thousands of
+tokens accumulates engine-specific rounding that a post-hoc floor
+cannot hide). Only the final mean/normalize step touches floats, and it
+computes from identical integers on both engines.
+
+Scale shape (100 TB corpus):
+
+* the vocabulary pass is a partial+final hash aggregate on
+  ``xxhash64(token)`` (8-byte keys, map-side combine absorbs hot
+  tokens before the exchange); the corpus-total N is a one-row
+  aggregate broadcast back into the plan (no driver collect);
+* the count-back join is an equi join on the same uniform 8-byte key;
+  hot tokens ("the", "=") are exactly the AQE skew-split case, as in
+  the line-dedup join;
+* the per-doc reduction is again partial+final. Nothing in the plan is
+  quadratic, nothing ships token STRINGS through an exchange (the
+  DuckDB oracle joins on the raw token string, so a hash collision
+  would surface as a driver-gate mismatch).
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from deduplicatr_spark.functions.text import tokens
+from deduplicatr_spark.operators.lsh import _track
+
+MICRO = 1_000_000
+
+
+def unigram_logprob(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram distribution. Tokens are lowercased whitespace tokens (the
+    same tokenizer as the vocabulary query). Returns
+    (id_col, n_tokens, sum_log_micro, mean_logprob) where
+    ``sum_log_micro`` = Σ floor(ln(count(t))·1e6) over the doc's token
+    OCCURRENCES (exact integer) and
+    ``mean_logprob`` = sum_log_micro/1e6/n_tokens − ln(N), floored at
+    1e-6 (repo oracle convention); NULL for zero-token docs."""
+    occ = _track(
+        corpus.select(
+            F.col(id_col),
+            F.explode(tokens(text_col)).alias("_raw"),
+        )
+        .select(id_col, F.xxhash64(F.lower("_raw")).alias("tok_hash"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    freq = _track(
+        occ.groupBy("tok_hash").agg(F.count("*").alias("_c")).persist()
+    )
+    totals = freq.agg(F.sum("_c").alias("_n_total"))
+
+    per_doc = (
+        occ.join(freq, "tok_hash")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.floor(F.log("_c") * MICRO)).alias("sum_log_micro"),
+        )
+    )
+    spine = corpus.select(id_col)
+    mean = (
+        F.col("sum_log_micro") / F.lit(float(MICRO)) / F.col("n_tokens")
+        - F.log("_n_total")
+    )
+    return (
+        spine.join(per_doc, id_col, "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("sum_log_micro", F.lit(0))
+            .cast("long")
+            .alias("sum_log_micro"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.floor(mean * MICRO) / F.lit(float(MICRO)),
+            ).alias("mean_logprob"),
+        )
+    )

@@ -1,0 +1,42 @@
+"""Unit vectors for corpus-trained unigram LM scoring
+(operators/unigram_lm.py) against an independent pure-Python oracle."""
+
+from __future__ import annotations
+
+import math
+
+from deduplicatr_spark.operators.unigram_lm import unigram_logprob
+
+
+def _expected_mean(counts: list[int], n_total: int) -> float:
+    sum_micro = sum(math.floor(math.log(c) * 1e6) for c in counts)
+    mean = sum_micro / 1e6 / len(counts) - math.log(n_total)
+    return math.floor(mean * 1e6) / 1e6
+
+
+def test_unigram_logprob(spark):
+    rows = [
+        (1, "a a b"),      # common tokens, in-doc repetition counts twice
+        (2, "A b"),        # lowercased: 'A' folds into 'a'
+        (3, "   "),        # zero-token doc stays in the output
+        (4, "c"),          # rarest token -> lowest score
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in unigram_logprob(df).collect()}
+
+    # corpus counts: a=3, b=2, c=1; N=6
+    assert out[1]["n_tokens"] == 3
+    assert out[1]["sum_log_micro"] == 2 * math.floor(math.log(3) * 1e6) + math.floor(
+        math.log(2) * 1e6
+    )
+    assert out[1]["mean_logprob"] == _expected_mean([3, 3, 2], 6)
+    assert out[2]["mean_logprob"] == _expected_mean([3, 2], 6)
+    assert out[4]["mean_logprob"] == _expected_mean([1], 6)
+    # ln(1) = 0: the rare doc's integral part is exactly -ln(N)
+    assert out[4]["sum_log_micro"] == 0
+    # zero-token doc: counted, not scored
+    assert out[3] == {
+        "doc_id": 3, "n_tokens": 0, "sum_log_micro": 0, "mean_logprob": None,
+    }
+    # rarer tokens score strictly lower
+    assert out[4]["mean_logprob"] < out[2]["mean_logprob"] < out[1]["mean_logprob"]

@@ -379,6 +379,36 @@ def main() -> None:
 
     timed("corpus_line_stats", _linedup, repeats=2)
 
+    # q5d: the strip half of the line-dedup pass — narrow-key frequency
+    # exchange + int-array position return + JVM index-lambda rewrite
+    def _strip():
+        from deduplicatr_spark.operators.linedup import strip_shared_lines
+
+        ided = corpus.withColumn(
+            "doc_id", F.xxhash64("repo", "path", "commit")
+        )
+        strip_shared_lines(ided, text_col="content").agg(
+            F.sum("n_removed"), F.sum(F.length("stripped_text"))
+        ).collect()
+        release_tracked()
+
+    timed("line_dedup_strip", _strip, repeats=2)
+
+    # q5e: corpus-trained unigram LM scoring — vocab agg + count-back
+    # join + per-doc reduction, exact-integer micro-nat aggregation
+    def _unigram():
+        from deduplicatr_spark.operators.unigram_lm import unigram_logprob
+
+        ided = corpus.withColumn(
+            "doc_id", F.xxhash64("repo", "path", "commit")
+        )
+        unigram_logprob(ided, text_col="content").agg(
+            F.sum("sum_log_micro"), F.min("mean_logprob")
+        ).collect()
+        release_tracked()
+
+    timed("unigram_logprob", _unigram, repeats=2)
+
     # q6: embedding brute-force cosine top-k
     spark.catalog.clearCache()
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(

@@ -204,6 +204,42 @@ def main() -> None:
         "lines per doc.",
     ))
 
+    from deduplicatr_spark.operators.linedup import strip_shared_lines  # noqa: E402
+
+    sections.append((
+        "Line-dedup STRIP pass (operators/linedup.py § strip_shared_lines)",
+        captured_explain(
+            strip_shared_lines(
+                docs.select("doc_id", F.col("content").alias("text"))
+            )
+        ),
+        "What to check: the corpus-frequency branch exchanges only "
+        "(doc_id, pos, xxhash64(trimmed line)) — constant row width at "
+        "any line length; count_distinct doc votes are a partial+final "
+        "aggregate; removal positions come back as int arrays over ONE "
+        "doc_id equi join; the rewrite itself is an ArrayFilter "
+        "(higher-order index lambda) inside the codegen span over the "
+        "original split — document text is never shuffled line-by-line "
+        "and never crosses into Python.",
+    ))
+
+    from deduplicatr_spark.operators.unigram_lm import unigram_logprob  # noqa: E402
+
+    sections.append((
+        "Unigram-LM quality scoring (operators/unigram_lm.py)",
+        captured_explain(
+            unigram_logprob(docs.select("doc_id", F.col("content").alias("text")))
+        ),
+        "What to check: the vocabulary pass is a partial+final "
+        "HashAggregate on xxhash64(token); the corpus total N is a "
+        "one-row aggregate that re-enters the plan via "
+        "BroadcastNestedLoopJoin (no driver collect); the count-back "
+        "join is an equi join on the same uniform 8-byte key (AQE "
+        "skew-split covers hot tokens); per-token micro-nat floors sit "
+        "inside the aggregate expression, so the per-doc sum is exact "
+        "integer arithmetic at any partitioning.",
+    ))
+
     sections.append((
         "SemDeDup cluster-local semantic prune (operators/semdedup.py)",
         captured_explain(em._q_semdedup(spark, SF)),

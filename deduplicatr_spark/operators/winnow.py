@@ -101,26 +101,38 @@ def winnow_dup_pairs(
     Set identity is ``xxhash64(fps)`` (sorted-unique arrays, so equal
     sets hash equal); a 2⁻⁶⁴ set-hash collision could only merge two
     near-identical groups' expansions, and every emitted pair still
-    carries its exact verified Jaccard."""
+    carries its exact verified Jaccard.
+
+    NOTE the output CONTRACT is all-pairs: a group of g identical docs
+    yields C(g,2) rows by definition, which is quadratic in g for
+    mega-groups (the same property as any duplicate-PAIR report).
+    Cluster-level consumers should instead take the rep pair set plus
+    the (doc_id, set_hash) membership — both linear — exactly as the
+    batch pipeline consumes canonical-level edges."""
     from deduplicatr_spark.operators.lsh import _track, keyed_candidate_pairs
 
     fps = docs_with_content.select(
         "doc_id", winnow_udf(config)(F.col("content")).alias("fps")
     ).filter(F.size("fps") > 0)
-    members = fps.select(
-        "doc_id", F.xxhash64("fps").alias("set_hash"), "fps"
+    # persisted FIRST: every downstream branch (rep ranking, expansion
+    # joins, in-group pairgen) reads this frame — without the cache the
+    # fingerprint UDF would run once per materialized branch
+    members = _track(
+        fps.select(
+            "doc_id", F.xxhash64("fps").alias("set_hash"), "fps"
+        ).persist()
     )
     # one shuffle on set_hash: canonical rep = min doc_id per set
     from pyspark.sql import Window
 
     w = Window.partitionBy("set_hash").orderBy("doc_id")
     ranked = members.withColumn("_rn", F.row_number().over(w))
-    # persisted: reps feed the bucket explode and both verify joins;
-    # members feeds the two expansion joins and the in-group pairgen
+    # persisted too: the bucket explode and both verify joins each scan
+    # the (distinct-set-sized) rep frame
     reps = _track(
         ranked.filter(F.col("_rn") == 1).select("doc_id", "set_hash", "fps").persist()
     )
-    groups = _track(members.select("doc_id", "set_hash").persist())
+    groups = members.select("doc_id", "set_hash")
 
     keyed = reps.select("doc_id", F.explode("fps").alias("band_hash"))
     raw, drops = keyed_candidate_pairs(keyed, config, dedupe=False)

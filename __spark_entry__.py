@@ -1170,6 +1170,59 @@ def _q_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_duplicate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-SPAN removal (Lee et al. 2021 ExactSubstr): detect
+    shared blocks with the position-emitting suffix-array verify, cut
+    them from the HIGHER doc_id of each pair with the pure-JVM interval
+    merge + substr rewrite (operators/span_removal.py). Spans are
+    restricted to the planted closed-form truth (copy/near/mirror
+    prefix-or-equality pairs, plus INTERIOR embeds planted here:
+    doc_id%6 base docs wrapped as 'embed/<id>:'||content||':tail' at
+    +8000000 — their span starts mid-document, exercising nonzero
+    offsets). The oracle replays every span and compares sha256 of the
+    rewritten text — a wrong offset, length, merge or substr boundary
+    goes red on the content hash."""
+    from deduplicatr_spark.operators.span_removal import remove_spans
+    from deduplicatr_spark.operators.suffix_array import (
+        substring_pairs_with_spans,
+    )
+
+    c = _corpus(spark, sf_dir).select("doc_id", "content")
+    base = c.filter(
+        (F.col("doc_id") < 1000000)
+        & (F.col("doc_id") % 6 == 0)
+        & (F.length("content") >= 400)
+    )
+    embeds = base.select(
+        (F.col("doc_id") + 8000000).alias("doc_id"),
+        F.concat(
+            F.lit("embed/"), F.col("doc_id").cast("string"), F.lit(":"),
+            F.col("content"), F.lit(":tail"),
+        ).alias("content"),
+    )
+    ext = c.unionByName(embeds)
+    pairs, _drops = substring_pairs_with_spans(ext, ENTRY_CONFIG)
+    truth = (
+        _substring_truth(spark, sf_dir).select("doc_a", "doc_b")
+        .unionByName(
+            base.select(
+                F.col("doc_id").alias("doc_a"),
+                (F.col("doc_id") + 8000000).alias("doc_b"),
+            )
+        )
+    )
+    spans = pairs.join(truth, ["doc_a", "doc_b"]).select(
+        F.col("doc_b").alias("doc_id"),
+        F.col("start_b").alias("start"),
+        F.col("match_len").alias("length"),
+    )
+    out = remove_spans(ext, spans, text_col="content")
+    return out.select(
+        "doc_id", "n_spans", "removed_chars",
+        F.sha2("deduped_text", 256).alias("deduped_sha256"),
+    )
+
+
 def _q_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental (delta) dedup: new docs assigned against the indexed
     base corpus WITHOUT any base×base recomputation
@@ -1477,6 +1530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_hamming_pairs": _q_simhash_hamming_pairs,
         "simhash_weighted_pairs": _q_simhash_weighted_pairs,
         "substring_pairs": _q_substring_pairs,
+        "duplicate_span_removal": _q_duplicate_span_removal,
         "incremental_assign": _q_incremental_assign,
         "cluster_representatives": _q_cluster_representatives,
         "stratified_sample": _q_stratified_sample,
@@ -2348,6 +2402,51 @@ UNION ALL
 SELECT doc_id + 1000000, doc_id + 3000000, l FROM s_base WHERE doc_id % 10 = 0
 UNION ALL
 SELECT doc_id, doc_id + 4000000, l FROM s_mirror
+""",
+        # closed-form span replay: every planted truth pair's losing
+        # (higher-id) doc loses exactly its known (start, length) span;
+        # sha256 of the rewritten text proves byte-identical cuts
+        "duplicate_span_removal": CORPUS_SQL + """
+, eb AS (
+  SELECT doc_id, content, CAST(length(content) AS BIGINT) AS l
+  FROM corpus
+  WHERE doc_id < 1000000 AND doc_id % 6 = 0 AND length(content) >= 400
+), ext AS (
+  SELECT doc_id, content FROM corpus
+  UNION ALL
+  SELECT doc_id + 8000000,
+         'embed/' || CAST(doc_id AS VARCHAR) || ':' || content || ':tail'
+  FROM eb
+), sb AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS l
+  FROM documents WHERE text IS NOT NULL AND strlen(text) >= 400
+), spans AS (
+  SELECT doc_id + 1000000 AS doc_id, CAST(0 AS BIGINT) AS s, l
+  FROM sb WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 3000000, 0, l FROM sb WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 3000000, 0, l FROM sb WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT p.doc_id + 4000000, 0, CAST(length(p.content) AS BIGINT)
+  FROM planted p WHERE p.repo = 'src0' AND strlen(p.content) >= 400
+  UNION ALL
+  SELECT doc_id + 8000000,
+         CAST(length('embed/' || CAST(doc_id AS VARCHAR) || ':') AS BIGINT),
+         l
+  FROM eb
+), m AS (
+  SELECT doc_id, s, max(l) AS ln
+  FROM (SELECT DISTINCT doc_id, s, l FROM spans) GROUP BY doc_id, s
+)
+SELECT e.doc_id,
+       CAST(CASE WHEN m.ln IS NULL THEN 0 ELSE 1 END AS BIGINT) AS n_spans,
+       CAST(coalesce(m.ln, 0) AS BIGINT) AS removed_chars,
+       sha256(CASE WHEN m.ln IS NULL THEN e.content
+                   ELSE substr(e.content, 1, CAST(m.s AS INT))
+                        || substr(e.content, CAST(m.s + m.ln + 1 AS INT))
+              END) AS deduped_sha256
+FROM ext e LEFT JOIN m USING (doc_id)
 """,
         # planted-twin ANN: the twin is the unique true NN (background
         # cosine ≤ ~0.52) and must surface as top-1 through the sketch →

@@ -204,6 +204,27 @@ def main() -> None:
 
     timed("substring_pairs", _substr, repeats=2)
 
+    # q3b2: duplicate-SPAN removal (Lee et al. ExactSubstr) — the
+    # position-emitting verify plus the pure-JVM interval merge + cut
+    def _span_removal():
+        from deduplicatr_spark.operators.span_removal import remove_spans
+        from deduplicatr_spark.operators.suffix_array import (
+            substring_pairs_with_spans,
+        )
+
+        pairs, _ = substring_pairs_with_spans(distinct_docs, BENCH_CONFIG)
+        spans = pairs.select(
+            F.col("doc_b").alias("doc_id"),
+            F.col("start_b").alias("start"),
+            F.col("match_len").alias("length"),
+        )
+        remove_spans(distinct_docs, spans, text_col="content").agg(
+            F.sum("removed_chars"), F.sum(F.length("deduped_text"))
+        ).collect()
+        release_tracked()
+
+    timed("duplicate_span_removal", _span_removal, repeats=2)
+
     # q3c: incremental (delta) assignment — 5% of the corpus arrives as
     # a fresh crawl increment against the already-indexed base: exact
     # copies inherit by sha, whitespace variants go through the band

@@ -1,0 +1,123 @@
+"""Duplicate-SPAN removal — the cut half of ExactSubstr dedup.
+
+Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+Better", arXiv:2107.06499) showed that removing REPEATED SPANS — not
+whole near-dup documents — is the highest-leverage text dedup for LM
+training: license headers, copied functions and boilerplate blocks are
+cut where they repeat while the surrounding unique text survives.
+Detection here is the suffix-array stage
+(``operators/suffix_array.py § substring_pairs_with_spans``), which
+emits (doc_a, doc_b, match_len, start_a, start_b) in codepoint
+offsets; this module owns the rewrite.
+
+The rewrite is PURE JVM — no UDF anywhere:
+
+* spans collect per doc (``collect_list`` bounded by spans-per-doc,
+  the same per-row bound as reading the doc), sort by start;
+* overlapping / adjacent / nested intervals merge in one
+  ``F.aggregate`` fold (clamped to the doc length, degenerate spans
+  dropped);
+* the surviving text is a second fold that concatenates the gaps via
+  ``F.substr`` — document content is touched exactly once, in place,
+  inside the codegen span of the final projection.
+
+At 100 TB the only exchanges are the span groupBy (narrow: id + two
+longs per span) and the one doc_id equi join back to the corpus —
+the rewrite itself adds zero shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_IV = "array<struct<s:bigint,e:bigint>>"
+
+
+def _merged_intervals(iv_col: Column, n: Column) -> Column:
+    """Sorted (s, e) structs → disjoint merged intervals, clamped to
+    [0, n); zero/negative-length spans vanish."""
+    empty = F.array().cast(_IV)
+
+    def step(acc: Column, iv: Column) -> Column:
+        s = F.greatest(iv["s"], F.lit(0).cast("long"))
+        e = F.least(iv["e"], n)
+        cur = F.array(F.struct(s.alias("s"), e.alias("e")))
+        last = F.element_at(acc, -1)
+        extended = F.concat(
+            F.slice(acc, 1, F.size(acc) - 1),
+            F.array(
+                F.struct(
+                    last["s"].alias("s"),
+                    F.greatest(last["e"], e).alias("e"),
+                )
+            ),
+        )
+        return (
+            F.when(e <= s, acc)
+            .when(F.size(acc) == 0, cur)
+            .when(s <= last["e"], extended)
+            .otherwise(F.concat(acc, cur))
+        )
+
+    return F.aggregate(iv_col, empty, step)
+
+
+def remove_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cut character spans out of documents.
+
+    ``spans``: (id_col, start, length) with 0-based codepoint offsets —
+    typically ``substring_pairs_with_spans`` output projected onto the
+    losing side of each pair. Overlapping, adjacent and nested spans
+    merge before cutting; offsets beyond the document clamp; docs with
+    no spans pass through untouched. Returns
+    (id_col, n_spans, removed_chars, deduped_text) — total over
+    ``docs``, with n_spans counting MERGED intervals."""
+    agg = spans.groupBy(id_col).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("start").cast("long").alias("s"),
+                    (F.col("start") + F.col("length")).cast("long").alias("e"),
+                )
+            )
+        ).alias("_iv")
+    )
+    out = docs.join(agg, id_col, "left")
+    n = F.length(F.col(text_col)).cast("long")
+    merged = _merged_intervals(F.coalesce("_iv", F.array().cast(_IV)), n)
+
+    init = F.struct(
+        F.lit(0).cast("long").alias("pos"), F.lit("").alias("txt")
+    )
+
+    def cut(acc: Column, iv: Column) -> Column:
+        return F.struct(
+            iv["e"].alias("pos"),
+            F.concat(
+                acc["txt"],
+                F.substr(F.col(text_col), acc["pos"] + 1, iv["s"] - acc["pos"]),
+            ).alias("txt"),
+        )
+
+    def fin(acc: Column) -> Column:
+        return F.concat(
+            acc["txt"], F.substr(F.col(text_col), acc["pos"] + 1, n - acc["pos"])
+        )
+
+    m = out.withColumn("_m", merged)
+    return m.select(
+        id_col,
+        F.size("_m").cast("long").alias("n_spans"),
+        F.aggregate(
+            "_m",
+            F.lit(0).cast("long"),
+            lambda a, iv: a + iv["e"] - iv["s"],
+        ).alias("removed_chars"),
+        F.aggregate("_m", init, cut, fin).alias("deduped_text"),
+    )

@@ -188,9 +188,44 @@ def longest_common_substring_len(a: bytes, b: bytes) -> int:
     return int(h.max())
 
 
+def longest_common_substring_span(a: str, b: str) -> tuple[int, int, int]:
+    """(length, start_a, start_b) of the longest common substring —
+    same suffix-array machinery as ``longest_common_substring_len``,
+    but over CODEPOINT arrays (utf-32 view) so the returned offsets
+    index Python/JVM strings directly (a byte-offset LCS can start
+    mid-codepoint on multi-byte content, which no string API can
+    slice). Sentinel 0x110000 sits above the Unicode range. Ties on
+    length break to the smallest (start_a, start_b), so the emitted
+    span is deterministic."""
+    if not a or not b:
+        return 0, 0, 0
+    xa = np.frombuffer(a.encode("utf-32-le"), np.uint32).astype(np.int64)
+    xb = np.frombuffer(b.encode("utf-32-le"), np.uint32).astype(np.int64)
+    s = np.concatenate([xa, np.array([0x110000], np.int64), xb])
+    sa, levels = build_sa_with_ranks(s)
+    side = sa < xa.size
+    cross = side[:-1] != side[1:]
+    if not cross.any():
+        return 0, 0, 0
+    x, y = sa[:-1][cross], sa[1:][cross]
+    h = lcp_of_position_pairs(x, y, levels, s.size)
+    m = int(h.max()) if h.size else 0
+    if m == 0:
+        return 0, 0, 0
+    hit = np.flatnonzero(h == m)
+    a_side = x[hit] < xa.size
+    pa = np.where(a_side, x[hit], y[hit])
+    pb = np.where(a_side, y[hit], x[hit]) - (xa.size + 1)
+    i = np.lexsort((pb, pa))[0]
+    return m, int(pa[i]), int(pb[i])
+
+
 # --- the stage -----------------------------------------------------------
 
 _VERIFY_SCHEMA = "doc_a long, doc_b long, match_len long"
+_SPAN_SCHEMA = (
+    "doc_a long, doc_b long, match_len long, start_a long, start_b long"
+)
 
 
 def _verify_batch(min_len: int):
@@ -206,6 +241,29 @@ def _verify_batch(min_len: int):
             ]
             out = pd.DataFrame(
                 {"doc_a": pdf["doc_a"], "doc_b": pdf["doc_b"], "match_len": lens}
+            )
+            yield out[out["match_len"] >= min_len]
+
+    return op
+
+
+def _verify_spans_batch(min_len: int):
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            spans = [
+                longest_common_substring_span(ca, cb)
+                for ca, cb in zip(pdf["_ca"], pdf["_cb"])
+            ]
+            out = pd.DataFrame(
+                {
+                    "doc_a": pdf["doc_a"],
+                    "doc_b": pdf["doc_b"],
+                    "match_len": [s[0] for s in spans],
+                    "start_a": [s[1] for s in spans],
+                    "start_b": [s[2] for s in spans],
+                }
             )
             yield out[out["match_len"] >= min_len]
 
@@ -228,6 +286,36 @@ def substring_pairs(
     multi-100MB pair would OOM a worker (round-2 verdict item). No
     silent caps: the ledger row makes the recall loss visible.
     """
+    joined, drop_stats = _candidates_with_content(docs_with_content, config)
+    pairs = joined.mapInPandas(
+        _verify_batch(config.substring_min_len), schema=_VERIFY_SCHEMA
+    )
+    return pairs, drop_stats
+
+
+def substring_pairs_with_spans(
+    docs_with_content: DataFrame, config: PipelineConfig
+) -> tuple[DataFrame, DataFrame]:
+    """Like ``substring_pairs`` but the verify emits WHERE the longest
+    common block sits: (doc_a, doc_b, match_len, start_a, start_b) with
+    0-based CODEPOINT offsets (sliceable by any string API). This is
+    the detection half of duplicate-SPAN removal (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better" —
+    ExactSubstr); the removal half is
+    ``operators/span_removal.py § remove_spans``."""
+    joined, drop_stats = _candidates_with_content(docs_with_content, config)
+    pairs = joined.mapInPandas(
+        _verify_spans_batch(config.substring_min_len), schema=_SPAN_SCHEMA
+    )
+    return pairs, drop_stats
+
+
+def _candidates_with_content(
+    docs_with_content: DataFrame, config: PipelineConfig
+) -> tuple[DataFrame, DataFrame]:
+    """Shared front half of the substring stage: size gate (+ oversize
+    ledger), anchor fingerprints, bucketed candidate pairs, and the two
+    content joins feeding a per-pair verify."""
     from deduplicatr_spark.operators.lsh import lsh_candidate_pairs
 
     cap_bytes = config.substring_max_doc_bytes
@@ -263,7 +351,4 @@ def substring_pairs(
             content.withColumnsRenamed({"doc_id": "doc_b", "content": "_cb"}), "doc_b"
         )
     )
-    pairs = joined.mapInPandas(
-        _verify_batch(config.substring_min_len), schema=_VERIFY_SCHEMA
-    )
-    return pairs, drop_stats
+    return joined, drop_stats

@@ -80,6 +80,9 @@ def default_centroids(
     callers train a balanced quantizer offline and pass it instead;
     this convention exists so Spark, the DuckDB oracle and the bench
     all derive the SAME centroid table from the same input."""
+    # unpartitioned window AFTER limit(n_cells): it only ever sees
+    # <= n_cells rows (the WindowExec single-partition WARN is benign
+    # here -- the frame is centroid-table-sized by construction)
     w0 = Window.orderBy(id_col)
     return (
         corpus.orderBy(id_col).limit(n_cells)

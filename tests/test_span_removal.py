@@ -1,0 +1,172 @@
+"""Unit vectors for duplicate-span removal: the position-emitting LCS
+(operators/suffix_array.py § longest_common_substring_span /
+substring_pairs_with_spans) and the pure-JVM cut
+(operators/span_removal.py § remove_spans)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from deduplicatr_spark.config import PipelineConfig
+from deduplicatr_spark.operators.span_removal import remove_spans
+from deduplicatr_spark.operators.suffix_array import (
+    longest_common_substring_len,
+    longest_common_substring_span,
+    substring_pairs_with_spans,
+)
+
+
+# --- the position-emitting LCS kernel --------------------------------------
+
+
+def test_lcs_span_basic():
+    a = "xxBLOCKyy"
+    b = "qqqBLOCKr"
+    assert longest_common_substring_span(a, b) == (5, 2, 3)
+
+
+def test_lcs_span_identical_and_prefix():
+    assert longest_common_substring_span("abcdef", "abcdef") == (6, 0, 0)
+    # b extends a: the whole of a matches at b's offset 0
+    assert longest_common_substring_span("abcdef", "abcdefGH") == (6, 0, 0)
+    # interior embed
+    assert longest_common_substring_span("abcdef", "XYabcdefZ") == (6, 0, 2)
+
+
+def test_lcs_span_empty_and_disjoint():
+    assert longest_common_substring_span("", "abc") == (0, 0, 0)
+    assert longest_common_substring_span("abc", "") == (0, 0, 0)
+    assert longest_common_substring_span("aaa", "bbb")[0] <= 0
+
+
+def test_lcs_span_multibyte_offsets_are_codepoints():
+    # 'é' is 2 bytes in utf-8; offsets must count CHARACTERS
+    a = "ééBLOCKHERE"
+    b = "zBLOCKHEREz"
+    ln, sa, sb = longest_common_substring_span(a, b)
+    assert (ln, sa, sb) == (9, 2, 1)
+    assert a[sa : sa + ln] == b[sb : sb + ln] == "BLOCKHERE"
+
+
+def test_lcs_span_length_agrees_with_len_kernel():
+    rng = np.random.default_rng(7)
+    alpha = "abcd"
+    for _ in range(30):
+        a = "".join(rng.choice(list(alpha), size=rng.integers(1, 60)))
+        b = "".join(rng.choice(list(alpha), size=rng.integers(1, 60)))
+        ln, sa, sb = longest_common_substring_span(a, b)
+        assert ln == longest_common_substring_len(
+            a.encode("utf-8"), b.encode("utf-8")
+        )
+        if ln:
+            assert a[sa : sa + ln] == b[sb : sb + ln]
+
+
+# --- the pure-JVM cut -------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def doc_frame(spark):
+    rows = [(1, "0123456789"), (2, "abcdefghij"), (3, "untouched")]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _cut(spark, doc_frame, span_rows):
+    spans = spark.createDataFrame(
+        span_rows, "doc_id long, start long, length long"
+    )
+    return {
+        r["doc_id"]: r.asDict()
+        for r in remove_spans(doc_frame, spans).collect()
+    }
+
+
+def test_remove_spans_merge_overlap_adjacent_nested(spark, doc_frame):
+    out = _cut(
+        spark,
+        doc_frame,
+        [
+            (1, 2, 3),   # [2,5)
+            (1, 4, 2),   # [4,6) overlaps -> [2,6)
+            (1, 6, 1),   # [6,7) adjacent -> [2,7)
+            (1, 3, 1),   # [3,4) nested   -> no change
+            (2, 0, 2),   # [0,2) at start
+            (2, 8, 99),  # [8,107) clamps to [8,10) at end
+        ],
+    )
+    assert out[1] == {
+        "doc_id": 1, "n_spans": 1, "removed_chars": 5, "deduped_text": "01789",
+    }
+    assert out[2] == {
+        "doc_id": 2, "n_spans": 2, "removed_chars": 4, "deduped_text": "cdefgh",
+    }
+    # spanless docs pass through whole
+    assert out[3] == {
+        "doc_id": 3, "n_spans": 0, "removed_chars": 0, "deduped_text": "untouched",
+    }
+
+
+def test_remove_spans_full_doc_and_degenerate(spark, doc_frame):
+    out = _cut(
+        spark,
+        doc_frame,
+        [
+            (1, 0, 10),    # whole doc
+            (2, 5, 0),     # zero-length -> dropped
+            (2, -3, 4),    # negative start clamps to [0,1)
+            (3, 50, 5),    # fully out of range -> dropped
+        ],
+    )
+    assert out[1]["deduped_text"] == ""
+    assert out[1]["removed_chars"] == 10
+    assert out[2] == {
+        "doc_id": 2, "n_spans": 1, "removed_chars": 1, "deduped_text": "bcdefghij",
+    }
+    assert out[3]["n_spans"] == 0
+    assert out[3]["deduped_text"] == "untouched"
+
+
+# --- end-to-end: detect spans, cut the losing side --------------------------
+
+
+def test_spans_detect_then_cut(spark):
+    cfg = PipelineConfig(substring_min_len=120, substring_partitions=2)
+    block = "SHARED " * 40  # 280 chars, well over min_len
+    uniq_a = "alpha unique tail " * 20
+    uniq_b = "beta unique head " * 20
+    rows = [
+        (1, block + uniq_a),
+        (2, uniq_b + block),
+        (3, "nothing in common with the others at all " * 10),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, content string")
+    pairs, _drops = substring_pairs_with_spans(docs, cfg)
+    got = pairs.collect()
+    assert len(got) == 1
+    p = got[0].asDict()
+    assert (p["doc_a"], p["doc_b"]) == (1, 2)
+    assert p["match_len"] >= len(block)
+    # the reported span REALLY is a common block at the reported offsets
+    assert (
+        rows[0][1][p["start_a"] : p["start_a"] + p["match_len"]]
+        == rows[1][1][p["start_b"] : p["start_b"] + p["match_len"]]
+    )
+    # cut from the higher doc_id; doc 1 keeps its copy
+    spans = pairs.select(
+        F.col("doc_b").alias("doc_id"),
+        F.col("start_b").alias("start"),
+        F.col("match_len").alias("length"),
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in remove_spans(
+            docs, spans, text_col="content"
+        ).collect()
+    }
+    assert out[1]["deduped_text"] == rows[0][1]
+    assert out[3]["deduped_text"] == rows[2][1]
+    kept = out[2]["deduped_text"]
+    assert block not in kept
+    assert kept == rows[1][1][: p["start_b"]] + rows[1][1][p["start_b"] + p["match_len"]:]

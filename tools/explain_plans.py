@@ -223,6 +223,44 @@ def main() -> None:
         "and never crosses into Python.",
     ))
 
+    from deduplicatr_spark.operators.span_removal import remove_spans  # noqa: E402
+
+    span_docs = docs.select("doc_id", F.col("content").alias("text"))
+    demo_spans = span_docs.select(
+        "doc_id", F.lit(0).cast("long").alias("start"),
+        F.lit(16).cast("long").alias("length"),
+    )
+    sections.append((
+        "Duplicate-span removal rewrite (operators/span_removal.py)",
+        captured_explain(remove_spans(span_docs, demo_spans)),
+        "What to check: the span branch exchanges only (doc_id, start, "
+        "end) longs into a partial+final collect_list aggregate; ONE "
+        "doc_id equi join brings the int-array spans to the corpus; "
+        "interval merge and the gap-concatenating cut are `aggregate` "
+        "higher-order expressions inside the final projection's codegen "
+        "span — document text is read once, in place, and never crosses "
+        "into Python (the detection half's plan is the substring stage "
+        "above plus a positions-emitting mapInPandas verify).",
+    ))
+
+    from deduplicatr_spark.operators.winnow import winnow_dup_pairs  # noqa: E402
+
+    w_pairs, _wd = winnow_dup_pairs(
+        docs.select("doc_id", F.col("content").alias("content")), BENCH_CONFIG
+    )
+    sections.append((
+        "Winnowing fingerprint dup pairs (operators/winnow.py)",
+        captured_explain(w_pairs),
+        "What to check: identical fingerprint SETS canonicalize first "
+        "(one row_number window on set_hash), so the capped bucket core "
+        "and both verify joins only ever see one representative per "
+        "distinct set — exact-copy recall is deterministic regardless "
+        "of per-value bucket caps, and the member frame re-enters only "
+        "through narrow (doc_id, set_hash) expansion joins; the "
+        "fingerprint UDF is a single ArrowEvalPython pass feeding one "
+        "persisted InMemoryRelation that every branch reads.",
+    ))
+
     from deduplicatr_spark.operators.unigram_lm import unigram_logprob  # noqa: E402
 
     sections.append((

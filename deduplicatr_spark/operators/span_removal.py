@@ -78,9 +78,14 @@ def remove_spans(
     no spans pass through untouched. Returns
     (id_col, n_spans, removed_chars, deduped_text) — total over
     ``docs``, with n_spans counting MERGED intervals."""
+    # collect_SET, not list: a boilerplate block matched by k partners
+    # arrives as k IDENTICAL (start, end) spans, and collect_set's
+    # partial aggregation dedupes them map-side — per-doc state is
+    # bounded by DISTINCT intervals, not by pair fan-out, in the same
+    # single exchange
     agg = spans.groupBy(id_col).agg(
         F.sort_array(
-            F.collect_list(
+            F.collect_set(
                 F.struct(
                     F.col("start").cast("long").alias("s"),
                     (F.col("start") + F.col("length")).cast("long").alias("e"),

@@ -225,6 +225,17 @@ def main() -> None:
 
     timed("duplicate_span_removal", _span_removal, repeats=2)
 
+    # q3b3: winnowing (MOSS) fingerprint dup pairs — identical-set
+    # canonicalization, rep-only capped bucket core, set-Jaccard verify
+    def _winnow():
+        from deduplicatr_spark.operators.winnow import winnow_dup_pairs
+
+        pairs, _ = winnow_dup_pairs(distinct_docs, BENCH_CONFIG)
+        pairs.count()
+        release_tracked()
+
+    timed("winnow_dup_pairs", _winnow, repeats=2)
+
     # q3c: incremental (delta) assignment — 5% of the corpus arrives as
     # a fresh crawl increment against the already-indexed base: exact
     # copies inherit by sha, whitespace variants go through the band

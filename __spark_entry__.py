@@ -1119,15 +1119,26 @@ def _q_simhash_weighted_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _substring_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _substring_truth(
+    spark: SparkSession, sf_dir: str, min_chars: int | None = None
+) -> DataFrame:
     """Planted shared-block pairs with known exact LCS length: pairs
     whose contents are equal or prefix-related by construction, so
     LCS = min(strlen). Restricted to blocks ≥ 400 bytes where the CDC
     anchor pass finds a shared anchor with p ≈ 1 − 1e-9 (SURVEY §2.9).
-    Mirrors the substring_pairs oracle SQL exactly."""
+    Mirrors the substring_pairs oracle SQL exactly.
+
+    ``min_chars`` additionally gates on CHARACTER length — required by
+    the span-removal query, whose verify measures codepoints: a ≥400-
+    byte block of 4-byte codepoints could fall below the codepoint
+    min_len and the byte-gated truth would then over-claim (no-op on
+    ASCII corpora, where the gate validations run)."""
     d = _docs(spark, sf_dir).filter(F.col("text").isNotNull()).select(
-        "doc_id", F.octet_length("text").alias("_len")
+        "doc_id", F.octet_length("text").alias("_len"),
+        F.length("text").alias("_chars"),
     ).filter(F.col("_len") >= 400)
+    if min_chars is not None:
+        d = d.filter(F.col("_chars") >= min_chars)
     copy = d.filter(F.col("doc_id") % 10 == 0).select(
         F.col("doc_id").alias("doc_a"),
         (F.col("doc_id") + 1000000).alias("doc_b"),
@@ -1143,14 +1154,15 @@ def _substring_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 3000000).alias("doc_b"),
         F.col("_len").alias("want_len"),
     )
-    mirror = (
-        _planted(spark, sf_dir)
-        .filter((F.col("repo") == "src0") & (F.octet_length("content") >= 400))
-        .select(
-            F.col("doc_id").alias("doc_a"),
-            (F.col("doc_id") + 4000000).alias("doc_b"),
-            F.octet_length("content").alias("want_len"),
-        )
+    mirror_src = _planted(spark, sf_dir).filter(
+        (F.col("repo") == "src0") & (F.octet_length("content") >= 400)
+    )
+    if min_chars is not None:
+        mirror_src = mirror_src.filter(F.length("content") >= min_chars)
+    mirror = mirror_src.select(
+        F.col("doc_id").alias("doc_a"),
+        (F.col("doc_id") + 4000000).alias("doc_b"),
+        F.octet_length("content").alias("want_len"),
     )
     return copy.unionByName(near).unionByName(copy_near).unionByName(mirror)
 
@@ -1203,7 +1215,8 @@ def _q_duplicate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     ext = c.unionByName(embeds)
     pairs, _drops = substring_pairs_with_spans(ext, ENTRY_CONFIG)
     truth = (
-        _substring_truth(spark, sf_dir).select("doc_a", "doc_b")
+        _substring_truth(spark, sf_dir, min_chars=400)
+        .select("doc_a", "doc_b")
         .unionByName(
             base.select(
                 F.col("doc_id").alias("doc_a"),
@@ -2419,7 +2432,8 @@ SELECT doc_id, doc_id + 4000000, l FROM s_mirror
   FROM eb
 ), sb AS (
   SELECT doc_id, CAST(length(text) AS BIGINT) AS l
-  FROM documents WHERE text IS NOT NULL AND strlen(text) >= 400
+  FROM documents
+  WHERE text IS NOT NULL AND strlen(text) >= 400 AND length(text) >= 400
 ), spans AS (
   SELECT doc_id + 1000000 AS doc_id, CAST(0 AS BIGINT) AS s, l
   FROM sb WHERE doc_id % 10 = 0
@@ -2429,7 +2443,9 @@ SELECT doc_id, doc_id + 4000000, l FROM s_mirror
   SELECT doc_id + 3000000, 0, l FROM sb WHERE doc_id % 10 = 0
   UNION ALL
   SELECT p.doc_id + 4000000, 0, CAST(length(p.content) AS BIGINT)
-  FROM planted p WHERE p.repo = 'src0' AND strlen(p.content) >= 400
+  FROM planted p
+  WHERE p.repo = 'src0' AND strlen(p.content) >= 400
+    AND length(p.content) >= 400
   UNION ALL
   SELECT doc_id + 8000000,
          CAST(length('embed/' || CAST(doc_id AS VARCHAR) || ':') AS BIGINT),

@@ -79,17 +79,23 @@ def quality_columns(col: str = "text") -> list[Column]:
     ]
 
 
+# explicit whitespace class, not \s: Java \s includes \x0B while RE2's
+# (the DuckDB oracle's) historically does not — the explicit class has
+# identical semantics in both engines. Shared by every line-granular
+# operator (nonempty_lines, repetition_columns, linedup stats + strip)
+# so trim semantics cannot drift between them; the oracle SQL carries
+# the same class as a literal by necessity.
+TRIM_WS_RE = r"^[ \t\r\f\x0B]+|[ \t\r\f\x0B]+$"
+
+
 def nonempty_lines(col: str | Column = "text") -> Column:
     """Whitespace-trimmed, non-empty lines as an array — the unit of
     intra-document repetition analysis (for source code, the natural
     granularity). Pure JVM array functions; no shuffle, no UDF."""
     c = F.col(col) if isinstance(col, str) else col
-    # explicit whitespace class, not \s: Java \s includes \x0B while
-    # RE2's (the DuckDB oracle's) historically does not — the explicit
-    # class has identical semantics in both engines
     trimmed = F.transform(
         F.split(c, "\n"),
-        lambda x: F.regexp_replace(x, r"^[ \t\r\f\x0B]+|[ \t\r\f\x0B]+$", ""),
+        lambda x: F.regexp_replace(x, TRIM_WS_RE, ""),
     )
     return F.filter(trimmed, lambda x: x != "")
 

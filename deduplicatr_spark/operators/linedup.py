@@ -35,7 +35,7 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from deduplicatr_spark.functions.text import nonempty_lines
+from deduplicatr_spark.functions.text import TRIM_WS_RE, nonempty_lines
 from deduplicatr_spark.operators.lsh import _track
 
 
@@ -105,9 +105,6 @@ def corpus_line_stats(
     )
 
 
-_TRIM_RE = r"^[ \t\r\f\x0B]+|[ \t\r\f\x0B]+$"
-
-
 def strip_shared_lines(
     corpus: DataFrame,
     id_col: str = "doc_id",
@@ -136,7 +133,7 @@ def strip_shared_lines(
     2⁻⁶⁴-per-line-pair hash collision trade is the standard
     content-addressing one; the DuckDB oracle groups raw strings, so a
     collision would go red at the driver gate."""
-    trimmed = F.regexp_replace(F.col("line"), _TRIM_RE, "")
+    trimmed = F.regexp_replace(F.col("line"), TRIM_WS_RE, "")
     lines = corpus.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),

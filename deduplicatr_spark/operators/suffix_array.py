@@ -194,9 +194,13 @@ def longest_common_substring_span(a: str, b: str) -> tuple[int, int, int]:
     but over CODEPOINT arrays (utf-32 view) so the returned offsets
     index Python/JVM strings directly (a byte-offset LCS can start
     mid-codepoint on multi-byte content, which no string API can
-    slice). Sentinel 0x110000 sits above the Unicode range. Ties on
-    length break to the smallest (start_a, start_b), so the emitted
-    span is deterministic."""
+    slice). Sentinel 0x110000 sits above the Unicode range. When the
+    maximal match occurs at several positions, the emitted span is
+    DETERMINISTIC but implementation-defined: the smallest
+    (start_a, start_b) among the suffix-order-ADJACENT cross pairs
+    attaining the maximum — not necessarily the leftmost occurrence in
+    the text (same input ⇒ same span; consumers must not assume
+    leftmost)."""
     if not a or not b:
         return 0, 0, 0
     xa = np.frombuffer(a.encode("utf-32-le"), np.uint32).astype(np.int64)
@@ -302,7 +306,14 @@ def substring_pairs_with_spans(
     the detection half of duplicate-SPAN removal (Lee et al. 2021,
     "Deduplicating Training Data Makes Language Models Better" —
     ExactSubstr); the removal half is
-    ``operators/span_removal.py § remove_spans``."""
+    ``operators/span_removal.py § remove_spans``.
+
+    UNIT DEVIATION from ``substring_pairs``: here ``match_len`` and the
+    ``substring_min_len`` gate count CODEPOINTS (the LCS runs over the
+    utf-32 view), while the length-only sibling counts BYTES — on
+    multi-byte content the same pair can pass the byte gate and fail
+    the codepoint gate (≤4× tighter). Truth constructions that feed
+    this stage must gate on character length accordingly."""
     joined, drop_stats = _candidates_with_content(docs_with_content, config)
     pairs = joined.mapInPandas(
         _verify_spans_batch(config.substring_min_len), schema=_SPAN_SCHEMA

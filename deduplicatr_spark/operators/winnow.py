@@ -135,10 +135,24 @@ def winnow_dup_pairs(
     groups = members.select("doc_id", "set_hash")
 
     keyed = reps.select("doc_id", F.explode("fps").alias("band_hash"))
+    # NOTE drop-ledger units: capped_docs/hot_* count REPRESENTATIVES
+    # (one per distinct fingerprint set), so a capped rep standing for a
+    # g-member identical group is one ledger unit while g docs lose
+    # cross-set recall; join drops back to `groups` for doc-level loss
     raw, drops = keyed_candidate_pairs(keyed, config, dedupe=False)
 
-    fa = reps.select(F.col("doc_id").alias("doc_a"), F.col("fps").alias("_fa"))
-    fb = reps.select(F.col("doc_id").alias("doc_b"), F.col("fps").alias("_fb"))
+    # set_hash rides along through the verify joins so the expansion
+    # below needs no extra rep→set lookups
+    fa = reps.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("fps").alias("_fa"),
+        F.col("set_hash").alias("_sha"),
+    )
+    fb = reps.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("fps").alias("_fb"),
+        F.col("set_hash").alias("_shb"),
+    )
     inter = F.size(F.array_intersect("_fa", "_fb"))
     union = F.size("_fa") + F.size("_fb") - inter
     rep_pairs = (
@@ -150,20 +164,15 @@ def winnow_dup_pairs(
             .otherwise(F.lit(0.0)),
         )
         .filter(F.col("winnow_jaccard") >= config.winnow_tau)
-        .select("doc_a", "doc_b", "winnow_jaccard")
+        .select("_sha", "_shb", "winnow_jaccard")
     )
 
     # expand rep pairs to member pairs: identical sets ⇒ the verified
     # Jaccard applies to every member on each side
-    rep_sets = reps.select(
-        F.col("doc_id").alias("_rep"), F.col("set_hash").alias("_sh")
-    )
     ga = groups.select(F.col("set_hash").alias("_sha"), F.col("doc_id").alias("_ma"))
     gb = groups.select(F.col("set_hash").alias("_shb"), F.col("doc_id").alias("_mb"))
     cross = (
         rep_pairs
-        .join(rep_sets.withColumnsRenamed({"_rep": "doc_a", "_sh": "_sha"}), "doc_a")
-        .join(rep_sets.withColumnsRenamed({"_rep": "doc_b", "_sh": "_shb"}), "doc_b")
         .join(ga, "_sha").join(gb, "_shb")
         .select(
             F.least("_ma", "_mb").alias("doc_a"),

@@ -170,3 +170,54 @@ def test_spans_detect_then_cut(spark):
     kept = out[2]["deduped_text"]
     assert block not in kept
     assert kept == rows[1][1][: p["start_b"]] + rows[1][1][p["start_b"] + p["match_len"]:]
+
+
+# --- randomized sweep vs a pure-Python oracle (one Spark job) ---------------
+
+
+def _py_cut(text: str, spans: list[tuple[int, int]]) -> tuple[int, int, str]:
+    n = len(text)
+    ivs = sorted(
+        (max(0, s), min(s + ln, n)) for s, ln in spans
+    )
+    merged: list[list[int]] = []
+    for s, e in ivs:
+        if e <= s:
+            continue
+        if merged and s <= merged[-1][1]:
+            merged[-1][1] = max(merged[-1][1], e)
+        else:
+            merged.append([s, e])
+    kept, pos = [], 0
+    for s, e in merged:
+        kept.append(text[pos:s])
+        pos = e
+    kept.append(text[pos:])
+    removed = sum(e - s for s, e in merged)
+    return len(merged), removed, "".join(kept)
+
+
+def test_remove_spans_random_sweep(spark):
+    rng = np.random.default_rng(20260817)
+    docs, span_rows, expected = [], [], {}
+    for doc_id in range(120):
+        n = int(rng.integers(0, 60))
+        text = "".join(rng.choice(list("abcXYZ 09"), size=n))
+        docs.append((doc_id, text))
+        spans = [
+            (int(rng.integers(-5, max(n, 1) + 5)), int(rng.integers(0, 25)))
+            for _ in range(int(rng.integers(0, 6)))
+        ]
+        for s, ln in spans:
+            span_rows.append((doc_id, s, ln))
+        expected[doc_id] = _py_cut(text, spans)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sp = spark.createDataFrame(
+        span_rows or [(0, 0, 0)], "doc_id long, start long, length long"
+    )
+    out = {r["doc_id"]: r for r in remove_spans(df, sp).collect()}
+    assert len(out) == 120
+    for doc_id, (n_spans, removed, kept) in expected.items():
+        r = out[doc_id]
+        got = (r["n_spans"], r["removed_chars"], r["deduped_text"])
+        assert got == (n_spans, removed, kept), f"doc {doc_id}: {got} != {(n_spans, removed, kept)}"

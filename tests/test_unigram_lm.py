@@ -40,3 +40,26 @@ def test_unigram_logprob(spark):
     }
     # rarer tokens score strictly lower
     assert out[4]["mean_logprob"] < out[2]["mean_logprob"] < out[1]["mean_logprob"]
+
+
+def test_unigram_logprob_partitioning_invariant(spark):
+    """The micro-nat integer aggregation makes the result EXACTLY equal
+    under any partitioning (a raw float sum would drift)."""
+    import numpy as np
+
+    rng = np.random.default_rng(99)
+    vocab = [f"w{i}" for i in range(50)]
+    rows = [
+        (i, " ".join(rng.choice(vocab, size=int(rng.integers(1, 40)))))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(
+        (r["doc_id"], r["n_tokens"], r["sum_log_micro"], r["mean_logprob"])
+        for r in unigram_logprob(df).collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["n_tokens"], r["sum_log_micro"], r["mean_logprob"])
+        for r in unigram_logprob(df.repartition(17, "doc_id")).collect()
+    )
+    assert a == b

@@ -1182,6 +1182,48 @@ def _q_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_comment_stripped_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Comment-stripped exact-dup grouping (functions/code.py): the
+    code-corpus normalization profile — copies differing ONLY in
+    comments must land in one group. Variants are PLANTED: a Java one
+    (// line banner + multiline /* block */) on doc_id%3 and a Python
+    one (# banners) on doc_id%4+1; corpus langs (en/zh/...) pass
+    through the dispatcher untouched. Grouping = min-id window over
+    sha256 of the stripped+normalized content. The oracle replays the
+    identical regex chain and the full group structure — no
+    restriction, a dispatch, pattern or normalization drift goes red
+    on any row."""
+    from deduplicatr_spark.functions.code import strip_code_comments
+
+    c = _corpus(spark, sf_dir).select("doc_id", "content", "lang")
+    base = c.filter(F.col("doc_id") < 1000000)
+    v_java = base.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 9000000).alias("doc_id"),
+        F.concat(
+            F.lit("// banner "), F.col("doc_id").cast("string"),
+            F.lit("\n"), F.col("content"),
+            F.lit(" /* block\n comment */"),
+        ).alias("content"),
+        F.lit("java").alias("lang"),
+    )
+    v_py = base.filter(F.col("doc_id") % 4 == 1).select(
+        (F.col("doc_id") + 10000000).alias("doc_id"),
+        F.concat(
+            F.lit("# banner\n"), F.col("content"),
+            F.lit("\n# trail "), F.col("doc_id").cast("string"),
+        ).alias("content"),
+        F.lit("python").alias("lang"),
+    )
+    ext = c.unionByName(v_java).unionByName(v_py)
+    key = F.sha2(normalized(strip_code_comments("content", "lang")), 256)
+    w = Window.partitionBy(key)
+    return ext.select(
+        "doc_id",
+        F.min("doc_id").over(w).alias("canonical_id"),
+        F.count(F.lit(1)).over(w).cast("long").alias("group_size"),
+    )
+
+
 def _q_duplicate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-SPAN removal (Lee et al. 2021 ExactSubstr): detect
     shared blocks with the position-emitting suffix-array verify, cut
@@ -1544,6 +1586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_weighted_pairs": _q_simhash_weighted_pairs,
         "substring_pairs": _q_substring_pairs,
         "duplicate_span_removal": _q_duplicate_span_removal,
+        "comment_stripped_dups": _q_comment_stripped_dups,
         "incremental_assign": _q_incremental_assign,
         "cluster_representatives": _q_cluster_representatives,
         "stratified_sample": _q_stratified_sample,
@@ -2415,6 +2458,50 @@ UNION ALL
 SELECT doc_id + 1000000, doc_id + 3000000, l FROM s_base WHERE doc_id % 10 = 0
 UNION ALL
 SELECT doc_id, doc_id + 4000000, l FROM s_mirror
+""",
+        # identical regex chain replayed in RE2 (patterns restricted to
+        # the Java/RE2-identical subset); full group structure compared
+        "comment_stripped_dups": CORPUS_SQL + """
+, ext AS (
+  SELECT doc_id, content, lang FROM corpus
+  UNION ALL
+  SELECT doc_id + 9000000,
+         '// banner ' || CAST(doc_id AS VARCHAR) || chr(10) || content
+           || ' /* block' || chr(10) || ' comment */',
+         'java'
+  FROM corpus WHERE doc_id < 1000000 AND doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 10000000,
+         '# banner' || chr(10) || content || chr(10) || '# trail '
+           || CAST(doc_id AS VARCHAR),
+         'python'
+  FROM corpus WHERE doc_id < 1000000 AND doc_id % 4 = 1
+), st AS (
+  SELECT doc_id,
+    CASE
+      WHEN lower(lang) IN ('c','cc','cpp','c++','h','hpp','cs','java',
+                           'js','javascript','ts','typescript','go',
+                           'rust','scala','kotlin','swift','php')
+        THEN regexp_replace(
+               regexp_replace(content,
+                 '/\\*([^*]|\\*+[^*/])*\\*+/', ' ', 'g'),
+               '//[^\\n]*', ' ', 'g')
+      WHEN lower(lang) IN ('python','py','sh','bash','ruby','rb',
+                           'perl','yaml','toml','r')
+        THEN regexp_replace(content, '#[^\\n]*', ' ', 'g')
+      WHEN lower(lang) IN ('sql','lua','haskell')
+        THEN regexp_replace(content, '--[^\\n]*', ' ', 'g')
+      ELSE content END AS sc
+  FROM ext
+), k AS (
+  SELECT doc_id,
+         sha256(trim(regexp_replace(sc, '\\s+', ' ', 'g'))) AS key
+  FROM st
+)
+SELECT doc_id,
+       CAST(min(doc_id) OVER (PARTITION BY key) AS BIGINT) AS canonical_id,
+       CAST(count(*) OVER (PARTITION BY key) AS BIGINT) AS group_size
+FROM k
 """,
         # closed-form span replay: every planted truth pair's losing
         # (higher-id) doc loses exactly its known (start, length) span;

@@ -1,0 +1,61 @@
+"""Language-aware comment stripping — an opt-in normalization profile
+for source-code dedup.
+
+The pinned pipeline normalization (SURVEY §2.4) is deliberately
+minimal (whitespace collapse only); for CODE corpora the variance that
+matters most is comments — two copies of a function differing only in
+a license banner or an inline note should cluster. Real code pipelines
+(The Stack's near-dedup preprocessing, MOSS) strip comments with
+regex-level heuristics before fingerprinting; this module does the
+same, dispatching on the corpus's ``lang`` column (input_hint schema).
+
+Heuristic by design, like its production counterparts: comment markers
+inside string literals are stripped too (a real lexer is the only fix
+and no engine ships one per language); unclosed block comments stay.
+Patterns are restricted to the Java-regex/RE2-identical subset
+(character classes, alternation, quantifiers — no lookaround, no
+non-greedy), so the DuckDB oracle replays them verbatim; the block
+pattern is the classic DFA-friendly ``/\\*([^*]|\\*+[^*/])*\\*+/``.
+One codegen pass, zero shuffles, zero UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+C_LIKE_LANGS = (
+    "c", "cc", "cpp", "c++", "h", "hpp", "cs", "java", "js", "javascript",
+    "ts", "typescript", "go", "rust", "scala", "kotlin", "swift", "php",
+)
+HASH_COMMENT_LANGS = (
+    "python", "py", "sh", "bash", "ruby", "rb", "perl", "yaml", "toml", "r",
+)
+DASH_COMMENT_LANGS = ("sql", "lua", "haskell")
+
+BLOCK_COMMENT_RE = r"/\*([^*]|\*+[^*/])*\*+/"
+LINE_COMMENT_RE = r"//[^\n]*"
+HASH_COMMENT_RE = r"#[^\n]*"
+DASH_COMMENT_RE = r"--[^\n]*"
+
+
+def strip_code_comments(
+    content: str | Column = "content", lang: str | Column = "lang"
+) -> Column:
+    """Comment-stripped content, dispatched on ``lang`` (case-folded).
+    Comments are replaced with one space so token boundaries survive
+    for the downstream whitespace-collapse; unknown languages pass
+    through unchanged."""
+    c = F.col(content) if isinstance(content, str) else content
+    lg = F.lower(F.col(lang) if isinstance(lang, str) else lang)
+    c_like = F.regexp_replace(
+        F.regexp_replace(c, BLOCK_COMMENT_RE, " "), LINE_COMMENT_RE, " "
+    )
+    hashed = F.regexp_replace(c, HASH_COMMENT_RE, " ")
+    dashed = F.regexp_replace(c, DASH_COMMENT_RE, " ")
+    return (
+        F.when(lg.isin(*C_LIKE_LANGS), c_like)
+        .when(lg.isin(*HASH_COMMENT_LANGS), hashed)
+        .when(lg.isin(*DASH_COMMENT_LANGS), dashed)
+        .otherwise(c)
+    )

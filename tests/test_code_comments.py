@@ -1,0 +1,56 @@
+"""Unit vectors for lang-aware comment stripping (functions/code.py)."""
+
+from __future__ import annotations
+
+from deduplicatr_spark.functions.code import strip_code_comments
+from deduplicatr_spark.functions.hashing import normalized
+
+
+def _run(spark, rows):
+    df = spark.createDataFrame(rows, "doc_id long, content string, lang string")
+    out = df.select(
+        "doc_id",
+        strip_code_comments("content", "lang").alias("s"),
+        normalized(strip_code_comments("content", "lang")).alias("n"),
+    )
+    return {r["doc_id"]: r.asDict() for r in out.collect()}
+
+
+def test_c_like_line_and_block(spark):
+    out = _run(spark, [
+        (1, "int x = 1; // set x\nint y = 2;", "java"),
+        (2, "a /* one */ b /* two\nlines */ c", "cpp"),
+        (3, "s /* star ** inside */ e", "JS"),          # case-folded lang
+        (4, "open /* never closed ...", "go"),          # unclosed stays
+        (5, "url = 'http://example.com';", "java"),     # heuristic mangle
+    ])
+    assert out[1]["n"] == "int x = 1; int y = 2;"
+    assert out[2]["n"] == "a b c"
+    assert out[3]["n"] == "s e"
+    assert out[4]["n"] == "open /* never closed ..."
+    # documented heuristic: // inside a string literal strips too
+    assert out[5]["n"] == "url = 'http:"
+
+
+def test_hash_and_dash_and_passthrough(spark):
+    out = _run(spark, [
+        (1, "x = 1  # comment\ny = 2", "python"),
+        (2, "SELECT a -- trailing\nFROM t", "sql"),
+        (3, "plain text // not code # at all", "en"),
+        (4, "no comments here", "python"),
+    ])
+    assert out[1]["n"] == "x = 1 y = 2"
+    assert out[2]["n"] == "SELECT a FROM t"
+    # unknown lang: untouched (then ws-collapsed)
+    assert out[3]["n"] == "plain text // not code # at all"
+    assert out[4]["n"] == "no comments here"
+
+
+def test_comment_only_variants_collapse_to_base(spark):
+    base = "def f(x): return x + 1"
+    out = _run(spark, [
+        (1, base, "en"),
+        (2, "// banner\n" + base + " /* b */", "java"),
+        (3, "# banner\n" + base + "\n# trail", "python"),
+    ])
+    assert out[1]["n"] == out[2]["n"] == out[3]["n"]

@@ -2484,7 +2484,7 @@ SELECT doc_id, doc_id + 4000000, l FROM s_mirror
                            'rust','scala','kotlin','swift','php')
         THEN regexp_replace(
                regexp_replace(content,
-                 '/\\*([^*]|\\*+[^*/])*\\*+/', ' ', 'g'),
+                 '/\\*[^*]*(\\*+[^*/][^*]*)*\\*+/', ' ', 'g'),
                '//[^\\n]*', ' ', 'g')
       WHEN lower(lang) IN ('python','py','sh','bash','ruby','rb',
                            'perl','yaml','toml','r')

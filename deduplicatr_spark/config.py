@@ -28,6 +28,12 @@ class PipelineConfig:
     # whitespace to one space, strip leading/trailing space. Code is
     # case-sensitive → no lowercasing.
     normalize_collapse_ws: bool = True
+    # opt-in code profile (SURVEY §2.35): strip comments (dispatched on
+    # the lang column) BEFORE whitespace collapse, so copies differing
+    # only in comments share fingerprints/signatures and cluster.
+    # Changes near-dup semantics → config-hashed like every knob, so
+    # flipping it invalidates checkpoints by design.
+    normalize_strip_comments: bool = False
 
     # --- shingling (SURVEY §2.5) ---
     shingle_k: int = 9          # char shingles over normalized content

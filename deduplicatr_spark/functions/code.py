@@ -13,10 +13,15 @@ Heuristic by design, like its production counterparts: comment markers
 inside string literals are stripped too (a real lexer is the only fix
 and no engine ships one per language); unclosed block comments stay.
 Patterns are restricted to the Java-regex/RE2-identical subset
-(character classes, alternation, quantifiers — no lookaround, no
-non-greedy), so the DuckDB oracle replays them verbatim; the block
-pattern is the classic DFA-friendly ``/\\*([^*]|\\*+[^*/])*\\*+/``.
-One codegen pass, zero shuffles, zero UDFs.
+(character classes, quantifiers — no lookaround, no non-greedy, no
+possessive), so the DuckDB oracle replays them verbatim. The block
+pattern is the UNROLLED-LOOP comment matcher
+``/\\*[^*]*(\\*+[^*/][^*]*)*\\*+/`` — the naive alternation form
+``([^*]|\\*+[^*/])*`` recurses once per character in Java's
+backtracking engine and throws StackOverflowError on multi-KB
+comments (measured: a 3 KB banner killed the executor JVM); the
+unrolled form iterates its group once per interior STAR-RUN, which
+real code has few of. One codegen pass, zero shuffles, zero UDFs.
 """
 
 from __future__ import annotations
@@ -33,7 +38,7 @@ HASH_COMMENT_LANGS = (
 )
 DASH_COMMENT_LANGS = ("sql", "lua", "haskell")
 
-BLOCK_COMMENT_RE = r"/\*([^*]|\*+[^*/])*\*+/"
+BLOCK_COMMENT_RE = r"/\*[^*]*(\*+[^*/][^*]*)*\*+/"
 LINE_COMMENT_RE = r"//[^\n]*"
 HASH_COMMENT_RE = r"#[^\n]*"
 DASH_COMMENT_RE = r"--[^\n]*"

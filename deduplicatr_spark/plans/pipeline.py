@@ -100,8 +100,18 @@ class DedupPipeline:
             canon = exact.filter(
                 F.col("doc_id") == F.col("canonical_id")
             ).select("doc_id")
+            # opt-in code profile: strip comments (lang-dispatched)
+            # before the whitespace collapse, so comment-only variants
+            # share fingerprints (SURVEY §2.35; config-hashed)
+            pre = F.col("content")
+            if cfg.normalize_strip_comments:
+                from deduplicatr_spark.functions.code import (
+                    strip_code_comments,
+                )
+
+                pre = strip_code_comments("content", "lang")
             canon_docs = identity.join(canon, "doc_id").select(
-                "doc_id", "lang", "size", normalized("content").alias("norm")
+                "doc_id", "lang", "size", normalized(pre).alias("norm")
             )
             # feature cost is per-row CPU: the canonical-filter join's own
             # shuffle provides the stage width, but AQE would coalesce it

@@ -32,6 +32,22 @@ def test_c_like_line_and_block(spark):
     assert out[5]["n"] == "url = 'http:"
 
 
+def test_long_block_comment_no_stack_overflow(spark):
+    """Regression: the naive alternation pattern recursed per char in
+    Java's backtracking engine — a multi-KB block comment threw
+    StackOverflowError and killed the executor. The unrolled-loop form
+    must strip a 100 KB comment (and one with many interior star-runs)
+    without incident."""
+    big = "/* " + ("licensed banner text " * 5000) + " */"
+    starry = "/* " + ("ab ** cd " * 400) + " */"
+    out = _run(spark, [
+        (1, big + "\ncode body", "java"),
+        (2, starry + " tail", "java"),
+    ])
+    assert out[1]["n"] == "code body"
+    assert out[2]["n"] == "tail"
+
+
 def test_hash_and_dash_and_passthrough(spark):
     out = _run(spark, [
         (1, "x = 1  # comment\ny = 2", "python"),

@@ -174,3 +174,46 @@ def test_substring_stage_in_pipeline_merges_block_sharers(
     # and the stage is recorded in the metrics ledger — no silent caps
     kinds = {m.get("kind") for m in pipe.store.read_metrics()}
     assert "substring_drops" in kinds
+
+
+def test_comment_strip_profile_merges_comment_variants(spark, tiny_docs, tmp_path):
+    """normalize_strip_comments=True (the code profile, SURVEY §2.35):
+    a copy differing only by a large block-comment banner must cluster
+    with its base; with the default minimal normalization the banner
+    keeps whole-doc Jaccard below τ and they stay apart."""
+    # the banner must be ~2x the doc length AND shingle-DIVERSE: a
+    # repetitive banner adds few distinct shingles, so unweighted
+    # SimHash stays within Hamming d of the base and the pigeonhole
+    # path merges the pair regardless of Jaccard — unique tokens shift
+    # both signals
+    picked = tiny_docs.orderBy("repo", "path").limit(4)
+    var_rows = []
+    for r in picked.collect():
+        n_tok = max(len(r.content) * 2 // 10, 60)
+        banner = "/* " + " ".join(
+            f"bn{i}x{(i * 7919) % 99991}" for i in range(n_tok)
+        ) + " */\n"
+        var_rows.append(
+            (r.repo, r.path + ".cmt", r.commit, "java", banner + r.content)
+        )
+    variants = spark.createDataFrame(var_rows, SynthCorpus.SCHEMA)
+    docs = tiny_docs.unionByName(variants)
+    keys = [(r["repo"], r["path"]) for r in picked.select("repo", "path").collect()]
+
+    off = DedupPipeline(spark, CFG, str(tmp_path / "off")).run(docs)
+    on = DedupPipeline(
+        spark,
+        PipelineConfig(normalize_strip_comments=True),
+        str(tmp_path / "on"),
+    ).run(docs)
+
+    def clusters(df):
+        return {
+            (r["repo"], r["path"]): r["cluster_id"]
+            for r in df.select("repo", "path", "cluster_id").collect()
+        }
+
+    c_off, c_on = clusters(off), clusters(on)
+    for repo, path in keys:
+        assert c_on[(repo, path)] == c_on[(repo, path + ".cmt")], (repo, path)
+        assert c_off[(repo, path)] != c_off[(repo, path + ".cmt")], (repo, path)

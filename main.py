@@ -31,6 +31,13 @@ def parse_args(argv: list[str]):
     p.add_argument("--master", default=None, help="override master (else spark-submit's)")
     p.add_argument("--shuffle-partitions", type=int, default=None)
     p.add_argument(
+        "--strip-comments", action="store_true",
+        help="code-normalization profile (SURVEY §2.35): strip comments "
+        "(lang-dispatched) before whitespace collapse, so comment-only "
+        "copies cluster; config-hashed, so it never mixes with default-"
+        "profile checkpoints",
+    )
+    p.add_argument(
         "--no-warmup", action="store_true",
         help="skip the untimed JIT/codegen warmup pass (a small pipeline "
         "run on ~3k rows; without it the first verify/join stages run "
@@ -53,7 +60,7 @@ def main(argv: list[str]) -> None:
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     spark.sparkContext.setLogLevel("ERROR")
-    cfg = PipelineConfig()
+    cfg = PipelineConfig(normalize_strip_comments=args.strip_comments)
 
     if args.amplify_sf_dir:
         from bench import amplified_corpus

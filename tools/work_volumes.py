@@ -1,0 +1,166 @@
+"""Work-conservation evidence across parallelism widths.
+
+Wall-clock on this shared VM is noise (BENCH/BASELINE.md forensics),
+but BYTE VOLUMES are host-load-independent: if the plan shuffles,
+scans and writes the same bytes at local[4] and local[16], it does the
+SAME total work at any width — no width-dependent recomputation, no
+driver-side data paths — which is exactly the property that transfers
+to the north rule's real N→4N-executor regime.
+
+Runs each workload once per width in its own event-logged Spark
+session and sums task metrics from the JSON event log
+(SparkListenerTaskEnd → Shuffle Write/Read, Input, Output). Prints one
+JSON line per (workload, width) and a markdown table at the end.
+
+    python tools/work_volumes.py [--mult 48] [--widths 4,16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def parse_event_log(evdir: str) -> dict[str, float]:
+    """Sums task metrics over every event file under ``evdir`` — Spark 4
+    writes the v2 ROLLING format: a directory ``eventlog_v2_<appid>``
+    holding ``events_*`` part files (plus an ``appstatus_`` marker)."""
+    tot = {"shuffle_write": 0, "shuffle_read": 0, "input": 0, "output": 0}
+    paths = [
+        p
+        for p in glob.glob(os.path.join(evdir, "**", "*"), recursive=True)
+        if os.path.isfile(p) and "appstatus" not in os.path.basename(p)
+    ]
+    for path in paths:
+        with open(path) as f:
+            for line in f:
+                if '"SparkListenerTaskEnd"' not in line:
+                    continue
+                ev = json.loads(line)
+                m = ev.get("Task Metrics") or {}
+                sw = m.get("Shuffle Write Metrics") or {}
+                sr = m.get("Shuffle Read Metrics") or {}
+                im = m.get("Input Metrics") or {}
+                om = m.get("Output Metrics") or {}
+                tot["shuffle_write"] += sw.get("Shuffle Bytes Written", 0)
+                tot["shuffle_read"] += (
+                    sr.get("Remote Bytes Read", 0) + sr.get("Local Bytes Read", 0)
+                )
+                tot["input"] += im.get("Bytes Read", 0)
+                tot["output"] += om.get("Bytes Written", 0)
+    return tot
+
+
+def _wl_pipeline(spark, mult: int) -> None:
+    from bench import amplified_corpus
+    from deduplicatr_spark.config import PipelineConfig
+    from deduplicatr_spark.plans.pipeline import DedupPipeline
+
+    docs = amplified_corpus(spark, SF_DIR, mult)
+    ckpt = tempfile.mkdtemp(prefix="wv_ckpt_")
+    try:
+        DedupPipeline(spark, PipelineConfig(), ckpt).run(docs)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def _wl_round3_ops(spark, mult: int) -> None:
+    from pyspark.sql import functions as F
+
+    from bench import amplified_corpus
+    from deduplicatr_spark.config import PipelineConfig
+    from deduplicatr_spark.operators.linedup import strip_shared_lines
+    from deduplicatr_spark.operators.lsh import release_tracked
+    from deduplicatr_spark.operators.span_removal import remove_spans
+    from deduplicatr_spark.operators.suffix_array import (
+        substring_pairs_with_spans,
+    )
+    from deduplicatr_spark.operators.unigram_lm import unigram_logprob
+    from deduplicatr_spark.operators.winnow import winnow_dup_pairs
+
+    cfg = PipelineConfig(substring_min_len=120)
+    corpus = amplified_corpus(spark, SF_DIR, mult)
+    docs = corpus.dropDuplicates(["content"]).select(
+        F.xxhash64("repo", "path", "commit").alias("doc_id"), "content"
+    )
+    strip_shared_lines(docs, text_col="content").agg(
+        F.sum("n_removed")
+    ).collect()
+    release_tracked()
+    unigram_logprob(docs, text_col="content").agg(
+        F.sum("sum_log_micro")
+    ).collect()
+    release_tracked()
+    pairs, _ = winnow_dup_pairs(docs, cfg)
+    pairs.count()
+    release_tracked()
+    spans_src, _ = substring_pairs_with_spans(docs, cfg)
+    spans = spans_src.select(
+        F.col("doc_b").alias("doc_id"),
+        F.col("start_b").alias("start"),
+        F.col("match_len").alias("length"),
+    )
+    remove_spans(docs, spans, text_col="content").agg(
+        F.sum("removed_chars")
+    ).collect()
+    release_tracked()
+
+
+WORKLOADS = {"pipeline": _wl_pipeline, "round3_ops": _wl_round3_ops}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mult", type=int, default=48)
+    ap.add_argument("--widths", default="4,16")
+    ap.add_argument("--workloads", default="pipeline,round3_ops")
+    args = ap.parse_args()
+
+    from deduplicatr_spark.session import build_session
+
+    results: dict[tuple[str, int], dict] = {}
+    for wl_name in args.workloads.split(","):
+        for width in (int(w) for w in args.widths.split(",")):
+            evdir = tempfile.mkdtemp(prefix=f"wv_ev_{wl_name}_{width}_")
+            spark = build_session(
+                f"wv_{wl_name}_{width}",
+                master=f"local[{width}]",
+                extra_conf={
+                    "spark.eventLog.enabled": "true",
+                    "spark.eventLog.dir": f"file:{evdir}",
+                    # Spark 4 compresses rolling v2 logs by default
+                    "spark.eventLog.compress": "false",
+                    "spark.ui.showConsoleProgress": "false",
+                },
+            )
+            spark.sparkContext.setLogLevel("ERROR")
+            try:
+                WORKLOADS[wl_name](spark, args.mult)
+            finally:
+                spark.stop()
+            vols = parse_event_log(evdir)
+            shutil.rmtree(evdir, ignore_errors=True)
+            vols = {k: round(v / 1e9, 3) for k, v in vols.items()}
+            results[(wl_name, width)] = vols
+            print(json.dumps({"workload": wl_name, "width": width,
+                              "mult": args.mult, "unit": "GB", **vols}),
+                  flush=True)
+
+    print("\n| workload | width | shuffle write | shuffle read | input | output |")
+    print("|---|---|---|---|---|---|")
+    for (wl, w), v in results.items():
+        print(f"| {wl} | local[{w}] | {v['shuffle_write']} GB | "
+              f"{v['shuffle_read']} GB | {v['input']} GB | {v['output']} GB |")
+
+
+if __name__ == "__main__":
+    main()

@@ -55,6 +55,50 @@ def hash_keys(n: int, seed: int) -> np.ndarray:
     return splitmix64(np.arange(1, n + 1, dtype=_U64) * _GOLDEN + _U64(seed))
 
 
+def concat_utf8(contents: list[str]):
+    """``(big, lens, offsets)`` for a batch of strings: the utf-8 bytes
+    of every document concatenated into ONE uint8 buffer, per-doc byte
+    lengths, and the n_docs+1 start offsets."""
+    bufs = [c.encode("utf-8") for c in contents]
+    lens = np.array([len(b) for b in bufs], dtype=np.int64)
+    big = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    offsets = np.zeros(lens.size + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    return big, lens, offsets
+
+
+def window_hashes(big: np.ndarray, lens: np.ndarray, offsets: np.ndarray,
+                  k: int, seed: int):
+    """splitmix64 polynomial hash of every k-byte window fully inside a
+    single document, concatenated per document in position order.
+
+    One pass of k strided multiply-adds over the ORIGINAL uint8 buffer
+    (no (W,k) uint64 materialization — 18x faster than an integer
+    matmul), then a document-boundary mask. Returns ``(h, wcounts)``
+    where ``wcounts[i] = max(lens[i] - k + 1, 0)`` is document i's
+    window count and ``h`` has ``wcounts.sum()`` entries. This is the
+    shared kernel behind shingles, winnow fingerprints and CDC anchors.
+    """
+    n_docs = lens.size
+    wcounts = np.maximum(lens - k + 1, 0)
+    if big.size < k:
+        return np.empty(0, dtype=_U64), wcounts
+    W = big.size - k + 1
+    coef = hash_keys(k, seed)
+    acc = np.zeros(W, dtype=_U64)
+    buf = np.empty(W, dtype=_U64)
+    for j in range(k):
+        # widening multiply straight into the scratch buffer — no
+        # per-iteration astype/product temporaries
+        np.multiply(big[j : j + W], coef[j], out=buf, casting="unsafe")
+        np.add(acc, buf, out=acc)
+    h = _splitmix64_inplace(acc, buf)
+    starts = np.arange(W, dtype=np.int64)
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lens)[:W]
+    valid = starts + k <= offsets[doc_idx + 1]
+    return h[valid], wcounts
+
+
 def batch_char_shingles(contents: list[str], k: int, seed: int,
                         return_mult: bool = False):
     """k-char shingle sets (deduped, unordered) for a batch of strings.
@@ -73,35 +117,11 @@ def batch_char_shingles(contents: list[str], k: int, seed: int,
     if n_docs == 0:
         return (empty, counts, np.empty(0, np.int64)) if return_mult else (empty, counts)
 
-    bufs = [c.encode("utf-8") for c in contents]
-    lens = np.array([len(b) for b in bufs], dtype=np.int64)
-    big = np.frombuffer(b"".join(bufs), dtype=np.uint8)
-    if big.size < k:
+    big, lens, offsets = concat_utf8(contents)
+    h, wcounts = window_hashes(big, lens, offsets, k, seed)
+    if h.size == 0:
         return (empty, counts, np.empty(0, np.int64)) if return_mult else (empty, counts)
-
-    offsets = np.zeros(n_docs + 1, dtype=np.int64)
-    np.cumsum(lens, out=offsets[1:])
-
-    # hash every k-window of the concatenated buffer with k strided
-    # multiply-adds over the ORIGINAL uint8 buffer (no (W,k) uint64
-    # materialization — 18x faster than an integer matmul), then mask
-    # windows that cross a document boundary
-    W = big.size - k + 1
-    coef = hash_keys(k, seed)
-    acc = np.zeros(W, dtype=_U64)
-    buf = np.empty(W, dtype=_U64)
-    for j in range(k):
-        # widening multiply straight into the scratch buffer — no
-        # per-iteration astype/product temporaries
-        np.multiply(big[j : j + W], coef[j], out=buf, casting="unsafe")
-        np.add(acc, buf, out=acc)
-    h = _splitmix64_inplace(acc, buf)
-
-    starts = np.arange(W, dtype=np.int64)
-    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lens)[:W]
-    valid = starts + k <= offsets[doc_idx + 1]
-    h = h[valid]
-    doc_idx = doc_idx[valid]
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), wcounts)
 
     # per-document dedup without a Python loop: sort by (doc, hash),
     # drop consecutive equals within a doc
@@ -273,3 +293,176 @@ def batch_simhash(flat: np.ndarray, counts: np.ndarray,
 def to_i64(a: np.ndarray) -> np.ndarray:
     """Reinterpret uint64 as int64 for Spark LongType columns."""
     return a.view(np.int64)
+
+
+def _dedup_per_doc(vals: np.ndarray, docs: np.ndarray, n_docs: int):
+    """Sort (doc, value), drop within-doc duplicates. Returns
+    ``(flat sorted-unique uint64 per doc, counts)``. Values sort in
+    SIGNED int64 order — the per-doc reference kernels emit
+    ``np.unique(to_i64(...))``, and parity (plus equal-set ⇒
+    equal-xxhash64 canonicalization downstream) needs the same order."""
+    order = np.lexsort((vals.view(np.int64), docs))
+    vals, docs = vals[order], docs[order]
+    if vals.size:
+        keep = np.ones(vals.size, dtype=bool)
+        keep[1:] = (vals[1:] != vals[:-1]) | (docs[1:] != docs[:-1])
+        vals, docs = vals[keep], docs[keep]
+    counts = np.bincount(docs, minlength=n_docs).astype(np.int64)
+    return vals, counts
+
+
+def subk_content_fp(big: np.ndarray, lens: np.ndarray, offsets: np.ndarray,
+                    mask: np.ndarray, k: int, seed: int) -> np.ndarray:
+    """Whole-content fallback fingerprint for sub-k documents (one
+    uint64 per masked doc, in doc order): splitmix64 of the byte
+    polynomial under the SAME coefficients the k-window hash uses,
+    xored with a hashed length key (so prefix-sharing short docs can't
+    collide). Equal bytes ⇒ equal fingerprint; used so identical
+    shorter-than-k docs still surface as winnow dup pairs instead of
+    silently dropping out of the stage (round-3 advice)."""
+    coef = hash_keys(k + 1, seed)  # coef[:k] == the k-window coefficients
+    blens = lens[mask]
+    m = blens.size
+    acc = np.zeros(m, dtype=_U64)
+    tot = int(blens.sum())
+    if tot:
+        bstarts = segment_starts(blens)[:-1]
+        within = np.arange(tot, dtype=np.int64) - np.repeat(bstarts, blens)
+        gpos = np.repeat(offsets[:-1][mask], blens) + within
+        prod = big[gpos].astype(_U64) * coef[within]
+        # add.at keeps uint64 wraparound (bincount-with-weights would
+        # cast to float64); sub-k docs are < k bytes each, so tiny
+        np.add.at(acc, np.repeat(np.arange(m, dtype=np.int64), blens), prod)
+    return splitmix64(acc ^ splitmix64(blens.astype(_U64) * coef[k]))
+
+
+def sliding_min(h: np.ndarray, w: int) -> np.ndarray:
+    """Minimum of every length-w window of ``h`` (uint64), in O(n) —
+    the van Herk / Gil-Werman two-pass block trick: split into blocks
+    of w, prefix-min and suffix-min within each block, then
+    ``min(suffix[i], prefix[i+w-1])`` spans any window exactly. ~4
+    linear passes, independent of w — vs the O(n·w) sliding argmin the
+    per-doc kernel uses (at w=16 that argmin was the single hottest
+    loop in the whole bench)."""
+    n = h.size
+    P = n - w + 1
+    nb = (n + w - 1) // w
+    a = np.full(nb * w, np.uint64(0xFFFFFFFFFFFFFFFF), dtype=_U64)
+    a[:n] = h
+    blocks = a.reshape(nb, w)
+    pre = np.minimum.accumulate(blocks, axis=1).ravel()
+    suf = np.minimum.accumulate(blocks[:, ::-1], axis=1)[:, ::-1].ravel()
+    return np.minimum(suf[:P], pre[w - 1 : w - 1 + P])
+
+
+def batch_winnow(contents: list[str], k: int, w: int, seed: int):
+    """Winnowed fingerprint sets for a whole batch, flat+counts contract
+    (Schleimer-Wilkerson-Aiken SIGMOD'03; see operators/winnow.py for
+    semantics). Bit-identical per document to ``winnow_one``.
+
+    Zero per-document Python: ONE strided hash pass over the
+    concatenated batch (``window_hashes``), ONE global sliding-window
+    argmin whose window starts are masked to never cross a document
+    boundary, then a per-doc lexsort dedup — the same flat-batch shape
+    as ``batch_char_shingles`` (round-3 verdict task #1; the previous
+    per-doc ``Series.map`` loop made winnowing 33% of the driver
+    bench). Sub-k docs (including empty) fall back to one
+    ``subk_content_fp`` fingerprint. Returns
+    ``(flat sorted-unique int64 per doc, counts)``."""
+    n_docs = len(contents)
+    if n_docs == 0:
+        return np.empty(0, np.int64), np.zeros(0, np.int64)
+    big, lens, offsets = concat_utf8(contents)
+    h, wcounts = window_hashes(big, lens, offsets, k, seed)
+    seg = segment_starts(wcounts)
+
+    vals_parts: list[np.ndarray] = []
+    docs_parts: list[np.ndarray] = []
+
+    # docs with ≥1 full winnow window: O(n) global sliding min. A
+    # window starting at flat position p belongs to doc d iff it ends
+    # inside d's segment (p + w <= seg[d+1]) — cross-boundary starts
+    # are masked out, exactly the trick window_hashes plays with
+    # k-windows. The fingerprint SET is the set of window-min VALUES
+    # (winnow_one's unique-pick indices are just an intermediate), so
+    # no argmin is needed; consecutive equal mins (sliding minima are
+    # piecewise-constant, density ~2/(w+1)) are pre-dropped before the
+    # global dedup sort.
+    if h.size >= w:
+        P = h.size - w + 1
+        smin = sliding_min(h, w)
+        pdoc = np.repeat(np.arange(n_docs, dtype=np.int64), wcounts)[:P]
+        ok = np.arange(P, dtype=np.int64) + w <= seg[pdoc + 1]
+        vals, docs = smin[ok], pdoc[ok]
+        if vals.size:
+            keep = np.ones(vals.size, dtype=bool)
+            keep[1:] = (vals[1:] != vals[:-1]) | (docs[1:] != docs[:-1])
+            vals, docs = vals[keep], docs[keep]
+        vals_parts.append(vals)
+        docs_parts.append(docs)
+
+    # docs with 0 < windows < w: the single fingerprint is the min of
+    # the whole (short) hash sequence — one reduceat over all nonempty
+    # segments, then select the short ones
+    small = (wcounts > 0) & (wcounts < w)
+    if small.any():
+        ne = wcounts > 0
+        mins = np.minimum.reduceat(h, seg[:-1][ne])
+        vals_parts.append(mins[small[ne]])
+        docs_parts.append(np.flatnonzero(small))
+
+    subk = lens < k
+    if subk.any():
+        vals_parts.append(subk_content_fp(big, lens, offsets, subk, k, seed))
+        docs_parts.append(np.flatnonzero(subk))
+
+    if not vals_parts:
+        return np.empty(0, np.int64), np.zeros(n_docs, np.int64)
+    v, counts = _dedup_per_doc(
+        np.concatenate(vals_parts), np.concatenate(docs_parts), n_docs
+    )
+    return to_i64(v), counts
+
+
+def batch_anchor_fps(contents: list[str], seed: int,
+                     anchor_win: int, fp_win: int, anchor_mod: int):
+    """Flat-batch CDC anchor fingerprints (the rsync/content-defined-
+    chunking trick behind the substring stage; see
+    operators/suffix_array.py). Bit-identical per document to
+    ``_anchor_fps_one``.
+
+    One rolling-hash pass over the concatenated batch selects
+    ~1/anchor_mod of positions per document BY CONTENT; each selected
+    anchor contributes the hash of the following ``fp_win`` bytes,
+    computed by fp_win gathered multiply-adds over anchor positions
+    only — no (n_anchors, fp_win) window materialization (the per-doc
+    version's ``sliding_window_view(...).astype(uint64) @ coef`` built
+    exactly that). Returns ``(flat sorted-unique int64 per doc,
+    counts)``."""
+    n_docs = len(contents)
+    if n_docs == 0:
+        return np.empty(0, np.int64), np.zeros(0, np.int64)
+    big, lens, offsets = concat_utf8(contents)
+    counts = np.zeros(n_docs, dtype=np.int64)
+    roll, rcounts = window_hashes(big, lens, offsets, anchor_win, seed)
+    if roll.size == 0:
+        return np.empty(0, np.int64), counts
+    rseg = segment_starts(rcounts)
+    rdoc = np.repeat(np.arange(n_docs, dtype=np.int64), rcounts)
+    within = np.arange(roll.size, dtype=np.int64) - rseg[rdoc]
+    sel = (roll % _U64(anchor_mod) == 0) & (
+        within + anchor_win + fp_win <= lens[rdoc]
+    )
+    if not sel.any():
+        return np.empty(0, np.int64), counts
+    adoc = rdoc[sel]
+    q = offsets[:-1][adoc] + within[sel] + anchor_win  # fp window starts
+    coef_f = hash_keys(fp_win, seed + 1)
+    acc = np.zeros(q.size, dtype=_U64)
+    tmp = np.empty(q.size, dtype=_U64)
+    for j in range(fp_win):
+        np.multiply(big[q + j], coef_f[j], out=tmp, casting="unsafe")
+        np.add(acc, tmp, out=acc)
+    fps = _splitmix64_inplace(acc, tmp)
+    v, counts = _dedup_per_doc(fps, adoc, n_docs)
+    return to_i64(v), counts

@@ -42,7 +42,10 @@ _ANCHOR_MOD = 16
 
 
 def _anchor_fps_one(buf: np.ndarray, seed: int) -> np.ndarray:
-    """Anchor fingerprints of one uint8 buffer (sorted unique int64)."""
+    """Anchor fingerprints of one uint8 buffer (sorted unique int64).
+
+    Reference oracle for ``core.batch_anchor_fps`` — the hot path; a
+    parity test pins them bit-identical."""
     if buf.size < _ANCHOR_WIN + _FP_WIN:
         return np.empty(0, dtype=np.int64)
     coef_a = core.hash_keys(_ANCHOR_WIN, seed)
@@ -67,9 +70,15 @@ def anchor_fp_udf(config: PipelineConfig):
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def _fps(content: pd.Series) -> pd.Series:
-        return content.fillna("").map(
-            lambda s: _anchor_fps_one(np.frombuffer(s.encode("utf-8"), np.uint8), seed)
+        # ONE flat-batch kernel call per Arrow batch (shared rolling-
+        # hash pass + gathered fp multiply-adds) — no per-document
+        # Python loop (round-3 verdict task #1)
+        vals = content.fillna("").tolist()
+        flat, counts = core.batch_anchor_fps(
+            vals, seed, _ANCHOR_WIN, _FP_WIN, _ANCHOR_MOD
         )
+        rows = np.split(flat, core.segment_starts(counts)[1:-1]) if vals else []
+        return pd.Series(rows, index=content.index, dtype=object)
 
     return _fps
 

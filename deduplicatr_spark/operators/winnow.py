@@ -41,10 +41,23 @@ def winnow_one(buf: np.ndarray, k: int, w: int, seed: int) -> np.ndarray:
     int64). Vectorized: one strided multiply-add hash pass over the
     k-windows (same kernel shape as batch_char_shingles), then a
     sliding-window argmin over the positional hash sequence
-    (``sliding_window_view`` is a view — no (n, w) materialization)."""
+    (``sliding_window_view`` is a view — no (n, w) materialization).
+
+    Sub-k docs (including empty) get ONE whole-content fallback
+    fingerprint (``subk_content_fp``) instead of an empty set, so
+    identical short docs still pair up at Jaccard 1.0 rather than
+    silently dropping out of the stage (round-3 advice). Reference
+    oracle for ``core.batch_winnow`` — the hot path; a parity test
+    pins them bit-identical."""
     n = buf.size
     if n < k:
-        return np.empty(0, dtype=np.int64)
+        lens = np.array([n], dtype=np.int64)
+        offsets = np.array([0, n], dtype=np.int64)
+        return core.to_i64(
+            core.subk_content_fp(
+                buf, lens, offsets, np.array([True]), k, seed
+            )
+        )
     W = n - k + 1
     coef = core.hash_keys(k, seed)
     acc = np.zeros(W, dtype=np.uint64)
@@ -65,11 +78,13 @@ def winnow_udf(config: PipelineConfig):
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def _fps(content: pd.Series) -> pd.Series:
-        return content.fillna("").map(
-            lambda s: winnow_one(
-                np.frombuffer(s.encode("utf-8"), np.uint8), k, w, seed
-            )
-        )
+        # ONE flat-batch kernel call for the whole Arrow batch (strided
+        # hash pass + boundary-masked sliding argmin) — no per-document
+        # Python loop; np.split slices the flat result into row arrays
+        vals = content.fillna("").tolist()
+        flat, counts = core.batch_winnow(vals, k, w, seed)
+        rows = np.split(flat, core.segment_starts(counts)[1:-1]) if vals else []
+        return pd.Series(rows, index=content.index, dtype=object)
 
     return _fps
 

@@ -1,0 +1,110 @@
+"""Flat-batch kernel parity: ``batch_winnow`` / ``batch_anchor_fps``
+(the UDF hot paths — one strided pass per Arrow batch, zero
+per-document Python) must be bit-identical to the per-document
+reference kernels ``winnow_one`` / ``_anchor_fps_one`` on every
+document, including empty, sub-k and boundary-length docs."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from deduplicatr_spark.functions import _numpy_core as core
+from deduplicatr_spark.operators.suffix_array import (
+    _ANCHOR_MOD,
+    _ANCHOR_WIN,
+    _FP_WIN,
+    _anchor_fps_one,
+)
+from deduplicatr_spark.operators.winnow import winnow_one
+
+K, W, SEED = 9, 16, 42
+
+
+def _mixed_batch(rng: np.random.Generator) -> list[str]:
+    """Docs spanning every boundary case: empty, sub-k, exactly k,
+    k..k+w-2 (single-window), longer, repeated content, and multi-byte
+    utf-8 (flat offsets are BYTE offsets — unicode must not shift
+    segment boundaries)."""
+    docs = ["", "a", "ab", "x" * (K - 1), "y" * K, "z" * (K + W - 2)]
+    for n in (K + W - 1, 40, 137, 400, 2000):
+        docs.append(
+            "".join(chr(c) for c in rng.integers(97, 123, size=n))
+        )
+    docs.append(docs[-1])          # identical long pair
+    docs.append("héllo wörld ünïcode 🎉 " * 12)
+    docs.append("短い文書です")      # multi-byte, short
+    rng.shuffle(docs)
+    return docs
+
+
+def _split(flat: np.ndarray, counts: np.ndarray) -> list[np.ndarray]:
+    return np.split(flat, core.segment_starts(counts)[1:-1])
+
+
+def test_batch_winnow_matches_per_doc():
+    rng = np.random.default_rng(11)
+    docs = _mixed_batch(rng)
+    flat, counts = core.batch_winnow(docs, K, W, SEED)
+    assert counts.sum() == flat.size
+    for s, got in zip(docs, _split(flat, counts)):
+        want = winnow_one(np.frombuffer(s.encode("utf-8"), np.uint8), K, W, SEED)
+        np.testing.assert_array_equal(got, want, err_msg=repr(s[:40]))
+
+
+def test_batch_winnow_other_params():
+    rng = np.random.default_rng(12)
+    docs = _mixed_batch(rng)
+    for k, w in ((5, 8), (4, 32), (13, 4)):
+        flat, counts = core.batch_winnow(docs, k, w, 7)
+        for s, got in zip(docs, _split(flat, counts)):
+            want = winnow_one(np.frombuffer(s.encode("utf-8"), np.uint8), k, w, 7)
+            np.testing.assert_array_equal(got, want, err_msg=f"k={k} w={w} {s[:40]!r}")
+
+
+def test_batch_winnow_empty_batch():
+    flat, counts = core.batch_winnow([], K, W, SEED)
+    assert flat.size == 0 and counts.size == 0
+
+
+def test_subk_fallback_pairs_identical_short_docs():
+    """Identical sub-k docs share their single fallback fingerprint;
+    distinct ones (and distinct lengths sharing a prefix) do not."""
+    flat, counts = core.batch_winnow(["ab", "ab", "ac", "a", ""], 9, 16, SEED)
+    rows = [r.tolist() for r in _split(flat, counts)]
+    assert all(len(r) == 1 for r in rows)
+    assert rows[0] == rows[1]
+    assert rows[0] != rows[2] and rows[0] != rows[3] and rows[3] != rows[4]
+
+
+def test_batch_anchor_fps_matches_per_doc():
+    rng = np.random.default_rng(13)
+    # anchors need ≥ 80 bytes; include sub-threshold, boundary and long
+    docs = ["", "short", "x" * (_ANCHOR_WIN + _FP_WIN - 1),
+            "y" * (_ANCHOR_WIN + _FP_WIN)]
+    for n in (100, 300, 1000, 5000):
+        docs.append("".join(chr(c) for c in rng.integers(32, 127, size=n)))
+    docs.append(docs[-1])
+    docs.append("ünïcode 🎉 padding " * 40)
+    flat, counts = core.batch_anchor_fps(
+        docs, SEED + 1000, _ANCHOR_WIN, _FP_WIN, _ANCHOR_MOD
+    )
+    assert counts.sum() == flat.size
+    for s, got in zip(docs, _split(flat, counts)):
+        want = _anchor_fps_one(
+            np.frombuffer(s.encode("utf-8"), np.uint8), SEED + 1000
+        )
+        np.testing.assert_array_equal(got, want, err_msg=repr(s[:40]))
+
+
+def test_batch_anchor_fps_shared_block_aligns():
+    """The CDC property the stage depends on: a long shared block
+    yields common anchor fingerprints regardless of prefix shift."""
+    rng = np.random.default_rng(14)
+    block = "".join(chr(c) for c in rng.integers(97, 123, size=600))
+    a = "PREFIX-A " * 3 + block
+    b = "a totally different and longer prefix here " + block + " tail"
+    flat, counts = core.batch_anchor_fps(
+        [a, b], SEED, _ANCHOR_WIN, _FP_WIN, _ANCHOR_MOD
+    )
+    ra, rb = (set(r.tolist()) for r in _split(flat, counts))
+    assert ra & rb

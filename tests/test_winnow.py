@@ -23,9 +23,17 @@ def _oracle_winnow(s: bytes, k: int, w: int, seed: int) -> set[int]:
     splitmix construction as the kernel, recomputed hash-by-hash), then
     take the min of each w-window of consecutive hashes."""
     n = len(s)
-    if n < k:
-        return set()
     mask = (1 << 64) - 1
+    if n < k:
+        # whole-content fallback: polynomial under the same coefficients
+        # xor a hashed length key (mirrors core.subk_content_fp)
+        coefx = [int(c) for c in core.hash_keys(k + 1, seed)]
+        acc = 0
+        for i in range(n):
+            acc = (acc + s[i] * coefx[i]) & mask
+        lk = int(core.splitmix64(np.array([(n * coefx[k]) & mask], np.uint64))[0])
+        v = int(core.splitmix64(np.array([acc ^ lk], np.uint64))[0])
+        return {v - (1 << 64) if v >= 1 << 63 else v}
     coef = [int(c) for c in core.hash_keys(k, seed)]
     hashes = []
     for i in range(n - k + 1):

@@ -858,6 +858,45 @@ def _q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("q_id", "n_id", F.col("rank").cast("long").alias("rank"))
 
 
+def _q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means trainer (operators/kmeans.py): Lloyd over a
+    planted wide-margin cell structure must recover the partition
+    EXACTLY. Construction: each vec_id gets the 8-dim vector
+    v[j] = 24·[j == vec_id % 8] + embedding[j+1] — background coords
+    are bounded (|e| ≤ ~1), so within-cell sq-dist ≤ 32 while
+    between-cell ≥ ~1000: wide enough that farthest-point init
+    provably lands one seed per planted cell (Gonzalez 1985) and no
+    float-summation-order jitter can flip an assignment. Labels are
+    canonicalized to min(vec_id) per learned cell; the oracle computes
+    the planted truth directly — an init, update, convergence or
+    assignment bug yields a split/merged cell and goes red."""
+    from deduplicatr_spark.operators.kmeans import assign_expr, kmeans_train
+
+    base = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    planted = base.select(
+        "vec_id",
+        F.array(
+            *[
+                F.when(F.pmod("vec_id", F.lit(8)) == j, F.lit(24.0))
+                .otherwise(F.lit(0.0))
+                + F.element_at("e", j + 1)
+                for j in range(8)
+            ]
+        ).alias("v"),
+    )
+    model = kmeans_train(planted, k=8, max_iters=10, tol=1e-12, vec_col="v")
+    assigned = planted.select(
+        "vec_id", assign_expr(model.centroids, "v").alias("_cell")
+    )
+    wc = Window.partitionBy("_cell")
+    return assigned.select(
+        "vec_id", F.min("vec_id").over(wc).alias("cluster_rep")
+    )
+
+
 def _emb_with_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embeddings ∪ perturbed copies (+0.5 on coord 1, id +100000) —
     mirrors the embedding_dup_pairs oracle CTE exactly."""
@@ -1579,6 +1618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_prune_mis": _q_semdedup_mis,
         "lsh_topk": _q_lsh_topk,
         "ivf_topk": _q_ivf_topk,
+        "kmeans_cells": _q_kmeans_cells,
         "multimodal_meta": _q_multimodal_meta,
         "cc_fingerprint_chains": _q_cc_fingerprint_chains,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
@@ -2620,6 +2660,15 @@ WITH base AS (
 )
 SELECT vec_id AS q_id, vec_id + 100000 AS n_id, CAST(1 AS BIGINT) AS rank
 FROM qual
+""",
+        # planted truth for the k-means trainer: the wide-margin cell
+        # structure IS vec_id % 8, so a correct init+Lloyd recovers the
+        # partition exactly and min-id canonical labels coincide
+        "kmeans_cells": """
+SELECT vec_id,
+       CAST(min(vec_id) OVER (PARTITION BY vec_id % 8) AS BIGINT)
+         AS cluster_rep
+FROM embeddings
 """,
         "semdedup_prune": """
 WITH base AS (

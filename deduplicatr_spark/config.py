@@ -108,6 +108,17 @@ class PipelineConfig:
     # semantics — opt in per deployment.
     substring_in_pipeline: bool = False
 
+    # --- incremental assignment (SURVEY §2.14) ---
+    # When True the delta near path ALSO joins the base SimHash key
+    # index, in the fused tag-bit key space the batch s3 stage uses
+    # (shiftleft(key,1)+tag): a delta doc that is Hamming-near a base
+    # doc but below Jaccard τ on shingles adopts the base cluster
+    # instead of founding a fresh one — closing the round-3 drift gap
+    # where increments missed pairs the batch pipeline would merge.
+    # Off by default: it switches the precomputed-stats contract to
+    # fused_bucket_stats and adds the SimHash key volume to the join.
+    incremental_simhash: bool = False
+
     # --- clustering (SURVEY §2.11) ---
     cc_max_iters: int = 50
     # False: per-round lineage truncation via localCheckpoint (executor

@@ -72,6 +72,43 @@ def band_bucket_stats(base_features: DataFrame) -> DataFrame:
     )
 
 
+def fused_key_rows(
+    features: DataFrame, config: PipelineConfig, n_docs: int | None = None
+) -> DataFrame:
+    """(doc_id, band_hash) in the FUSED key space: LSH band keys carry
+    tag bit 0, SimHash pigeonhole keys tag bit 1 — ``shiftleft(k,1) +
+    tag``, the exact fold the batch s3 stage feeds the shared bucket
+    core (operators/lsh.py § keyed_candidate_pairs), so ONE equi-join /
+    ONE bucket-core pass covers both similarity families and
+    ``pmod(key, 2)`` recovers the source.
+
+    NOTE: SimHash blocking must resolve identically for the delta and
+    base sides — pin ``simhash_blocking`` to 'chunks' or 'combo' in the
+    increment config ('auto' with unknown n_docs resolves to 'chunks'
+    on both sides here, which is consistent but may differ from what a
+    huge batch index auto-picked)."""
+    from deduplicatr_spark.operators.pigeonhole import simhash_keys_for
+
+    bands = explode_bands(features).select(
+        "doc_id", F.shiftleft("band_hash", 1).alias("band_hash")
+    )
+    sims = simhash_keys_for(features, config, n_docs).select(
+        "doc_id", (F.shiftleft("band_hash", 1) + F.lit(1)).alias("band_hash")
+    )
+    return bands.unionByName(sims)
+
+
+def fused_bucket_stats(
+    base_features: DataFrame, config: PipelineConfig, n_docs: int | None = None
+) -> DataFrame:
+    """(band_hash, n) over the FUSED key space — the precomputable
+    index-build-time table ``near_assign`` expects instead of
+    ``band_bucket_stats`` when ``config.incremental_simhash`` is on."""
+    return fused_key_rows(base_features, config, n_docs).groupBy("band_hash").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
 def exact_split(
     new_ident: DataFrame,
     base_identity: DataFrame,
@@ -141,11 +178,28 @@ def near_assign(
     ``band_bucket_stats`` — when given, NO aggregation over the full
     base index appears in the plan (assert via .explain: the only scan
     of base_features feeds the equi-join / shingle lookup).
+
+    With ``config.incremental_simhash`` both sides key in the fused
+    LSH∪SimHash space (``fused_key_rows``; pass ``fused_bucket_stats``
+    as the precomputed table) and a candidate is adopted when it passes
+    EITHER the Jaccard τ gate or the Hamming ≤ d gate — so a delta doc
+    that is SimHash-near a base doc below shingle-Jaccard τ links the
+    base cluster exactly as the batch pipeline's fused s3 stage would
+    merge it, instead of founding a drifting fresh cluster.
     """
-    new_bands = explode_bands(feats).withColumnsRenamed({"doc_id": "_new_id"})
-    base_bands = explode_bands(base_features).withColumnsRenamed(
-        {"doc_id": "_base_id"}
-    )
+    use_sim = config.incremental_simhash
+    if use_sim:
+        new_bands = fused_key_rows(feats, config).withColumnsRenamed(
+            {"doc_id": "_new_id"}
+        )
+        base_bands = fused_key_rows(base_features, config).withColumnsRenamed(
+            {"doc_id": "_base_id"}
+        )
+    else:
+        new_bands = explode_bands(feats).withColumnsRenamed({"doc_id": "_new_id"})
+        base_bands = explode_bands(base_features).withColumnsRenamed(
+            {"doc_id": "_base_id"}
+        )
     # thin hot BASE buckets pre-join (the delta side is small by
     # definition): deterministic keep-mod, dropped rows ledgered
     cap = config.max_bucket_size
@@ -169,12 +223,22 @@ def near_assign(
         .distinct()
     )
 
-    sh_new = feats.select(F.col("doc_id").alias("_new_id"), F.col("shingles").alias("_sa"))
+    sh_new = feats.select(
+        F.col("doc_id").alias("_new_id"), F.col("shingles").alias("_sa"),
+        *([F.col("simhash").alias("_ha")] if use_sim else []),
+    )
     sh_base = base_features.select(
-        F.col("doc_id").alias("_base_id"), F.col("shingles").alias("_sb")
+        F.col("doc_id").alias("_base_id"), F.col("shingles").alias("_sb"),
+        *([F.col("simhash").alias("_hb")] if use_sim else []),
     )
     inter = F.size(F.array_intersect("_sa", "_sb"))
     union = F.size("_sa") + F.size("_sb") - inter
+    gate = F.col("jaccard") >= config.jaccard_tau
+    if use_sim:
+        gate = gate | (
+            F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+            <= config.hamming_d
+        )
     verified = (
         cand.join(sh_new, "_new_id")
         .join(sh_base, "_base_id")
@@ -184,7 +248,7 @@ def near_assign(
                 F.lit(0.0)
             ),
         )
-        .filter(F.col("jaccard") >= config.jaccard_tau)
+        .filter(gate)
         .join(
             base_clusters.withColumnsRenamed(
                 {"doc_id": "_base_id", "cluster_id": "_cl"}
@@ -222,21 +286,51 @@ def link_delta_near(
 
     Returns ``(links, drop_stats)`` — links: (doc_id, link_id = min
     doc_id of the τ-component) for every linked doc; drop_stats: the
-    bucket core's one-row no-silent-caps ledger."""
-    fresh_feats = feats.join(fresh_ids.select("doc_id"), "doc_id")
-    keyed = explode_bands(fresh_feats).select("doc_id", "band_hash")
-    pairs, drop_stats = keyed_candidate_pairs(keyed, config)
+    bucket core's no-silent-caps ledger, summed to one row.
 
-    sh = fresh_feats.select("doc_id", "shingles")
+    With ``config.incremental_simhash`` the self-join keys in the fused
+    LSH∪SimHash space (two tagged sources through the shared core) and
+    verification accepts Jaccard ≥ τ OR Hamming ≤ d — mirroring both
+    ``near_assign`` and the batch pipeline's fused candidate stage."""
+    use_sim = config.incremental_simhash
+    fresh_feats = feats.join(fresh_ids.select("doc_id"), "doc_id")
+    if use_sim:
+        keyed = fused_key_rows(fresh_feats, config)
+        pairs, drop_stats = keyed_candidate_pairs(keyed, config, n_sources=2)
+    else:
+        keyed = explode_bands(fresh_feats).select("doc_id", "band_hash")
+        pairs, drop_stats = keyed_candidate_pairs(keyed, config)
+    drop_stats = drop_stats.agg(
+        F.coalesce(F.sum("capped_docs"), F.lit(0)).alias("capped_docs"),
+        F.coalesce(F.sum("hot_buckets"), F.lit(0)).alias("hot_buckets"),
+        F.coalesce(F.sum("hot_rows"), F.lit(0)).alias("hot_rows"),
+    )
+
+    sh = fresh_feats.select(
+        "doc_id", "shingles", *(["simhash"] if use_sim else [])
+    )
     inter = F.size(F.array_intersect("_sa", "_sb"))
     union = F.size("_sa") + F.size("_sb") - inter
+    gate = F.col("_j") >= config.jaccard_tau
+    if use_sim:
+        gate = gate | (
+            F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+            <= config.hamming_d
+        )
     verified = (
-        pairs.join(
-            sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("_sa")),
+        pairs.select("doc_a", "doc_b").distinct()
+        .join(
+            sh.select(
+                F.col("doc_id").alias("doc_a"), F.col("shingles").alias("_sa"),
+                *([F.col("simhash").alias("_ha")] if use_sim else []),
+            ),
             "doc_a",
         )
         .join(
-            sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("_sb")),
+            sh.select(
+                F.col("doc_id").alias("doc_b"), F.col("shingles").alias("_sb"),
+                *([F.col("simhash").alias("_hb")] if use_sim else []),
+            ),
             "doc_b",
         )
         .withColumn(
@@ -245,7 +339,7 @@ def link_delta_near(
                 F.lit(0.0)
             ),
         )
-        .filter(F.col("_j") >= config.jaccard_tau)
+        .filter(gate)
         .select("doc_a", "doc_b")
     )
     labels, _ = connected_components(verified, config)
@@ -301,7 +395,9 @@ def incremental_assign(
     (the batch pipeline's s2 checkpoint — reread, never recomputed).
     ``base_clusters``: (doc_id, cluster_id) from the batch run.
     ``base_band_stats``: optional precomputed (band_hash, n) — see
-    ``band_bucket_stats``.
+    ``band_bucket_stats`` (``fused_bucket_stats`` when
+    ``config.incremental_simhash`` is on — the stats table must live in
+    the same key space as the join).
 
     ``assignments``: (doc_id, cluster_id, via ∈ {exact, near, new})
     for every delta row; with ``link_delta_internal`` (default) fresh
@@ -378,9 +474,15 @@ class IncrementalPipeline:
         cfg, store = self.config, self.store
         if base_band_stats is None:
             # computed once per increment root, then a cheap reread —
-            # but prefer passing the index-build-time table
+            # but prefer passing the index-build-time table (fused key
+            # space when the simhash near path is on)
             base_band_stats = store.get_or_compute(
-                "i0_band_stats", lambda: band_bucket_stats(base_features)
+                "i0_band_stats",
+                lambda: (
+                    fused_bucket_stats(base_features, cfg)
+                    if cfg.incremental_simhash
+                    else band_bucket_stats(base_features)
+                ),
             )
 
         ident = store.get_or_compute(

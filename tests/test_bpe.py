@@ -1,0 +1,136 @@
+"""Fixture-vocab BPE tokenizer (functions/bpe.py): the flat-batch
+merge kernel vs a straightforward per-word reference, the lossless
+round-trip contract, and real subword counts feeding the packing
+operators' ``token_count_col`` plumbing (round-3 verdict task #4)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from deduplicatr_spark.functions.bpe import (
+    DEFAULT_MERGES,
+    PRETOK,
+    bpe_token_count_udf,
+    bpe_tokens_udf,
+    tokenize_batch,
+)
+
+
+def _reference_word(word: str, merges) -> list[str]:
+    """Sequential per-word BPE: apply each merge rank in order with a
+    leftmost-greedy scan — an independent implementation of the same
+    tokenizer definition (the pure-Python oracle)."""
+    syms = list(word)
+    for a, b in merges:
+        out: list[str] = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def _reference_doc(text: str, merges=DEFAULT_MERGES) -> list[str]:
+    toks: list[str] = []
+    for p in PRETOK.findall(text):
+        if p[0].isascii() and p[0].isalpha():
+            toks.extend(_reference_word(p, merges))
+        else:
+            toks.append(p)
+    return toks
+
+
+FIXTURE_DOCS = [
+    "def compute(self):\n    return self.value + 1",
+    "import collections\nclass Thing:\n    pass",
+    "the rain in spain stays mainly on the plain 12345 !!",
+    "",
+    "   \n\t  ",
+    "aaaa bbbb the the the",
+    "MixedCase CamelHump XYZ",
+    "ünïcode wörds stay atomic per char: 日本語",
+]
+
+
+def test_kernel_matches_reference():
+    got = tokenize_batch(FIXTURE_DOCS)
+    for doc, toks in zip(FIXTURE_DOCS, got):
+        assert toks == _reference_doc(doc), doc[:40]
+
+
+def test_kernel_matches_reference_random():
+    rng = np.random.default_rng(9)
+    alphabet = "etaoin shrdlu.(){}\n0123"
+    docs = [
+        "".join(alphabet[i] for i in rng.integers(0, len(alphabet), size=n))
+        for n in (5, 37, 200, 991)
+    ]
+    for doc, toks in zip(docs, tokenize_batch(docs)):
+        assert toks == _reference_doc(doc)
+
+
+def test_roundtrip_partition():
+    for doc, toks in zip(FIXTURE_DOCS, tokenize_batch(FIXTURE_DOCS)):
+        assert "".join(toks) == doc
+
+
+def test_overlapping_same_symbol_merge():
+    # leftmost-greedy: aaaaa + (a,a) -> aa aa a
+    assert tokenize_batch(["aaaaa"], merges=[("a", "a")]) == [["aa", "aa", "a"]]
+
+
+def test_udfs_and_packing_integration(spark):
+    """Real subword counts flow through pack_sequences via
+    token_count_col; a pure-Python replay of the per-stream cumulative
+    packing using the reference tokenizer must reproduce Spark's
+    offsets exactly."""
+    from deduplicatr_spark.operators.packing import pack_sequences
+
+    rows = [(i, FIXTURE_DOCS[i % len(FIXTURE_DOCS)]) for i in range(24)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    with_counts = docs.withColumn("n_bpe", bpe_token_count_udf()(F.col("text")))
+
+    got_counts = {r["doc_id"]: r["n_bpe"] for r in with_counts.collect()}
+    for i, text in rows:
+        assert got_counts[i] == len(_reference_doc(text)), i
+
+    packed = pack_sequences(
+        with_counts, seq_len=16, n_streams=4, token_count_col="n_bpe"
+    )
+    got = {
+        r["doc_id"]: (r["stream"], r["n_tokens"], r["tok_start"])
+        for r in packed.collect()
+    }
+
+    # pure-Python replay: same hash-stream rule, ascending doc_id,
+    # cumulative offsets over REAL subword counts
+    streams = {
+        r["doc_id"]: r["stream"]
+        for r in docs.select(
+            "doc_id", F.pmod(F.xxhash64("doc_id"), F.lit(4)).alias("stream")
+        ).collect()
+    }
+    offset: dict[int, int] = {}
+    for i, text in sorted(rows):
+        n = len(_reference_doc(text))
+        if n == 0:
+            assert i not in got  # zero-token docs excluded
+            continue
+        s = streams[i]
+        assert got[i] == (s, n, offset.get(s, 0)), i
+        offset[s] = offset.get(s, 0) + n
+
+    # token arrays rejoin to the original text (the oracle invariant)
+    joined = docs.select(
+        "doc_id",
+        F.concat_ws("", bpe_tokens_udf()(F.col("text"))).alias("rt"),
+    )
+    assert all(
+        r["rt"] == dict(rows)[r["doc_id"]] for r in joined.collect()
+    )

@@ -1,0 +1,102 @@
+"""Distributed k-means trainer (operators/kmeans.py): planted-cell
+recovery, convergence behavior, empty-cell handling, and the
+round-3-verdict "done" condition — ivf_topk consuming a trained
+quantizer instead of the deterministic test centroids."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from deduplicatr_spark.operators.kmeans import (
+    assign_expr,
+    kmeans_init_farthest,
+    kmeans_train,
+)
+from deduplicatr_spark.operators.topk import brute_force_topk, ivf_topk
+
+DIM = 6
+CENTERS = np.array(
+    [
+        [0.0, 0, 0, 0, 0, 0],
+        [10.0, 0, 0, 0, 0, 0],
+        [0.0, 10, 0, 0, 0, 0],
+        [5.0, 5, 10, 0, 0, 0],
+    ]
+)
+
+
+def _planted(spark, n_per=15, jitter=0.5, seed=3):
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n_per * len(CENTERS)):
+        cell = i % len(CENTERS)
+        v = CENTERS[cell] + rng.uniform(-jitter, jitter, size=DIM)
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, v array<double>")
+
+
+def test_farthest_init_one_seed_per_cell(spark):
+    emb = _planted(spark)
+    cents = kmeans_init_farthest(emb, k=4)
+    got = {int(np.argmin(((CENTERS - np.array(c)) ** 2).sum(axis=1))) for c in cents}
+    assert got == {0, 1, 2, 3}, "farthest-point init must hit every planted cell"
+
+
+def test_kmeans_recovers_planted_partition(spark):
+    emb = _planted(spark)
+    model = kmeans_train(emb, k=4, max_iters=10, tol=1e-12)
+    assert model.iterations <= 4 and model.final_shift <= 1e-12
+    got = {
+        r["vec_id"]: r["c"]
+        for r in emb.select(
+            "vec_id", assign_expr(model.centroids, "v").alias("c")
+        ).collect()
+    }
+    # learned labels are arbitrary; the induced PARTITION must match
+    by_label: dict[int, set[int]] = {}
+    for vid, c in got.items():
+        by_label.setdefault(c, set()).add(vid)
+    want = {
+        frozenset(range(cell, 60, len(CENTERS))) for cell in range(len(CENTERS))
+    }
+    assert {frozenset(s) for s in by_label.values()} == want
+    # learned centroids sit at the planted cell means
+    for c in model.centroids:
+        d = ((CENTERS - np.array(c)) ** 2).sum(axis=1).min()
+        assert d < 1.0
+
+
+def test_kmeans_centroid_df_shape(spark):
+    model = kmeans_train(_planted(spark), k=4, max_iters=5)
+    df = model.df(spark)
+    assert df.schema.simpleString() == "struct<cell_id:bigint,cv:array<double>>"
+    assert df.count() == 4
+
+
+def test_kmeans_empty_input_raises(spark):
+    empty = spark.createDataFrame([], "vec_id long, v array<double>")
+    with pytest.raises(ValueError):
+        kmeans_init_farthest(empty, k=2)
+
+
+def test_ivf_topk_consumes_trained_quantizer(spark):
+    """ivf_topk with kmeans_train output must agree with brute force:
+    clusters are wide-margin, so nprobe=1 candidate sets contain every
+    true neighbor (queries' top-k are all in their own cell)."""
+    emb = _planted(spark)
+    model = kmeans_train(emb, k=4, max_iters=10)
+    queries = emb.filter(F.col("vec_id") < 4)
+    got = {
+        (r["q_id"], r["n_id"], r["rank"])
+        for r in ivf_topk(
+            emb, queries, k=3, centroids=model.df(spark), nprobe=1,
+            vec_col="v",
+        ).collect()
+    }
+    want = {
+        (r["q_id"], r["n_id"], r["rank"])
+        for r in brute_force_topk(emb, queries, k=3, vec_col="v").collect()
+    }
+    assert got == want

@@ -51,6 +51,8 @@ from deduplicatr_spark.operators.verify import verify_pairs
 from deduplicatr_spark.plans.pipeline import DedupPipeline
 from deduplicatr_spark.sources.scratch import (
     claim_scratch_root,
+    owner_pid,
+    pid_alive,
     sweep_stale_scratch,
 )
 
@@ -897,6 +899,33 @@ def _q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real subword (BPE) tokenization (functions/bpe.py): fixture-
+    vocab greedy merges applied in rank order, flat-batched per Arrow
+    batch. An oracle SQL engine cannot replay an iterative merge loop,
+    so this row checks the tokenizer's two STRUCTURAL contracts
+    exactly: (a) lossless round-trip — the pre-tokenizer partitions the
+    text and merges only concatenate adjacent pieces, so
+    sha256(concat(tokens)) must equal sha256(text) byte-for-byte; (b)
+    merges touch ONLY letter runs, so the count of non-letter tokens
+    must equal DuckDB's count of non-letter pre-token matches under
+    the same ASCII regex classes. A kernel bug that drops, duplicates,
+    reorders or cross-class-merges a single character goes red. The
+    SEGMENTATION itself is pinned by the independent pure-Python
+    reference in tests/test_bpe.py."""
+    from deduplicatr_spark.functions.bpe import bpe_tokens_udf
+
+    d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    toks = d.select("doc_id", bpe_tokens_udf()(F.col("text")).alias("toks"))
+    return toks.select(
+        "doc_id",
+        F.sha2(F.concat_ws("", F.col("toks")), 256).alias("roundtrip_sha"),
+        F.size(
+            F.filter("toks", lambda t: ~t.rlike("^[A-Za-z]"))
+        ).cast("long").alias("n_atomic"),
+    )
+
+
 def _emb_with_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embeddings ∪ perturbed copies (+0.5 on coord 1, id +100000) —
     mirrors the embedding_dup_pairs oracle CTE exactly."""
@@ -1158,6 +1187,11 @@ def _q_simhash_weighted_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# base-doc byte cap for planted substring truths: 64 bytes under the
+# stage's oversize-exclusion bound so every derived twin stays eligible
+_SUB_TRUTH_MAX_B = ENTRY_CONFIG.substring_max_doc_bytes - 64
+
+
 def _substring_truth(
     spark: SparkSession, sf_dir: str, min_chars: int | None = None
 ) -> DataFrame:
@@ -1171,11 +1205,17 @@ def _substring_truth(
     the span-removal query, whose verify measures codepoints: a ≥400-
     byte block of 4-byte codepoints could fall below the codepoint
     min_len and the byte-gated truth would then over-claim (no-op on
-    ASCII corpora, where the gate validations run)."""
+    ASCII corpora, where the gate validations run).
+
+    UPPER gate (round-3 advice): the substring stage EXCLUDES docs over
+    ``substring_max_doc_bytes`` (with an oversize ledger), so the truth
+    must exclude them too — base docs are capped 64 bytes below the
+    stage cap, leaving room for the planted wrappers (+12-byte 'near'
+    suffix, 'embed/<id>:'..':tail') on the derived twin."""
     d = _docs(spark, sf_dir).filter(F.col("text").isNotNull()).select(
         "doc_id", F.octet_length("text").alias("_len"),
         F.length("text").alias("_chars"),
-    ).filter(F.col("_len") >= 400)
+    ).filter((F.col("_len") >= 400) & (F.col("_len") <= _SUB_TRUTH_MAX_B))
     if min_chars is not None:
         d = d.filter(F.col("_chars") >= min_chars)
     copy = d.filter(F.col("doc_id") % 10 == 0).select(
@@ -1194,7 +1234,9 @@ def _substring_truth(
         F.col("_len").alias("want_len"),
     )
     mirror_src = _planted(spark, sf_dir).filter(
-        (F.col("repo") == "src0") & (F.octet_length("content") >= 400)
+        (F.col("repo") == "src0")
+        & (F.octet_length("content") >= 400)
+        & (F.octet_length("content") <= _SUB_TRUTH_MAX_B)
     )
     if min_chars is not None:
         mirror_src = mirror_src.filter(F.length("content") >= min_chars)
@@ -1285,6 +1327,7 @@ def _q_duplicate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") < 1000000)
         & (F.col("doc_id") % 6 == 0)
         & (F.length("content") >= 400)
+        & (F.octet_length("content") <= _SUB_TRUTH_MAX_B)
     )
     embeds = base.select(
         (F.col("doc_id") + 8000000).alias("doc_id"),
@@ -1502,26 +1545,54 @@ def _code_fingerprint() -> str:
     return _CODE_FP_CACHE[0]
 
 
+def _corpus_fingerprint(sf_abs: str) -> str:
+    """Content fingerprint of the input directory: every file's
+    relative path + size + mtime_ns. Regenerating the corpus IN PLACE
+    (same path, new data) changes this, so the pipeline can never
+    silently resume checkpoints computed from the old data (round-3
+    advice, medium)."""
+    h = hashlib.sha256()
+    for dirpath, dirnames, filenames in sorted(os.walk(sf_abs)):
+        dirnames.sort()
+        for fn in sorted(filenames):
+            p = os.path.join(dirpath, fn)
+            try:
+                st = os.stat(p)
+            except OSError:
+                continue
+            h.update(
+                f"{os.path.relpath(p, sf_abs)}:{st.st_size}:{st.st_mtime_ns}|".encode()
+            )
+    return h.hexdigest()[:8]
+
+
 def _ckpt_root(sf_dir: str) -> str:
     """Deterministic, REUSED checkpoint root for the pipeline query —
-    keyed by (code fingerprint, config hash, full sf-dir path) so a
-    repeat invocation of the SAME code+config+corpus resumes from its
-    own checkpoints instead of accumulating a fresh mkdtemp per run
-    (tmpfs is ~50% of RAM; leaked roots eventually ENOSPC later runs),
-    while any code or config change forces a full recompute, and two
-    different corpora that happen to share a basename (/a/sf0.1 vs
-    /b/sf0.1) can never cross-resume. Stale roots matching this naming
-    scheme are swept ONLY when their recorded owner process is dead
-    (scratch.py) — a concurrent validate/main.py/bench run's in-use
-    root is never touched."""
+    keyed by (code fingerprint, config hash, full sf-dir path, corpus
+    CONTENT fingerprint) so a repeat invocation of the SAME
+    code+config+corpus resumes from its own checkpoints instead of
+    accumulating a fresh mkdtemp per run (tmpfs is ~50% of RAM; leaked
+    roots eventually ENOSPC later runs), while any code, config or
+    input-data change forces a full recompute, and two different
+    corpora that happen to share a basename (/a/sf0.1 vs /b/sf0.1) can
+    never cross-resume. CONCURRENCY: if the deterministic root is
+    currently owned by a live OTHER process (a parallel validate of
+    the same code+config+corpus), this run falls back to a per-pid
+    sibling root — two runs never share a live root, so
+    CheckpointStore's rmtree+rename commits cannot race (round-3
+    advice, medium). Stale roots matching this naming scheme are swept
+    ONLY when their recorded owner process is dead (scratch.py)."""
     base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
     sf_abs = os.path.abspath(sf_dir.rstrip("/"))
     path_fp = hashlib.sha256(sf_abs.encode()).hexdigest()[:8]
     tag = (
         f"{_code_fingerprint()}_{ENTRY_CONFIG.config_hash}_"
-        f"{os.path.basename(sf_abs)}_{path_fp}"
+        f"{os.path.basename(sf_abs)}_{path_fp}_{_corpus_fingerprint(sf_abs)}"
     )
     root = os.path.join(base, f"dedup_ckpt_v_{tag}")
+    pid = owner_pid(root)
+    if pid is not None and pid != os.getpid() and pid_alive(pid):
+        root = f"{root}_p{os.getpid()}"
     sweep_stale_scratch(base, "dedup_ckpt_v_", keep=root)
     return claim_scratch_root(root)
 
@@ -1619,6 +1690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": _q_lsh_topk,
         "ivf_topk": _q_ivf_topk,
         "kmeans_cells": _q_kmeans_cells,
+        "bpe_token_stats": _q_bpe_token_stats,
         "multimodal_meta": _q_multimodal_meta,
         "cc_fingerprint_chains": _q_cc_fingerprint_chains,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
@@ -2481,14 +2553,17 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM fpm a JOIN fpm b ON a.f = b.f AND a.doc_id < b.doc_id
 """,
         # planted prefix/equality pairs with ≥400-byte shared blocks:
-        # exact LCS is min(strlen) in closed form
-        "substring_pairs": CORPUS_SQL + """
+        # exact LCS is min(strlen) in closed form; upper byte gate
+        # mirrors the stage's oversize exclusion (round-3 advice)
+        "substring_pairs": CORPUS_SQL + f"""
 , s_base AS (
   SELECT doc_id, strlen(text) AS l
   FROM documents WHERE text IS NOT NULL AND strlen(text) >= 400
+    AND strlen(text) <= {_SUB_TRUTH_MAX_B}
 ), s_mirror AS (
   SELECT doc_id, strlen(content) AS l
   FROM planted WHERE repo = 'src0' AND strlen(content) >= 400
+    AND strlen(content) <= {_SUB_TRUTH_MAX_B}
 )
 SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b, l AS match_len
 FROM s_base WHERE doc_id % 10 = 0
@@ -2546,11 +2621,12 @@ FROM k
         # closed-form span replay: every planted truth pair's losing
         # (higher-id) doc loses exactly its known (start, length) span;
         # sha256 of the rewritten text proves byte-identical cuts
-        "duplicate_span_removal": CORPUS_SQL + """
+        "duplicate_span_removal": CORPUS_SQL + f"""
 , eb AS (
   SELECT doc_id, content, CAST(length(content) AS BIGINT) AS l
   FROM corpus
   WHERE doc_id < 1000000 AND doc_id % 6 = 0 AND length(content) >= 400
+    AND strlen(content) <= {_SUB_TRUTH_MAX_B}
 ), ext AS (
   SELECT doc_id, content FROM corpus
   UNION ALL
@@ -2561,6 +2637,7 @@ FROM k
   SELECT doc_id, CAST(length(text) AS BIGINT) AS l
   FROM documents
   WHERE text IS NOT NULL AND strlen(text) >= 400 AND length(text) >= 400
+    AND strlen(text) <= {_SUB_TRUTH_MAX_B}
 ), spans AS (
   SELECT doc_id + 1000000 AS doc_id, CAST(0 AS BIGINT) AS s, l
   FROM sb WHERE doc_id % 10 = 0
@@ -2572,7 +2649,7 @@ FROM k
   SELECT p.doc_id + 4000000, 0, CAST(length(p.content) AS BIGINT)
   FROM planted p
   WHERE p.repo = 'src0' AND strlen(p.content) >= 400
-    AND length(p.content) >= 400
+    AND length(p.content) >= 400 AND strlen(p.content) <= {_SUB_TRUTH_MAX_B}
   UNION ALL
   SELECT doc_id + 8000000,
          CAST(length('embed/' || CAST(doc_id AS VARCHAR) || ':') AS BIGINT),
@@ -2660,6 +2737,16 @@ WITH base AS (
 )
 SELECT vec_id AS q_id, vec_id + 100000 AS n_id, CAST(1 AS BIGINT) AS rank
 FROM qual
+""",
+        # BPE structural contracts: lossless round-trip (concat(tokens)
+        # == text) + non-letter token count == non-letter pretok count
+        # under identical ASCII regex classes (merges touch letters only)
+        "bpe_token_stats": """
+SELECT doc_id,
+       sha256(text) AS roundtrip_sha,
+       CAST(len(regexp_extract_all(text, '[0-9]+|\\s+|[^A-Za-z0-9\\s]'))
+            AS BIGINT) AS n_atomic
+FROM documents WHERE text IS NOT NULL
 """,
         # planted truth for the k-means trainer: the wide-margin cell
         # structure IS vec_id % 8, so a correct init+Lloyd recovers the

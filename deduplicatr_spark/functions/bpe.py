@@ -40,8 +40,12 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# partition of the text: every char lands in exactly one token
-PRETOK = re.compile(r"[A-Za-z]+|[0-9]+|\s+|[^A-Za-z0-9\s]")
+# partition of the text: every char lands in exactly one token.
+# re.ASCII pins \s to the ASCII whitespace set so the partition
+# classes agree byte-for-byte with Java regex and RE2 (the oracle
+# cross-computes the non-letter-token count with the same pattern);
+# unicode whitespace falls into the single-char class, like RE2.
+PRETOK = re.compile(r"[A-Za-z]+|[0-9]+|\s+|[^A-Za-z0-9\s]", re.ASCII)
 _LETTERS = set("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ")
 
 # fixture merge table (rank order): common English + code digraphs.

@@ -40,6 +40,16 @@ def brute_force_topk(
     """Exact cosine top-k neighbors (excluding self) per query.
 
     Output: (q_id, n_id, score, rank) — rank 1..k by (score desc, n_id).
+
+    SCOPE: the exact baseline for tests/oracles and SMALL query sets
+    only. The scored-row exchange into the per-query window is
+    corpus-sized × |queries| — Spark's WindowGroupLimit partial top-k
+    (asserted in tools/explain_plans.py) trims each map partition to k
+    rows per query before the shuffle, which keeps the exchange
+    |queries|×k×partitions, but with thousands of queries production
+    callers should use ``ivf_topk`` / ``lsh_topk`` instead — their
+    candidate volume is corpus/n_cells×nprobe (resp. bucket-mates),
+    independent of the full corpus×queries product.
     """
     q = queries.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("_qv")

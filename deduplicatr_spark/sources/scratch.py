@@ -7,11 +7,17 @@ of a concurrent process (a main.py run, a second validate on another
 sf dir, a parallel bench), whose next checkpoint read/rename then dies
 mid-stage (round-3 review finding). The contract here:
 
-* every scratch root records its owner via an ``owner.pid`` file the
-  moment it is created (``claim_scratch_root``);
+* every scratch root records its owner via an ``owner.pid`` file; for
+  a NEW root, ``claim_scratch_root`` builds the directory under a
+  temporary sibling name and atomically renames it into place WITH the
+  pid file already inside — a sweep can never observe a claimed root
+  without its owner record (round-3 advice: TOCTOU between claim and
+  sweep);
 * sweeps (``sweep_stale_scratch``) remove a candidate root only when
   its recorded owner is demonstrably dead (or the root predates this
-  scheme and has no pid file) — a live owner's root is never touched.
+  scheme and has no pid file) AND the root is older than a grace
+  period — the grace covers pre-existing directories (mkdtemp callers)
+  whose pid file is written a moment after creation.
 
 This keeps tmpfs usage flat across repeated validate/bench invocations
 while making concurrent runs safe by construction.
@@ -22,19 +28,23 @@ from __future__ import annotations
 import glob
 import os
 import shutil
+import time
 
 
 _PID_FILE = "owner.pid"
+GRACE_SECONDS = 300.0
 
 
-def _owner_alive(root: str) -> bool:
-    """True iff the root's recorded owner is a live process. A missing
-    or unreadable pid file means no live claim (legacy/crashed root)."""
+def owner_pid(root: str) -> int | None:
+    """The root's recorded owner pid, or None (missing/garbled file)."""
     try:
         with open(os.path.join(root, _PID_FILE)) as f:
-            pid = int(f.read().strip())
+            return int(f.read().strip())
     except (OSError, ValueError):
-        return False
+        return None
+
+
+def pid_alive(pid: int) -> bool:
     if pid == os.getpid():
         return True
     try:
@@ -46,21 +56,62 @@ def _owner_alive(root: str) -> bool:
         return True  # exists, owned by another uid
 
 
+def _owner_alive(root: str) -> bool:
+    """True iff the root's recorded owner is a live process. A missing
+    or unreadable pid file means no live claim (legacy/crashed root)."""
+    pid = owner_pid(root)
+    return pid is not None and pid_alive(pid)
+
+
 def claim_scratch_root(root: str) -> str:
-    """Create ``root`` if needed and record this process as its owner."""
-    os.makedirs(root, exist_ok=True)
-    with open(os.path.join(root, _PID_FILE), "w") as f:
+    """Record this process as ``root``'s owner, creating it if needed.
+
+    New roots materialize atomically (build under ``<root>.claim-<pid>``,
+    rename into place) so no sweep window exists where the directory is
+    visible without its pid file. Pre-existing roots (mkdtemp callers)
+    just get the pid file rewritten — the sweep grace period covers
+    their creation window."""
+    if os.path.isdir(root):
+        with open(os.path.join(root, _PID_FILE), "w") as f:
+            f.write(str(os.getpid()))
+        return root
+    tmp = f"{root}.claim-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    with open(os.path.join(tmp, _PID_FILE), "w") as f:
         f.write(str(os.getpid()))
+    try:
+        os.rename(tmp, root)
+    except OSError:
+        # lost the race to a concurrent claimant: their root stands,
+        # re-record ourselves in it (same-code callers share content)
+        shutil.rmtree(tmp, ignore_errors=True)
+        if os.path.isdir(root):
+            with open(os.path.join(root, _PID_FILE), "w") as f:
+                f.write(str(os.getpid()))
     return root
 
 
-def sweep_stale_scratch(base: str, prefix: str, keep: str | None = None) -> int:
-    """Remove ``<base>/<prefix>*`` roots whose owner is dead; never the
-    ``keep`` root or any root with a live owner. Returns count removed."""
+def sweep_stale_scratch(
+    base: str,
+    prefix: str,
+    keep: str | None = None,
+    grace_seconds: float = GRACE_SECONDS,
+) -> int:
+    """Remove ``<base>/<prefix>*`` roots whose owner is dead — never the
+    ``keep`` root, a live owner's root, or a root younger than
+    ``grace_seconds`` (whose claimant may not have written its pid file
+    yet). Returns count removed."""
     removed = 0
+    now = time.time()
     for d in glob.glob(os.path.join(base, prefix + "*")):
         if d == keep or _owner_alive(d):
             continue
+        try:
+            if now - os.path.getmtime(d) < grace_seconds:
+                continue
+        except OSError:
+            continue  # vanished mid-sweep
         shutil.rmtree(d, ignore_errors=True)
         removed += 1
     return removed

@@ -35,7 +35,12 @@ def test_sweep_removes_dead_owner_and_unclaimed(tmp_path):
     os.makedirs(garbled)
     with open(os.path.join(garbled, "owner.pid"), "w") as f:
         f.write("not a pid")
-    removed = sweep_stale_scratch(base, "x_", keep=keep)
+    # fresh dirs are inside the grace window → spared
+    assert sweep_stale_scratch(base, "x_", keep=keep) == 0
+    for d in (dead, legacy, garbled):
+        assert os.path.isdir(d)
+    # past the grace window → removed
+    removed = sweep_stale_scratch(base, "x_", keep=keep, grace_seconds=0)
     assert removed == 3
     assert os.path.isdir(keep)
     for d in (dead, legacy, garbled):

@@ -85,6 +85,101 @@ def test_streaming_dedup_state_survives_restart(spark, dirs):
     assert spark.read.parquet(dirs["out"]).count() == 2
 
 
+def _near_dirs_fixture():
+    root = tempfile.mkdtemp(prefix="stream_near_test_")
+    d = {k: os.path.join(root, k) for k in ("in", "state", "out", "ck")}
+    os.makedirs(d["in"])
+    return root, d
+
+
+def _run_near(spark, d, config):
+    from deduplicatr_spark.streaming import streaming_near_dedup
+
+    q = streaming_near_dedup(
+        spark, d["in"], d["state"], d["out"], d["ck"], config
+    )
+    q.awaitTermination(300)
+
+
+def test_streaming_near_dedup_across_restart(spark):
+    """A near-dup (whitespace variant) of a doc admitted in an EARLIER
+    run is linked to its cluster and NOT re-admitted after a restart;
+    fresh docs are admitted; replays append nothing (round-3 verdict
+    task #5)."""
+    from deduplicatr_spark.config import PipelineConfig
+
+    cfg = PipelineConfig()
+    root, d = _near_dirs_fixture()
+    try:
+        alpha = "def alpha(): return compute(alpha_input) + 1\n" * 4
+        _doc_rows(spark, [("r", "a.txt", "c0", "py", alpha)]).write.parquet(
+            os.path.join(d["in"], "batch1")
+        )
+        _run_near(spark, d, cfg)
+        admitted = spark.read.option("recursiveFileLookup", "true").parquet(f"{d['out']}/admitted")
+        assert admitted.count() == 1
+        alpha_id = admitted.collect()[0]["doc_id"]
+
+        # restart: near variant of alpha + a fresh doc
+        _doc_rows(
+            spark,
+            [
+                ("r", "b.txt", "c1", "py", alpha.replace(" ", "  ")),
+                ("r", "c.txt", "c1", "py", "entirely unrelated tokens " * 20),
+            ],
+        ).write.parquet(os.path.join(d["in"], "batch2"))
+        _run_near(spark, d, cfg)
+
+        admitted2 = spark.read.option("recursiveFileLookup", "true").parquet(f"{d['out']}/admitted")
+        assert sorted(r["path"] for r in admitted2.collect()) == ["a.txt", "c.txt"]
+        from deduplicatr_spark.operators.exact import with_identity
+
+        bid = with_identity(
+            _doc_rows(
+                spark, [("r", "b.txt", "c1", "py", alpha.replace(" ", "  "))]
+            )
+        ).collect()[0]["doc_id"]
+        asg = {
+            r["doc_id"]: (r["cluster_id"], r["via"])
+            for r in spark.read.option("recursiveFileLookup", "true").parquet(f"{d['out']}/assignments").collect()
+        }
+        assert asg[bid] == (alpha_id, "near")  # linked, not admitted
+
+        # replay with nothing new: no growth (file-source checkpoint)
+        _run_near(spark, d, cfg)
+        assert spark.read.option("recursiveFileLookup", "true").parquet(f"{d['out']}/admitted").count() == 2
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_streaming_near_dedup_deterministic_survivor(spark):
+    """Two content-identical rows in ONE batch: the min (repo, path)
+    row survives — deterministically, under any partitioning (round-3
+    verdict task #6)."""
+    from deduplicatr_spark.config import PipelineConfig
+
+    cfg = PipelineConfig()
+    txt = "def gamma(): return 42\n" * 4
+    for attempt in range(2):
+        root, d = _near_dirs_fixture()
+        try:
+            _doc_rows(
+                spark,
+                [
+                    ("r2", "zz.txt", "c0", "py", txt),
+                    ("r1", "aa.txt", "c0", "py", txt),
+                    ("r1", "mm.txt", "c0", "py", txt),
+                ],
+            ).repartition(3 if attempt else 1).write.parquet(
+                os.path.join(d["in"], "b1")
+            )
+            _run_near(spark, d, cfg)
+            rows = spark.read.option("recursiveFileLookup", "true").parquet(f"{d['out']}/admitted").collect()
+            assert [(r["repo"], r["path"]) for r in rows] == [("r1", "aa.txt")]
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+
 def test_streaming_dedup_within_watermark_mode(spark, dirs):
     """Bounded-state mode: dropDuplicatesWithinWatermark over a
     processing-time column still dedups within the processed window."""

@@ -145,9 +145,16 @@ def main() -> None:
 
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     topk = em._q_embedding_topk(spark, SF)
+    topk_plan = captured_explain(topk)
+    # the docstring's "map-side plan" claim holds only via Spark 3.5+
+    # WindowGroupLimit partial top-k — fail loudly if the optimizer
+    # ever stops planning it (round-3 verdict task #7)
+    assert "WindowGroupLimit" in topk_plan, (
+        "brute_force_topk plan lost its WindowGroupLimit partial top-k"
+    )
     sections.append((
         "Embedding brute-force top-k",
-        captured_explain(topk),
+        topk_plan,
         "What to check: the query side is broadcast (BroadcastExchange + "
         "BroadcastNestedLoopJoin on q_id != n_id); the corpus side streams "
         "map-side — at 100 TB the corpus never shuffles; cosine runs as "

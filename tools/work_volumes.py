@@ -115,7 +115,91 @@ def _wl_round3_ops(spark, mult: int) -> None:
     release_tracked()
 
 
-WORKLOADS = {"pipeline": _wl_pipeline, "round3_ops": _wl_round3_ops}
+def _wl_round4_ops(spark, mult: int) -> None:
+    """Round-4 additions: the incremental delta path with the fused
+    LSH∪SimHash near join (precomputed fused stats — the production
+    shape), the k-means quantizer trainer, and BPE token counting."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from bench import amplified_corpus
+    from deduplicatr_spark.config import PipelineConfig
+    from deduplicatr_spark.functions.bpe import bpe_token_count_udf
+    from deduplicatr_spark.functions.features import features_udf
+    from deduplicatr_spark.functions.hashing import normalized
+    from deduplicatr_spark.operators.incremental import (
+        fused_bucket_stats,
+        incremental_assign,
+    )
+    from deduplicatr_spark.operators.kmeans import kmeans_train
+    from deduplicatr_spark.operators.lsh import release_tracked
+
+    cfg = PipelineConfig(incremental_simhash=True)
+    corpus = amplified_corpus(spark, SF_DIR, mult)
+    docs = corpus.dropDuplicates(["content"]).select(
+        F.xxhash64("repo", "path", "commit").alias("doc_id"), "content"
+    ).persist()
+    feats = docs.select(
+        "doc_id", features_udf(cfg)(normalized("content")).alias("f")
+    ).select("doc_id", "f.*").persist()
+    feats.count()
+    base_ident = docs.select("doc_id", F.sha2("content", 256).alias("sha256"))
+    base_clusters = docs.select(
+        "doc_id", F.sha2(normalized("content"), 256).alias("_fp")
+    ).withColumn(
+        "cluster_id", F.min("doc_id").over(Window.partitionBy("_fp"))
+    ).select("doc_id", "cluster_id")
+    stats = fused_bucket_stats(feats, cfg).persist()
+    stats.count()
+    mode = F.pmod(F.col("doc_id"), F.lit(3))
+    delta = docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(20)) == 0).select(
+        F.lit("rX").alias("repo"),
+        F.concat(F.lit("inc/"), F.col("doc_id").cast("string")).alias("path"),
+        F.lit("c1").alias("commit"),
+        F.lit("txt").alias("lang"),
+        F.when(mode == 0, F.col("content"))
+        .when(mode == 1, F.replace(F.col("content"), F.lit(" "), F.lit("   ")))
+        .otherwise(
+            F.repeat(
+                F.sha2(F.concat(F.lit("inc"), F.col("doc_id").cast("string")), 256), 5
+            )
+        ).alias("content"),
+    )
+    out, _ = incremental_assign(
+        delta, base_ident, feats, base_clusters, cfg, base_band_stats=stats
+    )
+    out.count()
+    release_tracked()
+
+    kmeans_train(
+        docs.select(
+            "doc_id",
+            F.array(
+                *[
+                    (F.pmod(F.xxhash64("doc_id", F.lit(j)), F.lit(1000))
+                     / F.lit(500.0) - F.lit(1.0))
+                    + F.when(F.pmod("doc_id", F.lit(8)) == j, F.lit(24.0))
+                    .otherwise(F.lit(0.0))
+                    for j in range(8)
+                ]
+            ).alias("v"),
+        ).withColumnRenamed("doc_id", "vec_id"),
+        k=8, max_iters=5, vec_col="v", id_col="vec_id",
+    )
+
+    docs.select(bpe_token_count_udf()(F.col("content")).alias("n")).agg(
+        F.sum("n")
+    ).collect()
+    stats.unpersist()
+    feats.unpersist()
+    docs.unpersist()
+
+
+WORKLOADS = {
+    "pipeline": _wl_pipeline,
+    "round3_ops": _wl_round3_ops,
+    "round4_ops": _wl_round4_ops,
+}
 
 
 def main() -> None:

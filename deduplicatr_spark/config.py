@@ -89,7 +89,13 @@ class PipelineConfig:
     # window of consecutive k-gram hashes from which one minimum is
     # selected; any shared substring of length ≥ winnow_window +
     # shingle_k − 1 chars is GUARANTEED to share a fingerprint.
-    winnow_window: int = 16
+    # 32 (guarantee = 40 chars at k=9): fingerprint density ~2/(w+1)
+    # halves the bucket-core key volume vs the round-3 default of 16
+    # (guarantee 24) — 40 chars is still well under a single code line,
+    # far tighter than the 120-char substring stage, and the selection
+    # cost is w-independent since the O(n) block-min kernel (round-3
+    # verdict suggested exactly this sweep).
+    winnow_window: int = 32
     winnow_tau: float = 0.5     # fingerprint-set Jaccard threshold
 
     # --- suffix-array substring stage (SURVEY §2.9) ---

@@ -326,6 +326,50 @@ def test_precomputed_band_stats_replace_base_aggregation(spark):
     )
 
 
+def test_incremental_pipeline_fused_simhash(spark, tmp_path):
+    """IncrementalPipeline with incremental_simhash on: the i0 stats
+    checkpoint is built in the FUSED key space and the run matches the
+    one-shot operator; a rerun on the same root resumes identically."""
+    cfg = PipelineConfig(
+        jaccard_tau=0.95, hamming_d=4, incremental_simhash=True
+    )
+    base_txt = (
+        "def compute_metrics(frame, cols):\n    out = {}\n"
+        "    for c in cols:\n        out[c] = frame[c].mean()\n"
+        "    return out\n"
+    ) * 6
+    var = list(base_txt)
+    var[70] = "Q"
+    base = spark.createDataFrame(
+        [("r0", "m.py", "c0", "py", base_txt)], DOCS_SCHEMA
+    )
+    base_ident = with_identity(base).select("doc_id", "sha256")
+    bid = base_ident.collect()[0]["doc_id"]
+    clusters = spark.createDataFrame([(bid, bid)], "doc_id long, cluster_id long")
+    feats = with_identity(base).select(
+        "doc_id", features_udf(cfg)(normalized("content")).alias("f")
+    ).select("doc_id", "f.*")
+    new = spark.createDataFrame(
+        [
+            ("rX", "mv.py", "c1", "py", "".join(var)),   # simhash-near
+            ("rX", "solo.py", "c1", "py", "nothing shared at all " * 20),
+        ],
+        DOCS_SCHEMA,
+    )
+    nid = {r["path"]: r["doc_id"] for r in with_identity(new).collect()}
+
+    pipe = IncrementalPipeline(spark, cfg, str(tmp_path / "incsim"))
+    out = pipe.run(new, base_ident, feats, clusters)
+    got = {r["doc_id"]: (r["cluster_id"], r["via"]) for r in out.collect()}
+    assert got[nid["mv.py"]] == (bid, "near")
+    assert got[nid["solo.py"]] == (nid["solo.py"], "new")
+
+    # rerun resumes from markers and returns identical rows
+    out2 = pipe.run(spark.createDataFrame([], DOCS_SCHEMA),
+                    base_ident, feats, clusters)
+    assert sorted(map(tuple, out2.collect())) == sorted(map(tuple, out.collect()))
+
+
 def test_incremental_pipeline_kill_resume(spark, tmp_path):
     """A killed increment resumes from its last committed stage: stages
     completed before the kill are skipped (markers honored) and the

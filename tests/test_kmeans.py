@@ -81,6 +81,36 @@ def test_kmeans_empty_input_raises(spark):
         kmeans_init_farthest(empty, k=2)
 
 
+def test_semdedup_consumes_trained_quantizer(spark):
+    """SemDeDup with kmeans_train centroids: planted near-identical
+    twins inside one trained cell are pruned (one survivor), singletons
+    keep — the second consumer of the in-repo quantizer."""
+    from deduplicatr_spark.config import PipelineConfig
+    from deduplicatr_spark.operators.semdedup import semdedup
+
+    emb = _planted(spark)
+    # twins: copy vec 0..3 with a tiny nudge → cosine ≈ 1 within-cell
+    twins = emb.filter(F.col("vec_id") < 4).select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform("v", lambda x: x * 1.0001).alias("v"),
+    )
+    full = emb.unionByName(twins)
+    model = kmeans_train(full, k=4, max_iters=10)
+    # τ high enough that only the scaled twins (cosine exactly 1.0)
+    # qualify — jittered cell-mates top out near 0.999, so no τ-chains
+    result, _ = semdedup(
+        full, model.df(spark), tau=0.99999,
+        config=PipelineConfig(max_bucket_size=256),
+    )
+    keep = {r["vec_id"]: r["keep"] for r in result.collect()}
+    assert len(keep) == 64
+    for base in range(4):
+        # exactly one of (base, base+1000) survives
+        assert keep[base] != keep[base + 1000]
+    # vectors without a τ-neighbor all keep
+    assert all(keep[v] for v in range(4, 60))
+
+
 def test_ivf_topk_consumes_trained_quantizer(spark):
     """ivf_topk with kmeans_train output must agree with brute force:
     clusters are wide-margin, so nprobe=1 candidate sets contain every

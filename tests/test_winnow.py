@@ -15,7 +15,9 @@ from deduplicatr_spark.operators.representatives import (
 )
 from deduplicatr_spark.operators.winnow import winnow_dup_pairs, winnow_one
 
-CFG = PipelineConfig(max_bucket_size=32, hot_key_threshold=2000)
+# winnow_window pinned: the shift-robustness assertion below measures
+# fingerprint-set overlap of a ~200-char doc, sized for w=16 density
+CFG = PipelineConfig(max_bucket_size=32, hot_key_threshold=2000, winnow_window=16)
 
 
 def _oracle_winnow(s: bytes, k: int, w: int, seed: int) -> set[int]:

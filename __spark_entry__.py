@@ -1552,8 +1552,8 @@ def _corpus_fingerprint(sf_abs: str) -> str:
     silently resume checkpoints computed from the old data (round-3
     advice, medium)."""
     h = hashlib.sha256()
-    for dirpath, dirnames, filenames in sorted(os.walk(sf_abs)):
-        dirnames.sort()
+    # sorted() over the fully-collected walk pins the traversal order
+    for dirpath, _dirnames, filenames in sorted(os.walk(sf_abs)):
         for fn in sorted(filenames):
             p = os.path.join(dirpath, fn)
             try:
@@ -2740,11 +2740,14 @@ FROM qual
 """,
         # BPE structural contracts: lossless round-trip (concat(tokens)
         # == text) + non-letter token count == non-letter pretok count
-        # under identical ASCII regex classes (merges touch letters only)
+        # under IDENTICAL literal ASCII classes (merges touch letters
+        # only; \s deliberately avoided — Python's includes \x0b, RE2's
+        # doesn't)
         "bpe_token_stats": """
 SELECT doc_id,
        sha256(text) AS roundtrip_sha,
-       CAST(len(regexp_extract_all(text, '[0-9]+|\\s+|[^A-Za-z0-9\\s]'))
+       CAST(len(regexp_extract_all(text,
+            '[0-9]+|[ \t\n\f\r]+|[^A-Za-z0-9 \t\n\f\r]'))
             AS BIGINT) AS n_atomic
 FROM documents WHERE text IS NOT NULL
 """,

@@ -376,8 +376,12 @@ def sliding_min(h: np.ndarray, w: int) -> np.ndarray:
     ``min(suffix[i], prefix[i+w-1])`` spans any window exactly. ~4
     linear passes, independent of w — vs the O(n·w) sliding argmin the
     per-doc kernel uses (at w=16 that argmin was the single hottest
-    loop in the whole bench)."""
+    loop in the whole bench). Requires ``h.size >= w`` (there is no
+    window otherwise); returns empty for an undersized input rather
+    than silently mis-slicing."""
     n = h.size
+    if n < w:
+        return np.empty(0, dtype=_U64)
     P = n - w + 1
     nb = (n + w - 1) // w
     a = np.full(nb * w, np.uint64(0xFFFFFFFFFFFFFFFF), dtype=_U64)

@@ -41,11 +41,14 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 # partition of the text: every char lands in exactly one token.
-# re.ASCII pins \s to the ASCII whitespace set so the partition
-# classes agree byte-for-byte with Java regex and RE2 (the oracle
-# cross-computes the non-letter-token count with the same pattern);
-# unicode whitespace falls into the single-char class, like RE2.
-PRETOK = re.compile(r"[A-Za-z]+|[0-9]+|\s+|[^A-Za-z0-9\s]", re.ASCII)
+# The whitespace class is EXPLICIT ([ \t\n\f\r]) rather than \s —
+# Python's ASCII \s additionally matches \x0b (vertical tab) while
+# RE2's does not, and the oracle cross-computes the non-letter token
+# count in DuckDB/RE2 with the same literal classes (round-4 review
+# finding); \v, unicode whitespace etc. fall into the single-char
+# class on both engines.
+_WS = " \t\n\f\r"
+PRETOK = re.compile(rf"[A-Za-z]+|[0-9]+|[{_WS}]+|[^A-Za-z0-9{_WS}]")
 _LETTERS = set("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ")
 
 # fixture merge table (rank order): common English + code digraphs.

@@ -64,14 +64,23 @@ def _owner_alive(root: str) -> bool:
 
 
 def claim_scratch_root(root: str) -> str:
-    """Record this process as ``root``'s owner, creating it if needed.
+    """Claim a root for this process and RETURN THE CLAIMED PATH —
+    callers must use the return value, which may be a per-pid sibling
+    of ``root``.
 
     New roots materialize atomically (build under ``<root>.claim-<pid>``,
     rename into place) so no sweep window exists where the directory is
-    visible without its pid file. Pre-existing roots (mkdtemp callers)
-    just get the pid file rewritten — the sweep grace period covers
-    their creation window."""
+    visible without its pid file. A root currently owned by a LIVE
+    other process is never stolen or shared: the claim falls through to
+    ``<root>_p<pid>`` instead (two live runs sharing one root would race
+    CheckpointStore's rmtree+rename commits, and the first to exit
+    would leave the survivor's root sweepable — the round-4 review
+    finding). Pre-existing unowned/dead-owner roots (mkdtemp callers,
+    crashed runs) get the pid file rewritten in place."""
     if os.path.isdir(root):
+        pid = owner_pid(root)
+        if pid is not None and pid != os.getpid() and pid_alive(pid):
+            return claim_scratch_root(f"{root}_p{os.getpid()}")
         with open(os.path.join(root, _PID_FILE), "w") as f:
             f.write(str(os.getpid()))
         return root
@@ -82,14 +91,12 @@ def claim_scratch_root(root: str) -> str:
         f.write(str(os.getpid()))
     try:
         os.rename(tmp, root)
+        return root
     except OSError:
-        # lost the race to a concurrent claimant: their root stands,
-        # re-record ourselves in it (same-code callers share content)
+        # lost the race to a concurrent (live) claimant — take a
+        # per-pid sibling rather than sharing or stealing their root
         shutil.rmtree(tmp, ignore_errors=True)
-        if os.path.isdir(root):
-            with open(os.path.join(root, _PID_FILE), "w") as f:
-                f.write(str(os.getpid()))
-    return root
+        return claim_scratch_root(root)
 
 
 def sweep_stale_scratch(

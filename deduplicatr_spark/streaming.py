@@ -115,23 +115,41 @@ _FEATURES_STATE = (
     "band_hashes array<bigint>, simhash bigint"
 )
 _CLUSTERS_STATE = "doc_id long, cluster_id long"
+_STATS_STATE = "band_hash long, n long"
 
 
-def _read_state(spark: SparkSession, path: str, schema: str) -> DataFrame:
+def _read_state(
+    spark: SparkSession, path: str, schema: str,
+    before_epoch: int | None = None,
+) -> DataFrame:
     """Read an epoch-partitioned state directory, or an empty typed
-    frame when nothing has been written yet. Local-FS convenience — a
-    cluster deployment points the state at a real warehouse table
-    (Iceberg) and swaps this reader."""
+    frame when nothing has been written yet.
+
+    ``before_epoch`` (REQUIRED by the processing path): only epochs
+    strictly below it are visible. A crashed epoch-N attempt may have
+    written some of its ``e<N>`` dirs before dying; the checkpoint
+    replays epoch N, and WITHOUT the bound the replay would read its
+    own partial writes as base state — every row would sha-match
+    itself, be labeled an exact dup, and the epoch's overwrite would
+    replace the real data with empty frames (round-4 review finding).
+    Local-FS convenience — a cluster deployment points the state at a
+    real warehouse table (Iceberg) with snapshot isolation instead."""
     import glob
     import os
+    import re
 
-    if glob.glob(os.path.join(path, "*", "*.parquet")):
-        return (
-            spark.read.schema(schema)
-            .option("recursiveFileLookup", "true")
-            .parquet(path)
-        )
-    return spark.createDataFrame([], schema)
+    dirs = []
+    for d in glob.glob(os.path.join(path, "e*")):
+        m = re.fullmatch(r"e(\d+)", os.path.basename(d))
+        if m is None:
+            continue
+        if before_epoch is not None and int(m.group(1)) >= before_epoch:
+            continue
+        if glob.glob(os.path.join(d, "*.parquet")):
+            dirs.append(d)
+    if not dirs:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*sorted(dirs))
 
 
 def streaming_near_dedup(
@@ -168,52 +186,93 @@ def streaming_near_dedup(
       guarantees each input file is processed once; every write inside
       an epoch goes to ``.../e<epoch_id>`` with overwrite, so a crash
       mid-epoch replays into the same directories (the standard
-      foreachBatch idempotency pattern). State reads see only fully
-      written epochs.
+      foreachBatch idempotency pattern) — and state reads are bounded
+      to epochs STRICTLY BELOW the current one, so a replay can never
+      see its own crashed attempt's partial state as base.
+    * Every input row appears in ``assignments`` exactly once —
+      content-identical non-survivors are recorded as via='exact' rows
+      pointing at their survivor's cluster.
 
     At scale: state grows by admitted CANONICALS only (exact/near dups
-    add nothing), the per-batch work is delta-sized (the base side is
-    equi-joined through the band index, never rescanned for stats when
-    ``fused``/``band_bucket_stats`` are maintained), and the state
-    directories map 1:1 onto the Iceberg tables a cluster deployment
-    would use.
+    add nothing), the per-batch work is delta-sized — the base side is
+    equi-joined through the band index and its bucket-size stats are
+    MAINTAINED incrementally (per-epoch additive counts summed at
+    read; the near path never re-aggregates the whole index per
+    batch). The admitted docs pay one extra feature-UDF pass (the
+    operator's internal delta features aren't exposed; admitted rows
+    are the minority of a steady-state batch). The state directories
+    map 1:1 onto the Iceberg tables a cluster deployment would use.
     """
     from pyspark.sql import Window
 
     from deduplicatr_spark.functions.features import features_udf
     from deduplicatr_spark.functions.hashing import normalized
     from deduplicatr_spark.operators.exact import with_identity
-    from deduplicatr_spark.operators.incremental import incremental_assign
+    from deduplicatr_spark.operators.incremental import (
+        band_bucket_stats,
+        fused_bucket_stats,
+        incremental_assign,
+    )
     from deduplicatr_spark.operators.lsh import release_tracked
 
     doc_cols = [f.split()[0] for f in schema.split(", ")]
 
     def _process(batch: DataFrame, epoch_id: int) -> None:
         s = batch.sparkSession
-        ident = with_identity(batch)
-        w = Window.partitionBy("sha256").orderBy("repo", "path", "commit")
-        surv = (
-            ident.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
+        ranked = (
+            with_identity(batch)
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy("sha256").orderBy("repo", "path", "commit")
+                ),
+            )
             .persist()
         )
         # materialize NOW: every later job must read the micro-batch
         # from this cache, never re-execute the (single-epoch) source
-        surv.count()
+        ranked.count()
+        surv = ranked.filter(F.col("_rn") == 1).drop("_rn")
         try:
-            base_ident = _read_state(s, f"{state_dir}/identity", _IDENTITY_STATE)
-            base_feats = _read_state(s, f"{state_dir}/features", _FEATURES_STATE)
-            base_clusters = _read_state(s, f"{state_dir}/clusters", _CLUSTERS_STATE)
+            ep = int(epoch_id)
+            base_ident = _read_state(
+                s, f"{state_dir}/identity", _IDENTITY_STATE, before_epoch=ep
+            )
+            base_feats = _read_state(
+                s, f"{state_dir}/features", _FEATURES_STATE, before_epoch=ep
+            )
+            base_clusters = _read_state(
+                s, f"{state_dir}/clusters", _CLUSTERS_STATE, before_epoch=ep
+            )
+            # maintained bucket stats (counts sum across epochs) — the
+            # near path must never re-aggregate the whole base index
+            # per micro-batch
+            base_stats = _read_state(
+                s, f"{state_dir}/band_stats", _STATS_STATE, before_epoch=ep
+            ).groupBy("band_hash").agg(F.sum("n").alias("n"))
 
             out, _drops = incremental_assign(
                 surv.select(*doc_cols), base_ident, base_feats,
-                base_clusters, config,
+                base_clusters, config, base_band_stats=base_stats,
             )
             out = out.persist()
             out.count()
-            out.withColumn("epoch", F.lit(epoch_id)).write.mode("overwrite").parquet(
-                f"{output_dir}/assignments/e{epoch_id}"
+            # in-batch content-identical NON-survivors are exact dups of
+            # their survivor: record their linkage too (every input row
+            # appears in assignments exactly once)
+            surv_sha = surv.select("doc_id", "sha256").join(
+                out.select("doc_id", "cluster_id"), "doc_id"
+            )
+            dup_rows = (
+                ranked.filter(F.col("_rn") > 1)
+                .select("doc_id", "sha256")
+                .join(surv_sha.select("sha256", "cluster_id"), "sha256")
+                .select("doc_id", "cluster_id", F.lit("exact").alias("via"))
+            )
+            out.unionByName(dup_rows).withColumn(
+                "epoch", F.lit(ep)
+            ).write.mode("overwrite").parquet(
+                f"{output_dir}/assignments/e{ep}"
             )
             founders = out.filter(
                 (F.col("via") == "new") & (F.col("cluster_id") == F.col("doc_id"))
@@ -221,23 +280,37 @@ def streaming_near_dedup(
             admitted = surv.join(founders.select("doc_id"), "doc_id").persist()
             admitted.count()
             admitted.write.mode("overwrite").parquet(
-                f"{output_dir}/admitted/e{epoch_id}"
+                f"{output_dir}/admitted/e{ep}"
             )
             admitted.select("doc_id", "sha256").write.mode("overwrite").parquet(
-                f"{state_dir}/identity/e{epoch_id}"
+                f"{state_dir}/identity/e{ep}"
             )
-            admitted.select(
+            # one extra feature-UDF pass over ADMITTED docs only (the
+            # operator's internal delta features aren't exposed; the
+            # admitted fraction is the minority of a steady-state batch)
+            new_feats = admitted.select(
                 "doc_id", features_udf(config)(normalized("content")).alias("f")
-            ).select("doc_id", "f.*").write.mode("overwrite").parquet(
-                f"{state_dir}/features/e{epoch_id}"
+            ).select("doc_id", "f.*").persist()
+            new_feats.count()
+            new_feats.write.mode("overwrite").parquet(
+                f"{state_dir}/features/e{ep}"
+            )
+            epoch_stats = (
+                fused_bucket_stats(new_feats, config)
+                if config.incremental_simhash
+                else band_bucket_stats(new_feats)
+            )
+            epoch_stats.write.mode("overwrite").parquet(
+                f"{state_dir}/band_stats/e{ep}"
             )
             founders.write.mode("overwrite").parquet(
-                f"{state_dir}/clusters/e{epoch_id}"
+                f"{state_dir}/clusters/e{ep}"
             )
+            new_feats.unpersist()
             admitted.unpersist()
             out.unpersist()
         finally:
-            surv.unpersist()
+            ranked.unpersist()
             release_tracked()
 
     src = (

@@ -176,8 +176,69 @@ def test_streaming_near_dedup_deterministic_survivor(spark):
             _run_near(spark, d, cfg)
             rows = spark.read.option("recursiveFileLookup", "true").parquet(f"{d['out']}/admitted").collect()
             assert [(r["repo"], r["path"]) for r in rows] == [("r1", "aa.txt")]
+            # every input row is in assignments exactly once: the two
+            # non-survivors link the survivor's cluster via='exact'
+            from deduplicatr_spark.operators.exact import with_identity
+
+            ids = {
+                r["path"]: r["doc_id"]
+                for r in with_identity(
+                    _doc_rows(
+                        spark,
+                        [
+                            ("r2", "zz.txt", "c0", "py", txt),
+                            ("r1", "aa.txt", "c0", "py", txt),
+                            ("r1", "mm.txt", "c0", "py", txt),
+                        ],
+                    )
+                ).collect()
+            }
+            asg = {
+                r["doc_id"]: (r["cluster_id"], r["via"])
+                for r in spark.read.option("recursiveFileLookup", "true")
+                .parquet(f"{d['out']}/assignments")
+                .collect()
+            }
+            assert len(asg) == 3
+            assert asg[ids["aa.txt"]] == (ids["aa.txt"], "new")
+            assert asg[ids["zz.txt"]] == (ids["aa.txt"], "exact")
+            assert asg[ids["mm.txt"]] == (ids["aa.txt"], "exact")
         finally:
             shutil.rmtree(root, ignore_errors=True)
+
+
+def test_streaming_near_dedup_replay_ignores_own_epoch_state(spark):
+    """Crash-replay safety: state dirs written by a CRASHED attempt of
+    the SAME epoch must be invisible to its replay — otherwise every
+    row sha-matches itself, is dropped as 'exact', and the epoch's
+    overwrite replaces the real state with empty frames (round-4
+    review finding)."""
+    from deduplicatr_spark.config import PipelineConfig
+    from deduplicatr_spark.operators.exact import with_identity
+
+    cfg = PipelineConfig()
+    root, d = _near_dirs_fixture()
+    try:
+        txt = "def delta(): return 7\n" * 4
+        docs = _doc_rows(spark, [("r", "a.txt", "c0", "py", txt)])
+        docs.write.parquet(os.path.join(d["in"], "b1"))
+        # simulate the crashed epoch-0 attempt: identity state already
+        # contains this doc, but no streaming checkpoint was committed
+        with_identity(docs).select("doc_id", "sha256").write.parquet(
+            f"{d['state']}/identity/e0"
+        )
+        _run_near(spark, d, cfg)
+        admitted = spark.read.option("recursiveFileLookup", "true").parquet(
+            f"{d['out']}/admitted"
+        )
+        assert admitted.count() == 1  # re-admitted, not self-deduped
+        # the crashed attempt's state was overwritten, and the stats
+        # state is maintained per epoch
+        assert spark.read.option("recursiveFileLookup", "true").parquet(
+            f"{d['state']}/band_stats"
+        ).count() > 0
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def test_streaming_dedup_within_watermark_mode(spark, dirs):

@@ -872,7 +872,7 @@ def _q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonicalized to min(vec_id) per learned cell; the oracle computes
     the planted truth directly — an init, update, convergence or
     assignment bug yields a split/merged cell and goes red."""
-    from deduplicatr_spark.operators.kmeans import assign_expr, kmeans_train
+    from deduplicatr_spark.operators.kmeans import assign_col, kmeans_train
 
     base = _emb(spark, sf_dir).select(
         "vec_id",
@@ -891,7 +891,7 @@ def _q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     model = kmeans_train(planted, k=8, max_iters=10, tol=1e-12, vec_col="v")
     assigned = planted.select(
-        "vec_id", assign_expr(model.centroids, "v").alias("_cell")
+        "vec_id", assign_col(model.centroids, "v").alias("_cell")
     )
     wc = Window.partitionBy("_cell")
     return assigned.select(

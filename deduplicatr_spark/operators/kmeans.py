@@ -15,11 +15,14 @@ Scale shape (the part that matters at 100 TB):
   the plan as literals — exactly how Spark MLlib's KMeans drives Lloyd.
   Collecting k×(dim+1) aggregates per iteration is model traffic, not
   data traffic.
-* **Assignment is a pure map-side projection**: one Catalyst
+* **Assignment is map-side either way**: for small k·dim, one Catalyst
   ``array_min`` over an array of (sq_dist, cell_id) structs built from
-  centroid literals — no centroid join, no row explosion, and the
-  corpus NEVER shuffles to be assigned (same posture as ivf_topk's
-  broadcast assign, minus even the broadcast).
+  centroid literals — no centroid join, no row explosion; beyond
+  ``_EXPR_MAX_KDIM`` (where that one expression takes minutes to
+  analyze/codegen), an Arrow-batched numpy distance matmul with the
+  model in the task closure. The corpus NEVER shuffles to be assigned
+  under either path (same posture as ivf_topk's broadcast assign,
+  minus even the broadcast).
 * **The update is a partial-aggregated groupBy(cell)**: per-dimension
   sums + counts combine map-side, so the per-iteration exchange is
   k × (dim+1) values per partition — independent of corpus size.
@@ -41,8 +44,11 @@ from __future__ import annotations
 import math
 from dataclasses import dataclass
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from deduplicatr_spark.operators.topk import _sq_dist
 
@@ -60,10 +66,18 @@ def _lit_vec(c: list[float]):
     return F.array(*[F.lit(float(x)) for x in c])
 
 
+# above this k·dim the single Catalyst expression (k sq_dist lambda
+# aggregates in one array_min) takes minutes to analyze/codegen —
+# measured unusable at k=64, dim=64; the Arrow path takes over there
+_EXPR_MAX_KDIM = 1024
+
+
 def assign_expr(cents: list[list[float]], vec_col: str):
     """Nearest-centroid cell_id as a single map-side column expression:
     ``array_min`` over (sq_dist, cell_id) structs — lexicographic
-    struct ordering gives min distance with ties to the lowest cell."""
+    struct ordering gives min distance with ties to the lowest cell.
+    Codegen-friendly only for SMALL k·dim (≤ ~1024); larger models use
+    ``assign_udf`` (see ``assign_col``)."""
     scored = F.array(
         *[
             F.struct(
@@ -74,6 +88,39 @@ def assign_expr(cents: list[list[float]], vec_col: str):
         ]
     )
     return F.array_min(scored)["c"]
+
+
+def assign_udf(cents: list[list[float]]):
+    """Nearest-centroid cell_id as an Arrow-batched numpy column: one
+    (batch × k) distance matmul per Arrow batch — the textbook
+    vectorized assignment, still MAP-SIDE (the model ships as a task
+    closure, the corpus never shuffles). Ties break to the lowest cell
+    (argmin returns the first minimum). Float summation order differs
+    from the expression path, so downstream exact-match checks must be
+    margin-robust — the same contract every float reduction here has."""
+    C = np.asarray(cents, dtype=np.float64)
+    c_sq = (C * C).sum(axis=1)
+
+    @F.pandas_udf(T.LongType())
+    def _assign(v: pd.Series) -> pd.Series:
+        if v.empty:
+            return pd.Series([], dtype="int64")
+        X = np.array(v.tolist(), dtype=np.float64)
+        # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² constant per row →
+        # argmin over (-2x·c + ||c||²) suffices
+        d = X @ (-2.0 * C.T) + c_sq[None, :]
+        return pd.Series(np.argmin(d, axis=1).astype(np.int64), index=v.index)
+
+    return _assign
+
+
+def assign_col(cents: list[list[float]], vec_col: str):
+    """The assignment column for a centroid model: the pure-Catalyst
+    expression when k·dim is codegen-friendly, the Arrow matmul path
+    beyond (both map-side; see the module docstring)."""
+    if len(cents) * len(cents[0]) <= _EXPR_MAX_KDIM:
+        return assign_expr(cents, vec_col)
+    return assign_udf(cents)(F.col(vec_col))
 
 
 def kmeans_init_farthest(
@@ -124,6 +171,49 @@ def kmeans_init_farthest(
     return cents
 
 
+def _np_farthest(X: np.ndarray, k: int) -> list[list[float]]:
+    """Farthest-point seeding over a driver-side matrix (rows must be
+    pre-sorted by id so argmax ties deterministically pick the lowest
+    id). O(k·n), fully vectorized."""
+    cents = [X[0]]
+    d = ((X - X[0]) ** 2).sum(axis=1)
+    for _ in range(k - 1):
+        i = int(np.argmax(d))
+        cents.append(X[i])
+        d = np.minimum(d, ((X - X[i]) ** 2).sum(axis=1))
+    return [[float(x) for x in c] for c in cents]
+
+
+def kmeans_init_sample(
+    emb: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    sample_size: int = 65536,
+) -> list[list[float]]:
+    """Farthest-point seeding over a deterministic driver-side SAMPLE:
+    the ``sample_size`` lowest-xxhash64(id) rows (a uniform,
+    partitioning-independent pick), sorted by id, seeded via
+    ``_np_farthest``. ONE Spark job regardless of k — the distributed
+    ``kmeans_init_farthest`` runs k−1 sequential jobs, which is exact
+    but unusable at k ≥ ~32 (round-4 measurement: k=64 init alone blew
+    a 9-minute budget). On wide-margin clustered data a sample that
+    touches every cluster (p ≈ 1 for any realistic sample size) gives
+    the same one-seed-per-cluster guarantee. When the corpus is no
+    larger than the sample this is EXACT farthest-point seeding."""
+    rows = (
+        emb.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(sample_size)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("kmeans_init_sample: empty input")
+    rows.sort(key=lambda r: r[0])
+    X = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    return _np_farthest(X, k)
+
+
 @dataclass
 class KMeansModel:
     centroids: list[list[float]]
@@ -145,12 +235,16 @@ def kmeans_train(
 ) -> KMeansModel:
     """Lloyd's algorithm over a (id, array<double>) DataFrame.
 
-    Each iteration is ONE job: map-side ``assign_expr`` projection →
+    Each iteration is ONE job: map-side assignment (``assign_col`` —
+    Catalyst expression for small k·dim, Arrow matmul beyond) →
     groupBy(cell) with per-dimension sums (partial agg) → collect
     k×(dim+1) values. Empty cells keep their previous centroid (the
     MLlib convention). Stops when the max squared centroid shift
-    ≤ ``tol`` or after ``max_iters``."""
-    cents = init if init is not None else kmeans_init_farthest(
+    ≤ ``tol`` or after ``max_iters``. Default init is the one-job
+    sample-based farthest-point seeding (``kmeans_init_sample``; exact
+    when the corpus fits the sample); pass ``init`` explicitly for the
+    k−1-job distributed-exact variant or learned seeds."""
+    cents = init if init is not None else kmeans_init_sample(
         emb, k, id_col, vec_col
     )
     if len(cents) != k:
@@ -160,7 +254,7 @@ def kmeans_train(
     it = 0
     for it in range(1, max_iters + 1):
         stats = (
-            emb.select(assign_expr(cents, vec_col).alias("cell_id"), vec_col)
+            emb.select(assign_col(cents, vec_col).alias("cell_id"), vec_col)
             .groupBy("cell_id")
             .agg(
                 F.count(F.lit(1)).alias("n"),

@@ -10,8 +10,11 @@ import pytest
 from pyspark.sql import functions as F
 
 from deduplicatr_spark.operators.kmeans import (
+    assign_col,
     assign_expr,
+    assign_udf,
     kmeans_init_farthest,
+    kmeans_init_sample,
     kmeans_train,
 )
 from deduplicatr_spark.operators.topk import brute_force_topk, ivf_topk
@@ -66,6 +69,56 @@ def test_kmeans_recovers_planted_partition(spark):
     for c in model.centroids:
         d = ((CENTERS - np.array(c)) ** 2).sum(axis=1).min()
         assert d < 1.0
+
+
+def test_sample_init_matches_distributed_on_full_coverage(spark):
+    """With the sample covering the whole corpus, sample-based seeding
+    is exact farthest-point — same seeds as the k−1-job distributed
+    variant (wide margins make float-order differences irrelevant)."""
+    emb = _planted(spark)
+    a = kmeans_init_sample(emb, k=4)
+    b = kmeans_init_farthest(emb, k=4)
+    got_a = [int(np.argmin(((CENTERS - np.array(c)) ** 2).sum(axis=1))) for c in a]
+    got_b = [int(np.argmin(((CENTERS - np.array(c)) ** 2).sum(axis=1))) for c in b]
+    assert got_a == got_b and set(got_a) == {0, 1, 2, 3}
+
+
+def test_assign_udf_matches_expr(spark):
+    """The Arrow matmul assignment path agrees with the Catalyst
+    expression path on every row (wide-margin data)."""
+    emb = _planted(spark)
+    model = kmeans_train(emb, k=4, max_iters=10)
+    via_expr = {
+        r["vec_id"]: r["c"]
+        for r in emb.select(
+            "vec_id", assign_expr(model.centroids, "v").alias("c")
+        ).collect()
+    }
+    via_udf = {
+        r["vec_id"]: r["c"]
+        for r in emb.select(
+            "vec_id", assign_udf(model.centroids)(F.col("v")).alias("c")
+        ).collect()
+    }
+    assert via_expr == via_udf
+
+
+def test_large_model_trains_in_bounded_time(spark):
+    """k=64 over 64-dim vectors — the configuration that made the
+    expression-only path unusable (minutes of Catalyst analysis) —
+    must train end-to-end via the sample init + Arrow assignment."""
+    rng = np.random.default_rng(17)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=64)]) for i in range(2000)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    model = kmeans_train(emb, k=64, max_iters=3)
+    assert len(model.centroids) == 64
+    n_cells = (
+        emb.select(assign_col(model.centroids, "v").alias("c"))
+        .select("c").distinct().count()
+    )
+    assert n_cells > 32  # the model actually spreads over the data
 
 
 def test_kmeans_centroid_df_shape(spark):

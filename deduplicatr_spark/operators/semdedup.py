@@ -68,17 +68,36 @@ from deduplicatr_spark.operators.topk import _sq_dist
 
 def assign_cells(
     emb: DataFrame,
-    centroids: DataFrame,
+    centroids: DataFrame | list,
     id_col: str = "vec_id",
     vec_col: str = "v",
 ) -> DataFrame:
     """Nearest-centroid assignment: (id_col, cell_id, centroid_sim).
 
-    ``centroids``: (cell_id long, cv array<double>), trained offline
-    and small enough to broadcast (the k-means metric is squared L2,
-    matching ivf_topk; ``centroid_sim`` is the cosine used by the
-    SemDeDup keep rule). Ties break by lowest cell_id.
+    ``centroids``: a (cell_id long, cv array<double>) frame, trained
+    offline and small enough to broadcast (the k-means metric is
+    squared L2, matching ivf_topk; ``centroid_sim`` is the cosine used
+    by the SemDeDup keep rule) — or the raw centroid LIST from
+    ``operators.kmeans.kmeans_train(...).centroids``, in which case
+    the assignment runs through ``kmeans.assign_col`` (map-side, no
+    corpus × n_cells nested-loop — the scale path for big quantizers)
+    and the cosine comes from one broadcast equi-join on cell_id.
+    Ties break by lowest cell_id under both paths.
     """
+    if isinstance(centroids, list):
+        from deduplicatr_spark.operators.kmeans import _centroid_df, assign_col
+
+        cdf = F.broadcast(_centroid_df(emb.sparkSession, centroids))
+        return (
+            emb.select(
+                id_col, vec_col, assign_col(centroids, vec_col).alias("cell_id")
+            )
+            .join(cdf, "cell_id")
+            .select(
+                id_col, "cell_id",
+                cosine(F.col(vec_col), F.col("cv")).alias("centroid_sim"),
+            )
+        )
     scored = emb.join(F.broadcast(centroids)).select(
         id_col,
         "cell_id",
@@ -93,7 +112,7 @@ def assign_cells(
 
 def semdedup(
     emb: DataFrame,
-    centroids: DataFrame,
+    centroids: DataFrame | list,
     tau: float,
     config: PipelineConfig,
     id_col: str = "vec_id",

@@ -107,7 +107,7 @@ def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int,
-    centroids: DataFrame | None = None,
+    centroids: DataFrame | list | None = None,
     n_cells: int = 64,
     nprobe: int = 4,
     id_col: str = "vec_id",
@@ -115,21 +115,32 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF-flat approximate top-k.
 
-    ``centroids``: (cell_id long, cv array<double>) — the coarse
-    quantizer, trained offline and SMALL (hundreds to ~64k rows), so it
-    broadcasts. Default (tests/oracle): the ``n_cells`` lowest-id corpus
-    vectors — deterministic, SQL-reproducible.
+    ``centroids``: the coarse quantizer — either a (cell_id long,
+    cv array<double>) frame (trained offline and SMALL, so it
+    broadcasts), or the raw centroid LIST from
+    ``operators.kmeans.kmeans_train(...).centroids`` — with a list the
+    CORPUS-side assignment goes through ``kmeans.assign_col`` (Catalyst
+    expression for small k·dim, Arrow distance-matmul beyond), which is
+    the scale path for big quantizers: the broadcast nested-loop costs
+    corpus × n_cells sq_dist evaluations, untenable at 64k cells.
+    Default (tests/oracle): the ``n_cells`` lowest-id corpus vectors —
+    deterministic, SQL-reproducible.
 
-    Plan shape at scale: corpus→cell assignment is a broadcast
-    nested-loop over centroids followed by a ``min_by`` partial
-    aggregate keyed on the corpus id — the corpus itself never shuffles
-    by value; the only data-sized exchange is the candidate re-rank,
-    ∝ |queries| × corpus/n_cells × nprobe. A skewed cell costs one
-    reducer that cell's size — train balanced centroids to bound it
-    (the quantizer is an input precisely so balancing happens offline).
+    Plan shape at scale: corpus→cell assignment is map-side under
+    either path — the corpus itself never shuffles by value; the only
+    data-sized exchange is the candidate re-rank, ∝ |queries| ×
+    corpus/n_cells × nprobe. A skewed cell costs one reducer that
+    cell's size — train balanced centroids to bound it (the quantizer
+    is an input precisely so balancing happens offline).
     """
     c = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("_cv"))
     q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("_qv"))
+    cent_list = None
+    if isinstance(centroids, list):
+        from deduplicatr_spark.operators.kmeans import _centroid_df
+
+        cent_list = centroids
+        centroids = _centroid_df(corpus.sparkSession, cent_list)
     if centroids is None:
         centroids = default_centroids(corpus, n_cells, id_col, vec_col)
     cents = F.broadcast(centroids)
@@ -149,7 +160,14 @@ def ivf_topk(
             .select(idc, "cell_id")
         )
 
-    corpus_cells = assign(c, "n_id", "_cv", 1)
+    if cent_list is not None:
+        from deduplicatr_spark.operators.kmeans import assign_col
+
+        corpus_cells = c.select("n_id", assign_col(cent_list, "_cv").alias("cell_id"))
+    else:
+        corpus_cells = assign(c, "n_id", "_cv", 1)
+    # query sets are small by contract — the broadcast top-nprobe
+    # window path stays fine at any quantizer size
     query_cells = assign(q, "q_id", "_qv", nprobe)
 
     cand = (

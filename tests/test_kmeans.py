@@ -121,6 +121,34 @@ def test_large_model_trains_in_bounded_time(spark):
     assert n_cells > 32  # the model actually spreads over the data
 
 
+def test_list_centroids_match_df_centroids(spark):
+    """ivf_topk and semdedup accept the trained centroid LIST (the
+    scale path: map-side assign_col instead of the broadcast
+    nested-loop) and produce the same results as the DataFrame path."""
+    from deduplicatr_spark.config import PipelineConfig
+    from deduplicatr_spark.operators.semdedup import semdedup
+
+    emb = _planted(spark)
+    model = kmeans_train(emb, k=4, max_iters=10)
+    queries = emb.filter(F.col("vec_id") < 4)
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    via_df = ivf_topk(
+        emb, queries, k=3, centroids=model.df(spark), nprobe=1, vec_col="v"
+    )
+    via_list = ivf_topk(
+        emb, queries, k=3, centroids=model.centroids, nprobe=1, vec_col="v"
+    )
+    assert rows(via_df) == rows(via_list)
+
+    cfg = PipelineConfig(max_bucket_size=256)
+    sd_df, _ = semdedup(emb, model.df(spark), tau=0.99999, config=cfg)
+    sd_list, _ = semdedup(emb, model.centroids, tau=0.99999, config=cfg)
+    assert rows(sd_df) == rows(sd_list)
+
+
 def test_kmeans_centroid_df_shape(spark):
     model = kmeans_train(_planted(spark), k=4, max_iters=5)
     df = model.df(spark)

@@ -1047,6 +1047,31 @@ def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_meta(to_binary_docs(d))
 
 
+_IMG_BASES = 41  # synthetic image corpus: docs sharing doc_id % 41 are near-dups
+
+
+def _q_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs via REAL pixel decode (stdlib PNG codec) +
+    exact-integer dHash + the shared Hamming bucket core
+    (operators/image_dedup.py). Planted truth: payloads are
+    deterministic PNGs whose base pattern is keyed on
+    ``doc_id % _IMG_BASES`` with a per-doc brightness shift the hash is
+    provably invariant to — so the dup-pair set is pure doc_id
+    arithmetic, which is what the SQL oracle claims. Cross-base dHash
+    distances sit at ≥18 bits (measured over this corpus) vs the τ=8
+    verify, so the planted set is exactly the emitted set."""
+    from deduplicatr_spark.operators.image_dedup import (
+        image_dup_pairs,
+        synth_image_docs,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    pairs, _ledger = image_dup_pairs(
+        synth_image_docs(d, _IMG_BASES), ENTRY_CONFIG, hamming_d=8
+    )
+    return pairs
+
+
 def _q_cc_fingerprint_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components (§2.11) on chain edges within fingerprint
     groups — CC must propagate min labels transitively; the oracle is
@@ -1692,6 +1717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_cells": _q_kmeans_cells,
         "bpe_token_stats": _q_bpe_token_stats,
         "multimodal_meta": _q_multimodal_meta,
+        "image_phash_pairs": _q_image_phash_pairs,
         "cc_fingerprint_chains": _q_cc_fingerprint_chains,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "simhash_hamming_pairs": _q_simhash_hamming_pairs,
@@ -2483,6 +2509,14 @@ SELECT doc_id,
        CAST(doc_id % 480 + 1 AS INTEGER) AS height,
        'application/octet-stream' AS media_type
 FROM documents WHERE text IS NOT NULL
+""",
+        # truth = pairs sharing the planted image base (doc_id % 41):
+        # within-base dHash distance is exactly 0 (brightness-invariant
+        # exact-integer hash), cross-base ≥ 18 bits vs the τ=8 verify
+        "image_phash_pairs": """
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM documents a JOIN documents b
+  ON a.doc_id % 41 = b.doc_id % 41 AND a.doc_id < b.doc_id
 """,
         "cc_fingerprint_chains": CORPUS_SQL + """
 , fp AS (

@@ -9,14 +9,18 @@ third-party dependencies, and cross-validates against PIL when that
 library happens to be importable (tests/test_text_vectors.py,
 skip-guarded).
 
-What remains stubbed — and documented as the container boundary — is
-PIXEL-level work (decompress, resize, frame-sample): that genuinely
-needs codec libraries not present in this container. The deterministic
-``fake`` mode stays as the oracle-checkable stand-in used by the
-``multimodal_meta`` correctness query, so the plumbing is verified
-end-to-end either way. Swapping in a full decoder is a one-function
-change: replace ``_decode_meta`` with PIL/libav calls — batch shape,
-schema and partitioning stay identical.
+Since round 4, PIXEL-level work is real for PNG: the stdlib codec in
+``functions/png_codec.py`` (zlib is all PNG needs) decodes pixels,
+feeds the exact-integer perceptual hash, and powers the
+``image_dup_pairs`` operator (operators/image_dedup.py) end to end —
+oracle-checked by the ``image_phash_pairs`` correctness query. The
+residual container boundary is JPEG/GIF pixel decode (DCT entropy
+coding / LZW genuinely need codec libraries this container lacks);
+their header metadata parse below is real. The deterministic ``fake``
+mode stays as the oracle-checkable stand-in used by the
+``multimodal_meta`` plumbing query. Swapping in a full JPEG decoder is
+a one-function change: replace ``_decode_meta`` with PIL/libav calls —
+batch shape, schema and partitioning stay identical.
 """
 
 from __future__ import annotations

@@ -1,0 +1,163 @@
+"""Image near-duplicate detection: PNG pixel decode → dHash → the
+shared Hamming bucket core.
+
+The training-pipeline gap this closes: round 3's multimodal support
+stopped at container headers, so image DEDUP — the reason a 100 TB
+multimodal corpus carries image columns through this engine at all —
+had no pixel-level signal. With the stdlib PNG codec
+(functions/png_codec.py) the full path is now real:
+
+    binary payload ──mapInPandas──▶ (width, height, mean_luma, dhash)
+      dhash ──simhash_keyed (d+1 pigeonhole chunks)──▶ band keys
+        ──keyed_candidate_pairs (ONE shuffle, capped, ledgered)──▶
+          candidates ──bit_count(a^b) ≤ d verify──▶ pairs
+
+Scale posture, same as every other candidate generator here:
+
+* The decode kernel is a DELIBERATE Arrow-batched Python stage — a
+  codec is inherently per-image work, exactly like the zlib
+  compressibility signal (functions/compressibility.py); it runs once
+  per image, emits 28 bytes of features, and the payload NEVER enters
+  a shuffle.
+* Pairing ships only (doc_id, 64-bit key) rows through the one capped,
+  hot-thinned, drop-ledgered range shuffle all other generators share
+  (operators/lsh.py § keyed_candidate_pairs). Nothing is all-pairs.
+* Pigeonhole recall is exact within Hamming distance d (d+1 disjoint
+  chunks — operators/pigeonhole.py), so brightness-shifted re-encodes
+  (distance 0 under the exact-integer dHash) are never missed.
+
+Undecodable or sub-grid payloads get NULL dhash, are excluded from
+pairing, and are counted in the returned ``n_undecodable`` ledger —
+no silent drops.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from deduplicatr_spark.config import PipelineConfig
+from deduplicatr_spark.functions._numpy_core import splitmix64
+from deduplicatr_spark.functions.png_codec import decode_png, dhash64, encode_png, luma
+from deduplicatr_spark.operators.lsh import keyed_candidate_pairs
+from deduplicatr_spark.operators.pigeonhole import hamming_verify, simhash_keyed
+
+IMAGE_FEATURE_SCHEMA = (
+    "doc_id long, width int, height int, mean_luma double, dhash long"
+)
+
+
+def image_feature_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """(doc_id, payload) Arrow batches → decoded feature rows. One
+    Python call per image by necessity (codec boundary — module
+    docstring); failures yield NULL width/height/dhash rows."""
+    for pdf in batches:
+        w, h, ml, dh = [], [], [], []
+        for buf in pdf["payload"]:
+            try:
+                img = decode_png(bytes(buf))
+                lum = luma(img)
+                w.append(img.shape[1])
+                h.append(img.shape[0])
+                ml.append(float(lum.mean()))
+                dh.append(dhash64(img))
+            except ValueError:
+                w.append(None)
+                h.append(None)
+                ml.append(None)
+                dh.append(None)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "width": pd.array(w, dtype="Int32"),
+                "height": pd.array(h, dtype="Int32"),
+                "mean_luma": pd.array(ml, dtype="float64"),
+                "dhash": pd.array(dh, dtype="Int64"),
+            }
+        )
+
+
+def image_features(binary_docs: DataFrame) -> DataFrame:
+    """(doc_id, payload, …) → (doc_id, width, height, mean_luma, dhash).
+    Projects to the two needed columns BEFORE the Python stage so Arrow
+    ships payload bytes once and nothing else."""
+    return binary_docs.select("doc_id", "payload").mapInPandas(
+        image_feature_kernel, schema=IMAGE_FEATURE_SCHEMA
+    )
+
+
+def image_dup_pairs(
+    binary_docs: DataFrame,
+    config: PipelineConfig | None = None,
+    hamming_d: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """(doc_id, payload) → ((doc_a < doc_b) within dHash Hamming ≤ d,
+    drop_stats ∪ an ``n_undecodable`` count).
+
+    d defaults to 8: cross-image dHash bits are near-uniform (expected
+    distance 32), so ≤ 8 is a tight near-dup band with a ~1e-9 random
+    collision rate per pair, while brightness/re-encode variants land
+    at 0 (exact-integer hash invariance, png_codec.dhash64)."""
+    config = config or PipelineConfig()
+    feats = image_features(binary_docs).persist()
+    hashed = feats.filter(F.col("dhash").isNotNull()).select(
+        "doc_id", F.col("dhash").alias("simhash")
+    )
+    keyed = simhash_keyed(hashed, hamming_d + 1)
+    raw, drops = keyed_candidate_pairs(keyed, config)
+    pairs = hamming_verify(raw.select("doc_a", "doc_b"), hashed, hamming_d)
+    bad = feats.filter(F.col("dhash").isNull()).agg(
+        F.count(F.lit(1)).alias("n_undecodable")
+    )
+    return pairs, drops.crossJoin(bad)  # 1-row ledger × 1-row ledger
+
+
+# ---------------------------------------------------------------------------
+# Deterministic synthetic image corpus (fixtures / oracle / bench).
+# Real deployments read a binary image column from the lake; the
+# sandbox has no image data, so tests plant one where cluster truth is
+# pure doc_id arithmetic — the same planted-truth pattern the substring
+# and embedding oracles use (__spark_entry__.py).
+# ---------------------------------------------------------------------------
+
+SYNTH_W, SYNTH_H = 36, 32  # multiples of the 9×8 dHash grid
+_SYNTH_LEVELS = 170  # base pixels in [30, 200); +brightness ≤ 20 → ≤ 219
+
+
+def synth_png_payload(doc_id: int, n_bases: int) -> bytes:
+    """One deterministic PNG: base pattern keyed on ``doc_id % n_bases``
+    (splitmix64 pixel noise), plus a per-doc uniform brightness shift in
+    [0, 20]. Docs sharing a base are planted near-dups (dHash distance
+    exactly 0); distinct bases sit at ~32 bits apart."""
+    base_id = doc_id % n_bases
+    idx = np.uint64(base_id) * np.uint64(SYNTH_W * SYNTH_H) + np.arange(
+        SYNTH_W * SYNTH_H, dtype=np.uint64
+    )
+    px = np.uint8(30) + (splitmix64(idx) % np.uint64(_SYNTH_LEVELS)).astype(np.uint8)
+    brightness = int(splitmix64(np.array([doc_id], dtype=np.uint64))[0] % np.uint64(21))
+    img = (px + np.uint8(brightness)).reshape(SYNTH_H, SYNTH_W)
+    return encode_png(img)
+
+
+def synth_image_docs(ids: DataFrame, n_bases: int, id_col: str = "doc_id") -> DataFrame:
+    """id frame → (doc_id, payload, media_type) with synthetic PNGs."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        synth_png_payload(int(d), n_bases) for d in pdf["doc_id"]
+                    ],
+                    "media_type": "image/png",
+                }
+            )
+
+    return ids.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        gen, schema="doc_id long, payload binary, media_type string"
+    )

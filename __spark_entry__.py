@@ -1058,17 +1058,16 @@ def _q_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``doc_id % _IMG_BASES`` with a per-doc brightness shift the hash is
     provably invariant to — so the dup-pair set is pure doc_id
     arithmetic, which is what the SQL oracle claims. Cross-base dHash
-    distances sit at ≥18 bits (measured over this corpus) vs the τ=8
-    verify, so the planted set is exactly the emitted set."""
+    distances sit at ≥18 bits (measured over this corpus) vs the
+    config's Hamming τ=3 verify, so the planted set is exactly the
+    emitted set."""
     from deduplicatr_spark.operators.image_dedup import (
         image_dup_pairs,
         synth_image_docs,
     )
 
     d = _docs(spark, sf_dir).select("doc_id")
-    pairs, _ledger = image_dup_pairs(
-        synth_image_docs(d, _IMG_BASES), ENTRY_CONFIG, hamming_d=8
-    )
+    pairs, _ledger = image_dup_pairs(synth_image_docs(d, _IMG_BASES), ENTRY_CONFIG)
     return pairs
 
 
@@ -2512,7 +2511,7 @@ FROM documents WHERE text IS NOT NULL
 """,
         # truth = pairs sharing the planted image base (doc_id % 41):
         # within-base dHash distance is exactly 0 (brightness-invariant
-        # exact-integer hash), cross-base ≥ 18 bits vs the τ=8 verify
+        # exact-integer hash), cross-base ≥ 18 bits vs the τ=3 verify
         "image_phash_pairs": """
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM documents a JOIN documents b

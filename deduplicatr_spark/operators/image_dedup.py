@@ -44,7 +44,7 @@ from deduplicatr_spark.config import PipelineConfig
 from deduplicatr_spark.functions._numpy_core import splitmix64
 from deduplicatr_spark.functions.png_codec import decode_png, dhash64, encode_png, luma
 from deduplicatr_spark.operators.lsh import keyed_candidate_pairs
-from deduplicatr_spark.operators.pigeonhole import hamming_verify, simhash_keyed
+from deduplicatr_spark.operators.pigeonhole import hamming_verify, simhash_keys_for
 
 IMAGE_FEATURE_SCHEMA = (
     "doc_id long, width int, height int, mean_luma double, dhash long"
@@ -93,23 +93,38 @@ def image_features(binary_docs: DataFrame) -> DataFrame:
 def image_dup_pairs(
     binary_docs: DataFrame,
     config: PipelineConfig | None = None,
-    hamming_d: int = 8,
+    hamming_d: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(doc_id, payload) → ((doc_a < doc_b) within dHash Hamming ≤ d,
     drop_stats ∪ an ``n_undecodable`` count).
 
-    d defaults to 8: cross-image dHash bits are near-uniform (expected
-    distance 32), so ≤ 8 is a tight near-dup band with a ~1e-9 random
-    collision rate per pair, while brightness/re-encode variants land
-    at 0 (exact-integer hash invariance, png_codec.dhash64)."""
+    d defaults to ``config.hamming_d`` (3) and the keys go through the
+    SAME blocking machinery as text SimHash (``simhash_keys_for``):
+    d+1 pigeonhole chunks at small corpora, the Manku combo scheme past
+    the measured ~1M-doc auto crossover. That sharing is load-bearing,
+    not cosmetic — a hand-rolled wide band (e.g. d=8 → nine 7-bit
+    chunks) carries so little key entropy that by 40k images distinct
+    bases blend into shared buckets, overflow the bucket cap, and DROP
+    true pairs (observed: 46.6k of 140k planted pairs survived).
+    Cross-image dHash bits are near-uniform (expected distance 32), so
+    d=3 is still a decisive near-dup band, and the variants this
+    operator targets — brightness shifts and re-encodes — land at
+    EXACTLY 0 (exact-integer hash invariance, png_codec.dhash64)."""
+    import dataclasses
+
     config = config or PipelineConfig()
+    if hamming_d is not None and hamming_d != config.hamming_d:
+        config = dataclasses.replace(config, hamming_d=hamming_d)
     feats = image_features(binary_docs).persist()
     hashed = feats.filter(F.col("dhash").isNotNull()).select(
         "doc_id", F.col("dhash").alias("simhash")
     )
-    keyed = simhash_keyed(hashed, hamming_d + 1)
+    # materialize the persisted feature frame and feed the real corpus
+    # size to the auto blocking decision — an unknown size would default
+    # to 'chunks', the wrong scheme past the ~1M-doc crossover
+    keyed = simhash_keys_for(hashed, config, n_docs=hashed.count())
     raw, drops = keyed_candidate_pairs(keyed, config)
-    pairs = hamming_verify(raw.select("doc_a", "doc_b"), hashed, hamming_d)
+    pairs = hamming_verify(raw.select("doc_a", "doc_b"), hashed, config.hamming_d)
     bad = feats.filter(F.col("dhash").isNull()).agg(
         F.count(F.lit(1)).alias("n_undecodable")
     )

@@ -186,7 +186,7 @@ def test_image_features_and_pairs(spark):
     assert all(r.width == 36 and r.height == 32 for r in feats)
     assert all(r.dhash is not None for r in feats)
 
-    pairs, ledger = image_dup_pairs(docs, PipelineConfig(), hamming_d=8)
+    pairs, ledger = image_dup_pairs(docs, PipelineConfig())
     got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
     want = {
         (a, b)

@@ -333,6 +333,29 @@ def main() -> None:
         "never global-sorts.",
     ))
 
+    from deduplicatr_spark.operators.image_dedup import (  # noqa: E402
+        image_dup_pairs, synth_image_docs,
+    )
+
+    img_pairs, _ildr = image_dup_pairs(
+        synth_image_docs(docs.select("doc_id"), 41), BENCH_CONFIG
+    )
+    sections.append((
+        "Image near-dup pairs (§2.39: PNG decode → dHash → Hamming core)",
+        captured_explain(img_pairs),
+        "What to check: exactly TWO Python boundaries — the synthetic "
+        "payload generator (fixture, absent in production where payloads "
+        "are a lake column) and ONE MapInPandas decode/hash stage "
+        "emitting 28-byte feature rows; the binary payload never "
+        "appears in an Exchange (only doc_id + 64-bit keys shuffle). "
+        "The pairing below is the same audited bucket core as LSH — "
+        "RangePartitioning(band_hash), hot-key broadcast thinning, "
+        "capped pairgen — and the Hamming verify is codegen "
+        "bit_count(xor) after two narrow equi-joins. At 100 TB the "
+        "decode stage is embarrassingly parallel scan work; the shuffle "
+        "volume is 9 keys × 8 bytes per image regardless of image size.",
+    ))
+
     amp = amplified_corpus(spark, SF, 4)
     sections.append((
         "Amplified corpus scan + identity (bench input)",

@@ -1047,7 +1047,19 @@ def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_meta(to_binary_docs(d))
 
 
-_IMG_BASES = 41  # synthetic image corpus: docs sharing doc_id % 41 are near-dups
+# synthetic image corpus: ~12 docs share each planted base, at ANY sf —
+# a FIXED base count would let per-base groups grow with the corpus
+# until they overflow ENTRY_CONFIG.max_bucket_size (64) and the bucket
+# core (correctly) cap-drops planted pairs, turning the oracle red: at
+# sf0.1 (5,000 docs) 41 fixed bases means 122-doc groups and 219,723 of
+# 302,379 planted pairs dropped. Scaling the base count keeps the
+# planted groups bucket-safe and the pairgen work linear in the corpus.
+_IMG_GROUP = 12
+
+
+def _img_bases(n_docs: int) -> int:
+    """ceil(n/12), mirrored EXACTLY by the oracle's CEIL(COUNT(*)/12.0)."""
+    return max(1, (n_docs + _IMG_GROUP - 1) // _IMG_GROUP)
 
 
 def _q_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1055,19 +1067,21 @@ def _q_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-integer dHash + the shared Hamming bucket core
     (operators/image_dedup.py). Planted truth: payloads are
     deterministic PNGs whose base pattern is keyed on
-    ``doc_id % _IMG_BASES`` with a per-doc brightness shift the hash is
-    provably invariant to — so the dup-pair set is pure doc_id
+    ``doc_id % _img_bases(N)`` with a per-doc brightness shift the hash
+    is provably invariant to — so the dup-pair set is pure doc_id
     arithmetic, which is what the SQL oracle claims. Cross-base dHash
-    distances sit at ≥18 bits (measured over this corpus) vs the
-    config's Hamming τ=3 verify, so the planted set is exactly the
-    emitted set."""
+    bits are near-uniform (expected distance 32, measured minimum ≥18
+    over the sf0.01 corpus) vs the config's Hamming τ=3 verify, so the
+    planted set is exactly the emitted set."""
     from deduplicatr_spark.operators.image_dedup import (
         image_dup_pairs,
         synth_image_docs,
     )
 
     d = _docs(spark, sf_dir).select("doc_id")
-    pairs, _ledger = image_dup_pairs(synth_image_docs(d, _IMG_BASES), ENTRY_CONFIG)
+    pairs, _ledger = image_dup_pairs(
+        synth_image_docs(d, _img_bases(d.count())), ENTRY_CONFIG
+    )
     return pairs
 
 
@@ -2509,13 +2523,18 @@ SELECT doc_id,
        'application/octet-stream' AS media_type
 FROM documents WHERE text IS NOT NULL
 """,
-        # truth = pairs sharing the planted image base (doc_id % 41):
-        # within-base dHash distance is exactly 0 (brightness-invariant
-        # exact-integer hash), cross-base ≥ 18 bits vs the τ=3 verify
+        # truth = pairs sharing the planted image base, base count =
+        # ceil(N/12) exactly as _img_bases computes it: within-base
+        # dHash distance is exactly 0 (brightness-invariant exact-integer
+        # hash), cross-base ≥ 18 bits vs the τ=3 verify
         "image_phash_pairs": """
+WITH nb AS (
+  SELECT CAST(CEIL(COUNT(*) / 12.0) AS BIGINT) AS n FROM documents
+)
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM documents a JOIN documents b
-  ON a.doc_id % 41 = b.doc_id % 41 AND a.doc_id < b.doc_id
+  ON a.doc_id % (SELECT n FROM nb) = b.doc_id % (SELECT n FROM nb)
+ AND a.doc_id < b.doc_id
 """,
         "cc_fingerprint_chains": CORPUS_SQL + """
 , fp AS (

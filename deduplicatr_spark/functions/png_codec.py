@@ -212,7 +212,6 @@ def dhash64(img: np.ndarray) -> int | None:
     left_s, right_s = s[:, :-1], s[:, 1:]
     left_n, right_n = n[:, :-1], n[:, 1:]
     bits = (left_s * right_n) > (right_s * left_n)
-    val = np.uint64(0)
     weights = (np.uint64(1) << np.arange(64, dtype=np.uint64)).reshape(
         GRID_H, GRID_W - 1
     )

@@ -33,6 +33,8 @@ no silent drops.
 
 from __future__ import annotations
 
+import struct
+import zlib
 from typing import Iterator
 
 import numpy as np
@@ -43,7 +45,7 @@ from pyspark.sql import functions as F
 from deduplicatr_spark.config import PipelineConfig
 from deduplicatr_spark.functions._numpy_core import splitmix64
 from deduplicatr_spark.functions.png_codec import decode_png, dhash64, encode_png, luma
-from deduplicatr_spark.operators.lsh import keyed_candidate_pairs
+from deduplicatr_spark.operators.lsh import _track, keyed_candidate_pairs
 from deduplicatr_spark.operators.pigeonhole import hamming_verify, simhash_keys_for
 
 IMAGE_FEATURE_SCHEMA = (
@@ -65,7 +67,10 @@ def image_feature_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
                 h.append(img.shape[0])
                 ml.append(float(lum.mean()))
                 dh.append(dhash64(img))
-            except ValueError:
+            # zlib.error: corrupt/truncated IDAT; struct.error: short
+            # IHDR — both are malformed-payload shapes, not engine bugs,
+            # and the contract is a NULL feature row, never a task crash
+            except (ValueError, zlib.error, struct.error):
                 w.append(None)
                 h.append(None)
                 ml.append(None)
@@ -115,7 +120,7 @@ def image_dup_pairs(
     config = config or PipelineConfig()
     if hamming_d is not None and hamming_d != config.hamming_d:
         config = dataclasses.replace(config, hamming_d=hamming_d)
-    feats = image_features(binary_docs).persist()
+    feats = _track(image_features(binary_docs).persist())
     hashed = feats.filter(F.col("dhash").isNotNull()).select(
         "doc_id", F.col("dhash").alias("simhash")
     )
@@ -148,12 +153,20 @@ def synth_png_payload(doc_id: int, n_bases: int) -> bytes:
     (splitmix64 pixel noise), plus a per-doc uniform brightness shift in
     [0, 20]. Docs sharing a base are planted near-dups (dHash distance
     exactly 0); distinct bases sit at ~32 bits apart."""
+    # floor-mod (Python %) on the base key and a masked uint64 RNG seed:
+    # negative doc_ids (xxhash64 ids are int64) must neither overflow the
+    # uint64 conversion nor crash. NOTE the SQL-oracle truth in
+    # __spark_entry__ recomputes the base with SQL's TRUNCATED %, which
+    # only agrees with floor-mod for non-negative ids — the entry corpora
+    # guarantee that; callers planting truth over signed ids must mirror
+    # the mod themselves.
     base_id = doc_id % n_bases
     idx = np.uint64(base_id) * np.uint64(SYNTH_W * SYNTH_H) + np.arange(
         SYNTH_W * SYNTH_H, dtype=np.uint64
     )
     px = np.uint8(30) + (splitmix64(idx) % np.uint64(_SYNTH_LEVELS)).astype(np.uint8)
-    brightness = int(splitmix64(np.array([doc_id], dtype=np.uint64))[0] % np.uint64(21))
+    seed = np.array([doc_id & 0xFFFFFFFFFFFFFFFF], dtype=np.uint64)
+    brightness = int(splitmix64(seed)[0] % np.uint64(21))
     img = (px + np.uint8(brightness)).reshape(SYNTH_H, SYNTH_W)
     return encode_png(img)
 

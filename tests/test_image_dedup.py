@@ -216,3 +216,64 @@ def test_image_pairs_undecodable_ledgered(spark):
     got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
     assert all(a < 100 and b < 100 for a, b in got)
     assert ledger.collect()[0].n_undecodable == 2
+
+
+def test_synth_payload_negative_doc_id():
+    """Real doc_ids are xxhash64 longs and go negative; the fixture must
+    neither overflow the uint64 RNG seed nor crash, and floor-mod keeps
+    the planted base in range (SQL-truth parity for signed ids is the
+    caller's job, per the docstring)."""
+    a = synth_png_payload(-5, 7)
+    assert a == synth_png_payload(-5, 7)
+    # -5 % 7 == 2 (floor mod): same base pattern as doc 2, so the two
+    # decode to dHash distance 0 (brightness differs, hash cancels it)
+    da = dhash64(decode_png(a))
+    db = dhash64(decode_png(synth_png_payload(2, 7)))
+    assert bin(da ^ db).count("1") == 0
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def test_image_pairs_corrupt_idat_ledgered(spark):
+    """Malformed payloads that pass the magic/IHDR gates — a
+    well-framed chunk whose IDAT is not zlib data (zlib.error) and a
+    short IHDR (struct.error) — must become NULL feature rows counted
+    in n_undecodable, never an executor-task crash (the kernel once
+    caught only ValueError)."""
+    import struct
+
+    import pandas as pd
+
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+    corrupt_idat = (
+        PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", b"garbage")
+        + _png_chunk(b"IEND", b"")
+    )
+    short_ihdr = (
+        PNG_MAGIC + _png_chunk(b"IHDR", b"\x00\x01") + _png_chunk(b"IEND", b"")
+    )
+    ids = spark.range(6).selectExpr("id AS doc_id")
+    bad = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [200, 201],
+                "payload": [corrupt_idat, short_ihdr],
+                "media_type": ["image/png"] * 2,
+            }
+        )
+    )
+    pairs, ledger = image_dup_pairs(
+        synth_image_docs(ids, 2).unionByName(bad), PipelineConfig()
+    )
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert all(a < 200 and b < 200 for a, b in got)
+    assert ledger.collect()[0].n_undecodable == 2

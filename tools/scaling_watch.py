@@ -24,23 +24,27 @@ POLL_S = 480
 MAX_WAIT_S = 4 * 3600
 
 
-def _committed_efficiency() -> float:
-    """Median efficiency in the git-committed BENCH/BASELINE.md, or 0."""
-    out = subprocess.run(
-        ["git", "show", "HEAD:BENCH/BASELINE.md"],
-        cwd="/root/repo", capture_output=True, text=True,
-    ).stdout
-    m = re.search(r"Scaling efficiency.*?= ([0-9.]+)\*\*", out)
+_TABLE = "/root/repo/BENCH/BASELINE.md"
+
+
+def _efficiency_of(text: str) -> float:
+    m = re.search(r"Scaling efficiency.*?= ([0-9.]+)\*\*", text)
     return float(m.group(1)) if m else 0.0
 
 
-def _written_efficiency() -> float:
+def _written_table() -> str:
+    """The WORKING-TREE table — the keep-best baseline. Comparing against
+    the committed HEAD alone would let a mediocre run clobber a better
+    UNCOMMITTED table from an earlier good window."""
     try:
-        with open("/root/repo/BENCH/BASELINE.md") as f:
-            m = re.search(r"Scaling efficiency.*?= ([0-9.]+)\*\*", f.read())
-        return float(m.group(1)) if m else 0.0
+        with open(_TABLE) as f:
+            return f.read()
     except OSError:
-        return 0.0
+        return ""
+
+
+def _written_efficiency() -> float:
+    return _efficiency_of(_written_table())
 
 
 def main() -> int:
@@ -60,7 +64,8 @@ def main() -> int:
                 continue
             print(f"[watch] window open (probe16={p16:.2f}) — launching protocol",
                   flush=True)
-            before = _committed_efficiency()
+            snapshot = _written_table()
+            before = _efficiency_of(snapshot)
             rc = subprocess.call(
                 [sys.executable, "/root/repo/tools/bench_scaling.py", "--runs", "2"],
                 cwd="/root/repo",
@@ -68,13 +73,14 @@ def main() -> int:
             after = _written_efficiency()
             print(f"[watch] protocol exit {rc} (eff {before:.3f} → {after:.3f})",
                   flush=True)
-            if rc == 0 and after < before:
-                # keep-best: the host collapsed mid-protocol; restore the
-                # committed (better-window) measurement
-                subprocess.call(
-                    ["git", "checkout", "--", "BENCH/BASELINE.md"], cwd="/root/repo"
-                )
-                print("[watch] regressed vs committed table — reverted, rearming",
+            if (rc != 0 or after < before) and snapshot:
+                # keep-best: the host collapsed mid-protocol (or the run
+                # died after partially rewriting the table) — restore the
+                # exact pre-run bytes, NOT git HEAD, so an uncommitted
+                # better table survives
+                with open(_TABLE, "w") as f:
+                    f.write(snapshot)
+                print("[watch] regressed/failed vs pre-run table — restored, rearming",
                       flush=True)
                 time.sleep(POLL_S)
                 continue

@@ -1063,16 +1063,19 @@ def _img_bases(n_docs: int) -> int:
 
 
 def _q_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image near-dup pairs via REAL pixel decode (stdlib PNG codec) +
-    exact-integer dHash + the shared Hamming bucket core
-    (operators/image_dedup.py). Planted truth: payloads are
-    deterministic PNGs whose base pattern is keyed on
-    ``doc_id % _img_bases(N)`` with a per-doc brightness shift the hash
-    is provably invariant to — so the dup-pair set is pure doc_id
-    arithmetic, which is what the SQL oracle claims. Cross-base dHash
-    bits are near-uniform (expected distance 32, measured minimum ≥18
-    over the sf0.01 corpus) vs the config's Hamming τ=3 verify, so the
-    planted set is exactly the emitted set."""
+    """Image near-dup pairs via REAL pixel decode (stdlib PNG + GIF
+    codecs) + exact-integer dHash + the shared Hamming bucket core
+    (operators/image_dedup.py). Planted truth: payloads alternate
+    PNG/GIF containers by doc_id parity around the SAME deterministic
+    pixels, keyed on ``doc_id % _img_bases(N)`` with a per-doc
+    brightness shift the hash is provably invariant to — so the
+    dup-pair set is pure doc_id arithmetic (format-independent, and
+    every odd-even within-base pair is a genuine CROSS-FORMAT near-dup
+    the decode path must bridge), which is what the SQL oracle claims.
+    Cross-base dHash bits are near-uniform (expected distance 32,
+    measured minimum ≥18 over the sf0.01 corpus) vs the config's
+    Hamming τ=3 verify, so the planted set is exactly the emitted
+    set."""
     from deduplicatr_spark.operators.image_dedup import (
         image_dup_pairs,
         synth_image_docs,

@@ -1,0 +1,341 @@
+"""Pure-stdlib GIF pixel codec: real LZW decode, interlace, palettes,
+transparency, and multi-frame compositing — plus a real LZW encoder for
+deterministic fixtures.
+
+Rounds 3-4 progressively narrowed the "multimodal pixel decode needs
+codec libraries" boundary: PNG fell to stdlib ``zlib``
+(functions/png_codec.py), and this module retires the GIF half of the
+claim — GIF's LZW is a self-contained dictionary coder (GIF89a spec,
+CompuServe 1990, Appendix F; Welch, IEEE Computer 1984) that needs no
+library at all, only the 4096-entry table walk below. The remaining
+pixel boundary is JPEG alone (DCT + Huffman entropy coding).
+
+Decode model:
+
+* ``decode_gif`` returns the COMPOSITED logical-screen frames as
+  (H, W, 3) uint8 RGB — each image descriptor is painted onto the
+  canvas at its (left, top) rect, honoring the Graphic Control
+  Extension's transparency index and disposal method (1 = leave,
+  2 = restore background, 3 = restore previous). That is what a
+  frame-level feature wants: the frame as a viewer sees it, not the
+  stored partial-update rect.
+* Interlaced images are deinterlaced (the four-pass row order of
+  spec §20) before painting.
+* Structural damage raises ``ValueError`` (callers — the image-dedup
+  kernel — ledger it as undecodable, never crash; the kernel also
+  guards the generic struct/zlib shapes).
+
+Encode model (fixtures only, like png_codec's filter-0 encoder):
+
+* ``encode_gif`` writes GIF89a with a global 256-gray palette by
+  default, one full-screen image per frame, disposal 1, no
+  transparency, REAL LZW compression (dictionary build + width growth
+  + table-full clear), so the decoder's growth/clear paths are
+  exercised by every fixture roundtrip. Identical pixels always
+  produce identical bytes.
+
+The LZW table walk is a per-CODE Python loop (each code emits a whole
+string of pixels), not per-pixel — and the module sits behind the same
+Arrow-batched codec stage as PNG (operators/image_dedup.py), the
+deliberate Python boundary the engine's no-per-row-Python rule carves
+out for inherently sequential codecs.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+GIF_MAGICS = (b"GIF87a", b"GIF89a")
+
+_MAX_CODE_WIDTH = 12
+_TABLE_CAP = 1 << _MAX_CODE_WIDTH  # 4096
+
+
+# ---------------------------------------------------------------------------
+# LZW (GIF flavor: LSB-first bit packing, dynamic code width 3..12)
+# ---------------------------------------------------------------------------
+
+
+def lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytes:
+    """Concatenated image sub-block bytes → palette-index bytes.
+
+    Streaming LSB-first bit reader; the dictionary holds ``bytes``
+    entries so each code appends its whole expansion at once. Stops at
+    the End-Of-Information code or once ``n_pixels`` indices are out
+    (some writers omit EOI)."""
+    if not 2 <= min_code_size <= 11:
+        raise ValueError(f"bad LZW min code size {min_code_size}")
+    clear = 1 << min_code_size
+    end = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    width = min_code_size + 1
+    out = bytearray()
+    prev: bytes | None = None
+    acc = 0
+    nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = list(base)
+                width = min_code_size + 1
+                prev = None
+                continue
+            if code == end:
+                return bytes(out[:n_pixels])
+            if prev is None:
+                if code >= len(table):
+                    raise ValueError("LZW: first code not in table")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+            elif code == len(table):
+                entry = prev + prev[:1]
+            else:
+                raise ValueError("LZW: code beyond table")
+            out += entry
+            if prev is not None and len(table) < _TABLE_CAP:
+                table.append(prev + entry[:1])
+                if len(table) == (1 << width) and width < _MAX_CODE_WIDTH:
+                    width += 1
+            prev = entry
+            if len(out) >= n_pixels:
+                return bytes(out[:n_pixels])
+    if len(out) < n_pixels:
+        raise ValueError(f"LZW: stream ended at {len(out)}/{n_pixels} pixels")
+    return bytes(out[:n_pixels])
+
+
+def lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """Palette-index bytes → LZW bytes (real dictionary coder, the
+    inverse of ``lzw_decode`` including width growth and a CLEAR when
+    the table fills)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    width = min_code_size + 1
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    emit(clear)
+    w = b""
+    for i in range(len(indices)):
+        c = indices[i : i + 1]
+        wc = w + c
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        # mirror the decoder, which materializes entries ONE code behind
+        # us (it can only append after seeing the next code): its table
+        # reaches 1 << width — triggering its width bump — only after
+        # reading the code we emit when next_code == (1 << width) + 1,
+        # so that is the first code we may emit at the wider width
+        # (GIF's "late change", unlike TIFF's early-change LZW).
+        table[wc] = next_code
+        next_code += 1
+        if next_code == (1 << width) + 1 and width < _MAX_CODE_WIDTH:
+            width += 1
+        if next_code == _TABLE_CAP:
+            emit(clear)
+            table = {bytes([j]): j for j in range(clear)}
+            next_code = end + 1
+            width = min_code_size + 1
+        w = c
+    if w:
+        emit(table[w])
+    emit(end)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Container
+# ---------------------------------------------------------------------------
+
+_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _deinterlace(rows: np.ndarray) -> np.ndarray:
+    h = rows.shape[0]
+    order = np.concatenate(
+        [np.arange(start, h, step) for start, step in _INTERLACE_PASSES]
+    )
+    out = np.empty_like(rows)
+    out[order] = rows
+    return out
+
+
+def _read_palette(buf: bytes, pos: int, flags: int) -> tuple[np.ndarray | None, int]:
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        pal = np.frombuffer(buf[pos : pos + 3 * n], dtype=np.uint8)
+        if pal.size != 3 * n:
+            raise ValueError("truncated palette")
+        return pal.reshape(n, 3).copy(), pos + 3 * n
+    return None, pos
+
+
+def _read_subblocks(buf: bytes, pos: int) -> tuple[bytes, int]:
+    parts = []
+    while True:
+        if pos >= len(buf):
+            raise ValueError("truncated sub-blocks")
+        n = buf[pos]
+        pos += 1
+        if n == 0:
+            return b"".join(parts), pos
+        parts.append(buf[pos : pos + n])
+        if len(parts[-1]) != n:
+            raise ValueError("truncated sub-block")
+        pos += n
+
+
+def decode_gif(buf: bytes) -> list[np.ndarray]:
+    """GIF bytes → list of composited (H, W, 3) uint8 RGB frames."""
+    if buf[:6] not in GIF_MAGICS:
+        raise ValueError("not a GIF")
+    if len(buf) < 13:
+        raise ValueError("truncated GIF header")
+    w, h, flags, bg_index = struct.unpack("<HHBB", buf[6:12])
+    if w == 0 or h == 0:
+        raise ValueError("empty logical screen")
+    pos = 13
+    global_pal, pos = _read_palette(buf, pos, flags)
+    bg_rgb = (
+        global_pal[bg_index]
+        if global_pal is not None and bg_index < len(global_pal)
+        else np.zeros(3, dtype=np.uint8)
+    )
+    canvas = np.broadcast_to(bg_rgb, (h, w, 3)).copy()
+    frames: list[np.ndarray] = []
+    transparent: int | None = None
+    disposal = 0
+    while pos < len(buf):
+        block = buf[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            if pos >= len(buf):
+                raise ValueError("truncated extension")
+            label = buf[pos]
+            pos += 1
+            data, pos = _read_subblocks(buf, pos)
+            if label == 0xF9 and len(data) >= 4:  # Graphic Control
+                gc_flags = data[0]
+                disposal = (gc_flags >> 2) & 0x07
+                transparent = data[3] if gc_flags & 0x01 else None
+            continue
+        if block != 0x2C:  # image descriptor is all that remains
+            raise ValueError(f"unknown block 0x{block:02x}")
+        if pos + 9 > len(buf):
+            raise ValueError("truncated image descriptor")
+        left, top, iw, ih, iflags = struct.unpack("<HHHHB", buf[pos : pos + 9])
+        pos += 9
+        local_pal, pos = _read_palette(buf, pos, iflags)
+        pal = local_pal if local_pal is not None else global_pal
+        if pal is None:
+            raise ValueError("no palette")
+        if left + iw > w or top + ih > h:
+            raise ValueError("image rect outside logical screen")
+        if pos >= len(buf):
+            raise ValueError("truncated image data")
+        min_code_size = buf[pos]
+        pos += 1
+        lzw, pos = _read_subblocks(buf, pos)
+        idx = np.frombuffer(
+            lzw_decode(lzw, min_code_size, iw * ih), dtype=np.uint8
+        ).reshape(ih, iw)
+        if iflags & 0x40:
+            idx = _deinterlace(idx)
+        if (idx >= len(pal)).any():
+            raise ValueError("palette index out of range")
+        saved = canvas.copy() if disposal == 3 else None
+        rect = canvas[top : top + ih, left : left + iw]
+        painted = pal[idx]
+        if transparent is not None:
+            keep = (idx == transparent)[:, :, None]
+            painted = np.where(keep, rect, painted)
+        canvas[top : top + ih, left : left + iw] = painted
+        frames.append(canvas.copy())
+        if disposal == 2:
+            canvas[top : top + ih, left : left + iw] = bg_rgb
+        elif disposal == 3 and saved is not None:
+            canvas = saved
+        transparent = None
+        disposal = 0
+    if not frames:
+        raise ValueError("no image data")
+    return frames
+
+
+GRAY_PALETTE = np.repeat(np.arange(256, dtype=np.uint8)[:, None], 3, axis=1)
+
+
+def encode_gif(
+    frames: list[np.ndarray] | np.ndarray,
+    palette: np.ndarray | None = None,
+    interlace: bool = False,
+) -> bytes:
+    """uint8 index frames (each (H, W), all the same shape) → GIF89a
+    bytes over one global palette (default: 256-entry grayscale, so
+    index == luma and a pixel array roundtrips exactly against the PNG
+    encoder's grey output). Deterministic byte-for-byte."""
+    if isinstance(frames, np.ndarray):
+        frames = [frames]
+    if not frames:
+        raise ValueError("no frames")
+    pal = GRAY_PALETTE if palette is None else np.asarray(palette, dtype=np.uint8)
+    n_pal = len(pal)
+    if n_pal & (n_pal - 1) or not 2 <= n_pal <= 256:
+        raise ValueError("palette size must be a power of two in [2, 256]")
+    pal_bits = max(1, (n_pal - 1).bit_length())
+    h, w = frames[0].shape
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBB", w, h, 0x80 | (pal_bits - 1), 0)
+    out += b"\x00"  # pixel aspect ratio
+    out += pal.tobytes()
+    min_code_size = max(2, pal_bits)
+    for fr in frames:
+        arr = np.ascontiguousarray(fr, dtype=np.uint8)
+        if arr.shape != (h, w):
+            raise ValueError("frame shape mismatch")
+        if len(frames) > 1:
+            # GCE: disposal 1 (leave in place), no transparency
+            out += b"\x21\xf9\x04" + bytes([0x04, 0, 0, 0]) + b"\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40 if interlace else 0)
+        rows = arr
+        if interlace:
+            order = np.concatenate(
+                [np.arange(s, h, st) for s, st in _INTERLACE_PASSES]
+            )
+            rows = arr[order]
+        out.append(min_code_size)
+        lzw = lzw_encode(rows.tobytes(), min_code_size)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)  # sub-block terminator
+    out += b"\x3b"
+    return bytes(out)

@@ -9,18 +9,21 @@ third-party dependencies, and cross-validates against PIL when that
 library happens to be importable (tests/test_text_vectors.py,
 skip-guarded).
 
-Since round 4, PIXEL-level work is real for PNG: the stdlib codec in
-``functions/png_codec.py`` (zlib is all PNG needs) decodes pixels,
-feeds the exact-integer perceptual hash, and powers the
-``image_dup_pairs`` operator (operators/image_dedup.py) end to end —
-oracle-checked by the ``image_phash_pairs`` correctness query. The
-residual container boundary is JPEG/GIF pixel decode (DCT entropy
-coding / LZW genuinely need codec libraries this container lacks);
-their header metadata parse below is real. The deterministic ``fake``
-mode stays as the oracle-checkable stand-in used by the
-``multimodal_meta`` plumbing query. Swapping in a full JPEG decoder is
-a one-function change: replace ``_decode_meta`` with PIL/libav calls —
-batch shape, schema and partitioning stay identical.
+Since round 4, PIXEL-level work is real for PNG AND GIF: the stdlib
+codecs in ``functions/png_codec.py`` (zlib is all PNG needs) and
+``functions/gif_codec.py`` (GIF's LZW is a self-contained dictionary
+coder — no library at all) decode pixels, feed the exact-integer
+perceptual hash, and power the ``image_dup_pairs`` operator
+(operators/image_dedup.py) end to end — oracle-checked by the
+``image_phash_pairs`` correctness query over a MIXED PNG/GIF corpus
+(cross-format near-dups included). The residual container boundary is
+JPEG pixel decode alone (DCT + Huffman entropy coding genuinely needs
+a codec library this container lacks); its header metadata parse below
+is real. The deterministic ``fake`` mode stays as the oracle-checkable
+stand-in used by the ``multimodal_meta`` plumbing query. Swapping in a
+full JPEG decoder is a one-function change: replace ``_decode_meta``
+with PIL/libav calls — batch shape, schema and partitioning stay
+identical.
 """
 
 from __future__ import annotations

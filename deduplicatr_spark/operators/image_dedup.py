@@ -1,13 +1,20 @@
-"""Image near-duplicate detection: PNG pixel decode → dHash → the
+"""Image near-duplicate detection: PNG/GIF pixel decode → dHash → the
 shared Hamming bucket core.
 
 The training-pipeline gap this closes: round 3's multimodal support
 stopped at container headers, so image DEDUP — the reason a 100 TB
 multimodal corpus carries image columns through this engine at all —
 had no pixel-level signal. With the stdlib PNG codec
-(functions/png_codec.py) the full path is now real:
+(functions/png_codec.py) and GIF codec (functions/gif_codec.py — real
+LZW, interlace, transparency/disposal compositing) the full path is
+real for both formats, INCLUDING cross-format: the exact-integer dHash
+is computed on decoded pixels, so the same picture saved as PNG-grey
+and as GIF-gray-palette lands at Hamming distance exactly 0 and pairs
+across containers. Animated GIFs hash their FIRST composited frame
+(the viewer's poster frame) and carry an ``n_frames`` feature column.
 
-    binary payload ──mapInPandas──▶ (width, height, mean_luma, dhash)
+    binary payload ──mapInPandas──▶ (width, height, mean_luma, dhash,
+                                     n_frames)
       dhash ──simhash_keyed (d+1 pigeonhole chunks)──▶ band keys
         ──keyed_candidate_pairs (ONE shuffle, capped, ledgered)──▶
           candidates ──bit_count(a^b) ≤ d verify──▶ pairs
@@ -44,13 +51,37 @@ from pyspark.sql import functions as F
 
 from deduplicatr_spark.config import PipelineConfig
 from deduplicatr_spark.functions._numpy_core import splitmix64
-from deduplicatr_spark.functions.png_codec import decode_png, dhash64, encode_png, luma
+from deduplicatr_spark.functions.gif_codec import GIF_MAGICS, decode_gif, encode_gif
+from deduplicatr_spark.functions.png_codec import (
+    PNG_MAGIC,
+    decode_png,
+    dhash64,
+    encode_png,
+    luma,
+)
 from deduplicatr_spark.operators.lsh import _track, keyed_candidate_pairs
 from deduplicatr_spark.operators.pigeonhole import hamming_verify, simhash_keys_for
 
 IMAGE_FEATURE_SCHEMA = (
-    "doc_id long, width int, height int, mean_luma double, dhash long"
+    "doc_id long, width int, height int, mean_luma double, dhash long, "
+    "n_frames int"
 )
+
+
+def decode_image_pixels(buf: bytes) -> tuple[np.ndarray, int]:
+    """Format-sniffing pixel decode: (representative frame, n_frames).
+
+    PNG → the image, 1 frame. GIF → the FIRST composited logical-screen
+    frame (what a viewer sees as the poster frame) plus the real frame
+    count, so animated near-dups of a still image are caught and the
+    frame count survives as a feature. Raises ``ValueError`` on
+    unrecognized magics or structural damage."""
+    if buf[:8] == PNG_MAGIC:
+        return decode_png(buf), 1
+    if buf[:6] in GIF_MAGICS:
+        frames = decode_gif(buf)
+        return frames[0], len(frames)
+    raise ValueError("unrecognized image format")
 
 
 def image_feature_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -58,15 +89,16 @@ def image_feature_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
     Python call per image by necessity (codec boundary — module
     docstring); failures yield NULL width/height/dhash rows."""
     for pdf in batches:
-        w, h, ml, dh = [], [], [], []
+        w, h, ml, dh, nf = [], [], [], [], []
         for buf in pdf["payload"]:
             try:
-                img = decode_png(bytes(buf))
+                img, n_frames = decode_image_pixels(bytes(buf))
                 lum = luma(img)
                 w.append(img.shape[1])
                 h.append(img.shape[0])
                 ml.append(float(lum.mean()))
                 dh.append(dhash64(img))
+                nf.append(n_frames)
             # zlib.error: corrupt/truncated IDAT; struct.error: short
             # IHDR — both are malformed-payload shapes, not engine bugs,
             # and the contract is a NULL feature row, never a task crash
@@ -75,6 +107,7 @@ def image_feature_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
                 h.append(None)
                 ml.append(None)
                 dh.append(None)
+                nf.append(None)
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
@@ -82,6 +115,7 @@ def image_feature_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
                 "height": pd.array(h, dtype="Int32"),
                 "mean_luma": pd.array(ml, dtype="float64"),
                 "dhash": pd.array(dh, dtype="Int64"),
+                "n_frames": pd.array(nf, dtype="Int32"),
             }
         )
 
@@ -148,11 +182,13 @@ SYNTH_W, SYNTH_H = 36, 32  # multiples of the 9×8 dHash grid
 _SYNTH_LEVELS = 170  # base pixels in [30, 200); +brightness ≤ 20 → ≤ 219
 
 
-def synth_png_payload(doc_id: int, n_bases: int) -> bytes:
-    """One deterministic PNG: base pattern keyed on ``doc_id % n_bases``
-    (splitmix64 pixel noise), plus a per-doc uniform brightness shift in
-    [0, 20]. Docs sharing a base are planted near-dups (dHash distance
-    exactly 0); distinct bases sit at ~32 bits apart."""
+def _synth_pixels(doc_id: int, n_bases: int) -> np.ndarray:
+    """The shared deterministic pixel plant: base pattern keyed on
+    ``doc_id % n_bases`` (splitmix64 pixel noise), plus a per-doc
+    uniform brightness shift in [0, 20]. Docs sharing a base are
+    planted near-dups (dHash distance exactly 0); distinct bases sit at
+    ~32 bits apart. Format-independent by construction — the PNG and
+    GIF payload builders below encode the SAME array."""
     # floor-mod (Python %) on the base key and a masked uint64 RNG seed:
     # negative doc_ids (xxhash64 ids are int64) must neither overflow the
     # uint64 conversion nor crash. NOTE the SQL-oracle truth in
@@ -167,22 +203,51 @@ def synth_png_payload(doc_id: int, n_bases: int) -> bytes:
     px = np.uint8(30) + (splitmix64(idx) % np.uint64(_SYNTH_LEVELS)).astype(np.uint8)
     seed = np.array([doc_id & 0xFFFFFFFFFFFFFFFF], dtype=np.uint64)
     brightness = int(splitmix64(seed)[0] % np.uint64(21))
-    img = (px + np.uint8(brightness)).reshape(SYNTH_H, SYNTH_W)
-    return encode_png(img)
+    return (px + np.uint8(brightness)).reshape(SYNTH_H, SYNTH_W)
 
 
-def synth_image_docs(ids: DataFrame, n_bases: int, id_col: str = "doc_id") -> DataFrame:
-    """id frame → (doc_id, payload, media_type) with synthetic PNGs."""
+def synth_png_payload(doc_id: int, n_bases: int) -> bytes:
+    return encode_png(_synth_pixels(doc_id, n_bases))
+
+
+def synth_gif_payload(doc_id: int, n_bases: int) -> bytes:
+    """Same planted pixels as ``synth_png_payload`` in a GIF89a
+    container (gray palette: index == luma), so a PNG doc and a GIF doc
+    sharing a base are a CROSS-FORMAT distance-0 pair."""
+    return encode_gif(_synth_pixels(doc_id, n_bases))
+
+
+_SYNTH_FORMATS = (
+    (synth_png_payload, "image/png"),
+    (synth_gif_payload, "image/gif"),
+)
+
+
+def synth_image_docs(
+    ids: DataFrame,
+    n_bases: int,
+    id_col: str = "doc_id",
+    mixed: bool = True,
+) -> DataFrame:
+    """id frame → (doc_id, payload, media_type). ``mixed`` (default)
+    alternates PNG/GIF containers by doc_id parity — the planted-truth
+    oracle is format-independent (same pixels either way), so the mixed
+    corpus makes every odd-even within-base pair a real cross-format
+    near-dup the dedup operator must catch. ``mixed=False`` keeps the
+    round-4 all-PNG corpus."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            payloads, media = [], []
+            for d in pdf["doc_id"]:
+                enc, mt = _SYNTH_FORMATS[int(d) % 2 if mixed else 0]
+                payloads.append(enc(int(d), n_bases))
+                media.append(mt)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "payload": [
-                        synth_png_payload(int(d), n_bases) for d in pdf["doc_id"]
-                    ],
-                    "media_type": "image/png",
+                    "payload": payloads,
+                    "media_type": media,
                 }
             )
 

@@ -1,0 +1,313 @@
+"""GIF codec unit tests: LZW roundtrips cross-checked against an
+INDEPENDENT reference decoder (big-int bit reader, written differently
+from the streaming-accumulator production one), container compositing
+(transparency, disposal, interlace, multi-frame), damage paths, and the
+cross-format invariant the image-dedup operator relies on — identical
+pixels as PNG-grey and GIF-gray-palette produce the SAME dHash.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from deduplicatr_spark.functions.gif_codec import (
+    GRAY_PALETTE,
+    decode_gif,
+    encode_gif,
+    lzw_decode,
+    lzw_encode,
+)
+from deduplicatr_spark.functions.png_codec import dhash64, encode_png
+
+
+# ---------------------------------------------------------------------------
+# Independent reference LZW decoder: reads the WHOLE stream into one
+# big int and slices codes out of it — no shared bit-handling code with
+# the production streaming-accumulator decoder, so a bit-packing or
+# width-bump off-by-one in either implementation shows up as a diff.
+# ---------------------------------------------------------------------------
+
+
+def ref_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytes:
+    big = int.from_bytes(data, "little")
+    total_bits = 8 * len(data)
+    clear = 1 << min_code_size
+    end = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    width = min_code_size + 1
+    bit = 0
+    out = bytearray()
+    prev = None
+    while bit + width <= total_bits and len(out) < n_pixels:
+        code = (big >> bit) & ((1 << width) - 1)
+        bit += width
+        if code == clear:
+            table = list(base)
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        else:
+            assert code == len(table), "reference: code beyond table"
+            entry = prev + prev[:1]
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    assert len(out) >= n_pixels, "reference: stream too short"
+    return bytes(out[:n_pixels])
+
+
+@pytest.mark.parametrize("mcs", [2, 3, 5, 8])
+@pytest.mark.parametrize("n", [1, 7, 300, 10000])
+def test_lzw_roundtrip_and_reference_agreement(mcs, n):
+    rng = np.random.RandomState(mcs * 1000 + n)
+    idx = rng.randint(0, 1 << mcs, size=n).astype(np.uint8).tobytes()
+    enc = lzw_encode(idx, mcs)
+    assert lzw_decode(enc, mcs, n) == idx
+    assert ref_lzw_decode(enc, mcs, n) == idx
+
+
+def test_lzw_table_full_clear_path():
+    # random bytes at mcs=8 fill the 4096-entry table repeatedly; the
+    # encoder must emit CLEAR and resync widths with the decoder
+    rng = np.random.RandomState(7)
+    idx = rng.randint(0, 256, size=60000).astype(np.uint8).tobytes()
+    enc = lzw_encode(idx, 8)
+    assert lzw_decode(enc, 8, 60000) == idx
+    assert ref_lzw_decode(enc, 8, 60000) == idx
+
+
+def test_lzw_repetitive_growth():
+    # repetitive text grows long dictionary strings (the prev+prev[:1]
+    # KwKwK case fires here)
+    rep = b"abcabcabd" * 8000
+    enc = lzw_encode(rep, 8)
+    assert lzw_decode(enc, 8, len(rep)) == rep
+    assert ref_lzw_decode(enc, 8, len(rep)) == rep
+
+
+def test_lzw_truncated_stream_raises():
+    enc = lzw_encode(b"hello world, hello world", 8)
+    with pytest.raises(ValueError):
+        lzw_decode(enc[: len(enc) // 2], 8, 24)
+
+
+# ---------------------------------------------------------------------------
+# Container roundtrips
+# ---------------------------------------------------------------------------
+
+
+def test_single_frame_roundtrip():
+    rng = np.random.RandomState(42)
+    fr = rng.randint(0, 256, size=(37, 53)).astype(np.uint8)
+    frames = decode_gif(encode_gif(fr))
+    assert len(frames) == 1
+    rgb = frames[0]
+    assert rgb.shape == (37, 53, 3)
+    # gray palette: every channel equals the index
+    for c in range(3):
+        np.testing.assert_array_equal(rgb[:, :, c], fr)
+
+
+def test_interlace_roundtrip():
+    rng = np.random.RandomState(3)
+    fr = rng.randint(0, 256, size=(31, 17)).astype(np.uint8)
+    plain = encode_gif(fr)
+    laced = encode_gif(fr, interlace=True)
+    assert plain != laced  # row order really differs on the wire
+    np.testing.assert_array_equal(decode_gif(laced)[0], decode_gif(plain)[0])
+
+
+def test_multi_frame_full_screen():
+    rng = np.random.RandomState(9)
+    f1 = rng.randint(0, 256, size=(20, 20)).astype(np.uint8)
+    f2 = rng.randint(0, 256, size=(20, 20)).astype(np.uint8)
+    outs = decode_gif(encode_gif([f1, f2]))
+    assert len(outs) == 2
+    np.testing.assert_array_equal(outs[0][:, :, 0], f1)
+    np.testing.assert_array_equal(outs[1][:, :, 0], f2)
+
+
+def test_small_palette_roundtrip():
+    pal = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8)
+    fr = np.tile(np.arange(4, dtype=np.uint8), (8, 2))
+    out = decode_gif(encode_gif(fr, palette=pal))[0]
+    np.testing.assert_array_equal(out, pal[fr])
+
+
+def test_determinism():
+    fr = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    assert encode_gif(fr) == encode_gif(fr)
+
+
+# ---------------------------------------------------------------------------
+# Hand-built containers: partial rects, transparency, disposal — the
+# encoder only writes full-screen opaque frames, so these are
+# constructed byte-by-byte against GIF89a spec sections 23-26.
+# ---------------------------------------------------------------------------
+
+
+def _image_block(left, top, w, h, indices, mcs=2):
+    lzw = lzw_encode(bytes(indices), mcs)
+    blk = b"\x2c" + struct.pack("<HHHHB", left, top, w, h, 0) + bytes([mcs])
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blk += bytes([len(chunk)]) + chunk
+    return blk + b"\x00"
+
+
+def _gce(disposal=0, transparent=None):
+    flags = (disposal & 7) << 2
+    tidx = 0
+    if transparent is not None:
+        flags |= 1
+        tidx = transparent
+    return b"\x21\xf9\x04" + bytes([flags, 0, 0, tidx]) + b"\x00"
+
+
+_PAL4 = bytes(
+    [0, 0, 0]  # 0 black (background)
+    + [255, 0, 0]  # 1 red
+    + [0, 255, 0]  # 2 green
+    + [0, 0, 255]  # 3 blue
+)
+
+
+def _header(w, h, bg=0):
+    # global palette of 4 entries (flags 0x81: GCT present, size 2<<1)
+    return b"GIF89a" + struct.pack("<HHBB", w, h, 0x81, bg) + b"\x00" + _PAL4
+
+
+def test_partial_rect_composites_onto_background():
+    # 4x4 black screen, one 2x2 red image painted at (1,1)
+    buf = _header(4, 4) + _image_block(1, 1, 2, 2, [1, 1, 1, 1]) + b"\x3b"
+    fr = decode_gif(buf)
+    assert len(fr) == 1
+    expect = np.zeros((4, 4, 3), np.uint8)
+    expect[1:3, 1:3] = (255, 0, 0)
+    np.testing.assert_array_equal(fr[0], expect)
+
+
+def test_transparency_keeps_underlying_pixels():
+    # frame 1: full green; frame 2: 2x2 rect at origin with index 0
+    # transparent in pattern [[0,1],[1,0]] — transparent cells must show
+    # frame 1's green, not palette[0]
+    buf = (
+        _header(2, 2)
+        + _image_block(0, 0, 2, 2, [2, 2, 2, 2])
+        + _gce(disposal=1, transparent=0)
+        + _image_block(0, 0, 2, 2, [0, 1, 1, 0])
+        + b"\x3b"
+    )
+    f1, f2 = decode_gif(buf)
+    np.testing.assert_array_equal(f1, np.full((2, 2, 3), (0, 255, 0), np.uint8))
+    expect = np.array(
+        [[(0, 255, 0), (255, 0, 0)], [(255, 0, 0), (0, 255, 0)]], np.uint8
+    )
+    np.testing.assert_array_equal(f2, expect)
+
+
+def test_disposal_restore_background():
+    # frame 1 paints red with disposal 2 (restore bg) → frame 2's
+    # transparent pixels must show BACKGROUND, not red
+    buf = (
+        _header(2, 2)
+        + _gce(disposal=2)
+        + _image_block(0, 0, 2, 2, [1, 1, 1, 1])
+        + _gce(disposal=1, transparent=0)
+        + _image_block(0, 0, 2, 2, [0, 3, 3, 0])
+        + b"\x3b"
+    )
+    f1, f2 = decode_gif(buf)
+    np.testing.assert_array_equal(f1, np.full((2, 2, 3), (255, 0, 0), np.uint8))
+    expect = np.array([[(0, 0, 0), (0, 0, 255)], [(0, 0, 255), (0, 0, 0)]], np.uint8)
+    np.testing.assert_array_equal(f2, expect)
+
+
+def test_disposal_restore_previous():
+    # frame 1 green (disposal 1); frame 2 red with disposal 3 (restore
+    # previous); frame 3 transparent-only → must show frame 1's green
+    buf = (
+        _header(2, 2)
+        + _gce(disposal=1)
+        + _image_block(0, 0, 2, 2, [2, 2, 2, 2])
+        + _gce(disposal=3)
+        + _image_block(0, 0, 2, 2, [1, 1, 1, 1])
+        + _gce(disposal=1, transparent=0)
+        + _image_block(0, 0, 2, 2, [0, 0, 0, 0])
+        + b"\x3b"
+    )
+    f1, f2, f3 = decode_gif(buf)
+    np.testing.assert_array_equal(f2, np.full((2, 2, 3), (255, 0, 0), np.uint8))
+    np.testing.assert_array_equal(f3, f1)
+
+
+# ---------------------------------------------------------------------------
+# Damage paths — every malformed shape must be ValueError (the image
+# kernel ledgers those as undecodable), never an index crash or hang.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "buf",
+    [
+        b"",
+        b"GIF89a",
+        b"NOTGIF" + b"\x00" * 20,
+        _header(0, 0) + b"\x3b",  # empty screen
+        _header(2, 2) + b"\x3b",  # no image data
+        _header(2, 2) + _image_block(1, 1, 2, 2, [1, 1, 1, 1]) + b"\x3b",  # oob rect
+        _header(2, 2) + b"\x2c" + b"\x00" * 4,  # truncated descriptor
+        (_header(2, 2) + _image_block(0, 0, 2, 2, [1, 1, 1, 1]))[:-6],  # cut blocks
+    ],
+)
+def test_damage_raises_value_error(buf):
+    with pytest.raises(ValueError):
+        decode_gif(bytes(buf))
+
+
+def test_palette_index_out_of_range_raises():
+    buf = _header(2, 2) + _image_block(0, 0, 2, 2, [1, 1, 3, 3], mcs=3) + b"\x3b"
+    # mcs=3 allows indices up to 7 but the palette has 4 entries; use 5
+    bad = _header(2, 2) + _image_block(0, 0, 2, 2, [1, 5, 1, 1], mcs=3) + b"\x3b"
+    decode_gif(buf)  # in-range at the wider mcs is fine
+    with pytest.raises(ValueError):
+        decode_gif(bad)
+
+
+# ---------------------------------------------------------------------------
+# The invariant image-dedup builds on: same pixels, different container
+# format → IDENTICAL dHash (GIF gray palette decodes to R=G=B=v and the
+# BT.601 integer luma of that is exactly v, matching PNG grey).
+# ---------------------------------------------------------------------------
+
+
+def test_cross_format_dhash_identity():
+    rng = np.random.RandomState(1234)
+    px = rng.randint(0, 256, size=(32, 36)).astype(np.uint8)
+    from deduplicatr_spark.functions.png_codec import decode_png
+
+    png_img = decode_png(encode_png(px))
+    gif_img = decode_gif(encode_gif(px))[0]
+    assert png_img.ndim == 2 and gif_img.ndim == 3
+    h_png = dhash64(png_img)
+    h_gif = dhash64(gif_img)
+    assert h_png is not None
+    assert h_png == h_gif
+
+
+def test_gray_palette_is_identity():
+    np.testing.assert_array_equal(GRAY_PALETTE[:, 0], np.arange(256, dtype=np.uint8))
+    np.testing.assert_array_equal(GRAY_PALETTE[:, 1], GRAY_PALETTE[:, 2])

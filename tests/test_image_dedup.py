@@ -241,6 +241,98 @@ def _png_chunk(typ: bytes, data: bytes) -> bytes:
     )
 
 
+def test_mixed_corpus_cross_format_pairs(spark):
+    """The default synth corpus alternates PNG/GIF by doc_id parity;
+    within-base odd-even pairs are CROSS-FORMAT and must still land at
+    dHash distance 0 (decoded-pixel hashing, not payload hashing)."""
+    from deduplicatr_spark.operators.image_dedup import synth_gif_payload
+
+    n, n_bases = 40, 5
+    ids = spark.range(n).selectExpr("id AS doc_id")
+    docs = synth_image_docs(ids, n_bases)  # mixed=True default
+    media = {r.doc_id: r.media_type for r in docs.collect()}
+    assert media[0] == "image/png" and media[1] == "image/gif"
+
+    feats = image_features(docs).orderBy("doc_id").collect()
+    assert all(r.dhash is not None and r.n_frames == 1 for r in feats)
+
+    pairs, ledger = image_dup_pairs(docs, PipelineConfig())
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    want = {
+        (a, b)
+        for a, b in itertools.combinations(range(n), 2)
+        if a % n_bases == b % n_bases
+    }
+    assert got == want
+    # and the truth really contains cross-format pairs (opposite parity)
+    assert any((a + b) % 2 == 1 for a, b in want)
+    assert ledger.collect()[0].n_undecodable == 0
+
+
+def test_gif_payload_matches_png_hash():
+    from deduplicatr_spark.functions.gif_codec import decode_gif
+    from deduplicatr_spark.operators.image_dedup import synth_gif_payload
+
+    d_png = dhash64(decode_png(synth_png_payload(6, 3)))
+    d_gif = dhash64(decode_gif(synth_gif_payload(6, 3))[0])
+    assert d_png == d_gif
+
+
+def test_animated_gif_n_frames_and_poster_hash(spark):
+    """Animated GIFs: feature row carries the real frame count and the
+    dHash of the FIRST composited frame, so an animation whose poster
+    frame equals a still image pairs with it."""
+    import pandas as pd
+
+    from deduplicatr_spark.functions.gif_codec import encode_gif
+    from deduplicatr_spark.operators.image_dedup import _synth_pixels
+
+    px0 = _synth_pixels(0, 2)  # same base as doc_id 0 in a 2-base plant
+    other = np.roll(px0, 7, axis=1)
+    anim = encode_gif([px0, other, other])
+    ids = spark.range(4).selectExpr("id AS doc_id")
+    docs = synth_image_docs(ids, 2).unionByName(
+        spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [100],
+                    "payload": [anim],
+                    "media_type": ["image/gif"],
+                }
+            )
+        )
+    )
+    feats = {r.doc_id: r for r in image_features(docs).collect()}
+    assert feats[100].n_frames == 3
+    assert feats[100].dhash == feats[0].dhash  # poster frame == doc 0
+
+    pairs, _ = image_dup_pairs(docs, PipelineConfig())
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert (0, 100) in got and (2, 100) in got  # base-0 docs ∪ the anim
+    assert (1, 100) not in got
+
+
+def test_gif_junk_ledgered(spark):
+    import pandas as pd
+
+    ids = spark.range(8).selectExpr("id AS doc_id")
+    junk = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [300, 301],
+                "payload": [b"GIF89a" + b"\x00" * 4, b"GIF87a"],
+                "media_type": ["image/gif"] * 2,
+            }
+        )
+    )
+    pairs, ledger = image_dup_pairs(
+        synth_image_docs(ids, 2).unionByName(junk), PipelineConfig()
+    )
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert all(a < 300 and b < 300 for a, b in got)
+    assert ledger.collect()[0].n_undecodable == 2
+
+
 def test_image_pairs_corrupt_idat_ledgered(spark):
     """Malformed payloads that pass the magic/IHDR gates — a
     well-framed chunk whose IDAT is not zlib data (zlib.error) and a

@@ -1088,6 +1088,31 @@ def _q_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs
 
 
+def _q_audio_fp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup pairs via REAL WAV PCM decode (stdlib RIFF codec)
+    + Haitsma–Kalker band-energy fingerprint + the shared Hamming
+    bucket core (operators/audio_dedup.py). Planted truth: payloads
+    are deterministic 16-bit PCM WAVs whose 65-band spectral profile
+    is keyed on ``doc_id % _img_bases(N)`` with a per-doc gain in
+    [0.25, 1] and 0–2 appended silence frames — both provably
+    fingerprint-invariant (wav_codec module docstring), so the
+    dup-pair set is pure doc_id arithmetic, which is what the SQL
+    oracle claims. Cross-base fingerprints sit at measured Hamming
+    ≥ 13 (mean 32) vs the config's τ=3 verify, so the planted set is
+    exactly the emitted set. Shares the image plant's group size
+    (~12 docs/base) for the same bucket-cap-safety reason."""
+    from deduplicatr_spark.operators.audio_dedup import (
+        audio_dup_pairs,
+        synth_audio_docs,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    pairs, _ledger = audio_dup_pairs(
+        synth_audio_docs(d, _img_bases(d.count())), ENTRY_CONFIG
+    )
+    return pairs
+
+
 def _q_cc_fingerprint_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components (§2.11) on chain edges within fingerprint
     groups — CC must propagate min labels transitively; the oracle is
@@ -1734,6 +1759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_stats": _q_bpe_token_stats,
         "multimodal_meta": _q_multimodal_meta,
         "image_phash_pairs": _q_image_phash_pairs,
+        "audio_fp_pairs": _q_audio_fp_pairs,
         "cc_fingerprint_chains": _q_cc_fingerprint_chains,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "simhash_hamming_pairs": _q_simhash_hamming_pairs,
@@ -2531,6 +2557,19 @@ FROM documents WHERE text IS NOT NULL
         # dHash distance is exactly 0 (brightness-invariant exact-integer
         # hash), cross-base ≥ 18 bits vs the τ=3 verify
         "image_phash_pairs": """
+WITH nb AS (
+  SELECT CAST(CEIL(COUNT(*) / 12.0) AS BIGINT) AS n FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM documents a JOIN documents b
+  ON a.doc_id % (SELECT n FROM nb) = b.doc_id % (SELECT n FROM nb)
+ AND a.doc_id < b.doc_id
+""",
+        # truth = pairs sharing the planted audio base, SAME ceil(N/12)
+        # arithmetic: within-base fingerprint distance is exactly 0
+        # (gain/silence-pad invariance is exact — wav_codec.py),
+        # cross-base ≥ 13 bits vs the τ=3 verify
+        "audio_fp_pairs": """
 WITH nb AS (
   SELECT CAST(CEIL(COUNT(*) / 12.0) AS BIGINT) AS n FROM documents
 )

@@ -1,0 +1,165 @@
+"""Pure-stdlib WAV (RIFF PCM) codec + spectral audio fingerprint.
+
+Extends the multimodal story from images (png_codec/gif_codec) to the
+AUDIO column of a training corpus: WAV is a length-prefixed RIFF chunk
+container around raw PCM — ``struct`` covers the framing and numpy the
+sample math, so (unlike JPEG) there is no codec-library boundary at
+all. Decode handles the shapes a lake actually holds: PCM 8-bit
+unsigned / 16-bit / 24-bit / 32-bit signed (format tag 1) and IEEE
+float32/64 (tag 3), any channel count (downmixed to mono by mean),
+chunk order per RIFF (fmt before data, unknown chunks skipped).
+
+Fingerprint (``audio_fp64``) is a Haitsma–Kalker-style 64-bit spectral
+hash (Haitsma & Kalker, "A Highly Robust Audio Fingerprinting System",
+ISMIR 2002): frame the signal into non-overlapping windows, accumulate
+the FFT energy spectrum over all frames, bucket it into ``N_BANDS``
+(65) fixed bands, and set bit b when band b+1 carries more energy than
+band b. Two invariances are EXACT by construction, which is what makes
+a pure-arithmetic planted-truth oracle possible (operators/
+audio_dedup.py):
+
+* global gain: scaling every sample by g scales every band energy by
+  g² — all 64 comparisons are ratios, so the hash is unchanged (up to
+  PCM quantization noise, orders of magnitude below the planted
+  factor-8 band margins);
+* whole-frame silence padding: zero frames add exactly zero energy to
+  every band.
+
+Per-row-Python posture: identical to the image codecs — this module
+runs inside the ONE deliberate Arrow-batched codec stage
+(operators/audio_dedup.py), emits a handful of feature scalars per
+payload, and the payload bytes never enter a shuffle.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+WAV_MAGIC = b"RIFF"
+
+# fingerprint geometry: non-overlapping 2048-sample frames; rfft gives
+# 1025 bins; 65 bands of 15 bins starting at bin 8 (skipping DC and the
+# near-DC leakage bins) span bins [8, 983).
+FP_FRAME = 2048
+N_BANDS = 65
+BAND_BINS = 15
+BAND_OFFSET = 8
+
+
+# ---------------------------------------------------------------------------
+# container
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """int16 mono samples → canonical 16-bit PCM WAV bytes
+    (deterministic byte-for-byte, fixtures/oracle use)."""
+    pcm = np.ascontiguousarray(samples, dtype="<i2")
+    data = pcm.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes → (float64 mono samples, sample_rate).
+
+    Raises ``ValueError`` on structural damage (bad magic, truncated
+    chunks, missing fmt/data, unsupported format tag) — callers ledger
+    it, mirroring decode_png/decode_gif."""
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, end = 12, len(buf)
+    fmt_tag = n_ch = rate = bits = None
+    data = None
+    while pos + 8 <= end:
+        cid, ln = buf[pos : pos + 4], struct.unpack("<I", buf[pos + 4 : pos + 8])[0]
+        body = buf[pos + 8 : pos + 8 + ln]
+        if len(body) < ln:
+            raise ValueError("truncated chunk")
+        if cid == b"fmt ":
+            if ln < 16:
+                raise ValueError("short fmt chunk")
+            fmt_tag, n_ch, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+            # WAVE_FORMAT_EXTENSIBLE wraps the real tag in the extension
+            if fmt_tag == 0xFFFE and ln >= 40:
+                fmt_tag = struct.unpack("<H", body[24:26])[0]
+        elif cid == b"data":
+            data = body
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+    if fmt_tag is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    if n_ch < 1:
+        raise ValueError("zero channels")
+    if fmt_tag == 1:  # integer PCM
+        if bits == 8:
+            x = data_view(data, np.uint8).astype(np.float64) - 128.0
+        elif bits == 16:
+            x = data_view(data, np.dtype("<i2")).astype(np.float64)
+        elif bits == 24:
+            raw = np.frombuffer(data, dtype=np.uint8)
+            raw = raw[: (len(raw) // 3) * 3].reshape(-1, 3).astype(np.int64)
+            v = raw[:, 0] | (raw[:, 1] << 8) | (raw[:, 2] << 16)
+            x = (v - ((v & 0x800000) << 1)).astype(np.float64)
+        elif bits == 32:
+            x = data_view(data, np.dtype("<i4")).astype(np.float64)
+        else:
+            raise ValueError(f"unsupported PCM bit depth {bits}")
+    elif fmt_tag == 3:  # IEEE float
+        if bits == 32:
+            x = data_view(data, np.dtype("<f4")).astype(np.float64)
+        elif bits == 64:
+            x = data_view(data, np.dtype("<f8")).astype(np.float64)
+        else:
+            raise ValueError(f"unsupported float bit depth {bits}")
+    else:
+        raise ValueError(f"unsupported format tag {fmt_tag}")
+    n = (len(x) // n_ch) * n_ch
+    mono = x[:n].reshape(-1, n_ch).mean(axis=1)
+    return mono, rate
+
+
+def data_view(data: bytes, dtype) -> np.ndarray:
+    itemsize = np.dtype(dtype).itemsize
+    usable = (len(data) // itemsize) * itemsize
+    return np.frombuffer(data[:usable], dtype=dtype)
+
+
+# ---------------------------------------------------------------------------
+# fingerprint
+# ---------------------------------------------------------------------------
+
+
+def band_energies(samples: np.ndarray) -> np.ndarray | None:
+    """Accumulated FFT energy in the 65 fingerprint bands, or None for
+    signals shorter than one frame. No analysis window — band margins
+    (not leakage shape) carry the robustness here, and windowless
+    frames make the planted bin-aligned fixtures exactly
+    leakage-free."""
+    n_frames = len(samples) // FP_FRAME
+    if n_frames == 0:
+        return None
+    x = np.asarray(samples[: n_frames * FP_FRAME], dtype=np.float64).reshape(
+        n_frames, FP_FRAME
+    )
+    spec = np.fft.rfft(x, axis=1)
+    s = (spec.real**2 + spec.imag**2).sum(axis=0)
+    lo = BAND_OFFSET
+    hi = lo + N_BANDS * BAND_BINS
+    return s[lo:hi].reshape(N_BANDS, BAND_BINS).sum(axis=1)
+
+
+def audio_fp64(samples: np.ndarray) -> int | None:
+    """64-bit Haitsma–Kalker-style fingerprint: bit b = (band b+1
+    energy > band b energy), packed LSB-first and two's-complement
+    folded to a Spark LongType value (same convention as
+    png_codec.dhash64)."""
+    e = band_energies(samples)
+    if e is None:
+        return None
+    bits = e[1:] > e[:-1]
+    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    return int(np.sum(weights[bits], dtype=np.uint64).astype(np.int64))

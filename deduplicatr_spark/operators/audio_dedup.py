@@ -1,0 +1,233 @@
+"""Audio near-duplicate detection: WAV PCM decode → Haitsma–Kalker
+spectral fingerprint → the shared Hamming bucket core.
+
+The audio twin of operators/image_dedup.py, closing the audio column
+of the multimodal story: a 100 TB corpus's audio payloads get a
+pixel-grade (here: sample-grade) near-dup signal instead of a header
+parse. The stdlib WAV codec + 64-bit band-energy fingerprint live in
+functions/wav_codec.py; this module is the Spark plumbing, and it is
+deliberately IDENTICAL in shape to the image path:
+
+    binary payload ──mapInPandas──▶ (sample_rate, n_samples,
+                                     duration_s, rms, afp)
+      afp ──simhash_keys_for (pigeonhole / Manku combo)──▶ band keys
+        ──keyed_candidate_pairs (ONE shuffle, capped, ledgered)──▶
+          candidates ──bit_count(a^b) ≤ d verify──▶ pairs
+
+Scale posture (same as every candidate generator in the repo):
+
+* the decode+FFT kernel is the one deliberate Arrow-batched Python
+  stage (inherently per-payload codec work); payload bytes never
+  enter a shuffle — 40 bytes of features do;
+* pairing ships only (doc_id, 64-bit key) rows through the capped,
+  hot-thinned, drop-ledgered range shuffle shared with text SimHash,
+  image dHash, winnow, embeddings and anchors (operators/lsh.py);
+* pigeonhole recall is exact within Hamming d, and the variants this
+  targets — re-gained / re-mastered / silence-padded re-encodes —
+  land at distance EXACTLY 0 (wav_codec.audio_fp64's two exact
+  invariances).
+
+Undecodable or sub-frame payloads get a NULL fingerprint, are
+excluded from pairing, and are counted in the ``n_undecodable``
+ledger — no silent drops.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from deduplicatr_spark.config import PipelineConfig
+from deduplicatr_spark.functions._numpy_core import splitmix64
+from deduplicatr_spark.functions.wav_codec import (
+    FP_FRAME,
+    N_BANDS,
+    BAND_BINS,
+    BAND_OFFSET,
+    audio_fp64,
+    decode_wav,
+    encode_wav,
+)
+from deduplicatr_spark.operators.lsh import _track, keyed_candidate_pairs
+from deduplicatr_spark.operators.pigeonhole import hamming_verify, simhash_keys_for
+
+AUDIO_FEATURE_SCHEMA = (
+    "doc_id long, sample_rate int, n_samples long, duration_s double, "
+    "rms double, afp long"
+)
+
+
+def audio_feature_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """(doc_id, payload) Arrow batches → decoded audio feature rows.
+    One Python call per payload by necessity (codec boundary — module
+    docstring); failures yield NULL feature rows."""
+    for pdf in batches:
+        sr, ns, dur, rms, fp = [], [], [], [], []
+        for buf in pdf["payload"]:
+            try:
+                mono, rate = decode_wav(bytes(buf))
+                if rate <= 0:
+                    raise ValueError("non-positive sample rate")
+                sr.append(rate)
+                ns.append(len(mono))
+                dur.append(len(mono) / rate)
+                rms.append(float(np.sqrt(np.mean(mono**2))) if len(mono) else 0.0)
+                fp.append(audio_fp64(mono))
+            # struct.error: truncated header fields — a malformed-payload
+            # shape, not an engine bug; contract is a NULL row, not a crash
+            except (ValueError, struct.error):
+                sr.append(None)
+                ns.append(None)
+                dur.append(None)
+                rms.append(None)
+                fp.append(None)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "sample_rate": pd.array(sr, dtype="Int32"),
+                "n_samples": pd.array(ns, dtype="Int64"),
+                "duration_s": pd.array(dur, dtype="float64"),
+                "rms": pd.array(rms, dtype="float64"),
+                "afp": pd.array(fp, dtype="Int64"),
+            }
+        )
+
+
+def audio_features(binary_docs: DataFrame) -> DataFrame:
+    """(doc_id, payload, …) → decoded feature rows; projects to the two
+    needed columns BEFORE the Python stage so Arrow ships payload bytes
+    once and nothing else."""
+    return binary_docs.select("doc_id", "payload").mapInPandas(
+        audio_feature_kernel, schema=AUDIO_FEATURE_SCHEMA
+    )
+
+
+def audio_dup_pairs(
+    binary_docs: DataFrame,
+    config: PipelineConfig | None = None,
+    hamming_d: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """(doc_id, payload) → ((doc_a < doc_b) within fingerprint Hamming
+    ≤ d, drop_stats ∪ an ``n_undecodable`` count). Same blocking
+    machinery and same reasons as image_dup_pairs — shared keys are
+    load-bearing (the bucket-entropy argument at image_dedup.py)."""
+    import dataclasses
+
+    config = config or PipelineConfig()
+    if hamming_d is not None and hamming_d != config.hamming_d:
+        config = dataclasses.replace(config, hamming_d=hamming_d)
+    feats = _track(audio_features(binary_docs).persist())
+    hashed = feats.filter(F.col("afp").isNotNull()).select(
+        "doc_id", F.col("afp").alias("simhash")
+    )
+    keyed = simhash_keys_for(hashed, config, n_docs=hashed.count())
+    raw, drops = keyed_candidate_pairs(keyed, config)
+    pairs = hamming_verify(raw.select("doc_a", "doc_b"), hashed, config.hamming_d)
+    bad = feats.filter(F.col("afp").isNull()).agg(
+        F.count(F.lit(1)).alias("n_undecodable")
+    )
+    return pairs, drops.crossJoin(bad)  # 1-row ledger × 1-row ledger
+
+
+# ---------------------------------------------------------------------------
+# Deterministic synthetic audio corpus (fixtures / oracle / bench) —
+# the audio twin of image_dedup's planted PNG/GIF corpus: cluster
+# truth is pure doc_id arithmetic.
+# ---------------------------------------------------------------------------
+
+SYNTH_RATE = 16000
+SYNTH_FRAMES = 4  # 4 × 2048 samples = 0.512 s of signal
+# log2-amplitude random walk: step ±_WALK_STEP, reflected into
+# [0, _WALK_MAX]. Adjacent bands therefore differ by a factor
+# 2^(2·step) = 8 in ENERGY — the margin that makes gain scaling and
+# PCM quantization provably unable to flip any fingerprint bit.
+_WALK_STEP = 1.5
+_WALK_MAX = 6.0
+_AMP_UNIT = 6.0  # min sinusoid amplitude in int16 LSBs
+
+
+def _synth_base_signal(base: int) -> np.ndarray:
+    """The shared deterministic signal plant for one base: 65 bin-
+    aligned sinusoids (one per fingerprint band, at the band's center
+    bin, so windowless frames see ZERO leakage), amplitudes following
+    a base-keyed reflected random walk in log2 space. The fingerprint
+    bit pattern is the realized walk's step signs — decisive by the
+    factor-8 energy margins. Bin-aligned integer frequencies make
+    every 2048-sample frame identical, so whole-frame silence padding
+    is exactly invariant."""
+    mix = (base * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF  # wrap in Python ints
+    idx = np.arange(N_BANDS, dtype=np.uint64) + np.uint64(mix)
+    r = splitmix64(idx)
+    up = (r & np.uint64(1)).astype(bool)  # proposed step direction
+    phase = (r >> np.uint64(1)).astype(np.float64) / 2**63 * 2 * np.pi
+    lg = np.empty(N_BANDS)
+    lg[0] = _WALK_MAX / 2
+    for b in range(1, N_BANDS):
+        step = _WALK_STEP if up[b] else -_WALK_STEP
+        nxt = lg[b - 1] + step
+        if nxt < 0 or nxt > _WALK_MAX:
+            nxt = lg[b - 1] - step  # reflect at the bounds
+        lg[b] = nxt
+    amps = _AMP_UNIT * np.exp2(lg)
+    centers = BAND_OFFSET + BAND_BINS * np.arange(N_BANDS) + BAND_BINS // 2
+    t = np.arange(SYNTH_FRAMES * FP_FRAME, dtype=np.float64)
+    omega = 2 * np.pi * centers[:, None] / FP_FRAME
+    return (amps[:, None] * np.sin(omega * t[None, :] + phase[:, None])).sum(axis=0)
+
+
+def synth_wav_payload(
+    doc_id: int,
+    n_bases: int,
+    _cache: dict | None = None,
+) -> bytes:
+    """One deterministic WAV: base signal keyed on ``doc_id % n_bases``
+    (floor-mod: xxhash64 doc_ids are signed), a per-doc gain in
+    [0.25, 1.0] and 0–2 appended whole frames of silence — both
+    provably fingerprint-invariant, so docs sharing a base are planted
+    near-dups at Hamming distance EXACTLY 0 while distinct bases sit
+    ~32 bits apart (reflected-walk signs are cross-base independent).
+    ``_cache`` (base → float signal) lets batch generators skip the
+    sinusoid synthesis for repeated bases."""
+    base = doc_id % n_bases
+    if _cache is not None and base in _cache:
+        sig = _cache[base]
+    else:
+        sig = _synth_base_signal(base)
+        if _cache is not None:
+            _cache[base] = sig
+    seed = np.array([doc_id & 0xFFFFFFFFFFFFFFFF], dtype=np.uint64)
+    r = int(splitmix64(seed)[0])
+    gain = 0.25 + 0.75 * ((r & 0xFFFF) / 0xFFFF)
+    pad_frames = (r >> 16) % 3
+    pcm = np.rint(sig * gain).astype(np.int16)
+    if pad_frames:
+        pcm = np.concatenate([pcm, np.zeros(pad_frames * FP_FRAME, dtype=np.int16)])
+    return encode_wav(pcm, SYNTH_RATE)
+
+
+def synth_audio_docs(
+    ids: DataFrame, n_bases: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """id frame → (doc_id, payload, media_type) with synthetic WAVs."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict = {}
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        synth_wav_payload(int(d), n_bases, cache)
+                        for d in pdf["doc_id"]
+                    ],
+                    "media_type": "audio/wav",
+                }
+            )
+
+    ids = ids.select(F.col(id_col).alias("doc_id"))
+    return ids.mapInPandas(gen, schema="doc_id long, payload binary, media_type string")

@@ -1,0 +1,216 @@
+"""WAV codec + spectral fingerprint + audio near-dup operator
+(functions/wav_codec.py, operators/audio_dedup.py)."""
+
+from __future__ import annotations
+
+import itertools
+import struct
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from deduplicatr_spark.config import PipelineConfig
+from deduplicatr_spark.functions.wav_codec import (
+    FP_FRAME,
+    N_BANDS,
+    audio_fp64,
+    band_energies,
+    decode_wav,
+    encode_wav,
+)
+from deduplicatr_spark.operators.audio_dedup import (
+    _synth_base_signal,
+    audio_dup_pairs,
+    audio_features,
+    synth_audio_docs,
+    synth_wav_payload,
+)
+
+RNG = np.random.default_rng(20260818)
+
+
+# --- codec ---------------------------------------------------------------
+
+
+def test_roundtrip_int16():
+    pcm = RNG.integers(-30000, 30000, 5000).astype(np.int16)
+    mono, rate = decode_wav(encode_wav(pcm, 22050))
+    assert rate == 22050 and np.array_equal(mono, pcm.astype(np.float64))
+
+
+def test_encode_deterministic():
+    pcm = RNG.integers(-100, 100, 256).astype(np.int16)
+    assert encode_wav(pcm) == encode_wav(pcm.copy())
+
+
+def _wav(fmt_tag: int, bits: int, data: bytes, n_ch: int = 1, rate: int = 8000) -> bytes:
+    block = n_ch * bits // 8
+    fmt = struct.pack("<HHIIHH", fmt_tag, n_ch, rate, rate * block, block, bits)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_decode_pcm8():
+    raw = np.array([0, 128, 255, 64], dtype=np.uint8)
+    mono, _ = decode_wav(_wav(1, 8, raw.tobytes()))
+    assert np.array_equal(mono, raw.astype(np.float64) - 128.0)
+
+
+def test_decode_pcm24():
+    vals = np.array([-(1 << 23), (1 << 23) - 1, 0, 12345, -6789], dtype=np.int64)
+    raw = b"".join(int(v & 0xFFFFFF).to_bytes(3, "little") for v in vals)
+    mono, _ = decode_wav(_wav(1, 24, raw))
+    assert np.array_equal(mono, vals.astype(np.float64))
+
+
+def test_decode_pcm32_and_float32():
+    vals = np.array([-(1 << 31), (1 << 31) - 1, 7], dtype="<i4")
+    mono, _ = decode_wav(_wav(1, 32, vals.tobytes()))
+    assert np.array_equal(mono, vals.astype(np.float64))
+    f = np.array([0.5, -0.25, 1.0], dtype="<f4")
+    mono, _ = decode_wav(_wav(3, 32, f.tobytes()))
+    assert np.allclose(mono, f)
+
+
+def test_decode_stereo_downmix():
+    pcm = np.array([100, 200, -100, 300], dtype="<i2")  # L,R,L,R
+    mono, _ = decode_wav(_wav(1, 16, pcm.tobytes(), n_ch=2))
+    assert np.array_equal(mono, [150.0, 100.0])
+
+
+def test_decode_skips_unknown_chunks_and_odd_padding():
+    pcm = np.array([1, 2, 3], dtype="<i2")
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = b"WAVE"
+    body += b"LIST" + struct.pack("<I", 3) + b"odd" + b"\x00"  # word pad
+    body += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", 6) + pcm.tobytes()
+    buf = b"RIFF" + struct.pack("<I", len(body)) + body
+    mono, rate = decode_wav(buf)
+    assert rate == 8000 and np.array_equal(mono, [1.0, 2.0, 3.0])
+
+
+@pytest.mark.parametrize(
+    "buf",
+    [
+        b"",
+        b"RIFF\x00\x00\x00\x00WAVX",
+        b"OggS" + b"\x00" * 40,
+        _wav(1, 12, b"\x00\x00"),  # unsupported bit depth
+        _wav(7, 16, b"\x00\x00"),  # unsupported format tag
+        _wav(1, 16, b"")[:20],  # truncated mid-chunk
+    ],
+)
+def test_decode_structural_damage_raises(buf):
+    with pytest.raises(ValueError):
+        decode_wav(buf)
+
+
+# --- fingerprint ---------------------------------------------------------
+
+
+def test_fp_sub_frame_is_none():
+    assert audio_fp64(np.zeros(FP_FRAME - 1)) is None
+    assert band_energies(np.zeros(10)) is None
+
+
+def test_fp_gain_and_silence_pad_invariance():
+    sig = _synth_base_signal(11)
+    base_fp = audio_fp64(sig)
+    for gain, pad in itertools.product((0.25, 0.6, 1.0), (0, 1, 2)):
+        pcm = np.rint(sig * gain).astype(np.int16)
+        if pad:
+            pcm = np.concatenate([pcm, np.zeros(pad * FP_FRAME, dtype=np.int16)])
+        mono, _ = decode_wav(encode_wav(pcm))
+        assert audio_fp64(mono) == base_fp
+
+
+def test_fp_cross_base_distance_floor():
+    """Reflected-walk signs are cross-base independent; measured minimum
+    pairwise Hamming over 300 bases is 13 (mean 32.0) — an order of
+    magnitude above the τ=3 verify, so the planted set is exactly the
+    emitted set at every corpus scale the oracle runs."""
+    fps = np.array(
+        [audio_fp64(_synth_base_signal(b)) for b in range(300)], dtype=np.int64
+    ).view(np.uint64)
+    dmin = 64
+    for i in range(len(fps)):
+        x = (fps[i] ^ fps[i + 1 :]).astype(np.uint64)
+        if len(x):
+            dmin = min(dmin, min(bin(int(v)).count("1") for v in x))
+    assert dmin >= 10
+
+
+def test_fp_sensitive_to_spectral_change():
+    sig = _synth_base_signal(3)
+    other = _synth_base_signal(4)
+    assert audio_fp64(sig) != audio_fp64(other)
+
+
+# --- operator ------------------------------------------------------------
+
+
+def test_audio_features_schema_and_metadata(spark):
+    ids = spark.range(6).selectExpr("id AS doc_id")
+    docs = synth_audio_docs(ids, 2)
+    rows = {r.doc_id: r for r in audio_features(docs).collect()}
+    assert len(rows) == 6
+    for r in rows.values():
+        assert r.sample_rate == 16000
+        assert r.n_samples in (8192, 8192 + FP_FRAME, 8192 + 2 * FP_FRAME)
+        assert abs(r.duration_s - r.n_samples / 16000) < 1e-9
+        assert r.rms > 0 and r.afp is not None
+
+
+def test_audio_dup_pairs_planted_truth(spark):
+    n, n_bases = 48, 6
+    ids = spark.range(n).selectExpr("id AS doc_id")
+    pairs, ledger = audio_dup_pairs(synth_audio_docs(ids, n_bases), PipelineConfig())
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    want = {
+        (a, b)
+        for a, b in itertools.combinations(range(n), 2)
+        if a % n_bases == b % n_bases
+    }
+    assert got == want
+    assert ledger.collect()[0].n_undecodable == 0
+
+
+def test_audio_junk_ledgered(spark):
+    ids = spark.range(10).selectExpr("id AS doc_id")
+    junk = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [500, 501, 502],
+                "payload": [
+                    b"RIFF\x10\x00\x00\x00WAVE",  # no fmt/data
+                    b"\x00" * 16,  # not RIFF at all
+                    encode_wav(np.zeros(100, dtype=np.int16)),  # sub-frame: NULL fp
+                ],
+                "media_type": ["audio/wav"] * 3,
+            }
+        )
+    )
+    pairs, ledger = audio_dup_pairs(
+        synth_audio_docs(ids, 2).unionByName(junk), PipelineConfig()
+    )
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert all(a < 500 and b < 500 for a, b in got)
+    assert ledger.collect()[0].n_undecodable == 3
+
+
+def test_negative_doc_ids(spark):
+    """xxhash64 doc_ids are signed; floor-mod grouping and the uint64
+    gain/pad seed must both survive negatives."""
+    import pandas as pd
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [-7, -3, 1, 5]})
+    ).selectExpr("CAST(doc_id AS LONG) AS doc_id")
+    pairs, _ = audio_dup_pairs(synth_audio_docs(docs, 4), PipelineConfig())
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    # floor-mod: -7 % 4 == 1 % 4 == 1 and -3 % 4 == 5 % 4 == 1 → all four
+    # docs share base 1 → all six pairs
+    assert got == {(-7, -3), (-7, 1), (-7, 5), (-3, 1), (-3, 5), (1, 5)}

@@ -1113,6 +1113,29 @@ def _q_audio_fp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs
 
 
+def _q_video_sig_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup pairs via REAL frame decode (animated GIF through
+    the stdlib LZW codec) + sampled per-frame dHash + majority-bit
+    temporal signature + the shared Hamming bucket core
+    (operators/video_dedup.py). Planted truth: payloads are
+    deterministic 5-frame animated GIFs whose frame pixels are keyed on
+    ``(doc_id % _img_bases(N), frame)`` with a per-doc brightness shift
+    the per-frame dHash is provably invariant to — so the dup-pair set
+    is pure doc_id arithmetic, which is what the SQL oracle claims.
+    Cross-base signatures sit at measured Hamming ≥ 14 (mean 32) vs
+    the τ=3 verify."""
+    from deduplicatr_spark.operators.video_dedup import (
+        synth_video_docs,
+        video_dup_pairs,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    pairs, _ledger = video_dup_pairs(
+        synth_video_docs(d, _img_bases(d.count())), ENTRY_CONFIG
+    )
+    return pairs
+
+
 def _q_cc_fingerprint_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components (§2.11) on chain edges within fingerprint
     groups — CC must propagate min labels transitively; the oracle is
@@ -1760,6 +1783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": _q_multimodal_meta,
         "image_phash_pairs": _q_image_phash_pairs,
         "audio_fp_pairs": _q_audio_fp_pairs,
+        "video_sig_pairs": _q_video_sig_pairs,
         "cc_fingerprint_chains": _q_cc_fingerprint_chains,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "simhash_hamming_pairs": _q_simhash_hamming_pairs,
@@ -2557,6 +2581,18 @@ FROM documents WHERE text IS NOT NULL
         # dHash distance is exactly 0 (brightness-invariant exact-integer
         # hash), cross-base ≥ 18 bits vs the τ=3 verify
         "image_phash_pairs": """
+WITH nb AS (
+  SELECT CAST(CEIL(COUNT(*) / 12.0) AS BIGINT) AS n FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM documents a JOIN documents b
+  ON a.doc_id % (SELECT n FROM nb) = b.doc_id % (SELECT n FROM nb)
+ AND a.doc_id < b.doc_id
+""",
+        # truth = pairs sharing the planted video base, SAME ceil(N/12)
+        # arithmetic: within-base signature distance is exactly 0
+        # (per-frame dHash brightness invariance), cross-base ≥ 14 bits
+        "video_sig_pairs": """
 WITH nb AS (
   SELECT CAST(CEIL(COUNT(*) / 12.0) AS BIGINT) AS n FROM documents
 )

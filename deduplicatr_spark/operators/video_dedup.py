@@ -1,0 +1,238 @@
+"""Video near-duplicate detection: frame decode → sampled per-frame
+dHash → majority-bit temporal signature → the shared Hamming bucket
+core.
+
+The video column of the multimodal story. A "video" here is any
+multi-frame container the codec layer can decode to composited frames
+— in this sandbox that is animated GIF (functions/gif_codec.py, real
+LZW + disposal compositing); a production lake would register MP4/webm
+decoders behind the same ``decode_frames`` seam, and everything from
+the frame list onward (sampling, hashing, signature, pairing) is
+container-agnostic.
+
+Signature design — the standard sampled-frame-hash scheme (cf. Wu,
+Ngo & Hauptmann, CIVR 2007 video-dedup practice; the per-frame hash is
+png_codec.dhash64, the same exact-integer dHash the image path uses):
+
+1. sample up to ``SAMPLE_FRAMES`` (7) frames at evenly spaced indices
+   (all frames when the video is shorter) — bounds decode-side work
+   per payload regardless of video length;
+2. dHash each sampled composited frame;
+3. fuse: signature bit j is the MAJORITY of bit j across the sampled
+   frame hashes (odd sample count → unbiased; ties at even counts
+   resolve to 0).
+
+Why majority-of-bits: it is ORDER-INVARIANT (re-muxed / shuffled-GOP
+re-encodes land at distance exactly 0) and EXACTLY brightness-
+invariant (each per-frame dHash already is). A single outlier frame
+among 5–7 can only flip bits whose vote margin was 1 — measured ~13
+of 64 bits on the synthetic plant — so frame-tampered or trimmed
+variants degrade into NEAR-but-nonzero distances: callers targeting
+those raise ``hamming_d`` (e.g. 16, tested), exactly the radius/recall
+dial text SimHash exposes; the default τ=3 targets re-encodes.
+
+Plumbing is IDENTICAL in shape to image/audio dedup: one deliberate
+Arrow-batched codec stage (payload never shuffles), then (doc_id,
+64-bit key) rows through the one capped, hot-thinned, drop-ledgered
+range shuffle (operators/lsh.py), then a row-local bit_count verify.
+Undecodable payloads → NULL signature + ``n_undecodable`` ledger.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from deduplicatr_spark.config import PipelineConfig
+from deduplicatr_spark.functions._numpy_core import splitmix64
+from deduplicatr_spark.functions.gif_codec import GIF_MAGICS, decode_gif, encode_gif
+from deduplicatr_spark.functions.png_codec import dhash64
+from deduplicatr_spark.operators.lsh import _track, keyed_candidate_pairs
+from deduplicatr_spark.operators.pigeonhole import hamming_verify, simhash_keys_for
+
+VIDEO_FEATURE_SCHEMA = (
+    "doc_id long, width int, height int, n_frames int, n_hashed int, vhash long"
+)
+
+SAMPLE_FRAMES = 7  # odd → unbiased majority bits
+
+
+def decode_frames(buf: bytes) -> list[np.ndarray]:
+    """Container seam: bytes → composited frames. GIF today; a real
+    deployment adds containers here without touching anything below."""
+    if buf[:6] in GIF_MAGICS:
+        return decode_gif(buf)
+    raise ValueError("unrecognized video container")
+
+
+def sample_indices(n_frames: int, k: int = SAMPLE_FRAMES) -> np.ndarray:
+    """Evenly spaced, deterministic, duplicate-free frame indices."""
+    if n_frames <= k:
+        return np.arange(n_frames)
+    return np.unique((np.arange(k) * n_frames) // k)
+
+
+def video_signature(frames: list[np.ndarray]) -> int | None:
+    """Majority-bit fuse of the sampled frames' dHashes (module
+    docstring). None when no sampled frame is hashable (sub-grid)."""
+    hashes = [
+        h
+        for i in sample_indices(len(frames))
+        if (h := dhash64(frames[i])) is not None
+    ]
+    if not hashes:
+        return None
+    u = np.array(hashes, dtype=np.int64).view(np.uint64)
+    counts = np.zeros(64, dtype=np.int64)
+    for j in range(64):
+        counts[j] = int(((u >> np.uint64(j)) & np.uint64(1)).sum())
+    bits = counts * 2 > len(u)
+    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    return int(np.sum(weights[bits], dtype=np.uint64).astype(np.int64))
+
+
+def video_feature_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """(doc_id, payload) Arrow batches → decoded video feature rows.
+    One Python call per payload by necessity (codec boundary); failures
+    yield NULL feature rows."""
+    for pdf in batches:
+        w, h, nf, nh, vh = [], [], [], [], []
+        for buf in pdf["payload"]:
+            try:
+                frames = decode_frames(bytes(buf))
+                idx = sample_indices(len(frames))
+                hashed = sum(
+                    1 for i in idx if dhash64(frames[i]) is not None
+                )
+                w.append(frames[0].shape[1])
+                h.append(frames[0].shape[0])
+                nf.append(len(frames))
+                nh.append(hashed)
+                vh.append(video_signature(frames))
+            except (ValueError, zlib.error, struct.error):
+                w.append(None)
+                h.append(None)
+                nf.append(None)
+                nh.append(None)
+                vh.append(None)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "width": pd.array(w, dtype="Int32"),
+                "height": pd.array(h, dtype="Int32"),
+                "n_frames": pd.array(nf, dtype="Int32"),
+                "n_hashed": pd.array(nh, dtype="Int32"),
+                "vhash": pd.array(vh, dtype="Int64"),
+            }
+        )
+
+
+def video_features(binary_docs: DataFrame) -> DataFrame:
+    """(doc_id, payload, …) → decoded feature rows; projects to the two
+    needed columns BEFORE the Python stage."""
+    return binary_docs.select("doc_id", "payload").mapInPandas(
+        video_feature_kernel, schema=VIDEO_FEATURE_SCHEMA
+    )
+
+
+def video_dup_pairs(
+    binary_docs: DataFrame,
+    config: PipelineConfig | None = None,
+    hamming_d: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """(doc_id, payload) → ((doc_a < doc_b) within signature Hamming
+    ≤ d, drop_stats ∪ ``n_undecodable``). Same shared blocking
+    machinery, same bucket-entropy rationale as image_dup_pairs."""
+    import dataclasses
+
+    config = config or PipelineConfig()
+    if hamming_d is not None and hamming_d != config.hamming_d:
+        config = dataclasses.replace(config, hamming_d=hamming_d)
+    feats = _track(video_features(binary_docs).persist())
+    hashed = feats.filter(F.col("vhash").isNotNull()).select(
+        "doc_id", F.col("vhash").alias("simhash")
+    )
+    keyed = simhash_keys_for(hashed, config, n_docs=hashed.count())
+    raw, drops = keyed_candidate_pairs(keyed, config)
+    pairs = hamming_verify(raw.select("doc_a", "doc_b"), hashed, config.hamming_d)
+    bad = feats.filter(F.col("vhash").isNull()).agg(
+        F.count(F.lit(1)).alias("n_undecodable")
+    )
+    return pairs, drops.crossJoin(bad)  # 1-row ledger × 1-row ledger
+
+
+# ---------------------------------------------------------------------------
+# Deterministic synthetic video corpus (fixtures / oracle / bench) —
+# planted-truth pattern shared with the image and audio plants.
+# ---------------------------------------------------------------------------
+
+SYNTH_W, SYNTH_H = 36, 32  # multiples of the 9×8 dHash grid
+SYNTH_N_FRAMES = 5  # odd → unbiased majority, no tie bits
+_SYNTH_LEVELS = 170  # base pixels in [30, 200); +brightness ≤ 20 → ≤ 219
+
+
+def _synth_frame(base: int, frame: int) -> np.ndarray:
+    """Deterministic frame pixels keyed on (base, frame) — splitmix64
+    noise, same range discipline as image_dedup._synth_pixels."""
+    n_px = SYNTH_W * SYNTH_H
+    key = ((base * 0x9E3779B97F4A7C15) + frame * 0xC2B2AE3D27D4EB4F) & (
+        0xFFFFFFFFFFFFFFFF
+    )
+    idx = np.uint64(key) + np.arange(n_px, dtype=np.uint64)
+    px = np.uint8(30) + (splitmix64(idx) % np.uint64(_SYNTH_LEVELS)).astype(np.uint8)
+    return px.reshape(SYNTH_H, SYNTH_W)
+
+
+def synth_video_payload(
+    doc_id: int,
+    n_bases: int,
+    n_frames: int = SYNTH_N_FRAMES,
+    _cache: dict | None = None,
+) -> bytes:
+    """One deterministic animated GIF: frame pixels keyed on
+    ``(doc_id % n_bases, frame_index)``, plus a per-doc uniform
+    brightness shift applied to EVERY frame. Per-frame dHashes are
+    exactly brightness-invariant, so docs sharing a base land at
+    signature distance EXACTLY 0; distinct bases sit ~32 bits apart
+    (odd frame count → unbiased iid majority bits)."""
+    base = doc_id % n_bases
+    ck = (base, n_frames)
+    if _cache is not None and ck in _cache:
+        frames = _cache[ck]
+    else:
+        frames = [_synth_frame(base, f) for f in range(n_frames)]
+        if _cache is not None:
+            _cache[ck] = frames
+    seed = np.array([doc_id & 0xFFFFFFFFFFFFFFFF], dtype=np.uint64)
+    brightness = np.uint8(int(splitmix64(seed)[0] % np.uint64(21)))
+    return encode_gif([fr + brightness for fr in frames])
+
+
+def synth_video_docs(
+    ids: DataFrame, n_bases: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """id frame → (doc_id, payload, media_type) with synthetic animated
+    GIFs."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict = {}
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        synth_video_payload(int(d), n_bases, _cache=cache)
+                        for d in pdf["doc_id"]
+                    ],
+                    "media_type": "video/gif",
+                }
+            )
+
+    ids = ids.select(F.col(id_col).alias("doc_id"))
+    return ids.mapInPandas(gen, schema="doc_id long, payload binary, media_type string")

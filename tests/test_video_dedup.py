@@ -1,0 +1,169 @@
+"""Frame-sampled video signature + video near-dup operator
+(operators/video_dedup.py) over the animated-GIF container."""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from deduplicatr_spark.config import PipelineConfig
+from deduplicatr_spark.functions.gif_codec import decode_gif, encode_gif
+from deduplicatr_spark.operators.video_dedup import (
+    SAMPLE_FRAMES,
+    SYNTH_N_FRAMES,
+    _synth_frame,
+    sample_indices,
+    synth_video_docs,
+    synth_video_payload,
+    video_dup_pairs,
+    video_features,
+    video_signature,
+)
+
+
+def _dist(a: int, b: int) -> int:
+    return bin(int(np.uint64(np.int64(a)) ^ np.uint64(np.int64(b)))).count("1")
+
+
+# --- signature -----------------------------------------------------------
+
+
+def test_sample_indices():
+    assert list(sample_indices(3)) == [0, 1, 2]
+    assert list(sample_indices(SAMPLE_FRAMES)) == list(range(SAMPLE_FRAMES))
+    idx = sample_indices(40)
+    assert len(idx) == SAMPLE_FRAMES and len(set(idx)) == len(idx)
+    assert idx[0] == 0 and idx[-1] < 40 and (np.diff(idx) > 0).all()
+
+
+def test_signature_brightness_invariant_exactly():
+    frames = [_synth_frame(4, f) for f in range(5)]
+    shifted = [fr + np.uint8(17) for fr in frames]
+    assert video_signature(frames) == video_signature(shifted)
+
+
+def test_signature_order_invariant():
+    frames = [_synth_frame(9, f) for f in range(5)]
+    assert video_signature(frames[::-1]) == video_signature(frames)
+
+
+def test_signature_cross_base_distance_floor():
+    """Odd sample count → unbiased iid majority bits; measured minimum
+    pairwise distance over 300 bases is 14 (mean 32.0) vs τ=3."""
+    sigs = np.array(
+        [
+            video_signature([_synth_frame(b, f) for f in range(SYNTH_N_FRAMES)])
+            for b in range(300)
+        ],
+        dtype=np.int64,
+    ).view(np.uint64)
+    dmin = 64
+    for i in range(len(sigs)):
+        x = (sigs[i] ^ sigs[i + 1 :]).astype(np.uint64)
+        if len(x):
+            dmin = min(dmin, min(bin(int(v)).count("1") for v in x))
+    assert dmin >= 10
+
+
+def test_signature_outlier_frame_is_near_not_zero():
+    """Replacing 1 of 5 frames flips only margin-1 bits: measured 13 —
+    outside the default τ=3 (no false pair), inside a raised d=16
+    (the documented dial for frame-tampered variants)."""
+    frames = [_synth_frame(7, f) for f in range(5)]
+    mut = list(frames)
+    mut[2] = _synth_frame(99, 0)
+    d = _dist(video_signature(frames), video_signature(mut))
+    assert 3 < d <= 16
+
+
+def test_signature_long_video_bounded_work():
+    """40-frame video hashes only SAMPLE_FRAMES frames, and a loop of
+    the same 5 base frames signatures close to the 5-frame original
+    (sampling hits the same content set)."""
+    base5 = [_synth_frame(2, f) for f in range(5)]
+    loop40 = [base5[f % 5] for f in range(40)]
+    assert _dist(video_signature(loop40), video_signature(base5)) <= 16
+
+
+def test_signature_none_when_unhashable():
+    assert video_signature([np.zeros((4, 4), dtype=np.uint8)]) is None
+
+
+# --- operator ------------------------------------------------------------
+
+
+def test_video_features_metadata(spark):
+    ids = spark.range(4).selectExpr("id AS doc_id")
+    rows = {r.doc_id: r for r in video_features(synth_video_docs(ids, 2)).collect()}
+    assert len(rows) == 4
+    for r in rows.values():
+        assert (r.width, r.height) == (36, 32)
+        assert r.n_frames == SYNTH_N_FRAMES and r.n_hashed == SYNTH_N_FRAMES
+        assert r.vhash is not None
+
+
+def test_video_dup_pairs_planted_truth(spark):
+    n, n_bases = 36, 4
+    ids = spark.range(n).selectExpr("id AS doc_id")
+    pairs, ledger = video_dup_pairs(synth_video_docs(ids, n_bases), PipelineConfig())
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    want = {
+        (a, b)
+        for a, b in itertools.combinations(range(n), 2)
+        if a % n_bases == b % n_bases
+    }
+    assert got == want
+    assert ledger.collect()[0].n_undecodable == 0
+
+
+def test_video_outlier_pairs_at_raised_d(spark):
+    """The hamming_d dial: a one-outlier-frame variant pairs at d=16
+    but not at the default 3."""
+    frames = [_synth_frame(7, f) for f in range(5)]
+    mut = list(frames)
+    mut[2] = _synth_frame(99, 0)
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "payload": [encode_gif(frames), encode_gif(mut)],
+                "media_type": ["video/gif"] * 2,
+            }
+        )
+    )
+    strict, _ = video_dup_pairs(docs, PipelineConfig())
+    assert strict.count() == 0
+    loose, _ = video_dup_pairs(docs, PipelineConfig(), hamming_d=16)
+    assert {(r.doc_a, r.doc_b) for r in loose.collect()} == {(1, 2)}
+
+
+def test_video_junk_ledgered(spark):
+    ids = spark.range(8).selectExpr("id AS doc_id")
+    junk = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [700, 701],
+                "payload": [b"GIF89a" + b"\x01" * 3, b"RIFF not a gif"],
+                "media_type": ["video/gif"] * 2,
+            }
+        )
+    )
+    pairs, ledger = video_dup_pairs(
+        synth_video_docs(ids, 2).unionByName(junk), PipelineConfig()
+    )
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert all(a < 700 and b < 700 for a, b in got)
+    assert ledger.collect()[0].n_undecodable == 2
+
+
+def test_negative_doc_ids(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [-5, -1, 3]})
+    ).selectExpr("CAST(doc_id AS LONG) AS doc_id")
+    pairs, _ = video_dup_pairs(synth_video_docs(docs, 4), PipelineConfig())
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    # floor-mod base 3: -5 % 4 == 3 % 4 == 3; -1 % 4 == 3 → all three
+    assert got == {(-5, -1), (-5, 3), (-1, 3)}

@@ -1,0 +1,558 @@
+"""Pure numpy/stdlib baseline JPEG codec — decode + grayscale encoder.
+
+Retires the LAST multimodal pixel-decode boundary. Rounds 3–4 claimed
+"JPEG needs codec libraries (DCT + Huffman entropy coding)"; it does
+not — baseline JPEG (ITU-T T.81 / ISO 10918-1) is canonical Huffman
+codes (Annex C), an 8×8 type-II DCT (a fixed 8×8 matrix product), and
+zigzag run-length coding, all expressible in numpy with a bit-reader
+loop. This module implements:
+
+* ``decode_jpeg``: baseline sequential DCT (SOF0), 8-bit, grayscale or
+  YCbCr with 4:4:4 / 4:2:2 / 4:2:0 sampling, multiple DQT/DHT
+  segments, restart markers (DRI/RSTn), FF00 byte unstuffing —
+  returns (H, W) luma or (H, W, 3) RGB uint8 (BT.601, T.871 rounding).
+  Progressive (SOF2) and arithmetic-coded files raise ``ValueError``
+  (callers ledger undecodable payloads; the baseline profile is what
+  cameras and the web overwhelmingly emit).
+* ``encode_jpeg``: grayscale baseline encoder over the T.81 Annex K
+  example tables (quant scaled by libjpeg's quality curve), used for
+  deterministic fixtures — identical pixels always produce identical
+  bytes.
+
+Entropy decode is a per-CODE Python loop (each Huffman code emits one
+coefficient run) — the same inherently-sequential-codec carve-out as
+GIF's LZW table walk (functions/gif_codec.py); everything block-shaped
+(dequantize, zigzag, IDCT, upsampling, color transform) is vectorized
+numpy over ALL blocks at once. The module sits behind the one
+Arrow-batched codec stage (operators/image_dedup.py).
+
+JPEG is LOSSY: unlike PNG/GIF, a re-encode does not preserve dHash
+bits exactly — planted-truth oracles therefore stay on the lossless
+containers, and JPEG near-dup coverage is asserted by unit tests
+(dHash distance ≤ τ between an image and its quality-90 JPEG, which
+holds for the smooth plants JPEG is designed to preserve).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+JPEG_MAGIC = b"\xff\xd8"
+
+_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# T.81 Annex K.1 luminance quantization table (natural order via zigzag)
+_K1_LUMA_Q = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int64,
+)
+
+# T.81 Annex K.3 typical luminance Huffman tables: (bits[1..16], values)
+_K3_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_K3_DC_VALS = list(range(12))
+_K3_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_K3_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+# 8×8 orthonormal DCT-II matrix: _DCT @ block @ _DCT.T is the forward
+# transform, _DCT.T @ coef @ _DCT the inverse (T.81 A.3.3 up to the
+# orthonormal scaling baked in here).
+_DCT = np.array(
+    [
+        [
+            (np.sqrt(1.0 / 8) if k == 0 else np.sqrt(2.0 / 8))
+            * np.cos((2 * n + 1) * k * np.pi / 16)
+            for n in range(8)
+        ]
+        for k in range(8)
+    ]
+)
+
+
+# ---------------------------------------------------------------------------
+# Huffman machinery
+# ---------------------------------------------------------------------------
+
+
+class _HuffTable:
+    """Canonical Huffman table as a (length → {code: symbol}) lookup —
+    decode walks lengths 1..16 accumulating bits, the T.81 Annex C/F
+    procedure."""
+
+    __slots__ = ("maps", "max_len")
+
+    def __init__(self, bits: list[int], vals: list[int]):
+        if len(bits) != 16 or sum(bits) != len(vals) or sum(bits) > 256:
+            raise ValueError("malformed Huffman table")
+        self.maps: list[dict[int, int]] = [dict() for _ in range(17)]
+        code, k = 0, 0
+        for ln in range(1, 17):
+            for _ in range(bits[ln - 1]):
+                self.maps[ln][code] = vals[k]
+                code += 1
+                k += 1
+            code <<= 1
+        self.max_len = max((ln for ln in range(1, 17) if self.maps[ln]), default=0)
+
+    def encode_map(self) -> dict[int, tuple[int, int]]:
+        """symbol → (code, length), for the encoder."""
+        out = {}
+        for ln in range(1, 17):
+            for code, sym in self.maps[ln].items():
+                out[sym] = (code, ln)
+        return out
+
+
+class _BitReader:
+    """MSB-first bit reader over an already-unstuffed entropy segment."""
+
+    __slots__ = ("data", "pos", "acc", "nbits")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self, need: int) -> None:
+        while self.nbits < need:
+            if self.pos < len(self.data):
+                self.acc = (self.acc << 8) | self.data[self.pos]
+                self.pos += 1
+            else:
+                self.acc <<= 8  # T.81 F.2.2.5: pad with zero bits past EOI
+            self.nbits += 8
+
+    def bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        self._fill(n)
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def decode(self, table: _HuffTable) -> int:
+        code = 0
+        for ln in range(1, table.max_len + 1):
+            code = (code << 1) | self.bits(1)
+            sym = table.maps[ln].get(code)
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 sign extension: t-bit magnitude → signed value."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+
+def _unstuff(buf: bytes, start: int) -> tuple[bytes, list[int], int]:
+    """Entropy segment from ``start``: strips FF00 stuffing, records
+    block boundaries at RSTn markers, stops at any other marker.
+    Returns (data, restart boundaries as offsets into data, end pos)."""
+    out = bytearray()
+    bounds: list[int] = []
+    i, n = start, len(buf)
+    while i < n:
+        b = buf[i]
+        if b != 0xFF:
+            out.append(b)
+            i += 1
+            continue
+        if i + 1 >= n:
+            break
+        m = buf[i + 1]
+        if m == 0x00:
+            out.append(0xFF)
+            i += 2
+        elif 0xD0 <= m <= 0xD7:  # RSTn
+            bounds.append(len(out))
+            i += 2
+        else:
+            break  # real marker ends the scan
+    return bytes(out), bounds, i
+
+
+def decode_jpeg(buf: bytes) -> np.ndarray:
+    """Baseline JPEG bytes → (H, W) or (H, W, 3) uint8. ``ValueError``
+    on structural damage or non-baseline profiles (module docstring)."""
+    if buf[:2] != JPEG_MAGIC:
+        raise ValueError("not a JPEG payload")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], _HuffTable] = {}
+    frame = None  # (H, W, comps) where comps = [(cid, h, v, tq)]
+    restart_interval = 0
+    i = 2
+    while i + 4 <= len(buf):
+        if buf[i] != 0xFF:
+            raise ValueError("marker expected")
+        m = buf[i + 1]
+        if m == 0xD9:  # EOI
+            break
+        ln = struct.unpack(">H", buf[i + 2 : i + 4])[0]
+        seg = buf[i + 4 : i + 2 + ln]
+        if len(seg) != ln - 2:
+            raise ValueError("truncated segment")
+        if m == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0xF
+                p += 1
+                if pq == 0:
+                    tbl = np.frombuffer(seg[p : p + 64], dtype=np.uint8)
+                    p += 64
+                else:
+                    tbl = np.frombuffer(seg[p : p + 128], dtype=">u2")
+                    p += 128
+                if len(tbl) != 64:
+                    raise ValueError("short DQT")
+                q = np.zeros(64, dtype=np.int64)
+                q[_ZIGZAG] = tbl.astype(np.int64)
+                qt[tq] = q.reshape(8, 8)
+        elif m == 0xC4:  # DHT
+            p = 0
+            while p + 17 <= len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0xF
+                bits = list(seg[p + 1 : p + 17])
+                nv = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + nv])
+                if len(vals) != nv:
+                    raise ValueError("short DHT")
+                huff[(tc, th)] = _HuffTable(bits, vals)
+                p += 17 + nv
+        elif m == 0xC0 or m == 0xC1:  # SOF0/1 (baseline / ext sequential)
+            prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+            if prec != 8:
+                raise ValueError("only 8-bit precision supported")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+            frame = (h, w, comps)
+        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("non-baseline JPEG profile")
+        elif m == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif m == 0xDA:  # SOS — entropy data follows the segment
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            return _decode_scan(
+                buf, i + 2 + ln, seg, frame, qt, huff, restart_interval
+            )
+        # APPn / COM / others: skip
+        i += 2 + ln
+    raise ValueError("no scan found")
+
+
+def _decode_scan(buf, start, seg, frame, qt, huff, restart_interval):
+    h, w, comps = frame
+    ns = seg[0]
+    sel = {}
+    for c in range(ns):
+        cid, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+        sel[cid] = (tt >> 4, tt & 0xF)
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    data, _bounds, _end = _unstuff(buf, start)
+    reader = _BitReader(data)
+
+    # per-component coefficient planes, vectorized post-pass
+    planes = {}
+    order = []
+    for cid, ch, cv, tq in comps:
+        if cid not in sel:
+            raise ValueError("non-interleaved scans unsupported")
+        bw, bh = mcux * ch, mcuy * cv
+        planes[cid] = np.zeros((bh * bw, 64), dtype=np.int64)
+        order.append((cid, ch, cv, tq, bw))
+    pred = {cid: 0 for cid, *_ in comps}
+    mcu_index = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_index and mcu_index % restart_interval == 0:
+                # RST boundary: byte-align and reset DC predictors
+                reader.nbits = 0
+                reader.acc = 0
+                pred = {cid: 0 for cid in pred}
+            for cid, ch, cv, _tq, bw in order:
+                dc_t, ac_t = huff[(0, sel[cid][0])], huff[(1, sel[cid][1])]
+                for by in range(cv):
+                    for bx in range(ch):
+                        blk = planes[cid][(my * cv + by) * bw + (mx * ch + bx)]
+                        t = reader.decode(dc_t)
+                        pred[cid] += _extend(reader.bits(t), t)
+                        blk[0] = pred[cid]
+                        k = 1
+                        while k < 64:
+                            rs = reader.decode(ac_t)
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC run overflow")
+                            blk[k] = _extend(reader.bits(s), s)
+                            k += 1
+            mcu_index += 1
+
+    # vectorized: dezigzag → dequantize → IDCT → assemble per component
+    out = {}
+    for cid, ch, cv, tq, bw in order:
+        coefs = np.zeros_like(planes[cid])
+        coefs[:, _ZIGZAG] = planes[cid]
+        blocks = coefs.reshape(-1, 8, 8) * qt[tq][None, :, :]
+        pix = np.einsum("ij,njk,kl->nil", _DCT.T, blocks.astype(np.float64), _DCT)
+        pix = np.clip(np.rint(pix) + 128, 0, 255).astype(np.uint8)
+        bh = len(pix) // bw
+        img = pix.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        # upsample to full resolution (nearest, T.871 practice)
+        if ch != hmax or cv != vmax:
+            img = np.repeat(np.repeat(img, vmax // cv, axis=0), hmax // ch, axis=1)
+        out[cid] = img[:h, :w]
+    if len(order) == 1:
+        return out[order[0][0]]
+    if len(order) != 3:
+        raise ValueError(f"unsupported component count {len(order)}")
+    y, cb, cr = (out[cid].astype(np.float64) for cid, *_ in order)
+    r = y + 1.402 * (cr - 128)
+    g = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+    b = y + 1.772 * (cb - 128)
+    return np.clip(np.rint(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# grayscale encoder (fixtures)
+# ---------------------------------------------------------------------------
+
+
+def _quality_scale(q: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg's quality curve over a base table; clamp to [1, 255]."""
+    quality = min(100, max(1, quality))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((q * scale + 50) // 100, 1, 255)
+
+
+def _pad_to_blocks(plane: np.ndarray, bh: int, bw: int) -> np.ndarray:
+    """Edge-replicate pad a plane to (bh·8, bw·8) and slice into 8×8
+    blocks, row-major: returns (bh·bw, 8, 8) float64."""
+    h, w = plane.shape
+    padded = np.empty((bh * 8, bw * 8), dtype=np.float64)
+    padded[:h, :w] = plane
+    padded[h:, :w] = plane[h - 1 : h, :]
+    padded[:, w:] = padded[:, w - 1 : w]
+    return padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+
+
+def _quantized_zigzag(blocks: np.ndarray, q: np.ndarray) -> np.ndarray:
+    coefs = np.einsum("ij,njk,kl->nil", _DCT, blocks - 128.0, _DCT.T)
+    quant = np.rint(coefs / q[None, :, :]).astype(np.int64)
+    return quant.reshape(-1, 64)[:, _ZIGZAG]
+
+
+def _encode_block(blk, pred, dc_tab, ac_tab, emit, mag_bits) -> int:
+    diff = int(blk[0]) - pred
+    mag, t = mag_bits(diff)
+    code, ln = dc_tab[t]
+    emit(code, ln)
+    emit(mag, t)
+    run = 0
+    last_nz = max(np.nonzero(blk[1:])[0]) + 1 if (blk[1:] != 0).any() else 0
+    for k in range(1, last_nz + 1):
+        v = int(blk[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_tab[0xF0]
+            emit(code, ln)
+            run -= 16
+        mag, t = mag_bits(v)
+        code, ln = ac_tab[(run << 4) | t]
+        emit(code, ln)
+        emit(mag, t)
+        run = 0
+    if last_nz < 63:
+        code, ln = ac_tab[0x00]
+        emit(code, ln)
+    return int(blk[0])
+
+
+def encode_jpeg(
+    pixels: np.ndarray,
+    quality: int = 90,
+    subsampling: tuple[int, int] = (2, 2),
+    restart_interval: int = 0,
+) -> bytes:
+    """(H, W) grayscale or (H, W, 3) RGB uint8 → baseline JFIF bytes,
+    deterministic byte-for-byte. Annex K tables (shared by luma and
+    chroma), quality scales quantization; color encodes YCbCr (BT.601)
+    with the given luma sampling factors — (1, 1) = 4:4:4,
+    (2, 1) = 4:2:2, (2, 2) = 4:2:0. ``restart_interval`` > 0 emits DRI
+    + RSTn markers every that many MCUs (byte-aligned segments, DC
+    predictors reset — T.81 F.1.2.2.4)."""
+    img = np.asarray(pixels)
+    if img.ndim not in (2, 3):
+        raise ValueError("expected (H, W) or (H, W, 3)")
+    h, w = img.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    q = _quality_scale(_K1_LUMA_Q, quality).reshape(8, 8)
+    dc_tab = _HuffTable(_K3_DC_BITS, _K3_DC_VALS).encode_map()
+    ac_tab = _HuffTable(_K3_AC_BITS, _K3_AC_VALS).encode_map()
+
+    if img.ndim == 2:
+        comps = [(img.astype(np.float64), 1, 1)]
+    else:
+        rgb = img.astype(np.float64)
+        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        sh, sv = subsampling
+        if sh not in (1, 2) or sv not in (1, 2):
+            raise ValueError("subsampling factors must be 1 or 2")
+
+        def shrink(p: np.ndarray) -> np.ndarray:
+            # pad to even dims then box-average (T.871 downsample practice)
+            ph = p if sv == 1 else np.pad(p, ((0, p.shape[0] & 1), (0, 0)), "edge")
+            ph = ph if sh == 1 else np.pad(ph, ((0, 0), (0, ph.shape[1] & 1)), "edge")
+            return ph.reshape(
+                ph.shape[0] // sv, sv, ph.shape[1] // sh, sh
+            ).mean(axis=(1, 3))
+
+        comps = [(y, sh, sv), (shrink(cb), 1, 1), (shrink(cr), 1, 1)]
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = []  # (zigzag blocks, ch, cv, blocks-per-row)
+    for plane, ch, cv in comps:
+        bw_c, bh_c = mcux * ch, mcuy * cv
+        zz = _quantized_zigzag(_pad_to_blocks(plane, bh_c, bw_c), q)
+        planes.append((zz, ch, cv, bw_c))
+
+    out_bits: list[tuple[int, int]] = []
+
+    def emit(code: int, n: int) -> None:
+        out_bits.append((code, n))
+
+    def mag_bits(v: int) -> tuple[int, int]:
+        t = abs(v).bit_length()
+        return (v if v >= 0 else v + (1 << t) - 1, t)
+
+    segments: list[list[tuple[int, int]]] = [out_bits]
+    preds = [0] * len(planes)
+    mcu_index = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_index and mcu_index % restart_interval == 0:
+                out_bits = []
+                segments.append(out_bits)
+                preds = [0] * len(planes)
+            for ci, (zz, ch, cv, bw_c) in enumerate(planes):
+                for by in range(cv):
+                    for bx in range(ch):
+                        blk = zz[(my * cv + by) * bw_c + (mx * ch + bx)]
+                        preds[ci] = _encode_block(
+                            blk, preds[ci], dc_tab, ac_tab, emit, mag_bits
+                        )
+            mcu_index += 1
+
+    def pack(bits: list[tuple[int, int]]) -> bytes:
+        # MSB-first with FF00 stuffing, 1-padded to a byte (F.1.2.3)
+        out = bytearray()
+        acc, nacc = 0, 0
+        for code, n in bits:
+            acc = (acc << n) | (code & ((1 << n) - 1))
+            nacc += n
+            while nacc >= 8:
+                nacc -= 8
+                byte = (acc >> nacc) & 0xFF
+                out.append(byte)
+                if byte == 0xFF:
+                    out.append(0x00)
+                acc &= (1 << nacc) - 1
+        if nacc:
+            byte = ((acc << (8 - nacc)) | ((1 << (8 - nacc)) - 1)) & 0xFF
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+        return bytes(out)
+
+    body = bytearray()
+    for si, seg_bits in enumerate(segments):
+        if si:
+            body += bytes([0xFF, 0xD0 + ((si - 1) % 8)])
+        body += pack(seg_bits)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    qzz = q.reshape(64)[_ZIGZAG].astype(np.uint8)
+    dht_dc = bytes([0x00] + _K3_DC_BITS) + bytes(_K3_DC_VALS)
+    dht_ac = bytes([0x10] + _K3_AC_BITS) + bytes(_K3_AC_VALS)
+    nc = len(planes)
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    sos = bytes([nc])
+    for ci, (_zz, ch, cv, _bw) in enumerate(planes):
+        sof += bytes([ci + 1, (ch << 4) | cv, 0])
+        sos += bytes([ci + 1, 0x00])
+    out = bytearray(JPEG_MAGIC)
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, b"\x00" + qzz.tobytes())
+    out += seg(0xC0, sof)
+    out += seg(0xC4, dht_dc)
+    out += seg(0xC4, dht_ac)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    out += seg(0xDA, sos + bytes([0, 63, 0]))
+    out += body
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -9,21 +9,28 @@ third-party dependencies, and cross-validates against PIL when that
 library happens to be importable (tests/test_text_vectors.py,
 skip-guarded).
 
-Since round 4, PIXEL-level work is real for PNG AND GIF: the stdlib
-codecs in ``functions/png_codec.py`` (zlib is all PNG needs) and
-``functions/gif_codec.py`` (GIF's LZW is a self-contained dictionary
-coder — no library at all) decode pixels, feed the exact-integer
-perceptual hash, and power the ``image_dup_pairs`` operator
-(operators/image_dedup.py) end to end — oracle-checked by the
-``image_phash_pairs`` correctness query over a MIXED PNG/GIF corpus
-(cross-format near-dups included). The residual container boundary is
-JPEG pixel decode alone (DCT + Huffman entropy coding genuinely needs
-a codec library this container lacks); its header metadata parse below
-is real. The deterministic ``fake`` mode stays as the oracle-checkable
-stand-in used by the ``multimodal_meta`` plumbing query. Swapping in a
-full JPEG decoder is a one-function change: replace ``_decode_meta``
-with PIL/libav calls — batch shape, schema and partitioning stay
-identical.
+Since round 4, PIXEL/SAMPLE-level work is real for EVERY modality — no
+container boundary remains:
+
+* images: stdlib codecs for PNG (``functions/png_codec.py``, zlib),
+  GIF (``functions/gif_codec.py``, self-contained LZW) and baseline
+  JPEG (``functions/jpeg_codec.py``, canonical Huffman + 8×8 DCT in
+  numpy) decode pixels, feed the exact-integer perceptual hash, and
+  power ``image_dup_pairs`` (operators/image_dedup.py) — oracle-checked
+  by the ``image_phash_pairs`` query over a MIXED PNG/GIF corpus
+  (cross-format near-dups included; JPEG is lossy, so its near-dup
+  behavior is unit-tested rather than planted in the exact-truth
+  oracle);
+* audio: stdlib RIFF/WAV PCM decode + Haitsma–Kalker band-energy
+  fingerprint (``functions/wav_codec.py``) power ``audio_dup_pairs``
+  (operators/audio_dedup.py), oracle-checked by ``audio_fp_pairs``;
+* video: multi-frame containers (animated GIF here; the
+  ``decode_frames`` seam takes MP4/webm decoders in a real lake) +
+  frame-sampled majority-bit signatures power ``video_dup_pairs``
+  (operators/video_dedup.py), oracle-checked by ``video_sig_pairs``.
+
+The deterministic ``fake`` mode stays as the oracle-checkable stand-in
+used by the ``multimodal_meta`` plumbing query.
 """
 
 from __future__ import annotations

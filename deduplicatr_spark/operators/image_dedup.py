@@ -52,6 +52,7 @@ from pyspark.sql import functions as F
 from deduplicatr_spark.config import PipelineConfig
 from deduplicatr_spark.functions._numpy_core import splitmix64
 from deduplicatr_spark.functions.gif_codec import GIF_MAGICS, decode_gif, encode_gif
+from deduplicatr_spark.functions.jpeg_codec import JPEG_MAGIC, decode_jpeg
 from deduplicatr_spark.functions.png_codec import (
     PNG_MAGIC,
     decode_png,
@@ -71,16 +72,22 @@ IMAGE_FEATURE_SCHEMA = (
 def decode_image_pixels(buf: bytes) -> tuple[np.ndarray, int]:
     """Format-sniffing pixel decode: (representative frame, n_frames).
 
-    PNG → the image, 1 frame. GIF → the FIRST composited logical-screen
-    frame (what a viewer sees as the poster frame) plus the real frame
-    count, so animated near-dups of a still image are caught and the
-    frame count survives as a feature. Raises ``ValueError`` on
-    unrecognized magics or structural damage."""
+    PNG/JPEG → the image, 1 frame. GIF → the FIRST composited
+    logical-screen frame (what a viewer sees as the poster frame) plus
+    the real frame count, so animated near-dups of a still image are
+    caught and the frame count survives as a feature. Raises
+    ``ValueError`` on unrecognized magics or structural damage. NOTE
+    JPEG is lossy: a JPEG re-encode of a PNG lands at SMALL-but-nonzero
+    dHash distance on noisy content (exactly 0 on smooth content), so
+    the planted-truth oracle corpus stays PNG/GIF while the JPEG path
+    is covered by unit tests (tests/test_jpeg_codec.py)."""
     if buf[:8] == PNG_MAGIC:
         return decode_png(buf), 1
     if buf[:6] in GIF_MAGICS:
         frames = decode_gif(buf)
         return frames[0], len(frames)
+    if buf[:2] == JPEG_MAGIC:
+        return decode_jpeg(buf), 1
     raise ValueError("unrecognized image format")
 
 

@@ -1,0 +1,204 @@
+"""Baseline JPEG codec (functions/jpeg_codec.py): roundtrip fidelity,
+subsampling, restart markers, damage handling, dHash near-dup behavior,
+and the image-dedup format sniffing."""
+
+from __future__ import annotations
+
+import io
+import struct
+
+import numpy as np
+import pytest
+
+from deduplicatr_spark.functions.jpeg_codec import (
+    JPEG_MAGIC,
+    decode_jpeg,
+    encode_jpeg,
+)
+from deduplicatr_spark.functions.png_codec import dhash64
+
+try:  # optional cross-validation against an independent codec
+    from PIL import Image
+
+    HAVE_PIL = True
+except ImportError:
+    HAVE_PIL = False
+
+
+def _smooth_gray(h: int = 32, w: int = 36) -> np.ndarray:
+    yy, xx = np.mgrid[0:h, 0:w]
+    return ((np.sin(yy / 6) + np.cos(xx / 7)) * 50 + 128).clip(0, 255).astype(
+        np.uint8
+    )
+
+
+def _smooth_rgb(h: int = 37, w: int = 41) -> np.ndarray:
+    yy, xx = np.mgrid[0:h, 0:w]
+    return (
+        np.stack(
+            [
+                np.sin(xx / 9) * 60 + 120,
+                np.cos(yy / 7) * 60 + 120,
+                (xx + yy) / (h + w) * 200 + 20,
+            ],
+            axis=-1,
+        )
+        .clip(0, 255)
+        .astype(np.uint8)
+    )
+
+
+# --- roundtrip -------------------------------------------------------------
+
+
+def test_gray_roundtrip_smooth():
+    img = _smooth_gray()
+    out = decode_jpeg(encode_jpeg(img, 90))
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 3
+
+
+def test_gray_roundtrip_noise_bounded():
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (33, 35), dtype=np.uint8)  # odd dims, padded
+    out = decode_jpeg(encode_jpeg(img, 95))
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert out.shape == img.shape and err.mean() < 4
+
+
+@pytest.mark.parametrize("subs", [(1, 1), (2, 1), (2, 2)])
+def test_color_roundtrip_subsampling(subs):
+    img = _smooth_rgb()
+    out = decode_jpeg(encode_jpeg(img, 92, subsampling=subs))
+    assert out.shape == img.shape
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.max() <= 12 and err.mean() < 3
+
+
+def test_encode_deterministic():
+    img = _smooth_rgb()
+    assert encode_jpeg(img) == encode_jpeg(img.copy())
+
+
+def test_flat_image_exact():
+    """A constant plane has zero AC energy and a DC that quantizes
+    losslessly at q=16|constant offsets — decode must be exact for the
+    de-facto identity case."""
+    img = np.full((16, 24), 128, dtype=np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg(img, 50)), img)
+
+
+@pytest.mark.parametrize("ri", [1, 2, 3, 7])
+def test_restart_markers_identical_decode(ri):
+    """DRI/RSTn segmentation must not change a single pixel: the
+    decoder byte-aligns and resets DC predictors at each boundary."""
+    g, rgb = _smooth_gray(), _smooth_rgb()
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(g, 90, restart_interval=ri)),
+        decode_jpeg(encode_jpeg(g, 90)),
+    )
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(rgb, 92, restart_interval=ri)),
+        decode_jpeg(encode_jpeg(rgb, 92)),
+    )
+
+
+# --- damage / profile gates ------------------------------------------------
+
+
+def test_not_a_jpeg_raises():
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff")  # SOI then garbage
+
+
+def test_progressive_profile_raises():
+    buf = bytearray(encode_jpeg(_smooth_gray()))
+    i = buf.find(b"\xff\xc0")
+    buf[i + 1] = 0xC2  # flip SOF0 → SOF2 (progressive)
+    with pytest.raises(ValueError, match="non-baseline"):
+        decode_jpeg(bytes(buf))
+
+
+def test_truncated_segment_raises():
+    buf = encode_jpeg(_smooth_gray())
+    with pytest.raises(ValueError):
+        decode_jpeg(buf[:40])
+
+
+def test_twelve_bit_precision_raises():
+    buf = bytearray(encode_jpeg(_smooth_gray()))
+    i = buf.find(b"\xff\xc0")
+    buf[i + 4] = 12  # precision byte inside SOF
+    with pytest.raises(ValueError, match="8-bit"):
+        decode_jpeg(bytes(buf))
+
+
+# --- dedup integration -----------------------------------------------------
+
+
+def test_jpeg_reencode_is_dhash_near_dup():
+    """The dedup contract for the lossy format: a quality-90 JPEG of a
+    smooth image stays within the τ=3 Hamming verify of the original's
+    dHash (JPEG is built to preserve exactly the low-frequency content
+    dHash measures)."""
+    img = _smooth_gray()
+    d0 = dhash64(img)
+    d1 = dhash64(decode_jpeg(encode_jpeg(img, 90)))
+    assert bin(int(np.uint64(np.int64(d0)) ^ np.uint64(np.int64(d1)))).count("1") <= 3
+
+
+def test_image_pixels_sniffs_jpeg(spark):
+    """image_dup_pairs pairs a PNG doc with its JPEG re-encode via the
+    format-sniffing decode seam."""
+    import pandas as pd
+
+    from deduplicatr_spark.config import PipelineConfig
+    from deduplicatr_spark.functions.png_codec import encode_png
+    from deduplicatr_spark.operators.image_dedup import image_dup_pairs
+
+    img = _smooth_gray()
+    far = 255 - _smooth_gray().T[:32, :36]  # decisively different content
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "payload": [
+                    encode_png(img),
+                    encode_jpeg(img, 90),
+                    encode_png(np.ascontiguousarray(far)),
+                ],
+                "media_type": ["image/png", "image/jpeg", "image/png"],
+            }
+        )
+    )
+    pairs, ledger = image_dup_pairs(docs, PipelineConfig())
+    assert {(r.doc_a, r.doc_b) for r in pairs.collect()} == {(1, 2)}
+    assert ledger.collect()[0].n_undecodable == 0
+
+
+# --- optional PIL cross-validation ------------------------------------------
+
+
+@pytest.mark.skipif(not HAVE_PIL, reason="PIL not installed in this image")
+def test_pil_decodes_our_bytes():
+    img = _smooth_rgb()
+    buf = encode_jpeg(img, 92, subsampling=(2, 2))
+    theirs = np.asarray(Image.open(io.BytesIO(buf)).convert("RGB"))
+    ours = decode_jpeg(buf)
+    assert theirs.shape == ours.shape
+    # IDCT implementations may differ by a rounding step
+    assert np.abs(theirs.astype(int) - ours.astype(int)).max() <= 2
+
+
+@pytest.mark.skipif(not HAVE_PIL, reason="PIL not installed in this image")
+@pytest.mark.parametrize("subs", [0, 1, 2])  # PIL: 4:4:4, 4:2:2, 4:2:0
+def test_we_decode_pil_bytes(subs):
+    img = _smooth_rgb()
+    b = io.BytesIO()
+    Image.fromarray(img).save(b, "JPEG", quality=92, subsampling=subs)
+    ours = decode_jpeg(b.getvalue())
+    theirs = np.asarray(Image.open(io.BytesIO(b.getvalue())).convert("RGB"))
+    assert ours.shape == theirs.shape
+    assert np.abs(ours.astype(int) - theirs.astype(int)).max() <= 4

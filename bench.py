@@ -498,13 +498,57 @@ def main() -> None:
         pairs.count()
         release_tracked()
 
+    # q10: audio near-dup pairs — stdlib WAV PCM decode + numpy-FFT
+    # Haitsma–Kalker band fingerprint + the same shared bucket core.
+    # Payload synthesis persisted outside the timer (fixture, not
+    # operator); timed path is decode → FFT → bands → keys → ONE
+    # bucket shuffle → bit_count verify.
+    from deduplicatr_spark.operators.audio_dedup import (
+        audio_dup_pairs,
+        synth_audio_docs,
+    )
+
+    n_aud = 20_000
+    aud_docs = synth_audio_docs(
+        spark.range(n_aud).selectExpr("id AS doc_id"), n_bases=n_aud // 8
+    ).persist()
+    aud_docs.count()
+
+    def _auddup():
+        pairs, _ = audio_dup_pairs(aud_docs, BENCH_CONFIG)
+        pairs.count()
+        release_tracked()
+
+    # q11: video near-dup pairs — animated-GIF frame decode (stdlib
+    # LZW) + sampled per-frame dHash + majority-bit temporal signature
+    # + the shared bucket core.
+    from deduplicatr_spark.operators.video_dedup import (
+        synth_video_docs,
+        video_dup_pairs,
+    )
+
+    n_vid = 20_000
+    vid_docs = synth_video_docs(
+        spark.range(n_vid).selectExpr("id AS doc_id"), n_bases=n_vid // 8
+    ).persist()
+    vid_docs.count()
+
+    def _viddup():
+        pairs, _ = video_dup_pairs(vid_docs, BENCH_CONFIG)
+        pairs.count()
+        release_tracked()
+
     for _pass in range(2):
         timed("embedding_topk", _topk)
         timed("embedding_dup_pairs", _embdup)
         timed("semdedup_prune", _semdedup)
         timed("image_phash_pairs", _imgdup)
+        timed("audio_fp_pairs", _auddup)
+        timed("video_sig_pairs", _viddup)
     emb_v.unpersist()
     img_docs.unpersist()
+    aud_docs.unpersist()
+    vid_docs.unpersist()
 
     timings = {name: min(runs) for name, runs in all_runs.items()}
     total = round(sum(timings.values()), 3)

@@ -356,6 +356,41 @@ def main() -> None:
         "volume is 9 keys × 8 bytes per image regardless of image size.",
     ))
 
+    from deduplicatr_spark.operators.audio_dedup import (  # noqa: E402
+        audio_dup_pairs, synth_audio_docs,
+    )
+    from deduplicatr_spark.operators.video_dedup import (  # noqa: E402
+        synth_video_docs, video_dup_pairs,
+    )
+
+    aud_pairs, _aldr = audio_dup_pairs(
+        synth_audio_docs(docs.select("doc_id"), 41), BENCH_CONFIG
+    )
+    vid_pairs, _vldr = video_dup_pairs(
+        synth_video_docs(docs.select("doc_id"), 41), BENCH_CONFIG
+    )
+    aud_plan, vid_plan = captured_explain(aud_pairs), captured_explain(vid_pairs)
+    # the three modality paths must stay structurally identical: one
+    # MapInPandas codec boundary, one range-partitioned bucket exchange,
+    # and NO payload column in any Exchange
+    for nm, plan in (("audio", aud_plan), ("video", vid_plan)):
+        assert plan.count("MapInPandas") >= 1, f"{nm}: codec stage missing"
+        assert "payload" not in "".join(
+            ln for ln in plan.splitlines() if "Exchange" in ln
+        ), f"{nm}: payload bytes entered an Exchange"
+    sections.append((
+        "Audio near-dup pairs (§2.41: WAV decode → HK fingerprint → Hamming core)",
+        aud_plan,
+        "What to check: the SAME plan shape as images — one MapInPandas "
+        "decode+FFT boundary emitting 40-byte feature rows, payload "
+        "bytes never in an Exchange, pairing through the shared "
+        "RangePartitioning bucket core, codegen bit_count verify. The "
+        "video plan (§2.42, not duplicated here) is asserted "
+        "structurally identical by this generator: same single codec "
+        "boundary, same single bucket exchange, no payload in any "
+        "Exchange.",
+    ))
+
     amp = amplified_corpus(spark, SF, 4)
     sections.append((
         "Amplified corpus scan + identity (bench input)",

@@ -42,6 +42,7 @@ from deduplicatr_spark.functions import pii as PII
 from deduplicatr_spark.operators.decontaminate import ngram_contamination
 from deduplicatr_spark.operators.linedup import corpus_line_stats
 from deduplicatr_spark.operators.exact import duplicate_groups, exact_canonical
+from deduplicatr_spark.operators.fork_dedup import repo_fork_pairs
 from deduplicatr_spark.operators.lsh import lsh_candidate_pairs
 from deduplicatr_spark.operators.pigeonhole import simhash_candidate_pairs
 from deduplicatr_spark.operators.rollup import dir_rollup, duplicate_dirs
@@ -1249,6 +1250,42 @@ def _q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fork_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared corpus plus two DERIVED repos (kept out of CORPUS_SQL
+    so the other 54 oracles' inputs are untouched): ``fork1`` = src1
+    minus its doc_id%10==0 rows (a ~90%-overlap fork — file-set Jaccard
+    well above the 0.8 gate) and ``fork2`` = only src2's doc_id%5==0
+    rows (a ~20%-overlap partial vendor copy — well below the gate, so
+    a verify-filter bug that lets sub-τ candidates through goes red).
+    Mirrors the fc CTE in the ``repo_fork_pairs`` oracle exactly."""
+    c = _corpus(spark, sf_dir)
+    fork1 = c.filter(
+        (F.col("repo") == "src1") & (F.col("doc_id") % 10 != 0)
+    ).withColumn("repo", F.lit("fork1"))
+    fork2 = c.filter(
+        (F.col("repo") == "src2") & (F.col("doc_id") % 5 == 0)
+    ).withColumn("repo", F.lit("fork2"))
+    return c.unionByName(fork1).unionByName(fork2)
+
+
+def _q_repo_fork_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repo-level fork detection (operators/fork_dedup.py): MinHash over
+    each repo's distinct file-hash SET as a pure JVM min-aggregation,
+    LSH bands through the shared bucket core, EXACT set-Jaccard verify.
+    The corpus's planted ``mirror`` repo (an exact fork of src0,
+    Jaccard 1 → identical signatures → candidate nomination is
+    deterministic) plus the derived ``fork1``/``fork2`` repos give the
+    oracle one certain pair, one banding-probability pair (caught at
+    the pinned seed; a signature/banding/verify bug goes red), and one
+    sub-τ pair that must NOT appear. The oracle enumerates ALL repo
+    pairs exhaustively, so false positives and missed pairs both fail."""
+    ident = _identified(_fork_corpus(spark, sf_dir))
+    pairs, _drops = repo_fork_pairs(ident, ENTRY_CONFIG, tau=0.8)
+    return pairs.select(
+        "repo_a", "repo_b", _floor6(F.col("fork_jaccard")).alias("fork_jaccard")
+    )
+
+
 WEIGHTED_CONFIG = PipelineConfig(
     substring_min_len=120, simhash_weighted=True
 )
@@ -1786,6 +1823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_sig_pairs": _q_video_sig_pairs,
         "cc_fingerprint_chains": _q_cc_fingerprint_chains,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
+        "repo_fork_pairs": _q_repo_fork_pairs,
         "simhash_hamming_pairs": _q_simhash_hamming_pairs,
         "simhash_weighted_pairs": _q_simhash_weighted_pairs,
         "substring_pairs": _q_substring_pairs,
@@ -2627,6 +2665,34 @@ FROM fp QUALIFY count(*) OVER (PARTITION BY f) > 1
         # near pairs; jaccard recomputed independently from char-9-gram
         # sets over the normalized strings (equals the engine's hashed-
         # shingle Jaccard up to 64-bit collisions ≈ 1e-14)
+        # exhaustive repo-pair set Jaccard over the fork corpus (the
+        # shared corpus + derived fork1/fork2 — mirrors _fork_corpus);
+        # the repo count is small so DuckDB enumerates every pair, which
+        # makes BOTH missed pairs and false positives go red
+        "repo_fork_pairs": CORPUS_SQL + """
+, fc AS (
+  SELECT repo, content FROM corpus
+  UNION ALL
+  SELECT 'fork1', content FROM corpus WHERE repo = 'src1' AND doc_id % 10 <> 0
+  UNION ALL
+  SELECT 'fork2', content FROM corpus WHERE repo = 'src2' AND doc_id % 5 = 0
+), rsets AS (
+  SELECT DISTINCT repo, sha256(content) AS h FROM fc
+), rn AS (
+  SELECT repo, count(*) AS n FROM rsets GROUP BY repo
+), ri AS (
+  SELECT a.repo AS ra, b.repo AS rb, count(*) AS i
+  FROM rsets a JOIN rsets b ON a.h = b.h AND a.repo < b.repo
+  GROUP BY 1, 2
+)
+SELECT ra AS repo_a, rb AS repo_b,
+       floor(CAST(i AS DOUBLE) / (na.n + nb.n - i) * 1000000) / 1000000.0
+         AS fork_jaccard
+FROM ri
+JOIN rn na ON na.repo = ri.ra
+JOIN rn nb ON nb.repo = ri.rb
+WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.8
+""",
         "minhash_lsh_pairs": CORPUS_SQL + f"""
 , fpm AS (
   SELECT doc_id,

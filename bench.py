@@ -38,6 +38,7 @@ from deduplicatr_spark.operators.decontaminate import ngram_contamination  # noq
 from deduplicatr_spark.operators.linedup import corpus_line_stats  # noqa: E402
 from deduplicatr_spark.operators.packing import pack_sequences  # noqa: E402
 from deduplicatr_spark.operators.exact import duplicate_groups, with_identity  # noqa: E402
+from deduplicatr_spark.operators.fork_dedup import repo_fork_pairs  # noqa: E402
 from deduplicatr_spark.operators.incremental import (  # noqa: E402
     band_bucket_stats,
     incremental_assign,
@@ -266,6 +267,28 @@ def main() -> None:
         out.count()
         release_tracked()
 
+    # q3e: repo-level fork detection — the corpus re-keyed into ~1k
+    # synthetic repos plus a ~90%-file-overlap fork of each (every
+    # fork pair clears τ=0.8; cross-repo pairs don't, since paths are
+    # hash-scattered): measures sha256 identity + the pure-JVM
+    # min-aggregate signature + bucket core + exact set-Jaccard verify
+    # at full corpus width. Repeat-safe: nothing is cached but the
+    # input corpus.
+    fork_rid = F.pmod(F.xxhash64("path"), F.lit(1024)).cast("string")
+    fork_base = corpus.withColumn("repo", F.concat(F.lit("r"), fork_rid))
+    fork_input = fork_base.unionByName(
+        fork_base.filter(
+            F.pmod(F.xxhash64("path", F.lit(7)), F.lit(10)) != 0
+        ).withColumn("repo", F.concat(F.lit("f"), fork_rid))
+    )
+
+    def _fork():
+        pairs, _ = repo_fork_pairs(
+            with_identity(fork_input), BENCH_CONFIG, tau=0.8
+        )
+        pairs.count()
+        release_tracked()
+
     # two interleaved passes over the whole group (see timed())
     for _pass in range(2):
         timed("exact_dedup", _exact)
@@ -276,6 +299,7 @@ def main() -> None:
         timed("duplicate_span_removal", _span_removal)
         timed("winnow_dup_pairs", _winnow)
         timed("incremental_assign", _inc)
+        timed("repo_fork_pairs", _fork)
     stats.unpersist()
     feats.unpersist()
     distinct_docs.unpersist()

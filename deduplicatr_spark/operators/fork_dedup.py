@@ -1,0 +1,148 @@
+"""Repository-level fork detection: near-duplicate REPOS by file-set
+MinHash.
+
+At 10^12 files the dominant duplication mode in a source-code corpus
+is not the near-identical file but the near-identical REPOSITORY —
+forks, vendored mirrors, and CI clones re-publish most of a repo's
+files byte-identically (Lopes et al., "DéjàVu: a map of code
+duplicates on GitHub", OOPSLA 2017, measured ~70% of GitHub files to
+be clones concentrated in repo-level copies; Mockus, "Large-scale
+code reuse in open source software", 2007). File-level dedup finds
+those pairs one file at a time; this operator finds them one REPO at
+a time, so a curation pipeline can drop or down-weight whole forks
+before any per-file near-dup work runs.
+
+The unit of similarity is the repo's SET of distinct file content
+hashes; two repos are fork-near when the Jaccard of those sets
+clears ``tau``. The MinHash/LSH machinery is the same as the document
+stage (SURVEY §2.6–2.7) but the "shingles" are already 64-bit content
+hashes, so no text pass is needed and — the part that matters at
+scale — the signature is computed as a pure JVM aggregation:
+
+* per file row, ``n_hashes`` rehashes ``xxhash64(fh, i)`` (whole-stage
+  codegen, no UDF);
+* ``groupBy(repo)`` with ``n_hashes`` ``min`` aggregates — map-side
+  partial aggregation means per-repo state is ~1 KB REGARDLESS of repo
+  size, so a 10M-file mega-repo costs exactly one combiner row per
+  task and skew cannot arise from repo fan-in;
+* band keys over the signature feed the ONE shared bucket core
+  (operators/lsh.py § keyed_candidate_pairs — range shuffle, hot
+  thinning, caps with drop ledger).
+
+Note what is deliberately absent: there is NO self-join on file hash.
+The classic fork-detection plan (join repos that share a file) melts
+on boilerplate — a LICENSE file present in k repos generates C(k,2)
+join rows — whereas band keys of signatures are repo-count-bounded.
+
+Verification is EXACT set Jaccard computed distributively: candidate
+pairs are joined back to the (repo, file_hash) table once per side,
+so the intersection count never materializes a per-repo array on any
+single node (a mega-repo's file list streams through the join). The
+only inflation is candidates × files-of-left-repo, bounded by the
+bucket core's per-bucket cap.
+
+64-bit tolerance: file identity is ``xxhash64(sha256)`` (8-byte join
+keys instead of 64-byte hex strings in every exchange); two distinct
+sha256 values collide with p ≈ 2⁻⁶⁴ — the same accepted tolerance as
+every other hash-keyed stage (SURVEY §2.7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from deduplicatr_spark.config import PipelineConfig
+from deduplicatr_spark.operators.lsh import _track, keyed_candidate_pairs
+
+
+def repo_file_sets(identified: DataFrame) -> DataFrame:
+    """(rid, repo, fh) — one row per DISTINCT file content hash per
+    repo. ``identified`` must carry (repo, sha256) (operators/exact.py
+    § with_identity). Copies of a file WITHIN a repo collapse here, so
+    repo similarity is set semantics, not multiset."""
+    return identified.select(
+        F.xxhash64("repo").alias("rid"),
+        "repo",
+        F.xxhash64("sha256").alias("fh"),
+    ).distinct()
+
+
+def repo_signature_keys(files: DataFrame, config: PipelineConfig) -> DataFrame:
+    """(doc_id=rid, band_hash) LSH band keys of each repo's file-set
+    MinHash signature — ready for ``keyed_candidate_pairs``.
+
+    Signature row i is ``min over files of xxhash64(fh, i)`` (the
+    k×min construction of functions/_numpy_core.batch_minhash, but as
+    ``n_hashes`` JVM ``min`` aggregates — identical sets ⇒ identical
+    signatures, E[matching rows] = Jaccard). Band b's key hashes its
+    ``band_rows`` signature rows together with the band index, exactly
+    the fold batch_band_hashes uses."""
+    n, b = config.n_hashes, config.n_bands
+    r = config.band_rows
+    mins = [F.min(F.xxhash64("fh", F.lit(i))).alias(f"h{i}") for i in range(n)]
+    sigs = files.groupBy("rid").agg(*mins)
+    bands = [
+        F.xxhash64(F.lit(j), *[F.col(f"h{j * r + i}") for i in range(r)])
+        for j in range(b)
+    ]
+    return sigs.select(
+        F.col("rid").alias("doc_id"),
+        F.explode(F.array(*bands)).alias("band_hash"),
+    )
+
+
+def repo_fork_pairs(
+    identified: DataFrame, config: PipelineConfig, tau: float = 0.8
+) -> tuple[DataFrame, DataFrame]:
+    """identified (repo, sha256, …) → ((repo_a < repo_b,
+    fork_jaccard ≥ tau), drop_stats).
+
+    ``fork_jaccard`` is the EXACT Jaccard of the two repos' distinct
+    file-hash sets (the LSH bands only nominate; every emitted value is
+    verified). Output repo names are ordered lexicographically so the
+    pair set is deterministic independent of rid assignment."""
+    files = _track(repo_file_sets(identified).persist())
+
+    keyed = repo_signature_keys(files, config)
+    cand, drops = keyed_candidate_pairs(keyed, config)
+
+    sizes = files.groupBy("rid").agg(
+        F.first("repo").alias("repo"), F.count(F.lit(1)).alias("n_files")
+    )
+
+    fa = files.select(F.col("rid").alias("doc_a"), "fh")
+    fb = files.select(F.col("rid").alias("doc_b"), "fh")
+    inter = (
+        cand.select("doc_a", "doc_b")
+        .join(fa, "doc_a")
+        .join(fb, ["doc_b", "fh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+
+    na = sizes.select(
+        F.col("rid").alias("doc_a"),
+        F.col("repo").alias("_ra"),
+        F.col("n_files").alias("_na"),
+    )
+    nb = sizes.select(
+        F.col("rid").alias("doc_b"),
+        F.col("repo").alias("_rb"),
+        F.col("n_files").alias("_nb"),
+    )
+    union = F.col("_na") + F.col("_nb") - F.col("inter")
+    pairs = (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn(
+            "fork_jaccard", F.col("inter").cast("double") / union.cast("double")
+        )
+        .filter(F.col("fork_jaccard") >= tau)
+        .select(
+            F.least("_ra", "_rb").alias("repo_a"),
+            F.greatest("_ra", "_rb").alias("repo_b"),
+            "fork_jaccard",
+        )
+    )
+    return pairs, drops.select("capped_docs", "hot_buckets", "hot_rows")

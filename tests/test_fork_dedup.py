@@ -1,0 +1,103 @@
+"""Repo-level fork detection (operators/fork_dedup.py).
+
+Constructed-repo geometry: the truth Jaccards are hand-computable from
+the planted file sets, so every assertion pins an exact value — a
+signature bug, a banding bug, or verify arithmetic drift all fail."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from deduplicatr_spark.config import PipelineConfig
+from deduplicatr_spark.operators.fork_dedup import (
+    repo_file_sets,
+    repo_fork_pairs,
+    repo_signature_keys,
+)
+
+CFG = PipelineConfig()
+
+
+def _identified(spark, rows):
+    """rows: (repo, content) → the (repo, sha256) shape the operator
+    consumes (content stands in for the file; sha2 matches the batch
+    identity path)."""
+    df = spark.createDataFrame(rows, ["repo", "content"])
+    return df.select("repo", F.sha2("content", 256).alias("sha256"))
+
+
+def _repo(name: str, ids) -> list[tuple[str, str]]:
+    return [(name, f"file-{i} " + "x" * 40) for i in ids]
+
+
+def test_exact_fork_and_partial_fork(spark):
+    # up: 40 files; fork: the same 40 (Jaccard 1); part: 36 of them
+    # (36/40 = 0.9); far: 8 of them + 32 foreign (8/72 = 0.111...)
+    rows = (
+        _repo("up", range(40))
+        + _repo("fork", range(40))
+        + _repo("part", range(36))
+        + _repo("far", range(8))
+        + [("far", f"foreign-{i} " + "y" * 40) for i in range(32)]
+    )
+    pairs, drops = repo_fork_pairs(_identified(spark, rows), CFG, tau=0.8)
+    got = {
+        (r.repo_a, r.repo_b): round(r.fork_jaccard, 6) for r in pairs.collect()
+    }
+    assert got == {
+        ("fork", "up"): 1.0,
+        ("fork", "part"): 0.9,
+        ("part", "up"): 0.9,
+    }
+    d = drops.collect()[0]
+    assert (d.capped_docs, d.hot_buckets) == (0, 0)
+
+
+def test_within_repo_copies_collapse_to_set_semantics(spark):
+    # a repo vendoring the same file 100 times is NOT more similar to
+    # its upstream than one carrying it once
+    rows = _repo("up", range(10)) + _repo("dup", [0] * 100) + _repo(
+        "dup", range(10)
+    )
+    files = repo_file_sets(_identified(spark, rows))
+    n = {r.repo: r.n for r in files.groupBy("repo").agg(F.count("*").alias("n")).collect()}
+    assert n == {"up": 10, "dup": 10}
+    pairs, _ = repo_fork_pairs(_identified(spark, rows), CFG, tau=0.8)
+    got = [(r.repo_a, r.repo_b, r.fork_jaccard) for r in pairs.collect()]
+    assert got == [("dup", "up", 1.0)]
+
+
+def test_identical_sets_have_identical_band_keys(spark):
+    # Jaccard-1 nomination is DETERMINISTIC: equal file sets ⇒ equal
+    # signature ⇒ all n_bands keys equal — not a banding probability
+    rows = _repo("a", range(25)) + _repo("b", range(25))
+    keys = repo_signature_keys(repo_file_sets(_identified(spark, rows)), CFG)
+    per_repo = (
+        keys.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("band_hash")).alias("ks"))
+        .collect()
+    )
+    assert len(per_repo) == 2
+    assert per_repo[0].ks == per_repo[1].ks
+    assert len(per_repo[0].ks) == CFG.n_bands
+
+
+def test_disjoint_repos_emit_nothing(spark):
+    rows = _repo("a", range(20)) + [
+        ("b", f"other-{i} " + "z" * 40) for i in range(20)
+    ]
+    pairs, _ = repo_fork_pairs(_identified(spark, rows), CFG, tau=0.8)
+    assert pairs.count() == 0
+
+
+def test_boilerplate_file_in_every_repo_is_not_a_join_bomb(spark):
+    # 30 otherwise-disjoint repos all carry one shared LICENSE file: the
+    # classic shared-file self-join would generate C(30,2) rows for that
+    # hash alone; signature banding must NOT pair repos that share only
+    # 1 of 21 files (Jaccard 1/41 — far below any band threshold)
+    rows = []
+    for rix in range(30):
+        rows += [(f"r{rix}", f"private-{rix}-{i} " + "w" * 40) for i in range(20)]
+        rows.append((f"r{rix}", "LICENSE MIT " + "l" * 40))
+    pairs, _ = repo_fork_pairs(_identified(spark, rows), CFG, tau=0.8)
+    assert pairs.count() == 0

@@ -42,7 +42,7 @@ from deduplicatr_spark.functions import pii as PII
 from deduplicatr_spark.operators.decontaminate import ngram_contamination
 from deduplicatr_spark.operators.linedup import corpus_line_stats
 from deduplicatr_spark.operators.exact import duplicate_groups, exact_canonical
-from deduplicatr_spark.operators.fork_dedup import repo_fork_pairs
+from deduplicatr_spark.operators.fork_dedup import dir_fork_pairs, repo_fork_pairs
 from deduplicatr_spark.operators.lsh import lsh_candidate_pairs
 from deduplicatr_spark.operators.pigeonhole import simhash_candidate_pairs
 from deduplicatr_spark.operators.rollup import dir_rollup, duplicate_dirs
@@ -1252,18 +1252,25 @@ def _q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _fork_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The shared corpus plus two DERIVED repos (kept out of CORPUS_SQL
-    so the other 54 oracles' inputs are untouched): ``fork1`` = src1
-    minus its doc_id%10==0 rows (a ~90%-overlap fork — file-set Jaccard
-    well above the 0.8 gate) and ``fork2`` = only src2's doc_id%5==0
-    rows (a ~20%-overlap partial vendor copy — well below the gate, so
-    a verify-filter bug that lets sub-τ candidates through goes red).
-    Mirrors the fc CTE in the ``repo_fork_pairs`` oracle exactly."""
+    so the other oracles' inputs are untouched): ``fork1`` = src1 minus
+    every 10th of its docs (a ~90%-overlap fork — file-set Jaccard above
+    the 0.8 gate but below 1, so nomination exercises real banding, not
+    just the identical-signature case) and ``fork2`` = every 5th of
+    src2's docs (a ~20%-overlap partial vendor copy — well below the
+    gate, so a verify-filter bug that lets sub-τ candidates through
+    goes red). The filters key on ``doc_id div 20`` because the corpus
+    assigns ``source = src{doc_id % 20}`` — a plain ``doc_id % k`` test
+    never splits WITHIN one source — and the derived-row id offsets
+    (+1e6/+2e6/+3e6) are multiples of 200, so a base doc and its
+    planted copies are always kept or dropped TOGETHER (set semantics
+    stay clean). Mirrors the fc CTE in the ``repo_fork_pairs`` oracle
+    exactly."""
     c = _corpus(spark, sf_dir)
     fork1 = c.filter(
-        (F.col("repo") == "src1") & (F.col("doc_id") % 10 != 0)
+        (F.col("repo") == "src1") & (F.expr("(doc_id div 20) % 10") != 0)
     ).withColumn("repo", F.lit("fork1"))
     fork2 = c.filter(
-        (F.col("repo") == "src2") & (F.col("doc_id") % 5 == 0)
+        (F.col("repo") == "src2") & (F.expr("(doc_id div 20) % 5") == 0)
     ).withColumn("repo", F.lit("fork2"))
     return c.unionByName(fork1).unionByName(fork2)
 
@@ -1283,6 +1290,56 @@ def _q_repo_fork_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs, _drops = repo_fork_pairs(ident, ENTRY_CONFIG, tau=0.8)
     return pairs.select(
         "repo_a", "repo_b", _floor6(F.col("fork_jaccard")).alias("fork_jaccard")
+    )
+
+
+def _dir_fork_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared corpus plus a derived ``vend`` repo (kept out of
+    CORPUS_SQL so the other oracles' inputs are untouched): vend
+    carries ~90% of src1's files under ``third_party/`` (the vendored
+    subtree clears the 0.8 gate, but vend's ROOT does not — its own
+    files dilute it, so the maximal pair must be the subtree, not the
+    root) and ALL of src3's files flattened under ``own/`` (a Jaccard-1
+    vendored copy whose nomination is deterministic). Mirrors the vend
+    CTE in the ``dir_fork_pairs`` oracle exactly."""
+    c = _corpus(spark, sf_dir)
+    vend_tp = c.filter(
+        (F.col("repo") == "src1") & (F.expr("(doc_id div 20) % 10") != 0)
+    ).select(
+        F.lit("vend").alias("repo"),
+        F.concat(F.lit("third_party/"), F.col("path")).alias("path"),
+        "content",
+    )
+    vend_own = c.filter(F.col("repo") == "src3").select(
+        F.lit("vend").alias("repo"),
+        F.concat(
+            F.lit("own/"), F.col("doc_id").cast("string"), F.lit(".txt")
+        ).alias("path"),
+        "content",
+    )
+    return c.select("repo", "path", "content").unionByName(vend_tp).unionByName(
+        vend_own
+    )
+
+
+def _q_dir_fork_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtree fork detection (operators/fork_dedup.py § dir_fork_pairs):
+    per-directory file-set MinHash through the shared bucket core,
+    exact set-Jaccard verify, covering-pair suppression so only MAXIMAL
+    dir pairs survive. The corpus's ``mirror`` repo must collapse to
+    exactly its root pair; the derived ``vend`` repo plants one
+    below-root maximal subtree pair (~0.9 Jaccard vendored copy of
+    src1) and one Jaccard-1 flat vendor of src3. The oracle enumerates
+    ALL unit dir pairs exhaustively and applies the same gate/exclusion/
+    suppression algebra, so false positives, missed pairs AND
+    suppression drift all go red."""
+    ident = _dir_fork_corpus(spark, sf_dir).select(
+        "repo", "path", F.sha2("content", 256).alias("sha256")
+    )
+    pairs, _drops = dir_fork_pairs(ident, ENTRY_CONFIG, tau=0.8, min_files=3)
+    return pairs.select(
+        "repo_a", "dir_a", "repo_b", "dir_b",
+        _floor6(F.col("fork_jaccard")).alias("fork_jaccard"),
     )
 
 
@@ -1824,6 +1881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_fingerprint_chains": _q_cc_fingerprint_chains,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "repo_fork_pairs": _q_repo_fork_pairs,
+        "dir_fork_pairs": _q_dir_fork_pairs,
         "simhash_hamming_pairs": _q_simhash_hamming_pairs,
         "simhash_weighted_pairs": _q_simhash_weighted_pairs,
         "substring_pairs": _q_substring_pairs,
@@ -2673,9 +2731,11 @@ FROM fp QUALIFY count(*) OVER (PARTITION BY f) > 1
 , fc AS (
   SELECT repo, content FROM corpus
   UNION ALL
-  SELECT 'fork1', content FROM corpus WHERE repo = 'src1' AND doc_id % 10 <> 0
+  SELECT 'fork1', content FROM corpus
+  WHERE repo = 'src1' AND (doc_id // 20) % 10 <> 0
   UNION ALL
-  SELECT 'fork2', content FROM corpus WHERE repo = 'src2' AND doc_id % 5 = 0
+  SELECT 'fork2', content FROM corpus
+  WHERE repo = 'src2' AND (doc_id // 20) % 5 = 0
 ), rsets AS (
   SELECT DISTINCT repo, sha256(content) AS h FROM fc
 ), rn AS (
@@ -2692,6 +2752,74 @@ FROM ri
 JOIN rn na ON na.repo = ri.ra
 JOIN rn nb ON nb.repo = ri.rb
 WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.8
+""",
+        # exhaustive dir-pair set Jaccard over corpus + the derived vend
+        # repo (mirrors _dir_fork_corpus), with the SAME unit gate
+        # (>=3 file rows), same-repo ancestor exclusion and covering-
+        # pair suppression algebra as the operator — maximality drift
+        # goes red, not just pair membership
+        "dir_fork_pairs": CORPUS_SQL + """
+, vend AS (
+  SELECT 'vend' AS repo, 'third_party/' || path AS path, content FROM corpus
+  WHERE repo = 'src1' AND (doc_id // 20) % 10 <> 0
+  UNION ALL
+  SELECT 'vend', 'own/' || CAST(doc_id AS VARCHAR) || '.txt', content
+  FROM corpus WHERE repo = 'src3'
+), dfc AS (
+  SELECT repo, path, sha256(content) AS h FROM corpus
+  UNION ALL
+  SELECT repo, path, sha256(content) FROM vend
+), dx AS (
+  SELECT repo,
+         unnest(list_concat(
+           [''],
+           list_transform(
+             range(1, len(string_split(path, '/'))),
+             i -> array_to_string((string_split(path, '/'))[1:i], '/')
+           )
+         )) AS dir,
+         h
+  FROM dfc
+), units AS (
+  SELECT repo, dir FROM dx GROUP BY repo, dir HAVING count(*) >= 3
+), dsets AS (
+  SELECT DISTINCT x.repo, x.dir, x.h FROM dx x
+  JOIN units u ON x.repo = u.repo AND x.dir = u.dir
+), dsz AS (
+  SELECT repo, dir, count(*) AS n FROM dsets GROUP BY repo, dir
+), dpx AS (
+  SELECT a.repo AS ra, a.dir AS da, b.repo AS rb, b.dir AS db, count(*) AS i
+  FROM dsets a JOIN dsets b
+    ON a.h = b.h AND (a.repo || chr(1) || a.dir) < (b.repo || chr(1) || b.dir)
+  GROUP BY 1, 2, 3, 4
+), dpj AS (
+  SELECT ra, da, rb, db, CAST(i AS DOUBLE) / (na.n + nb.n - i) AS j
+  FROM dpx
+  JOIN dsz na ON na.repo = dpx.ra AND na.dir = dpx.da
+  JOIN dsz nb ON nb.repo = dpx.rb AND nb.dir = dpx.db
+  WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.8
+    AND NOT (ra = rb AND (da = '' OR db = ''
+             OR starts_with(db, da || '/') OR starts_with(da, db || '/')))
+), dkeyed AS (
+  SELECT ra, da, rb, db, j,
+         (ra || chr(1) || da) AS lka, (rb || chr(1) || db) AS lkb,
+         CASE WHEN da = '' THEN NULL
+              ELSE ra || chr(1) || regexp_replace(da, '(^|/)[^/]*$', '') END AS pka,
+         CASE WHEN db = '' THEN NULL
+              ELSE rb || chr(1) || regexp_replace(db, '(^|/)[^/]*$', '') END AS pkb
+  FROM dpj
+), pset AS (
+  SELECT lka || chr(2) || lkb AS pk FROM dkeyed
+)
+SELECT ra AS repo_a, da AS dir_a, rb AS repo_b, db AS dir_b,
+       floor(j * 1000000) / 1000000.0 AS fork_jaccard
+FROM dkeyed
+WHERE (pka IS NULL
+       OR least(pka, lkb) || chr(2) || greatest(pka, lkb) NOT IN (SELECT pk FROM pset))
+  AND (pkb IS NULL
+       OR least(lka, pkb) || chr(2) || greatest(lka, pkb) NOT IN (SELECT pk FROM pset))
+  AND (pka IS NULL OR pkb IS NULL
+       OR least(pka, pkb) || chr(2) || greatest(pka, pkb) NOT IN (SELECT pk FROM pset))
 """,
         "minhash_lsh_pairs": CORPUS_SQL + f"""
 , fpm AS (

@@ -38,7 +38,10 @@ from deduplicatr_spark.operators.decontaminate import ngram_contamination  # noq
 from deduplicatr_spark.operators.linedup import corpus_line_stats  # noqa: E402
 from deduplicatr_spark.operators.packing import pack_sequences  # noqa: E402
 from deduplicatr_spark.operators.exact import duplicate_groups, with_identity  # noqa: E402
-from deduplicatr_spark.operators.fork_dedup import repo_fork_pairs  # noqa: E402
+from deduplicatr_spark.operators.fork_dedup import (  # noqa: E402
+    dir_fork_pairs,
+    repo_fork_pairs,
+)
 from deduplicatr_spark.operators.incremental import (  # noqa: E402
     band_bucket_stats,
     incremental_assign,
@@ -289,6 +292,19 @@ def main() -> None:
         pairs.count()
         release_tracked()
 
+    # q3f: subtree fork detection over the same re-keyed corpus — every
+    # directory prefix (depth ≤2 here: root + lang dir) is a unit, so
+    # this measures the exploded signature agg, the early nested-pair
+    # exclusion, candidate-only set carving and the covering-suppression
+    # anti-joins. Fork roots clear τ, so their lang-dir alignments must
+    # be suppressed down to ~one maximal pair per (r, f) repo pair.
+    def _dir_fork():
+        pairs, _ = dir_fork_pairs(
+            with_identity(fork_input), BENCH_CONFIG, tau=0.8
+        )
+        pairs.count()
+        release_tracked()
+
     # two interleaved passes over the whole group (see timed())
     for _pass in range(2):
         timed("exact_dedup", _exact)
@@ -300,6 +316,7 @@ def main() -> None:
         timed("winnow_dup_pairs", _winnow)
         timed("incremental_assign", _inc)
         timed("repo_fork_pairs", _fork)
+        timed("dir_fork_pairs", _dir_fork)
     stats.unpersist()
     feats.unpersist()
     distinct_docs.unpersist()

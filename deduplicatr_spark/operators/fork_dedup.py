@@ -49,11 +49,12 @@ every other hash-keyed stage (SURVEY §2.7).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from deduplicatr_spark.config import PipelineConfig
 from deduplicatr_spark.operators.lsh import _track, keyed_candidate_pairs
+from deduplicatr_spark.operators.rollup import _ancestor_dirs
 
 
 def repo_file_sets(identified: DataFrame) -> DataFrame:
@@ -145,4 +146,196 @@ def repo_fork_pairs(
             "fork_jaccard",
         )
     )
+    return pairs, drops.select("capped_docs", "hot_buckets", "hot_rows")
+
+
+# ---------------------------------------------------------------------------
+# subtree (directory-level) fork detection
+# ---------------------------------------------------------------------------
+
+# location / pair key separators (below any path char, so composed-key
+# ordering is prefix-unambiguous even if a repo name contained '/')
+_SEP1 = "\x01"
+_SEP2 = "\x02"
+
+
+def _parent_dir(dir_col: Column) -> Column:
+    """'' → NULL, 'a' → '', 'a/b' → 'a' (the dir's parent prefix)."""
+    return F.when(dir_col == "", F.lit(None).cast("string")).otherwise(
+        F.regexp_replace(dir_col, r"(^|/)[^/]*$", "")
+    )
+
+
+def dir_file_rows(identified: DataFrame, max_depth: int = 20) -> DataFrame:
+    """(rid, repo, dir, fh) — one row per file per ancestor directory
+    ('' is the repo root; prefixes past ``max_depth`` are dropped, so
+    explosion is bounded by min(path depth, max_depth) per file).
+
+    Deliberately NOT distinct: the min-aggregates downstream are
+    duplicate-insensitive (as in ``repo_signature_keys``), so the set
+    dedup is never paid for; exact DISTINCT file sets are built later
+    for verify CANDIDATES only."""
+    dirs = F.slice(_ancestor_dirs("path"), 1, max_depth + 1)
+    return identified.select(
+        "repo",
+        F.explode(dirs).alias("dir"),
+        F.xxhash64("sha256").alias("fh"),
+    ).withColumn("rid", F.xxhash64("repo", "dir"))
+
+
+def dir_fork_pairs(
+    identified: DataFrame,
+    config: PipelineConfig,
+    tau: float = 0.8,
+    min_files: int = 3,
+    max_depth: int = 20,
+) -> tuple[DataFrame, DataFrame]:
+    """Near-duplicate DIRECTORY pairs: (repo_a, dir_a, repo_b, dir_b,
+    fork_jaccard ≥ tau), maximal only, plus the drop ledger.
+
+    The fuzzy generalization of the reference's exact duplicate-dir
+    report (src/deduplicatr/file.clj § accumulate-dir-summary [M],
+    SURVEY §2.1 O5): the exact rollup pairs subtrees only when hash,
+    bytes AND filecount all agree — one touched file hides a 10k-file
+    vendored copy — whereas here two subtrees pair when the Jaccard of
+    their DISTINCT file-content-hash sets clears ``tau``. Units are
+    every directory prefix of every path (root '' included, so a
+    whole-repo fork surfaces as the root pair, consistent with
+    ``repo_fork_pairs``), gated to ``min_files`` file rows.
+
+    Scale shape, stage by stage:
+
+    * explode (repo, dir, fh) — bounded by path depth (≤ ``max_depth``)
+      per file; no distinct (min-aggregation is duplicate-insensitive);
+    * per-dir MinHash signature = ONE partial+final aggregation (~1 KB
+      combiner state per dir per task regardless of subtree size);
+      the ``min_files`` raw-count gate kills 1-file noise dirs before
+      any band key exists;
+    * band keys → the shared capped/thinned/ledgered bucket core;
+    * candidates get names early so NESTED same-repo pairs (a dir vs
+      its own ancestor — containment, not duplication: the root chain
+      of every repo would otherwise inject ~depth² candidate pairs per
+      repo) are excluded BEFORE the verify joins;
+    * exact set Jaccard only for surviving candidates: their distinct
+      file sets are carved out with one semi-join and streamed through
+      two equi-joins — per-dir arrays never materialize anywhere;
+    * maximality via the reference's containment idea (O9,
+      operators/containment.py): a verified pair (x, y) is suppressed
+      iff any COVERING pair — (parent(x), y), (x, parent(y)) or
+      (parent(x), parent(y)) — is also verified. The one-sided covers
+      matter when one side's file set is stationary along the other's
+      chain (a ``third_party/`` dir containing only the vendored lib
+      pairs with the lib at every level); chains collapse transitively
+      because membership is checked against the full verified set, so
+      a mirror repo reports exactly its root pair. Three result-sized
+      anti-joins.
+
+    Output is canonically ordered by the composed (repo, dir) key, so
+    the pair set is deterministic independent of rid assignment."""
+    rows = _track(dir_file_rows(identified, max_depth).persist())
+
+    n, b, r = config.n_hashes, config.n_bands, config.band_rows
+    mins = [F.min(F.xxhash64("fh", F.lit(i))).alias(f"h{i}") for i in range(n)]
+    # first() is deterministic here: repo/dir are constant per rid
+    # (rid = xxhash64(repo, dir); collisions at the repo-wide 2^-64
+    # tolerance)
+    sigs = _track(
+        rows.groupBy("rid")
+        .agg(
+            F.first("repo").alias("repo"),
+            F.first("dir").alias("dir"),
+            F.count(F.lit(1)).alias("n_rows"),
+            *mins,
+        )
+        .filter(F.col("n_rows") >= min_files)
+        .persist()
+    )
+    bands = [
+        F.xxhash64(F.lit(j), *[F.col(f"h{j * r + i}") for i in range(r)])
+        for j in range(b)
+    ]
+    keyed = sigs.select(
+        F.col("rid").alias("doc_id"),
+        F.explode(F.array(*bands)).alias("band_hash"),
+    )
+    cand, drops = keyed_candidate_pairs(keyed, config)
+
+    ma = sigs.select(
+        F.col("rid").alias("doc_a"), F.col("repo").alias("ra"), F.col("dir").alias("da")
+    )
+    mb = sigs.select(
+        F.col("rid").alias("doc_b"), F.col("repo").alias("rb"), F.col("dir").alias("db")
+    )
+    nested = (F.col("ra") == F.col("rb")) & (
+        (F.col("da") == "")
+        | (F.col("db") == "")
+        | F.col("db").startswith(F.concat(F.col("da"), F.lit("/")))
+        | F.col("da").startswith(F.concat(F.col("db"), F.lit("/")))
+    )
+    named = (
+        cand.select("doc_a", "doc_b").join(ma, "doc_a").join(mb, "doc_b").filter(~nested)
+    )
+
+    cand_ids = named.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("rid")
+    ).distinct()
+    csets = _track(
+        rows.join(cand_ids, "rid", "left_semi").select("rid", "fh").distinct().persist()
+    )
+    szs = csets.groupBy("rid").agg(F.count(F.lit(1)).alias("n_set"))
+
+    inter = (
+        named.join(csets.select(F.col("rid").alias("doc_a"), "fh"), "doc_a")
+        .join(csets.select(F.col("rid").alias("doc_b"), "fh"), ["doc_b", "fh"])
+        .groupBy("doc_a", "doc_b", "ra", "da", "rb", "db")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = szs.select(F.col("rid").alias("doc_a"), F.col("n_set").alias("_na"))
+    nb = szs.select(F.col("rid").alias("doc_b"), F.col("n_set").alias("_nb"))
+    union = F.col("_na") + F.col("_nb") - F.col("inter")
+    verified = (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn(
+            "fork_jaccard", F.col("inter").cast("double") / union.cast("double")
+        )
+        .filter(F.col("fork_jaccard") >= tau)
+    )
+
+    ka = F.concat("ra", F.lit(_SEP1), "da")
+    kb = F.concat("rb", F.lit(_SEP1), "db")
+    flip = ka > kb
+    canon = verified.select(
+        F.when(flip, F.col("rb")).otherwise(F.col("ra")).alias("repo_a"),
+        F.when(flip, F.col("db")).otherwise(F.col("da")).alias("dir_a"),
+        F.when(flip, F.col("ra")).otherwise(F.col("rb")).alias("repo_b"),
+        F.when(flip, F.col("da")).otherwise(F.col("db")).alias("dir_b"),
+        "fork_jaccard",
+    )
+
+    la = F.concat("repo_a", F.lit(_SEP1), "dir_a")
+    lb = F.concat("repo_b", F.lit(_SEP1), "dir_b")
+    pa = F.concat("repo_a", F.lit(_SEP1), _parent_dir(F.col("dir_a")))
+    pb = F.concat("repo_b", F.lit(_SEP1), _parent_dir(F.col("dir_b")))
+
+    def _pairkey(u: Column, v: Column) -> Column:
+        # canonical unordered pair key; NULL (never matches an anti
+        # join) when either side has no parent — explicit guard because
+        # least/greatest SKIP nulls rather than propagate them
+        return F.when(
+            u.isNull() | v.isNull(), F.lit(None).cast("string")
+        ).otherwise(F.concat(F.least(u, v), F.lit(_SEP2), F.greatest(u, v)))
+
+    keyed_pairs = _track(
+        canon.withColumn("_pk", _pairkey(la, lb))
+        .withColumn("_c1", _pairkey(pa, lb))
+        .withColumn("_c2", _pairkey(la, pb))
+        .withColumn("_c3", _pairkey(pa, pb))
+        .persist()
+    )
+    out = keyed_pairs
+    for c in ("_c1", "_c2", "_c3"):
+        suppress = keyed_pairs.select(F.col("_pk").alias(c))
+        out = out.join(suppress, c, "left_anti")
+    pairs = out.select("repo_a", "dir_a", "repo_b", "dir_b", "fork_jaccard")
     return pairs, drops.select("capped_docs", "hot_buckets", "hot_rows")

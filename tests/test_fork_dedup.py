@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from deduplicatr_spark.config import PipelineConfig
 from deduplicatr_spark.operators.fork_dedup import (
+    dir_fork_pairs,
     repo_file_sets,
     repo_fork_pairs,
     repo_signature_keys,
@@ -88,6 +89,100 @@ def test_disjoint_repos_emit_nothing(spark):
     ]
     pairs, _ = repo_fork_pairs(_identified(spark, rows), CFG, tau=0.8)
     assert pairs.count() == 0
+
+
+def _pathed(spark, rows):
+    """rows: (repo, path, content) → the (repo, path, sha256) shape
+    dir_fork_pairs consumes."""
+    df = spark.createDataFrame(rows, ["repo", "path", "content"])
+    return df.select("repo", "path", F.sha2("content", 256).alias("sha256"))
+
+
+def _tree(repo: str, dirpath: str, ids) -> list[tuple[str, str, str]]:
+    return [
+        (repo, f"{dirpath}/{i}.py" if dirpath else f"{i}.py",
+         f"file-{i} " + "x" * 40)
+        for i in ids
+    ]
+
+
+def test_dir_mirror_repo_reports_exactly_the_root_pair(spark):
+    # m mirrors u (same paths, same contents): every aligned dir pair
+    # has Jaccard 1, but covering suppression must collapse the chain to
+    # the single root pair
+    rows = []
+    for repo in ("u", "m"):
+        rows += _tree(repo, "src/core", range(10))
+        rows += _tree(repo, "src/util", range(10, 18))
+        rows += _tree(repo, "docs", range(18, 24))
+    pairs, drops = dir_fork_pairs(_pathed(spark, rows), CFG, tau=0.8)
+    got = [
+        (p.repo_a, p.dir_a, p.repo_b, p.dir_b, round(p.fork_jaccard, 6))
+        for p in pairs.collect()
+    ]
+    assert got == [("m", "", "u", "", 1.0)]
+    d = drops.collect()[0]
+    assert (d.capped_docs, d.hot_buckets) == (0, 0)
+
+
+def test_dir_vendored_subtree_is_the_single_maximal_pair(spark):
+    # v vendors 9/10 of lib under third_party/lib (three stationary-set
+    # levels: third_party == third_party/lib == third_party/lib/src) and
+    # carries 10 private files, so the root-root pair is sub-tau; the
+    # one-sided covers must collapse the 6 candidate alignments to the
+    # topmost (lib root vs third_party)
+    rows = _tree("lib", "src", range(10))
+    rows += [
+        ("v", f"third_party/lib/src/{i}.py", f"file-{i} " + "x" * 40)
+        for i in range(9)
+    ]
+    rows += [("v", f"app/{i}.py", f"private-{i} " + "y" * 40) for i in range(10)]
+    pairs, _ = dir_fork_pairs(_pathed(spark, rows), CFG, tau=0.8)
+    got = [
+        (p.repo_a, p.dir_a, p.repo_b, p.dir_b, round(p.fork_jaccard, 6))
+        for p in pairs.collect()
+    ]
+    assert got == [("lib", "", "v", "third_party", 0.9)]
+
+
+def test_dir_same_repo_cross_dir_duplication_is_reported_once(spark):
+    # one repo vendoring its own dir: (a, b) is real duplication and has
+    # no verified cover; nested ancestor pairs ('', a) must be excluded
+    rows = _tree("r", "a", range(10)) + _tree("r", "b", range(10)) + _tree(
+        "r", "c", range(20, 30)
+    )
+    pairs, _ = dir_fork_pairs(_pathed(spark, rows), CFG, tau=0.8)
+    got = [
+        (p.repo_a, p.dir_a, p.repo_b, p.dir_b, p.fork_jaccard)
+        for p in pairs.collect()
+    ]
+    assert got == [("r", "a", "r", "b", 1.0)]
+
+
+def test_dir_min_files_gate(spark):
+    # two identical 2-file dirs: invisible at min_files=3, found at 2
+    rows = _tree("r1", "x", range(2)) + _tree("r2", "y", range(2))
+    ident = _pathed(spark, rows)
+    assert dir_fork_pairs(ident, CFG, tau=0.8, min_files=3)[0].count() == 0
+    got = dir_fork_pairs(ident, CFG, tau=0.8, min_files=2)[0].collect()
+    # root and leaf dirs of each repo tie (stationary sets); the cover
+    # rule keeps the topmost alignment only
+    assert [(p.repo_a, p.dir_a, p.repo_b, p.dir_b) for p in got] == [
+        ("r1", "", "r2", "")
+    ]
+
+
+def test_dir_max_depth_bounds_the_explosion(spark):
+    # depth cap 2 ⇒ only '', 'd0', 'd0/d1' become units; the deep dirs
+    # still contribute their files to those prefixes
+    rows = [
+        ("r1", f"d0/d1/d2/d3/{i}.py", f"file-{i} " + "x" * 40) for i in range(6)
+    ] + [
+        ("r2", f"e0/e1/e2/e3/{i}.py", f"file-{i} " + "x" * 40) for i in range(6)
+    ]
+    pairs, _ = dir_fork_pairs(_pathed(spark, rows), CFG, tau=0.8, max_depth=2)
+    got = [(p.repo_a, p.dir_a, p.repo_b, p.dir_b) for p in pairs.collect()]
+    assert got == [("r1", "", "r2", "")]
 
 
 def test_boilerplate_file_in_every_repo_is_not_a_join_bomb(spark):

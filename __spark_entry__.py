@@ -42,7 +42,11 @@ from deduplicatr_spark.functions import pii as PII
 from deduplicatr_spark.operators.decontaminate import ngram_contamination
 from deduplicatr_spark.operators.linedup import corpus_line_stats
 from deduplicatr_spark.operators.exact import duplicate_groups, exact_canonical
-from deduplicatr_spark.operators.fork_dedup import dir_fork_pairs, repo_fork_pairs
+from deduplicatr_spark.operators.fork_dedup import (
+    dir_fork_pairs,
+    fork_clusters,
+    repo_fork_pairs,
+)
 from deduplicatr_spark.operators.lsh import lsh_candidate_pairs
 from deduplicatr_spark.operators.pigeonhole import simhash_candidate_pairs
 from deduplicatr_spark.operators.rollup import dir_rollup, duplicate_dirs
@@ -1293,6 +1297,22 @@ def _q_repo_fork_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_fork_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fork-family curation table (operators/fork_dedup.py §
+    fork_clusters): connected components over the repo fork-pair graph,
+    one deterministically-elected canonical repo per family (most
+    distinct files, then smallest name), keep=false for every other
+    member. On the fork corpus the families are {src0, mirror} (src0
+    wins the name tie at equal size) and {src1, fork1} (src1 has more
+    files); fork2 and all untouched repos are their own canonical. The
+    oracle recomputes components via a recursive transitive closure
+    over the exhaustive ≥τ pair graph, so a wrong merge, a missed
+    merge, or canonical-election drift all go red."""
+    ident = _identified(_fork_corpus(spark, sf_dir))
+    table, _drops = fork_clusters(ident, ENTRY_CONFIG, tau=0.8)
+    return table.select("repo", "n_files", "canonical_repo", "keep")
+
+
 def _dir_fork_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The shared corpus plus a derived ``vend`` repo (kept out of
     CORPUS_SQL so the other oracles' inputs are untouched): vend
@@ -1882,6 +1902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "repo_fork_pairs": _q_repo_fork_pairs,
         "dir_fork_pairs": _q_dir_fork_pairs,
+        "fork_clusters": _q_fork_clusters,
         "simhash_hamming_pairs": _q_simhash_hamming_pairs,
         "simhash_weighted_pairs": _q_simhash_weighted_pairs,
         "substring_pairs": _q_substring_pairs,
@@ -2752,6 +2773,60 @@ FROM ri
 JOIN rn na ON na.repo = ri.ra
 JOIN rn nb ON nb.repo = ri.rb
 WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.8
+""",
+        # components via recursive transitive closure over the
+        # exhaustive >=tau repo-pair graph (same fc CTE as
+        # repo_fork_pairs); canonical election re-derived with a window
+        # rank, so merge AND election drift go red
+        "fork_clusters": CORPUS_SQL + """
+, fc AS (
+  SELECT repo, content FROM corpus
+  UNION ALL
+  SELECT 'fork1', content FROM corpus
+  WHERE repo = 'src1' AND (doc_id // 20) % 10 <> 0
+  UNION ALL
+  SELECT 'fork2', content FROM corpus
+  WHERE repo = 'src2' AND (doc_id // 20) % 5 = 0
+), rsets AS (
+  SELECT DISTINCT repo, sha256(content) AS h FROM fc
+), rn AS (
+  SELECT repo, count(*) AS n FROM rsets GROUP BY repo
+), ri AS (
+  SELECT a.repo AS ra, b.repo AS rb, count(*) AS i
+  FROM rsets a JOIN rsets b ON a.h = b.h AND a.repo < b.repo
+  GROUP BY 1, 2
+), fpr AS (
+  SELECT ra, rb FROM ri
+  JOIN rn na ON na.repo = ri.ra
+  JOIN rn nb ON nb.repo = ri.rb
+  WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.8
+), edges AS (
+  SELECT ra AS a, rb AS b FROM fpr UNION SELECT rb, ra FROM fpr
+), closure AS (
+  SELECT a, b FROM (
+    WITH RECURSIVE r(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM r JOIN edges e ON r.b = e.a
+    )
+    SELECT a, b FROM r
+  )
+), lab AS (
+  SELECT rn.repo, least(rn.repo, coalesce(min(c.b), rn.repo)) AS comp
+  FROM rn LEFT JOIN closure c ON c.a = rn.repo
+  GROUP BY rn.repo
+), ranked AS (
+  SELECT l.repo, rn.n AS n_files, l.comp,
+         row_number() OVER (
+           PARTITION BY l.comp ORDER BY rn.n DESC, l.repo ASC
+         ) AS rk
+  FROM lab l JOIN rn ON rn.repo = l.repo
+), fcanon AS (
+  SELECT comp, repo AS canonical_repo FROM ranked WHERE rk = 1
+)
+SELECT ranked.repo AS repo, CAST(n_files AS BIGINT) AS n_files,
+       fcanon.canonical_repo, ranked.repo = fcanon.canonical_repo AS keep
+FROM ranked JOIN fcanon USING (comp)
 """,
         # exhaustive dir-pair set Jaccard over corpus + the derived vend
         # repo (mirrors _dir_fork_corpus), with the SAME unit gate

@@ -53,6 +53,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from deduplicatr_spark.config import PipelineConfig
+from deduplicatr_spark.operators.connected_components import connected_components
 from deduplicatr_spark.operators.lsh import _track, keyed_candidate_pairs
 from deduplicatr_spark.operators.rollup import _ancestor_dirs
 
@@ -147,6 +148,54 @@ def repo_fork_pairs(
         )
     )
     return pairs, drops.select("capped_docs", "hot_buckets", "hot_rows")
+
+
+def fork_clusters(
+    identified: DataFrame, config: PipelineConfig, tau: float = 0.8
+) -> tuple[DataFrame, DataFrame]:
+    """identified → ((repo, n_files, canonical_repo, keep), drop_stats):
+    the curation decision table fork detection exists to produce.
+
+    Connected components (operators/connected_components.py — the same
+    large-star/small-star loop the document pipeline uses) over the
+    ``repo_fork_pairs`` graph merge transitive fork families (A forks B
+    forks C); each family elects ONE canonical repo — most distinct
+    files, ties broken by lexicographically-smallest name, so the
+    election is deterministic and order-free — and every other member
+    gets ``keep = false``. Repos in no fork pair are their own
+    canonical. Feeding only ``keep`` repos into the per-file pipeline
+    is the "drop the fork before any per-file near-dup work" step.
+
+    Scale: the CC graph has one node per REPO in a fork pair — many
+    orders smaller than the file corpus; sizes reuse the file-set frame
+    ``repo_fork_pairs`` already persisted (Spark's cache manager
+    substitutes the identical ``repo_file_sets(identified)`` plan), and
+    the election is one struct-min aggregation over repos."""
+    pairs, drops = repo_fork_pairs(identified, config, tau)
+    edges = pairs.select(
+        F.xxhash64("repo_a").alias("doc_a"), F.xxhash64("repo_b").alias("doc_b")
+    )
+    labels, _iters = connected_components(edges, config)
+
+    sizes = repo_file_sets(identified).groupBy("rid").agg(
+        F.first("repo").alias("repo"), F.count(F.lit(1)).alias("n_files")
+    )
+    assigned = sizes.join(
+        labels.withColumnRenamed("doc_id", "rid"), "rid", "left"
+    ).withColumn("cluster_id", F.coalesce("cluster_id", "rid"))
+    # min(struct(-n_files, repo)) = (max files, then min name)
+    canon = assigned.groupBy("cluster_id").agg(
+        F.min(
+            F.struct((-F.col("n_files")).alias("neg"), F.col("repo").alias("r"))
+        ).alias("c")
+    )
+    out = assigned.join(canon, "cluster_id").select(
+        "repo",
+        "n_files",
+        F.col("c.r").alias("canonical_repo"),
+        (F.col("repo") == F.col("c.r")).alias("keep"),
+    )
+    return out, drops
 
 
 # ---------------------------------------------------------------------------

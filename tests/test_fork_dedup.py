@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from deduplicatr_spark.config import PipelineConfig
 from deduplicatr_spark.operators.fork_dedup import (
     dir_fork_pairs,
+    fork_clusters,
     repo_file_sets,
     repo_fork_pairs,
     repo_signature_keys,
@@ -89,6 +90,39 @@ def test_disjoint_repos_emit_nothing(spark):
     ]
     pairs, _ = repo_fork_pairs(_identified(spark, rows), CFG, tau=0.8)
     assert pairs.count() == 0
+
+
+def test_fork_clusters_transitive_family_and_election(spark):
+    # chain a~b~c (consecutive Jaccard 0.9, ends only 0.8... below? the
+    # ends share 32/48 = 2/3 < tau) must still merge into ONE family via
+    # CC; the canonical is the biggest repo, keep=false for the rest;
+    # the disjoint repo stays its own canonical
+    rows = (
+        _repo("a", range(40))
+        + _repo("b", range(4, 44))        # J(a,b) = 36/44 ≈ 0.818
+        + _repo("c", range(8, 48))        # J(b,c) ≈ 0.818, J(a,c) = 32/48 < τ
+        + [("solo", f"solo-{i} " + "z" * 40) for i in range(5)]
+    )
+    table, _ = fork_clusters(_identified(spark, rows), CFG, tau=0.8)
+    got = {r.repo: (r.n_files, r.canonical_repo, r.keep) for r in table.collect()}
+    assert got == {
+        "a": (40, "a", True),
+        "b": (40, "a", False),
+        "c": (40, "a", False),
+        "solo": (5, "solo", True),
+    }
+
+
+def test_fork_clusters_canonical_prefers_more_files_then_name(spark):
+    # big (50 files) absorbs small (40 of them): size wins over name even
+    # though 'a-small' sorts first
+    rows = _repo("z-big", range(50)) + _repo("a-small", range(40))
+    table, _ = fork_clusters(_identified(spark, rows), CFG, tau=0.8)
+    got = {r.repo: (r.canonical_repo, r.keep) for r in table.collect()}
+    assert got == {
+        "z-big": ("z-big", True),
+        "a-small": ("z-big", False),
+    }
 
 
 def _pathed(spark, rows):

@@ -173,6 +173,34 @@ def main() -> None:
         "candidates only. Total shuffle ∝ delta + matched buckets.",
     ))
 
+    fork_plan = captured_explain(em._q_dir_fork_pairs(spark, SF))
+    # the fork operators must never degrade to an all-pairs plan: no
+    # cartesian/NLJ anywhere (the LICENSE-in-every-repo join bomb), and
+    # the file-set signature must be a map-side-combined hash aggregate
+    assert "CartesianProduct" not in fork_plan, (
+        "dir_fork_pairs plan grew a cartesian product"
+    )
+    assert "BroadcastNestedLoopJoin" not in fork_plan, (
+        "dir_fork_pairs plan grew a nested-loop join"
+    )
+    assert "HashAggregate" in fork_plan, (
+        "dir_fork_pairs signature stage is not a hash aggregate"
+    )
+    sections.append((
+        "Subtree fork detection (operators/fork_dedup.py § dir_fork_pairs)",
+        fork_plan,
+        "What to check (plan-asserted: no CartesianProduct, no "
+        "BroadcastNestedLoopJoin, signature is a HashAggregate): the "
+        "per-dir MinHash signature is ONE partial+final HashAggregate "
+        "over the ancestor-exploded rows — ~1 KB combiner state per dir "
+        "per task, so a 10M-file mega-repo is one combiner row per task "
+        "and repo fan-in cannot skew; there is NO self-join on file "
+        "hash anywhere (band keys are dir-count-bounded); the verify "
+        "joins stream candidate file sets through two equi-joins; the "
+        "covering-suppression anti-joins operate on the result-sized "
+        "pair set.",
+    ))
+
     sections.append((
         "IVF-flat ANN top-k (operators/topk.py § ivf_topk)",
         captured_explain(em._q_ivf_topk(spark, SF)),

@@ -1297,6 +1297,31 @@ def _q_repo_fork_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_repo_fork_pairs_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-robust fork detection: the SAME repo_fork_pairs operator
+    with file identity keyed on the fingerprint of the NORMALIZED
+    content (functions/hashing.normalized — SURVEY §2.4) instead of the
+    raw sha256, so a fork whose every file was re-indented still pairs
+    with its upstream while the exact-hash variant necessarily misses
+    it. Plant: ``edit1`` = all of src4 with every space doubled —
+    raw-hash file sets are DISJOINT, normalized sets are IDENTICAL, so
+    the fuzzy Jaccard is exactly 1 and nomination is deterministic
+    (identical sets ⇒ identical signatures)."""
+    c = _corpus(spark, sf_dir)
+    edit1 = c.filter(F.col("repo") == "src4").select(
+        F.lit("edit1").alias("repo"),
+        F.replace(F.col("content"), F.lit(" "), F.lit("  ")).alias("content"),
+    )
+    fc = c.select("repo", "content").unionByName(edit1)
+    ident = fc.select(
+        "repo", F.sha2(normalized("content"), 256).alias("sha256")
+    )
+    pairs, _drops = repo_fork_pairs(ident, ENTRY_CONFIG, tau=0.8)
+    return pairs.select(
+        "repo_a", "repo_b", _floor6(F.col("fork_jaccard")).alias("fork_jaccard")
+    )
+
+
 def _q_fork_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fork-family curation table (operators/fork_dedup.py §
     fork_clusters): connected components over the repo fork-pair graph,
@@ -1902,6 +1927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "repo_fork_pairs": _q_repo_fork_pairs,
         "dir_fork_pairs": _q_dir_fork_pairs,
+        "repo_fork_pairs_fuzzy": _q_repo_fork_pairs_fuzzy,
         "fork_clusters": _q_fork_clusters,
         "simhash_hamming_pairs": _q_simhash_hamming_pairs,
         "simhash_weighted_pairs": _q_simhash_weighted_pairs,
@@ -2759,6 +2785,35 @@ FROM fp QUALIFY count(*) OVER (PARTITION BY f) > 1
   WHERE repo = 'src2' AND (doc_id // 20) % 5 = 0
 ), rsets AS (
   SELECT DISTINCT repo, sha256(content) AS h FROM fc
+), rn AS (
+  SELECT repo, count(*) AS n FROM rsets GROUP BY repo
+), ri AS (
+  SELECT a.repo AS ra, b.repo AS rb, count(*) AS i
+  FROM rsets a JOIN rsets b ON a.h = b.h AND a.repo < b.repo
+  GROUP BY 1, 2
+)
+SELECT ra AS repo_a, rb AS repo_b,
+       floor(CAST(i AS DOUBLE) / (na.n + nb.n - i) * 1000000) / 1000000.0
+         AS fork_jaccard
+FROM ri
+JOIN rn na ON na.repo = ri.ra
+JOIN rn nb ON nb.repo = ri.rb
+WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.8
+""",
+        # fuzzy (normalized-fingerprint) fork pairs: same exhaustive
+        # enumeration, file identity = sha256 of the ws-collapsed
+        # content; the edit1 plant is raw-disjoint but normalized-equal
+        # to src4, so a missed normalization OR a raw-hash fallback
+        # both go red
+        "repo_fork_pairs_fuzzy": CORPUS_SQL + """
+, fc AS (
+  SELECT repo, content FROM corpus
+  UNION ALL
+  SELECT 'edit1', replace(content, ' ', '  ') FROM corpus WHERE repo = 'src4'
+), rsets AS (
+  SELECT DISTINCT repo,
+         sha256(trim(regexp_replace(content, '\\s+', ' ', 'g'))) AS h
+  FROM fc
 ), rn AS (
   SELECT repo, count(*) AS n FROM rsets GROUP BY repo
 ), ri AS (

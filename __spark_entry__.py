@@ -2928,6 +2928,7 @@ FROM ranked JOIN fcanon USING (comp)
   JOIN dsz na ON na.repo = dpx.ra AND na.dir = dpx.da
   JOIN dsz nb ON nb.repo = dpx.rb AND nb.dir = dpx.db
   WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.8
+    AND na.n >= 3 AND nb.n >= 3
     AND NOT (ra = rb AND (da = '' OR db = ''
              OR starts_with(db, da || '/') OR starts_with(da, db || '/')))
 ), dkeyed AS (

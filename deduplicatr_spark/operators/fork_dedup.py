@@ -70,40 +70,51 @@ def repo_file_sets(identified: DataFrame) -> DataFrame:
     ).distinct()
 
 
-def repo_signature_keys(files: DataFrame, config: PipelineConfig) -> DataFrame:
-    """(doc_id=rid, band_hash) LSH band keys of each repo's file-set
-    MinHash signature — ready for ``keyed_candidate_pairs``.
-
-    Signature row i is ``min over files of xxhash64(fh, i)`` (the
-    k×min construction of functions/_numpy_core.batch_minhash, but as
-    ``n_hashes`` JVM ``min`` aggregates — identical sets ⇒ identical
-    signatures, E[matching rows] = Jaccard). Band b's key hashes its
-    ``band_rows`` signature rows together with the band index, exactly
-    the fold batch_band_hashes uses."""
-    n, b = config.n_hashes, config.n_bands
-    r = config.band_rows
-    mins = [F.min(F.xxhash64("fh", F.lit(i))).alias(f"h{i}") for i in range(n)]
-    sigs = files.groupBy("rid").agg(*mins)
-    bands = [
-        F.xxhash64(F.lit(j), *[F.col(f"h{j * r + i}") for i in range(r)])
-        for j in range(b)
+def _sig_min_aggs(config: PipelineConfig) -> list[Column]:
+    """The ``n_hashes`` MinHash min-aggregates over an ``fh`` column —
+    signature row i is ``min over files of xxhash64(fh, i)`` (the k×min
+    construction of functions/_numpy_core.batch_minhash, but as JVM
+    ``min`` aggregates — identical sets ⇒ identical signatures,
+    E[matching rows] = Jaccard). Shared by the repo- and dir-level
+    stages so their key spaces cannot drift."""
+    return [
+        F.min(F.xxhash64("fh", F.lit(i))).alias(f"h{i}")
+        for i in range(config.n_hashes)
     ]
-    return sigs.select(
-        F.col("rid").alias("doc_id"),
-        F.explode(F.array(*bands)).alias("band_hash"),
+
+
+def _sig_band_keys(config: PipelineConfig) -> Column:
+    """Array of the ``n_bands`` LSH band keys over h0..h{n-1} columns —
+    band b's key hashes its ``band_rows`` signature rows together with
+    the band index, exactly the fold batch_band_hashes uses."""
+    r = config.band_rows
+    return F.array(
+        *[
+            F.xxhash64(F.lit(j), *[F.col(f"h{j * r + i}") for i in range(r)])
+            for j in range(config.n_bands)
+        ]
     )
 
 
-def repo_fork_pairs(
-    identified: DataFrame, config: PipelineConfig, tau: float = 0.8
-) -> tuple[DataFrame, DataFrame]:
-    """identified (repo, sha256, …) → ((repo_a < repo_b,
-    fork_jaccard ≥ tau), drop_stats).
+def repo_signature_keys(files: DataFrame, config: PipelineConfig) -> DataFrame:
+    """(doc_id=rid, band_hash) LSH band keys of each repo's file-set
+    MinHash signature (``_sig_min_aggs`` + ``_sig_band_keys``) — ready
+    for ``keyed_candidate_pairs``."""
+    sigs = files.groupBy("rid").agg(*_sig_min_aggs(config))
+    return sigs.select(
+        F.col("rid").alias("doc_id"),
+        F.explode(_sig_band_keys(config)).alias("band_hash"),
+    )
 
-    ``fork_jaccard`` is the EXACT Jaccard of the two repos' distinct
-    file-hash sets (the LSH bands only nominate; every emitted value is
-    verified). Output repo names are ordered lexicographically so the
-    pair set is deterministic independent of rid assignment."""
+
+def _repo_fork_core(
+    identified: DataFrame, config: PipelineConfig, tau: float
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared body of repo_fork_pairs / fork_clusters: returns
+    (pairs, sizes, drop_stats) where ``sizes`` is the per-repo
+    (rid, repo, n_files) frame — handed back so fork_clusters doesn't
+    re-derive it (and doesn't depend on cache-manager plan substitution
+    for the 'no second corpus scan' property)."""
     files = _track(repo_file_sets(identified).persist())
 
     keyed = repo_signature_keys(files, config)
@@ -147,7 +158,21 @@ def repo_fork_pairs(
             "fork_jaccard",
         )
     )
-    return pairs, drops.select("capped_docs", "hot_buckets", "hot_rows")
+    return pairs, sizes, drops.select("capped_docs", "hot_buckets", "hot_rows")
+
+
+def repo_fork_pairs(
+    identified: DataFrame, config: PipelineConfig, tau: float = 0.8
+) -> tuple[DataFrame, DataFrame]:
+    """identified (repo, sha256, …) → ((repo_a < repo_b,
+    fork_jaccard ≥ tau), drop_stats).
+
+    ``fork_jaccard`` is the EXACT Jaccard of the two repos' distinct
+    file-hash sets (the LSH bands only nominate; every emitted value is
+    verified). Output repo names are ordered lexicographically so the
+    pair set is deterministic independent of rid assignment."""
+    pairs, _sizes, drops = _repo_fork_core(identified, config, tau)
+    return pairs, drops
 
 
 def fork_clusters(
@@ -167,19 +192,16 @@ def fork_clusters(
     is the "drop the fork before any per-file near-dup work" step.
 
     Scale: the CC graph has one node per REPO in a fork pair — many
-    orders smaller than the file corpus; sizes reuse the file-set frame
-    ``repo_fork_pairs`` already persisted (Spark's cache manager
-    substitutes the identical ``repo_file_sets(identified)`` plan), and
-    the election is one struct-min aggregation over repos."""
-    pairs, drops = repo_fork_pairs(identified, config, tau)
+    orders smaller than the file corpus; the per-repo sizes frame is
+    the one ``_repo_fork_core`` already built over its persisted file
+    sets (returned, not re-derived), and the election is one struct-min
+    aggregation over repos."""
+    pairs, sizes, drops = _repo_fork_core(identified, config, tau)
     edges = pairs.select(
         F.xxhash64("repo_a").alias("doc_a"), F.xxhash64("repo_b").alias("doc_b")
     )
     labels, _iters = connected_components(edges, config)
 
-    sizes = repo_file_sets(identified).groupBy("rid").agg(
-        F.first("repo").alias("repo"), F.count(F.lit(1)).alias("n_files")
-    )
     assigned = sizes.join(
         labels.withColumnRenamed("doc_id", "rid"), "rid", "left"
     ).withColumn("cluster_id", F.coalesce("cluster_id", "rid"))
@@ -259,7 +281,13 @@ def dir_fork_pairs(
     * per-dir MinHash signature = ONE partial+final aggregation (~1 KB
       combiner state per dir per task regardless of subtree size);
       the ``min_files`` raw-count gate kills 1-file noise dirs before
-      any band key exists;
+      any band key exists (and is re-applied on DISTINCT set sizes at
+      verify, where the candidate sets exist anyway);
+    * stationary-chain collapse: dirs whose raw count equals their
+      parent's (⇒ provably identical file sets) are not banded — only
+      the topmost of each identical run is, which is output-invariant
+      under the covering rule below and keeps root chains from piling
+      identical signatures into the same buckets;
     * band keys → the shared capped/thinned/ledgered bucket core;
     * candidates get names early so NESTED same-repo pairs (a dir vs
       its own ancestor — containment, not duplication: the root chain
@@ -283,8 +311,6 @@ def dir_fork_pairs(
     the pair set is deterministic independent of rid assignment."""
     rows = _track(dir_file_rows(identified, max_depth).persist())
 
-    n, b, r = config.n_hashes, config.n_bands, config.band_rows
-    mins = [F.min(F.xxhash64("fh", F.lit(i))).alias(f"h{i}") for i in range(n)]
     # first() is deterministic here: repo/dir are constant per rid
     # (rid = xxhash64(repo, dir); collisions at the repo-wide 2^-64
     # tolerance)
@@ -294,18 +320,31 @@ def dir_fork_pairs(
             F.first("repo").alias("repo"),
             F.first("dir").alias("dir"),
             F.count(F.lit(1)).alias("n_rows"),
-            *mins,
+            *_sig_min_aggs(config),
         )
         .filter(F.col("n_rows") >= min_files)
         .persist()
     )
-    bands = [
-        F.xxhash64(F.lit(j), *[F.col(f"h{j * r + i}") for i in range(r)])
-        for j in range(b)
-    ]
-    keyed = sigs.select(
+    # stationary-chain collapse: a dir whose RAW row count equals its
+    # parent's has exactly the parent's row set (child rows ⊆ parent
+    # rows, equal counts ⇒ equal sets ⇒ equal file sets), so banding it
+    # is pure waste — identical signatures pile the whole root chain
+    # into the same buckets (cap pressure that can evict genuine
+    # cross-repo candidates) and every pair it could nominate is
+    # covered by the parent pair, whose Jaccard to any third dir is
+    # IDENTICAL. Output-invariant by the covering-suppression rule;
+    # only the topmost dir of each stationary run is banded.
+    pn = sigs.select(
+        "repo", F.col("dir").alias("_pdir"), F.col("n_rows").alias("_pn")
+    )
+    band_src = (
+        sigs.withColumn("_pdir", _parent_dir(F.col("dir")))
+        .join(pn, ["repo", "_pdir"], "left")
+        .filter(F.col("_pn").isNull() | (F.col("_pn") != F.col("n_rows")))
+    )
+    keyed = band_src.select(
         F.col("rid").alias("doc_id"),
-        F.explode(F.array(*bands)).alias("band_hash"),
+        F.explode(_sig_band_keys(config)).alias("band_hash"),
     )
     cand, drops = keyed_candidate_pairs(keyed, config)
 
@@ -348,7 +387,16 @@ def dir_fork_pairs(
         .withColumn(
             "fork_jaccard", F.col("inter").cast("double") / union.cast("double")
         )
-        .filter(F.col("fork_jaccard") >= tau)
+        # min_files gates twice: nomination on raw row count (cheap
+        # superset — no distinct is paid for non-candidates) and final
+        # pairs on DISTINCT set size here, where the candidate sets
+        # already exist — so a dir holding 3 copies of ONE file can't
+        # masquerade as a 3-file unit and report a 1-file "fork"
+        .filter(
+            (F.col("fork_jaccard") >= tau)
+            & (F.col("_na") >= min_files)
+            & (F.col("_nb") >= min_files)
+        )
     )
 
     ka = F.concat("ra", F.lit(_SEP1), "da")

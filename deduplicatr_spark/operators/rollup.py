@@ -24,14 +24,22 @@ from pyspark.sql import functions as F
 
 def _ancestor_dirs(path_col: str = "path") -> F.Column:
     """Array of ancestor directory prefixes of a '/'-separated path
-    (excluding the file itself); '' is the repo root."""
+    (excluding the file itself); '' is the repo root.
+
+    The empty-dirs case needs an explicit guard: ``F.sequence(1, 0)``
+    DESCENDS ([1, 0]) rather than returning [], so a slashless path
+    ('README') would otherwise emit the root prefix three times —
+    tripling rollup filecounts and defeating raw-count gates
+    downstream (dir_fork_pairs ``min_files``)."""
     parts = F.split(F.col(path_col), "/")
     dirs = F.slice(parts, 1, F.greatest(F.size(parts) - 1, F.lit(0)))
     return F.concat(
         F.array(F.lit("")),
-        F.transform(
-            F.sequence(F.lit(1), F.size(dirs)),
-            lambda i: F.array_join(F.slice(dirs, 1, i), "/"),
+        F.when(F.size(dirs) == 0, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.size(dirs)),
+                lambda i: F.array_join(F.slice(dirs, 1, i), "/"),
+            )
         ),
     )
 

@@ -206,6 +206,30 @@ def test_dir_min_files_gate(spark):
     ]
 
 
+def test_dir_slashless_paths_do_not_triple_the_root_count(spark):
+    # regression: F.sequence(1, 0) DESCENDS, so a slashless path used to
+    # emit the root prefix three times — two repos sharing ONE root-level
+    # file then passed min_files=3 and reported a 1-file Jaccard-1 fork
+    rows = [
+        ("r1", "README", "same " + "x" * 40),
+        ("r2", "README", "same " + "x" * 40),
+    ]
+    pairs, _ = dir_fork_pairs(_pathed(spark, rows), CFG, tau=0.8, min_files=3)
+    assert pairs.count() == 0
+
+
+def test_dir_copies_of_one_file_do_not_pass_min_files(spark):
+    # a dir holding 3 byte-identical copies has raw count 3 but distinct
+    # set size 1: the verify-stage distinct gate must reject the pair
+    rows = [
+        ("r1", f"cfg/copy{i}.txt", "same " + "x" * 40) for i in range(3)
+    ] + [
+        ("r2", f"etc/copy{i}.txt", "same " + "x" * 40) for i in range(3)
+    ]
+    pairs, _ = dir_fork_pairs(_pathed(spark, rows), CFG, tau=0.8, min_files=3)
+    assert pairs.count() == 0
+
+
 def test_dir_max_depth_bounds_the_explosion(spark):
     # depth cap 2 ⇒ only '', 'd0', 'd0/d1' become units; the deep dirs
     # still contribute their files to those prefixes

@@ -195,10 +195,46 @@ def _wl_round4_ops(spark, mult: int) -> None:
     docs.unpersist()
 
 
+def _wl_fork_ops(spark, mult: int) -> None:
+    """Round-4 fork stack: repo-level fork pairs, the subtree variant
+    (ancestor-prefix explode + covering suppression) and fork-family
+    clustering with canonical election, over the bench's ~1k-repo +
+    ~90%-fork re-keyed corpus (bench.py q3e/q3f shape)."""
+    from pyspark.sql import functions as F
+
+    from bench import amplified_corpus
+    from deduplicatr_spark.config import PipelineConfig
+    from deduplicatr_spark.operators.exact import with_identity
+    from deduplicatr_spark.operators.fork_dedup import (
+        dir_fork_pairs,
+        fork_clusters,
+        repo_fork_pairs,
+    )
+    from deduplicatr_spark.operators.lsh import release_tracked
+
+    cfg = PipelineConfig()
+    corpus = amplified_corpus(spark, SF_DIR, mult)
+    fork_rid = F.pmod(F.xxhash64("path"), F.lit(1024)).cast("string")
+    fork_base = corpus.withColumn("repo", F.concat(F.lit("r"), fork_rid))
+    fork_input = fork_base.unionByName(
+        fork_base.filter(
+            F.pmod(F.xxhash64("path", F.lit(7)), F.lit(10)) != 0
+        ).withColumn("repo", F.concat(F.lit("f"), fork_rid))
+    )
+    ident = with_identity(fork_input)
+    repo_fork_pairs(ident, cfg, tau=0.8)[0].count()
+    release_tracked()
+    dir_fork_pairs(ident, cfg, tau=0.8)[0].count()
+    release_tracked()
+    fork_clusters(ident, cfg, tau=0.8)[0].count()
+    release_tracked()
+
+
 WORKLOADS = {
     "pipeline": _wl_pipeline,
     "round3_ops": _wl_round3_ops,
     "round4_ops": _wl_round4_ops,
+    "fork_ops": _wl_fork_ops,
 }
 
 

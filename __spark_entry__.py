@@ -1794,7 +1794,7 @@ def _corpus_fingerprint(sf_abs: str) -> str:
     return h.hexdigest()[:8]
 
 
-def _ckpt_root(sf_dir: str) -> str:
+def _ckpt_root(sf_dir: str, config: PipelineConfig | None = None) -> str:
     """Deterministic, REUSED checkpoint root for the pipeline query —
     keyed by (code fingerprint, config hash, full sf-dir path, corpus
     CONTENT fingerprint) so a repeat invocation of the SAME
@@ -1813,8 +1813,9 @@ def _ckpt_root(sf_dir: str) -> str:
     base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
     sf_abs = os.path.abspath(sf_dir.rstrip("/"))
     path_fp = hashlib.sha256(sf_abs.encode()).hexdigest()[:8]
+    cfg_hash = (config or ENTRY_CONFIG).config_hash
     tag = (
-        f"{_code_fingerprint()}_{ENTRY_CONFIG.config_hash}_"
+        f"{_code_fingerprint()}_{cfg_hash}_"
         f"{os.path.basename(sf_abs)}_{path_fp}_{_corpus_fingerprint(sf_abs)}"
     )
     root = os.path.join(base, f"dedup_ckpt_v_{tag}")
@@ -1846,6 +1847,46 @@ def _q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipe = DedupPipeline(spark, ENTRY_CONFIG, _ckpt_root(sf_dir))
     out = pipe.run(docs)
     fp = _corpus(spark, sf_dir).select(
+        "repo", "path", TXT.fingerprint("content").alias("_fp")
+    )
+    j = out.join(fp, ["repo", "path"])
+    w_sha = Window.partitionBy("sha256")
+    w_fp = Window.partitionBy("_fp")
+    return j.select(
+        "repo",
+        "path",
+        "sha256",
+        "size",
+        F.count(F.lit(1)).over(w_sha).alias("exact_group_size"),
+        (F.col("cluster_id") == F.min("cluster_id").over(w_fp)).alias("cluster_ok"),
+    )
+
+
+FORK_PIPE_CONFIG = PipelineConfig(substring_min_len=120, fork_prefilter=True)
+
+
+def _q_fork_prefiltered_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pipeline with the s1_forks prefilter ON, over the fork
+    corpus (shared corpus + derived fork1/fork2): fork families are
+    detected and only each family's canonical repo proceeds to per-file
+    work, so the output must contain EXACTLY the kept repos' rows —
+    {src0, mirror} elects 'mirror' (equal sizes, smaller name),
+    {src1, fork1} elects 'src1' (more files), fork2 and the untouched
+    repos keep themselves. The oracle recomputes the keep set from
+    scratch (exhaustive pairs + recursive closure + window election)
+    and round-trips (repo, path, sha256, size) for the kept rows, so a
+    wrong drop, a missed drop, or any downstream corruption of the
+    surviving rows goes red. cluster_ok asserts the same end-to-end
+    composition contract as ``dedup_pipeline``, now over the filtered
+    corpus."""
+    docs = _fork_corpus(spark, sf_dir).select(
+        "repo", "path", F.lit("c0").alias("commit"), "lang", "content"
+    )
+    pipe = DedupPipeline(
+        spark, FORK_PIPE_CONFIG, _ckpt_root(sf_dir, FORK_PIPE_CONFIG)
+    )
+    out = pipe.run(docs)
+    fp = _fork_corpus(spark, sf_dir).select(
         "repo", "path", TXT.fingerprint("content").alias("_fp")
     )
     j = out.join(fp, ["repo", "path"])
@@ -1942,6 +1983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_dup_pairs": _q_winnow_dup_pairs,
         "chunk_windows": _q_chunk_windows,
         "dedup_pipeline": _q_dedup_pipeline,
+        "fork_prefiltered_pipeline": _q_fork_prefiltered_pipeline,
     }
 
 
@@ -3406,6 +3448,67 @@ SELECT repo, path, sha256, size,
        count(*) OVER (PARTITION BY sha256) AS exact_group_size,
        TRUE AS cluster_ok
 FROM fpm
+""",
+        # the fork-prefiltered pipeline: the keep set is re-derived from
+        # scratch (exhaustive >=tau pairs, recursive transitive closure,
+        # window election — the fork_clusters oracle chain) and the
+        # surviving rows round-trip identity columns; a wrong drop, a
+        # missed drop or corrupted survivors all go red
+        "fork_prefiltered_pipeline": CORPUS_SQL + """
+, fcorp AS (
+  SELECT repo, path, content FROM corpus
+  UNION ALL
+  SELECT 'fork1', path, content FROM corpus
+  WHERE repo = 'src1' AND (doc_id // 20) % 10 <> 0
+  UNION ALL
+  SELECT 'fork2', path, content FROM corpus
+  WHERE repo = 'src2' AND (doc_id // 20) % 5 = 0
+), rsets AS (
+  SELECT DISTINCT repo, sha256(content) AS h FROM fcorp
+), rn AS (
+  SELECT repo, count(*) AS n FROM rsets GROUP BY repo
+), ri AS (
+  SELECT a.repo AS ra, b.repo AS rb, count(*) AS i
+  FROM rsets a JOIN rsets b ON a.h = b.h AND a.repo < b.repo
+  GROUP BY 1, 2
+), fpr AS (
+  SELECT ra, rb FROM ri
+  JOIN rn na ON na.repo = ri.ra
+  JOIN rn nb ON nb.repo = ri.rb
+  WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.8
+), edges AS (
+  SELECT ra AS a, rb AS b FROM fpr UNION SELECT rb, ra FROM fpr
+), closure AS (
+  SELECT a, b FROM (
+    WITH RECURSIVE r(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM r JOIN edges e ON r.b = e.a
+    )
+    SELECT a, b FROM r
+  )
+), lab AS (
+  SELECT rn.repo, least(rn.repo, coalesce(min(c.b), rn.repo)) AS comp
+  FROM rn LEFT JOIN closure c ON c.a = rn.repo
+  GROUP BY rn.repo
+), ranked AS (
+  SELECT l.repo, l.comp,
+         row_number() OVER (
+           PARTITION BY l.comp ORDER BY rn.n DESC, l.repo ASC
+         ) AS rk
+  FROM lab l JOIN rn ON rn.repo = l.repo
+), kept AS (
+  SELECT repo FROM ranked WHERE rk = 1
+), surv AS (
+  SELECT f.repo, f.path, sha256(f.content) AS sha256,
+         length(f.content) AS size,
+         sha256(trim(regexp_replace(f.content, '\\s+', ' ', 'g'))) AS fp
+  FROM fcorp f JOIN kept k ON f.repo = k.repo
+)
+SELECT repo, path, sha256, size,
+       count(*) OVER (PARTITION BY sha256) AS exact_group_size,
+       TRUE AS cluster_ok
+FROM surv
 """,
     })
 

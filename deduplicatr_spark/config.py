@@ -125,6 +125,16 @@ class PipelineConfig:
     # fused_bucket_stats and adds the SimHash key volume to the join.
     incremental_simhash: bool = False
 
+    # --- repo-level fork prefilter (SURVEY §2.44/§2.46) ---
+    # When True the pipeline runs fork_clusters over the identity table
+    # (s1_forks) and keeps only each fork family's canonical repo
+    # before ANY per-file near-dup work — the cheapest unit of dedup a
+    # source-code corpus offers (a dropped mirror never pays for
+    # features, banding or verification). Changes which rows exist
+    # downstream → config-hashed like every knob.
+    fork_prefilter: bool = False
+    fork_tau: float = 0.8
+
     # --- clustering (SURVEY §2.11) ---
     cc_max_iters: int = 50
     # False: per-round lineage truncation via localCheckpoint (executor

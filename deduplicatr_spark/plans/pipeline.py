@@ -46,6 +46,7 @@ from deduplicatr_spark.sources.catalog import CheckpointStore
 
 STAGES = [
     "s1_identity",
+    "s1_forks",   # opt-in (config.fork_prefilter)
     "s1_exact",
     "s2_features",
     "s3_candidates",
@@ -83,6 +84,31 @@ class DedupPipeline:
             "s1_identity",
             lambda: store.get_or_compute("s1_identity", lambda: with_identity(docs)),
         )
+
+        if cfg.fork_prefilter:
+            # s1_forks: whole-repo dedup BEFORE any per-file work — the
+            # fork-family table (SURVEY §2.46) is checkpointed, then
+            # every repo that lost its family's canonical election is
+            # dropped from the identity frame, so its rows never pay for
+            # features, banding, verification or clustering.
+            from deduplicatr_spark.operators.fork_dedup import fork_clusters
+
+            def _forks():
+                table, fdrops = fork_clusters(identity, cfg, cfg.fork_tau)
+                metrics.append({"stage": "s1_forks", "kind": "fork_drops",
+                                **fdrops.collect()[0].asDict()})
+                return table
+
+            def _fork_stage():
+                out = store.get_or_compute("s1_forks", _forks)
+                release_tracked()  # fork file-set caches are on disk now
+                return out
+
+            forks = timed("s1_forks", _fork_stage)
+            kept = forks.filter(F.col("keep")).select("repo")
+            # semi join on a repo-name dimension (narrow; AQE broadcasts
+            # it in-sandbox — on a lake, bucket identity by repo)
+            identity = identity.join(kept, "repo", "left_semi")
 
         def _exact():
             narrow = identity.select("doc_id", "sha256", "size")

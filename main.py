@@ -38,6 +38,18 @@ def parse_args(argv: list[str]):
         "profile checkpoints",
     )
     p.add_argument(
+        "--fork-prefilter", action="store_true",
+        help="whole-repo dedup before per-file work (SURVEY §2.46): "
+        "detect fork families over the identity table (s1_forks, "
+        "checkpointed) and keep only each family's canonical repo; "
+        "config-hashed, so it never mixes with default-profile "
+        "checkpoints",
+    )
+    p.add_argument(
+        "--fork-tau", type=float, default=0.8,
+        help="file-set Jaccard threshold for --fork-prefilter",
+    )
+    p.add_argument(
         "--no-warmup", action="store_true",
         help="skip the untimed JIT/codegen warmup pass (a small pipeline "
         "run on ~3k rows; without it the first verify/join stages run "
@@ -60,7 +72,11 @@ def main(argv: list[str]) -> None:
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     spark.sparkContext.setLogLevel("ERROR")
-    cfg = PipelineConfig(normalize_strip_comments=args.strip_comments)
+    cfg = PipelineConfig(
+        normalize_strip_comments=args.strip_comments,
+        fork_prefilter=args.fork_prefilter,
+        fork_tau=args.fork_tau,
+    )
 
     if args.amplify_sf_dir:
         from bench import amplified_corpus

@@ -153,6 +153,34 @@ def test_permutation_invariance(spark, tiny_docs, tmp_path):
     assert la == lb
 
 
+def test_fork_prefilter_drops_mirror_repo_before_per_file_work(
+    spark, tiny_docs, tmp_path
+):
+    """With fork_prefilter=True a planted whole-repo mirror loses the
+    canonical election (equal sizes → smaller name wins) and its rows
+    never reach per-file stages; the s1_forks table is checkpointed and
+    a resume reproduces assignments without recomputing it."""
+    src = sorted(r.repo for r in tiny_docs.select("repo").distinct().collect())[0]
+    mirror = tiny_docs.filter(F.col("repo") == src).withColumn(
+        "repo", F.lit("zz-mirror")
+    )
+    docs = tiny_docs.unionByName(mirror)
+    cfg = PipelineConfig(fork_prefilter=True)
+    root = str(tmp_path / "f")
+    out = DedupPipeline(spark, cfg, root).run(docs)
+    out_repos = {r.repo for r in out.select("repo").distinct().collect()}
+    assert "zz-mirror" not in out_repos
+    assert src in out_repos
+    assert out.count() == tiny_docs.count()
+    before = sorted(map(tuple, out.select("doc_id", "cluster_id").collect()))
+    shutil.rmtree(os.path.join(root, "s6_assignments"))
+    again = DedupPipeline(spark, cfg, root).run(docs)
+    after = sorted(map(tuple, again.select("doc_id", "cluster_id").collect()))
+    assert before == after
+    with open(os.path.join(root, "s1_forks", "_MARKER.json")) as f:
+        assert json.load(f)["config_hash"] == cfg.config_hash
+
+
 def test_substring_stage_in_pipeline_merges_block_sharers(
     spark, tiny_docs, tiny_corpus, tmp_path
 ):

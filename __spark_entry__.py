@@ -755,6 +755,32 @@ def _q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(c, JACCARD_TAU)
 
 
+CONTAINMENT_TAU = 0.9
+
+
+def _q_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed word-3-gram CONTAINMENT pairs (Broder 1997's asymmetric
+    twin of resemblance; operators/ngram.py § ngram_containment_pairs):
+    c(A,B) = |G(A)∩G(B)|/|G(A)| ≥ 0.9, candidates via the containment
+    form of the prefix filter (contained side prefix-indexed, container
+    side full inverted index — provably a candidate superset). The
+    corpus's 'near' rows (base content + appended suffix) contain their
+    base at c = 1 while their Jaccard sits below 1; exact-dup and
+    ws-variant rows (identical token streams) qualify in both
+    directions. Oracle = exhaustive all-shared-grams enumeration, so a
+    prefix-bound off-by-one (dropped qualifying pair) or a verify bug
+    (false positive) goes red."""
+    from deduplicatr_spark.operators.lsh import _track
+    from deduplicatr_spark.operators.ngram import ngram_containment_pairs
+
+    c = _track(
+        _corpus(spark, sf_dir).select(
+            "doc_id", TXT.word_ngrams(3, "content").alias("grams")
+        ).persist()
+    )
+    return ngram_containment_pairs(c, CONTAINMENT_TAU)
+
+
 def _q_scan_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference O2: the ignored-file predicate as a pushed-down scan
     filter (here: skip the generated ws/ and near/ trees)."""
@@ -1951,6 +1977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup_strip": _q_line_dedup_strip,
         "pii_scrub": _q_pii_scrub,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "ngram_containment_pairs": _q_ngram_containment_pairs,
         "scan_filter": _q_scan_filter,
         "embedding_topk": _q_embedding_topk,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
@@ -2706,6 +2733,37 @@ SELECT doc_a, doc_b,
        floor(inter / (tot - inter) * 1000000) / 1000000.0 AS jaccard
 FROM j
 WHERE floor(inter / (tot - inter) * 1000000) / 1000000.0 >= {JACCARD_TAU}
+""",
+        # exhaustive DIRECTED containment over the same distinct
+        # word-3-gram sets as the jaccard oracle: every ordered doc
+        # pair sharing any gram, verified at |A∩B|/|A| >= 0.9 — the
+        # prefix-filter candidates must reproduce this exactly
+        "ngram_containment_pairs": CORPUS_SQL + f"""
+, tok AS (
+  SELECT doc_id,
+         list_transform({_TOKS.format(c="content")}, x -> lower(x)) AS toks
+  FROM corpus
+), g AS (
+  SELECT doc_id, {grams} AS grams FROM tok
+), gg AS (
+  SELECT doc_id, grams FROM g WHERE len(grams) > 0
+), e AS (
+  SELECT doc_id, unnest(grams) AS gram FROM gg
+), cand AS (
+  SELECT DISTINCT a.doc_id AS did, b.doc_id AS cid
+  FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id <> b.doc_id
+), j AS (
+  SELECT c.did, c.cid,
+         CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE) AS inter,
+         CAST(len(ga.grams) AS DOUBLE) AS na
+  FROM cand c
+  JOIN gg ga ON ga.doc_id = c.did
+  JOIN gg gb ON gb.doc_id = c.cid
+)
+SELECT did AS doc_id, cid AS container_id,
+       floor(inter / na * 1000000) / 1000000.0 AS containment
+FROM j
+WHERE floor(inter / na * 1000000) / 1000000.0 >= {CONTAINMENT_TAU}
 """,
         "scan_filter": CORPUS_SQL + """
 SELECT repo, path, doc_id FROM corpus

@@ -84,3 +84,88 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= tau)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def ngram_containment_pairs(
+    grams_df: DataFrame,
+    tau: float,
+    id_col: str = "doc_id",
+    grams_col: str = "grams",
+) -> DataFrame:
+    """(doc_id, grams: array<string>) → DIRECTED
+    (doc_id, container_id, containment ≥ τ).
+
+    ``containment`` is Broder's c(A, B) = |G(A) ∩ G(B)| / |G(A)|
+    (Broder, "On the resemblance and containment of documents", 1997 —
+    the asymmetric twin of resemblance/Jaccard): a small doc embedded
+    in a large one has c ≈ 1 while its Jaccard ≈ |A|/|B| hides it, and
+    unlike the suffix-array substring stage it needs no CONTIGUOUS
+    shared block — scattered containment qualifies.
+
+    Candidate generation is the containment form of the prefix filter
+    (Xiao et al., WWW 2008 §: only the CONTAINED side is prefix-
+    bounded): if c(A, B) ≥ τ then A shares ≥ ⌈τ|A|⌉ grams with B, so
+    the first |A| − ⌈τ|A|⌉ + 1 grams of A in ascending-df order must
+    intersect B's FULL gram set. The prefix side is df-rare by
+    construction; the container side is the plain inverted index, so
+    equi-join match volume is Σ_{rare prefix grams} df — candidates are
+    provably a superset of the τ-qualifying DIRECTED pairs and every
+    one is verified exactly. Caveat inherent to the PROBLEM, not the
+    plan: a doc made entirely of corpus-hot grams (pure boilerplate) is
+    genuinely contained in many docs, so its output — and therefore its
+    candidates — is large; τ and an upstream quality gate are the dial.
+
+    Identical gram sets qualify in BOTH directions (two rows) — this is
+    a verification primitive; symmetric near-dup consumers belong on
+    ``ngram_jaccard_pairs``. ``containment`` is floor-truncated to 6
+    decimals (oracle-stable)."""
+    from fractions import Fraction
+
+    frac = Fraction(tau).limit_denominator(1_000_000)
+    num, den = frac.numerator, frac.denominator
+
+    g = grams_df.select(
+        F.col(id_col).alias("doc_id"), F.col(grams_col).alias("grams")
+    ).filter(F.size("grams") > 0)
+
+    e = g.select(
+        "doc_id", F.size("grams").alias("sz"), F.explode("grams").alias("gram")
+    )
+    df_counts = e.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    prefix = (
+        e.join(df_counts, "gram")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "gram")
+            ),
+        )
+        # containment prefix bound |G| - ceil(τ|G|) + 1, exact on longs
+        .filter(
+            F.col("rk")
+            <= F.col("sz")
+            - F.expr(f"(sz * {num}L + {den - 1}L) div {den}L")
+            + 1
+        )
+        .select("doc_id", "gram")
+    )
+    full = e.select(F.col("doc_id").alias("container_id"), "gram")
+    cand = (
+        prefix.join(full, "gram")
+        .filter(F.col("doc_id") != F.col("container_id"))
+        .select("doc_id", "container_id")
+        .distinct()
+    )
+    ga = g.select("doc_id", F.col("grams").alias("_ga"))
+    gb = g.select(F.col("doc_id").alias("container_id"), F.col("grams").alias("_gb"))
+    inter = F.size(F.array_intersect("_ga", "_gb")).cast("double")
+    cont = F.floor(inter / F.size("_ga").cast("double") * 1000000) / F.lit(
+        1000000.0
+    )
+    return (
+        cand.join(ga, "doc_id")
+        .join(gb, "container_id")
+        .withColumn("containment", cont)
+        .filter(F.col("containment") >= tau)
+        .select("doc_id", "container_id", "containment")
+    )

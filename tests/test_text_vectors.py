@@ -394,6 +394,44 @@ def test_ngram_prefix_filter_equals_naive(spark):
     assert got == want
 
 
+def test_ngram_containment_prefix_filter_equals_naive(spark):
+    """The containment prefix filter must reproduce the naive directed
+    all-shared-grams result exactly — small-doc-in-big-doc pairs whose
+    JACCARD is far below τ must still surface, and boundary sizes where
+    ceil(τ|A|) is exactly integral must not drop pairs."""
+    import itertools
+    import math
+
+    from deduplicatr_spark.operators.ngram import ngram_containment_pairs
+
+    docs = []
+    big = [f"g{j} x y" for j in range(40)]
+    docs.append((0, sorted(big)))                      # container
+    docs.append((1, sorted(big[:10])))                 # fully contained, J=0.25
+    docs.append((2, sorted(big[:9] + ["own 2 z"])))    # c=0.9 exactly (10 grams)
+    docs.append((3, sorted(big[:8] + ["own 3 z", "own 3 w"])))  # c=0.8 < τ
+    docs.append((4, sorted([f"h{j} p q" for j in range(12)])))  # disjoint
+    docs.append((5, sorted(big)))                      # identical to 0: both ways
+    df = spark.createDataFrame(docs, "doc_id long, grams array<string>")
+    tau = 0.9
+    got = {
+        (r["doc_id"], r["container_id"], r["containment"])
+        for r in ngram_containment_pairs(df, tau).collect()
+    }
+    byid = dict(docs)
+    want = set()
+    for a, b in itertools.permutations(sorted(byid), 2):
+        A, B = set(byid[a]), set(byid[b])
+        c6 = math.floor(len(A & B) / len(A) * 1000000) / 1000000.0
+        if c6 >= tau:
+            want.add((a, b, c6))
+    assert got == want
+    assert (1, 0, 1.0) in got          # contained despite Jaccard 0.25
+    assert (2, 0, 0.9) in got          # exact-τ boundary kept
+    assert (0, 1, 0.25) not in got     # direction matters
+    assert (1, 5, 1.0) in got and (5, 1, 0.25) not in got
+
+
 def test_c4_quality_rules(spark):
     from deduplicatr_spark.functions.text import c4_quality_columns
 

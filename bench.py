@@ -461,6 +461,20 @@ def main() -> None:
         ).collect()
         release_tracked()
 
+    # q5f: directed word-3-gram containment (Broder) over the distinct
+    # corpus — asymmetric prefix filter (contained side prefix-indexed,
+    # container side full inverted index) + exact |A∩B|/|A| verify. On
+    # distinct docs the matches are the near-variant chains (suffix-
+    # appended copies contain their base), so output stays linear.
+    def _containment():
+        from deduplicatr_spark.functions.text import word_ngrams
+        from deduplicatr_spark.operators.ngram import ngram_containment_pairs
+
+        grams = distinct_docs.select(
+            "doc_id", word_ngrams(3, "content").alias("grams")
+        )
+        ngram_containment_pairs(grams, 0.9).count()
+
     # q5e: corpus-trained unigram LM scoring — vocab agg + count-back
     # join + per-doc reduction, exact-integer micro-nat aggregation
     def _unigram():
@@ -482,6 +496,7 @@ def main() -> None:
         timed("corpus_line_stats", _linedup)
         timed("line_dedup_strip", _strip)
         timed("unigram_logprob", _unigram)
+        timed("ngram_containment", _containment)
 
     # --- query group 3: embedding family (two interleaved passes) ---
 

@@ -118,14 +118,23 @@ def ngram_containment_pairs(
     Identical gram sets qualify in BOTH directions (two rows) — this is
     a verification primitive; symmetric near-dup consumers belong on
     ``ngram_jaccard_pairs``. ``containment`` is floor-truncated to 6
-    decimals (oracle-stable)."""
+    decimals (oracle-stable).
+
+    Grams are xxhash64-hashed up front, so every exchange (df counts,
+    the per-doc prefix sort, the inverted-index join) carries 8-byte
+    keys instead of ~30-byte strings — measured 4× on the bench corpus
+    — at the repo-wide 2⁻⁶⁴ set-collision tolerance (SURVEY §2.7); the
+    prefix bound is valid under ANY consistent global gram order, so
+    ordering by (df, hash) instead of (df, gram) changes which grams
+    fill a prefix but not the candidate-superset guarantee."""
     from fractions import Fraction
 
     frac = Fraction(tau).limit_denominator(1_000_000)
     num, den = frac.numerator, frac.denominator
 
     g = grams_df.select(
-        F.col(id_col).alias("doc_id"), F.col(grams_col).alias("grams")
+        F.col(id_col).alias("doc_id"),
+        F.transform(grams_col, lambda s: F.xxhash64(s)).alias("grams"),
     ).filter(F.size("grams") > 0)
 
     e = g.select(

@@ -305,6 +305,22 @@ def main() -> None:
         pairs.count()
         release_tracked()
 
+    # q3g: directed word-3-gram containment (Broder) over the SAME
+    # persisted distinct frame the winnow/substring queries consume —
+    # asymmetric prefix filter (contained side prefix-indexed, container
+    # side full inverted index, 8-byte hashed gram keys) + exact
+    # |A∩B|/|A| verify. On distinct docs the matches are the
+    # near-variant chains (suffix-appended copies contain their base),
+    # so output stays linear.
+    def _containment():
+        from deduplicatr_spark.functions.text import word_ngrams
+        from deduplicatr_spark.operators.ngram import ngram_containment_pairs
+
+        grams = distinct_docs.select(
+            "doc_id", word_ngrams(3, "content").alias("grams")
+        )
+        ngram_containment_pairs(grams, 0.9).count()
+
     # two interleaved passes over the whole group (see timed())
     for _pass in range(2):
         timed("exact_dedup", _exact)
@@ -317,6 +333,7 @@ def main() -> None:
         timed("incremental_assign", _inc)
         timed("repo_fork_pairs", _fork)
         timed("dir_fork_pairs", _dir_fork)
+        timed("ngram_containment", _containment)
     stats.unpersist()
     feats.unpersist()
     distinct_docs.unpersist()
@@ -461,20 +478,6 @@ def main() -> None:
         ).collect()
         release_tracked()
 
-    # q5f: directed word-3-gram containment (Broder) over the distinct
-    # corpus — asymmetric prefix filter (contained side prefix-indexed,
-    # container side full inverted index) + exact |A∩B|/|A| verify. On
-    # distinct docs the matches are the near-variant chains (suffix-
-    # appended copies contain their base), so output stays linear.
-    def _containment():
-        from deduplicatr_spark.functions.text import word_ngrams
-        from deduplicatr_spark.operators.ngram import ngram_containment_pairs
-
-        grams = distinct_docs.select(
-            "doc_id", word_ngrams(3, "content").alias("grams")
-        )
-        ngram_containment_pairs(grams, 0.9).count()
-
     # q5e: corpus-trained unigram LM scoring — vocab agg + count-back
     # join + per-doc reduction, exact-integer micro-nat aggregation
     def _unigram():
@@ -496,7 +499,6 @@ def main() -> None:
         timed("corpus_line_stats", _linedup)
         timed("line_dedup_strip", _strip)
         timed("unigram_logprob", _unigram)
-        timed("ngram_containment", _containment)
 
     # --- query group 3: embedding family (two interleaved passes) ---
 

@@ -74,6 +74,44 @@ def release_tracked() -> None:
         _TRACKED.pop().unpersist()
 
 
+def plan_bands(
+    tau: float,
+    n_hashes: int = 128,
+    min_recall: float = 0.99,
+    fp_jaccard: float | None = None,
+) -> tuple[int, int]:
+    """Pick ``(n_bands, band_rows)`` for a target Jaccard threshold —
+    the S-curve arithmetic behind the config defaults, exposed so a
+    deployment changing τ doesn't hand-tune banding.
+
+    Candidate-nomination probability at similarity J is
+    ``1 − (1 − J^r)^b`` (Leskovec-Rajaraman-Ullman, Mining of Massive
+    Datasets §3.4). Among the divisor pairs b×r = n_hashes, keep those
+    with recall(tau) ≥ min_recall and return the one MINIMIZING recall
+    at ``fp_jaccard`` (default tau/2) — i.e. the steepest S-curve that
+    still clears the recall floor, so band-key volume (b keys/doc) and
+    spurious-candidate volume are both as small as the floor allows.
+    Raises if no divisor pair reaches the floor (raise n_hashes)."""
+    if not 0.0 < tau < 1.0:
+        raise ValueError(f"tau must be in (0,1), got {tau}")
+    fp = tau / 2 if fp_jaccard is None else fp_jaccard
+
+    def recall(j: float, b: int, r: int) -> float:
+        return 1.0 - (1.0 - j**r) ** b
+
+    feasible = [
+        (b, n_hashes // b)
+        for b in range(1, n_hashes + 1)
+        if n_hashes % b == 0 and recall(tau, b, n_hashes // b) >= min_recall
+    ]
+    if not feasible:
+        raise ValueError(
+            f"no (bands, rows) split of {n_hashes} hashes reaches "
+            f"recall {min_recall} at tau={tau}; increase n_hashes"
+        )
+    return min(feasible, key=lambda br: (recall(fp, br[0], br[1]), br[0]))
+
+
 def explode_bands(features: DataFrame) -> DataFrame:
     """(doc_id, band_id, band_hash) — one row per non-null band."""
     return features.filter(F.col("band_hashes").isNotNull()).select(

@@ -129,13 +129,24 @@ def ngram_containment_pairs(
     fill a prefix but not the candidate-superset guarantee."""
     from fractions import Fraction
 
+    from deduplicatr_spark.operators.lsh import _track
+
     frac = Fraction(tau).limit_denominator(1_000_000)
     num, den = frac.numerator, frac.denominator
 
-    g = grams_df.select(
-        F.col(id_col).alias("doc_id"),
-        F.transform(grams_col, lambda s: F.xxhash64(s)).alias("grams"),
-    ).filter(F.size("grams") > 0)
+    # persisted: five plan branches scan this frame (df counts, the
+    # prefix index, the full inverted index, both verify sides) — an
+    # unpersisted gram extraction would re-tokenize the corpus per
+    # branch; tracked so bench/validate wrappers release it after the
+    # result materializes
+    g = _track(
+        grams_df.select(
+            F.col(id_col).alias("doc_id"),
+            F.transform(grams_col, lambda s: F.xxhash64(s)).alias("grams"),
+        )
+        .filter(F.size("grams") > 0)
+        .persist()
+    )
 
     e = g.select(
         "doc_id", F.size("grams").alias("sz"), F.explode("grams").alias("gram")

@@ -187,3 +187,24 @@ def test_band_slice_union_equals_full(spark):
             }
         assert sliced == full, op.__name__
     feats.unpersist()
+
+
+def test_plan_bands_scurve_planner():
+    """The banding planner must (a) derive exactly the config defaults
+    at the default τ, (b) respect the recall floor with the steepest
+    feasible curve, (c) fail loudly when no split reaches the floor."""
+    import pytest
+
+    from deduplicatr_spark.operators.lsh import plan_bands
+
+    # 32 bands × 4 rows at τ=0.7 — the shipped PipelineConfig defaults
+    assert plan_bands(0.7, 128) == (32, 4)
+
+    b, r = plan_bands(0.9, 128)
+    assert b * r == 128
+    rec = lambda j: 1 - (1 - j**r) ** b  # noqa: E731
+    assert rec(0.9) >= 0.99
+    assert rec(0.45) < 0.05  # steep: far-below-τ pairs rarely nominated
+
+    with pytest.raises(ValueError):
+        plan_bands(0.5, 2)

@@ -320,6 +320,7 @@ def main() -> None:
             "doc_id", word_ngrams(3, "content").alias("grams")
         )
         ngram_containment_pairs(grams, 0.9).count()
+        release_tracked()
 
     # two interleaved passes over the whole group (see timed())
     for _pass in range(2):

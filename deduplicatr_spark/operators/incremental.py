@@ -73,7 +73,10 @@ def band_bucket_stats(base_features: DataFrame) -> DataFrame:
 
 
 def fused_key_rows(
-    features: DataFrame, config: PipelineConfig, n_docs: int | None = None
+    features: DataFrame,
+    config: PipelineConfig,
+    n_docs: int | None = None,
+    band_slice: tuple[int, int] | None = None,
 ) -> DataFrame:
     """(doc_id, band_hash) in the FUSED key space: LSH band keys carry
     tag bit 0, SimHash pigeonhole keys tag bit 1 — ``shiftleft(k,1) +
@@ -86,13 +89,26 @@ def fused_key_rows(
     base sides — pin ``simhash_blocking`` to 'chunks' or 'combo' in the
     increment config ('auto' with unknown n_docs resolves to 'chunks'
     on both sides here, which is consistent but may differ from what a
-    huge batch index auto-picked)."""
+    huge batch index auto-picked).
+
+    ``band_slice=(g, n)`` keeps only keys whose RAW (pre-fold) value
+    falls in slice g of n — the batch pipeline's mid-stage s3 resume
+    granularity (slicing pre-fold keeps slices balanced per source and
+    every bucket wholly inside one slice). This is the ONLY place the
+    fold lives; the batch s3 stage and the incremental near path both
+    call it, so their key spaces cannot drift."""
     from deduplicatr_spark.operators.pigeonhole import simhash_keys_for
 
-    bands = explode_bands(features).select(
+    bands_raw = explode_bands(features).select("doc_id", "band_hash")
+    sims_raw = simhash_keys_for(features, config, n_docs)
+    if band_slice is not None:
+        g, n = band_slice
+        bands_raw = bands_raw.filter(F.pmod(F.col("band_hash"), F.lit(n)) == g)
+        sims_raw = sims_raw.filter(F.pmod(F.col("band_hash"), F.lit(n)) == g)
+    bands = bands_raw.select(
         "doc_id", F.shiftleft("band_hash", 1).alias("band_hash")
     )
-    sims = simhash_keys_for(features, config, n_docs).select(
+    sims = sims_raw.select(
         "doc_id", (F.shiftleft("band_hash", 1) + F.lit(1)).alias("band_hash")
     )
     return bands.unionByName(sims)

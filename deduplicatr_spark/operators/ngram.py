@@ -15,8 +15,63 @@ with the exact Jaccard.
 
 from __future__ import annotations
 
+from fractions import Fraction
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _hashed_sets(grams_df: DataFrame, id_col: str, grams_col: str) -> DataFrame:
+    """(doc_id, grams: array<long>) — input gram strings xxhash64-ed so
+    every downstream exchange (df counts, prefix sort, index joins,
+    verify arrays) carries 8-byte keys instead of ~30-byte strings
+    (measured 4–6× on the bench corpus), at the repo-wide 2⁻⁶⁴
+    set-collision tolerance (SURVEY §2.7). ``array_distinct`` guards
+    the SET precondition both operators' arithmetic relies on — with
+    multiplicity input (e.g. text.word_ngrams_all) the denominators
+    would count duplicates while array_intersect dedups, silently
+    deflating every similarity value."""
+    return grams_df.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(
+            F.transform(grams_col, lambda s: F.xxhash64(s))
+        ).alias("grams"),
+    ).filter(F.size("grams") > 0)
+
+
+def _exact_ceil(tau: float) -> tuple[int, int]:
+    """τ as an exact rational: the prefix bound |G| − ⌈τ|G|⌉ + 1 must
+    use integer arithmetic — double-precision ceil(τ·sz) can round up
+    when τ·sz is exactly integral but τ isn't binary-representable,
+    making the prefix one gram short and silently dropping qualifying
+    pairs."""
+    frac = Fraction(tau).limit_denominator(1_000_000)
+    return frac.numerator, frac.denominator
+
+
+def _prefix_index(e: DataFrame, num: int, den: int) -> DataFrame:
+    """(doc_id, gram) prefix rows: each doc's rarest
+    |G| − ⌈τ|G|⌉ + 1 grams under the global (df, gram) order —
+    ceil(sz·num/den) = (sz·num + den − 1) div den, exact on longs.
+    Shared by the Jaccard and containment operators so the bound
+    arithmetic cannot drift between them."""
+    df_counts = e.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        e.join(df_counts, "gram")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "gram")
+            ),
+        )
+        .filter(
+            F.col("rk")
+            <= F.col("sz")
+            - F.expr(f"(sz * {num}L + {den - 1}L) div {den}L")
+            + 1
+        )
+        .select("doc_id", "gram")
+    )
 
 
 def ngram_jaccard_pairs(
@@ -28,40 +83,21 @@ def ngram_jaccard_pairs(
     """(doc_id, grams: array<string>) → (doc_a, doc_b, jaccard ≥ τ).
 
     ``jaccard`` is floor-truncated to 6 decimals (oracle-stable).
-    """
-    from fractions import Fraction
+    Grams are hashed to 8-byte keys up front (``_hashed_sets``) — the
+    prefix bound holds under any consistent global gram order, so
+    ordering by (df, hash) instead of (df, gram) changes which grams
+    fill a prefix but not the candidate-superset guarantee."""
+    from deduplicatr_spark.operators.lsh import _track
 
-    # exact rational τ: the prefix bound |G| - ceil(τ|G|) + 1 must use
-    # integer arithmetic — double-precision ceil(τ·sz) can round up when
-    # τ·sz is exactly integral but τ isn't binary-representable, making
-    # the prefix one gram short and silently dropping qualifying pairs
-    frac = Fraction(tau).limit_denominator(1_000_000)
-    num, den = frac.numerator, frac.denominator
+    num, den = _exact_ceil(tau)
+    # persisted: df counts, the prefix index and both verify sides scan
+    # this frame; tracked so bench/validate wrappers release it
+    g = _track(_hashed_sets(grams_df, id_col, grams_col).persist())
 
-    g = grams_df.select(
-        F.col(id_col).alias("doc_id"), F.col(grams_col).alias("grams")
-    ).filter(F.size("grams") > 0)
-
-    e = g.select("doc_id", F.size("grams").alias("sz"), F.explode("grams").alias("gram"))
-    df_counts = e.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
-    ranked = (
-        e.join(df_counts, "gram")
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("doc_id").orderBy("df", "gram")
-            ),
-        )
-        # prefix length |G| - ceil(τ|G|) + 1 (Jaccard prefix bound);
-        # ceil(sz·num/den) = (sz·num + den − 1) div den, exact on longs
-        .filter(
-            F.col("rk")
-            <= F.col("sz")
-            - F.expr(f"(sz * {num}L + {den - 1}L) div {den}L")
-            + 1
-        )
-        .select("doc_id", "gram")
+    e = g.select(
+        "doc_id", F.size("grams").alias("sz"), F.explode("grams").alias("gram")
     )
+    ranked = _prefix_index(e, num, den)
     cand = (
         ranked.alias("a")
         .join(
@@ -120,55 +156,25 @@ def ngram_containment_pairs(
     ``ngram_jaccard_pairs``. ``containment`` is floor-truncated to 6
     decimals (oracle-stable).
 
-    Grams are xxhash64-hashed up front, so every exchange (df counts,
-    the per-doc prefix sort, the inverted-index join) carries 8-byte
-    keys instead of ~30-byte strings — measured 4× on the bench corpus
-    — at the repo-wide 2⁻⁶⁴ set-collision tolerance (SURVEY §2.7); the
-    prefix bound is valid under ANY consistent global gram order, so
-    ordering by (df, hash) instead of (df, gram) changes which grams
-    fill a prefix but not the candidate-superset guarantee."""
-    from fractions import Fraction
-
+    Grams are hashed to 8-byte keys up front (``_hashed_sets``, 4–6×
+    measured on the bench corpus); the prefix bound is valid under ANY
+    consistent global gram order, so ordering by (df, hash) instead of
+    (df, gram) changes which grams fill a prefix but not the
+    candidate-superset guarantee."""
     from deduplicatr_spark.operators.lsh import _track
 
-    frac = Fraction(tau).limit_denominator(1_000_000)
-    num, den = frac.numerator, frac.denominator
-
+    num, den = _exact_ceil(tau)
     # persisted: five plan branches scan this frame (df counts, the
     # prefix index, the full inverted index, both verify sides) — an
     # unpersisted gram extraction would re-tokenize the corpus per
     # branch; tracked so bench/validate wrappers release it after the
     # result materializes
-    g = _track(
-        grams_df.select(
-            F.col(id_col).alias("doc_id"),
-            F.transform(grams_col, lambda s: F.xxhash64(s)).alias("grams"),
-        )
-        .filter(F.size("grams") > 0)
-        .persist()
-    )
+    g = _track(_hashed_sets(grams_df, id_col, grams_col).persist())
 
     e = g.select(
         "doc_id", F.size("grams").alias("sz"), F.explode("grams").alias("gram")
     )
-    df_counts = e.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
-    prefix = (
-        e.join(df_counts, "gram")
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("doc_id").orderBy("df", "gram")
-            ),
-        )
-        # containment prefix bound |G| - ceil(τ|G|) + 1, exact on longs
-        .filter(
-            F.col("rk")
-            <= F.col("sz")
-            - F.expr(f"(sz * {num}L + {den - 1}L) div {den}L")
-            + 1
-        )
-        .select("doc_id", "gram")
-    )
+    prefix = _prefix_index(e, num, den)
     full = e.select(F.col("doc_id").alias("container_id"), "gram")
     cand = (
         prefix.join(full, "gram")

@@ -36,11 +36,10 @@ from deduplicatr_spark.functions.hashing import normalized
 from deduplicatr_spark.operators.connected_components import connected_components
 from deduplicatr_spark.operators.exact import exact_canonical, with_identity
 from deduplicatr_spark.operators.lsh import (
-    explode_bands,
     keyed_candidate_pairs,
     release_tracked,
 )
-from deduplicatr_spark.operators.pigeonhole import hamming_verify, simhash_keys_for
+from deduplicatr_spark.operators.pigeonhole import hamming_verify
 from deduplicatr_spark.operators.verify import verify_pairs
 from deduplicatr_spark.sources.catalog import CheckpointStore
 
@@ -168,32 +167,19 @@ class DedupPipeline:
             # tag bit folded into the key (shiftleft+tag keeps buckets
             # single-source), so the size agg, hot-bucket thinning,
             # range shuffle, sort and pairgen each run ONCE instead of
-            # once per source. dedupe=False: the source-merging groupBy
-            # below collapses duplicate pairs map-side in the same
-            # shuffle a standalone distinct() would need anyway.
-            lsh_keyed = explode_bands(features).select("doc_id", "band_hash")
-            # 'auto' blocking resolves from the s2 row count — free, the
-            # stage marker already holds it (no extra Spark job)
-            sim_keyed = simhash_keys_for(
-                features, cfg, n_docs=store.rows("s2_features")
-            )
-            if band_slice is not None:
-                # slice on the RAW key per source (pre-fold) so slices
-                # stay balanced; every bucket still lives in one slice
-                g, n = band_slice
-                lsh_keyed = lsh_keyed.filter(
-                    F.pmod(F.col("band_hash"), F.lit(n)) == g
-                )
-                sim_keyed = sim_keyed.filter(
-                    F.pmod(F.col("band_hash"), F.lit(n)) == g
-                )
-            folded = lsh_keyed.select(
-                "doc_id", F.shiftleft("band_hash", 1).alias("band_hash")
-            ).unionByName(
-                sim_keyed.select(
-                    "doc_id",
-                    (F.shiftleft("band_hash", 1) + F.lit(1)).alias("band_hash"),
-                )
+            # once per source. The fold lives in fused_key_rows (the
+            # incremental near path joins against this exact key space
+            # — one construction site, no drift). 'auto' blocking
+            # resolves from the s2 row count — free, the stage marker
+            # already holds it. dedupe=False: the source-merging
+            # groupBy below collapses duplicate pairs map-side in the
+            # same shuffle a standalone distinct() would need anyway.
+            from deduplicatr_spark.operators.incremental import fused_key_rows
+
+            folded = fused_key_rows(
+                features, cfg,
+                n_docs=store.rows("s2_features"),
+                band_slice=band_slice,
             )
             pairs, drops = keyed_candidate_pairs(
                 folded, cfg, n_sources=2, dedupe=False
@@ -237,7 +223,11 @@ class DedupPipeline:
                     else:
                         metrics.append(rec)
 
-        sliced_s3 = cfg.resume_groups > 1
+        # slice-granular s3 resume exists only on the parquet store —
+        # get_or_compute_sliced falls back to compute_full on Iceberg
+        # (catalog.py), so treating that case as sliced would pay the
+        # cross-slice distinct() below for duplicates that cannot exist
+        sliced_s3 = cfg.resume_groups > 1 and cfg.checkpoint_format != "iceberg"
         def _cand_stage():
             if sliced_s3:
                 # mid-stage resume for candidate generation: slices are
@@ -323,8 +313,11 @@ class DedupPipeline:
             # the round tables exist only to replay a killed CC loop;
             # once s5_clusters has committed they are garbage — drop
             # them so long runs don't accumulate cc_max_iters edge
-            # tables of disk + marker/lineage metadata
-            for it in range(cfg.cc_max_iters):
+            # tables of disk + marker/lineage metadata. Round indices
+            # run 0..cc_max_iters INCLUSIVE (round 0 is the initial
+            # edge set; connected_components increments before each
+            # checkpoint), hence the +1.
+            for it in range(cfg.cc_max_iters + 1):
                 store.delete(f"s5_cc_round{it:02d}")
 
         def _assign():

@@ -273,10 +273,12 @@ def main() -> None:
     # q3e: repo-level fork detection — the corpus re-keyed into ~1k
     # synthetic repos plus a ~90%-file-overlap fork of each (every
     # fork pair clears τ=0.8; cross-repo pairs don't, since paths are
-    # hash-scattered): measures sha256 identity + the pure-JVM
-    # min-aggregate signature + bucket core + exact set-Jaccard verify
-    # at full corpus width. Repeat-safe: nothing is cached but the
-    # input corpus.
+    # hash-scattered): measures the pure-JVM min-aggregate signature +
+    # bucket core + exact set-Jaccard verify at full corpus width. The
+    # identity frame is PRECOMPUTED like q3d's bucket stats — in
+    # production fork detection reads the checkpointed s1 identity, so
+    # re-timing sha256-over-content here would double-charge the exact
+    # stage already measured by q1.
     fork_rid = F.pmod(F.xxhash64("path"), F.lit(1024)).cast("string")
     fork_base = corpus.withColumn("repo", F.concat(F.lit("r"), fork_rid))
     fork_input = fork_base.unionByName(
@@ -284,11 +286,11 @@ def main() -> None:
             F.pmod(F.xxhash64("path", F.lit(7)), F.lit(10)) != 0
         ).withColumn("repo", F.concat(F.lit("f"), fork_rid))
     )
+    fork_ident = with_identity(fork_input).select("repo", "path", "sha256").persist()
+    fork_ident.count()
 
     def _fork():
-        pairs, _ = repo_fork_pairs(
-            with_identity(fork_input), BENCH_CONFIG, tau=0.8
-        )
+        pairs, _ = repo_fork_pairs(fork_ident, BENCH_CONFIG, tau=0.8)
         pairs.count()
         release_tracked()
 
@@ -299,9 +301,7 @@ def main() -> None:
     # anti-joins. Fork roots clear τ, so their lang-dir alignments must
     # be suppressed down to ~one maximal pair per (r, f) repo pair.
     def _dir_fork():
-        pairs, _ = dir_fork_pairs(
-            with_identity(fork_input), BENCH_CONFIG, tau=0.8
-        )
+        pairs, _ = dir_fork_pairs(fork_ident, BENCH_CONFIG, tau=0.8)
         pairs.count()
         release_tracked()
 
@@ -336,6 +336,7 @@ def main() -> None:
         timed("dir_fork_pairs", _dir_fork)
         timed("ngram_containment", _containment)
     stats.unpersist()
+    fork_ident.unpersist()
     feats.unpersist()
     distinct_docs.unpersist()
     spark.catalog.clearCache()

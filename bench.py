@@ -289,9 +289,42 @@ def main() -> None:
     fork_ident = with_identity(fork_input).select("repo", "path", "sha256").persist()
     fork_ident.count()
 
+    # planted truth, computed EXACTLY (untimed): f{k}'s distinct-hash
+    # set is a subset of r{k}'s by construction, so the pair's true
+    # Jaccard is |f|/|r| — count the suffixes where that clears τ (at
+    # full scale ~all 1024; at smoke scales small repos legitimately
+    # fall under τ and must not count as misses)
+    _sets = fork_ident.select(
+        F.substring("repo", 1, 1).alias("s"),
+        F.expr("substring(repo, 2)").alias("k"),
+        F.xxhash64("sha256").alias("fh"),
+    ).distinct()
+    _per = _sets.groupBy("k").agg(
+        F.sum((F.col("s") == "r").cast("long")).alias("nr"),
+        F.sum((F.col("s") == "f").cast("long")).alias("nf"),
+    )
+    fork_truth_n = _per.filter(
+        (F.col("nf") > 0)
+        & (F.col("nf").cast("double") / F.col("nr").cast("double") >= 0.8)
+    ).count()
+    fork_metrics: dict[str, float] = {}
+
     def _fork():
         pairs, _ = repo_fork_pairs(fork_ident, BENCH_CONFIG, tau=0.8)
-        pairs.count()
+        row = pairs.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (
+                    (F.substring("repo_a", 1, 1) == "f")
+                    & (F.substring("repo_b", 1, 1) == "r")
+                    & (F.expr("substring(repo_a, 2)")
+                       == F.expr("substring(repo_b, 2)"))
+                ).cast("long")
+            ).alias("hit"),
+        ).collect()[0]
+        fork_metrics["fork_pair_recall"] = round(
+            (row["hit"] or 0) / max(fork_truth_n, 1), 5
+        )
         release_tracked()
 
     # q3f: subtree fork detection over the same re-keyed corpus — every
@@ -625,6 +658,7 @@ def main() -> None:
                 "pipeline_runs_s": pipeline_runs,
                 "query_runs": all_runs,
                 "dup_pair_recall": round(recall, 5),
+                "fork_pair_recall": fork_metrics.get("fork_pair_recall"),
                 "cpus": cpus,
                 "mult": mult,
                 "config_hash": BENCH_CONFIG.config_hash,

@@ -930,6 +930,22 @@ def _q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_lsh_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic LSH parameter planner (plans/lsh_planner.py): every
+    (bands, rows) factorization of the 128-hash signature with its
+    closed-form S-curve recall floor at τ=0.7, background collision
+    probability at s=0.3, curve midpoint, and band-exchange key price;
+    `chosen` marks the min-fp factorization meeting recall ≥ 0.99 —
+    which IS the pinned 32×4 production config, making the north rule's
+    "recall ≥0.99 at the pinned signature config" a provable property,
+    not an empirical accident. Corpus-independent (pure Catalyst math
+    on a 9-row range); the oracle replays the same closed forms and
+    ranking algebra in SQL."""
+    from deduplicatr_spark.plans.lsh_planner import lsh_plan
+
+    return lsh_plan(spark, n_hashes=128, tau=0.70, target_recall=0.99, s_bg=0.30)
+
+
 def _q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real subword (BPE) tokenization (functions/bpe.py): fixture-
     vocab greedy merges applied in rank order, flat-batched per Arrow
@@ -1986,6 +2002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": _q_lsh_topk,
         "ivf_topk": _q_ivf_topk,
         "kmeans_cells": _q_kmeans_cells,
+        "lsh_plan": _q_lsh_plan,
         "bpe_token_stats": _q_bpe_token_stats,
         "multimodal_meta": _q_multimodal_meta,
         "image_phash_pairs": _q_image_phash_pairs,
@@ -3314,6 +3331,37 @@ SELECT vec_id,
        CAST(min(vec_id) OVER (PARTITION BY vec_id % 8) AS BIGINT)
          AS cluster_rep
 FROM embeddings
+""",
+        "lsh_plan": """
+WITH b AS (
+  SELECT CAST(x AS BIGINT) AS n_bands
+  FROM generate_series(1, 128) t(x) WHERE 128 % x = 0
+), g AS (
+  SELECT n_bands,
+         CAST(128 // n_bands AS BIGINT) AS band_rows,
+         n_bands AS keys_per_doc,
+         1 - pow(1 - pow(0.70, 128.0 / n_bands),
+                 CAST(n_bands AS DOUBLE)) AS recall_raw,
+         1 - pow(1 - pow(0.30, 128.0 / n_bands),
+                 CAST(n_bands AS DOUBLE)) AS fp_raw,
+         pow(1.0 / n_bands, n_bands / 128.0) AS s_star_raw
+  FROM b
+), m AS (
+  SELECT *, recall_raw >= 0.99 AS meets_target FROM g
+), r AS (
+  SELECT *, row_number() OVER (
+    ORDER BY meets_target DESC,
+             CASE WHEN meets_target THEN fp_raw
+                  ELSE -recall_raw END ASC,
+             n_bands ASC) AS rk
+  FROM m
+)
+SELECT n_bands, band_rows, keys_per_doc,
+       floor(recall_raw * 1e6) / 1e6 AS recall_at_tau,
+       floor(fp_raw * 1e6) / 1e6 AS fp_at_bg,
+       floor(s_star_raw * 1e6) / 1e6 AS s_star,
+       meets_target, rk = 1 AS chosen
+FROM r
 """,
         "semdedup_prune": """
 WITH base AS (

@@ -69,6 +69,21 @@ class DedupPipeline:
         t0 = time.time()
         metrics: list[dict] = []
 
+        # analytic recall floor of the pinned signature config (plans/
+        # lsh_planner.py) — stamped per run so the lineage of every
+        # checkpoint root records WHY this (bands, rows) meets the north
+        # rule's recall>=0.99, not just that a bench once measured it
+        from deduplicatr_spark.plans.lsh_planner import check_config_recall
+
+        plan_row = check_config_recall(self.spark, cfg)
+        metrics.append({
+            "stage": "s0_plan", "kind": "lsh_plan",
+            "recall_floor_at_tau": plan_row["recall_at_tau"],
+            "fp_at_bg": plan_row["fp_at_bg"],
+            "keys_per_doc": plan_row["keys_per_doc"],
+            "is_planner_choice": plan_row["is_planner_choice"],
+        })
+
         def timed(name: str, fn):
             """Driver-observed wall per stage (includes job scheduling +
             checkpoint commit, which lineage wall_ms alone understates) —

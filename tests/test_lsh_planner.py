@@ -1,0 +1,85 @@
+"""LSH parameter planner: closed-form values vs numpy, pinned-config
+optimality, S-curve monotonicity."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from deduplicatr_spark.config import PINNED
+from deduplicatr_spark.plans.lsh_planner import check_config_recall, lsh_plan
+
+
+def _np_curve(b: int, r: int, s: float) -> float:
+    return 1.0 - (1.0 - s**r) ** b
+
+
+def test_grid_matches_numpy_closed_form(spark):
+    rows = {
+        row["n_bands"]: row
+        for row in lsh_plan(spark, n_hashes=128, tau=0.7, s_bg=0.3).collect()
+    }
+    assert sorted(rows) == [1, 2, 4, 8, 16, 32, 64, 128]
+    for b, row in rows.items():
+        r = 128 // b
+        assert row["band_rows"] == r
+        assert row["keys_per_doc"] == b
+        assert row["recall_at_tau"] == pytest.approx(_np_curve(b, r, 0.7), abs=1e-6)
+        assert row["fp_at_bg"] == pytest.approx(_np_curve(b, r, 0.3), abs=1e-6)
+        assert row["s_star"] == pytest.approx((1 / b) ** (1 / r), abs=1e-6)
+
+
+def test_pinned_config_is_planner_choice(spark):
+    # the frozen 32x4 @ tau=0.7 config must be the analytic optimum:
+    # minimal-b factorization whose recall floor clears 0.99
+    chosen = [
+        row
+        for row in lsh_plan(
+            spark,
+            n_hashes=PINNED.n_hashes,
+            tau=PINNED.jaccard_tau,
+            target_recall=0.99,
+        ).collect()
+        if row["chosen"]
+    ]
+    assert len(chosen) == 1
+    assert chosen[0]["n_bands"] == PINNED.n_bands == 32
+    assert chosen[0]["band_rows"] == PINNED.band_rows == 4
+    assert chosen[0]["meets_target"]
+    assert chosen[0]["recall_at_tau"] >= 0.99
+
+    summary = check_config_recall(spark, PINNED)
+    assert summary["is_planner_choice"]
+    assert summary["recall_at_tau"] >= 0.99
+
+
+def test_recall_and_fp_monotone_in_bands(spark):
+    # at fixed signature width, more bands => shorter rows => the
+    # S-curve shifts left: both recall and background fp rise
+    got = sorted(
+        lsh_plan(spark, n_hashes=64, tau=0.6, s_bg=0.25).collect(),
+        key=lambda row: row["n_bands"],
+    )
+    recalls = [row["recall_at_tau"] for row in got]
+    fps = [row["fp_at_bg"] for row in got]
+    assert recalls == sorted(recalls)
+    assert fps == sorted(fps)
+    assert all(row["s_star"] <= 1.0 for row in got)
+
+
+def test_infeasible_target_falls_back_to_max_recall(spark):
+    # width 4, tau 0.2: even 4 bands x 1 row gives recall
+    # 1-(0.8)^4 = 0.5904 < 0.99 — chosen must be the max-recall row
+    rows = lsh_plan(spark, n_hashes=4, tau=0.2, target_recall=0.99).collect()
+    assert not any(row["meets_target"] for row in rows)
+    chosen = [row for row in rows if row["chosen"]]
+    assert len(chosen) == 1
+    best = max(rows, key=lambda row: row["recall_at_tau"])
+    assert chosen[0]["n_bands"] == best["n_bands"] == 4
+
+
+def test_bad_band_count_raises(spark):
+    from dataclasses import replace
+
+    with pytest.raises(ValueError):
+        check_config_recall(spark, replace(PINNED, n_bands=5))

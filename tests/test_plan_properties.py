@@ -1,0 +1,127 @@
+"""CI-gated physical-plan invariants.
+
+tools/explain_plans.py asserts plan shapes while regenerating PLANS.md,
+but that script only runs when someone remembers to run it. These tests
+put the load-bearing plan properties under pytest so a regression (an
+accidental row-wise Python UDF, a join that degrades to a cartesian
+product, a lost partial top-k) fails the suite, not a future bench.
+
+Plan-only: every assertion reads `explain` output; nothing executes
+beyond tiny driver-side frames.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from deduplicatr_spark.operators.exact import exact_canonical, with_identity
+from deduplicatr_spark.operators.rollup import dir_rollup
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_jvm_only_operators_have_no_python_eval(spark, tiny_docs):
+    """North-rule clause "zero per-row Python": the exact stage, the dir
+    rollup and the span cutter are pure-JVM by design — any *EvalPython
+    or MapInPandas node appearing in their plans is a regression.
+    (Feature/codec stages legitimately use ArrowEvalPython/MapInPandas;
+    BatchEvalPython — row-at-a-time Python — is banned everywhere.)"""
+    ident = with_identity(tiny_docs)
+    for name, df in [
+        ("with_identity", ident),
+        ("exact_canonical", exact_canonical(ident.select("doc_id", "sha256", "size"))),
+        ("dir_rollup", dir_rollup(ident)),
+    ]:
+        plan = _plan(df)
+        assert "EvalPython" not in plan, f"{name}: Python eval node in a JVM-only plan"
+        assert "MapInPandas" not in plan, f"{name}: pandas stage in a JVM-only plan"
+
+
+def test_span_removal_is_pure_jvm(spark, tiny_docs):
+    from deduplicatr_spark.operators.span_removal import remove_spans
+
+    docs = tiny_docs.limit(8).select(
+        F.col("path").alias("doc_id"), F.col("content").alias("text")
+    )
+    spans = docs.select(
+        "doc_id", F.lit(0).alias("start"), F.lit(4).alias("length")
+    )
+    plan = _plan(remove_spans(docs, spans))
+    assert "EvalPython" not in plan
+    assert "MapInPandas" not in plan
+
+
+def test_no_batch_eval_python_in_feature_stage(spark, tiny_docs):
+    """The feature UDF must be the Arrow-vectorized form
+    (ArrowEvalPython), never row-at-a-time BatchEvalPython."""
+    from deduplicatr_spark.config import PINNED
+    from deduplicatr_spark.functions.features import features_udf
+    from deduplicatr_spark.functions.hashing import normalized
+
+    feats = (
+        with_identity(tiny_docs)
+        .withColumn("_norm", normalized(F.col("content")))
+        .select("doc_id", features_udf(PINNED)("_norm").alias("f"))
+    )
+    plan = _plan(feats)
+    assert "BatchEvalPython" not in plan, "feature UDF fell back to row-wise Python"
+    assert "ArrowEvalPython" in plan, "feature UDF is no longer Arrow-vectorized"
+
+
+def test_brute_force_topk_keeps_window_group_limit(spark):
+    """Spark's WindowGroupLimit partial top-k is what keeps the exact
+    baseline's scored-row exchange at k rows per (query, partition)
+    instead of corpus-sized (round-3 verdict task #7)."""
+    from deduplicatr_spark.operators.topk import brute_force_topk
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(32)], "vec_id long, embedding array<double>"
+    )
+    plan = _plan(brute_force_topk(emb, emb.filter(F.col("vec_id") < 2), k=3))
+    assert "WindowGroupLimit" in plan, "brute_force_topk lost WindowGroupLimit"
+
+
+def test_fork_pairs_plan_has_no_allpairs_join(spark, tiny_docs):
+    """The fork operators must never degrade to an all-pairs plan —
+    no CartesianProduct / BroadcastNestedLoopJoin (the
+    LICENSE-in-every-repo join bomb), and the file-set signature must
+    stay a (map-side-combined) hash aggregate."""
+    from deduplicatr_spark.config import PINNED
+    from deduplicatr_spark.operators.fork_dedup import repo_fork_pairs
+
+    pairs, _drops = repo_fork_pairs(with_identity(tiny_docs), PINNED, tau=0.8)
+    plan = _plan(pairs)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_lsh_planner_is_pure_catalyst(spark):
+    from deduplicatr_spark.plans.lsh_planner import lsh_plan
+
+    plan = _plan(lsh_plan(spark))
+    assert "EvalPython" not in plan
+    assert "MapInPandas" not in plan
+
+
+def test_scan_filter_pushes_predicates(spark, tmp_path):
+    """Parquet scans must receive pushed filters and a pruned schema —
+    a scan reading all columns for a 2-column projection is wrong at
+    any scale (round-1 invariant, kept under CI here)."""
+    p = str(tmp_path / "t.parquet")
+    spark.range(100).select(
+        F.col("id"), (F.col("id") * 2).alias("v"), F.lit("x").alias("pad")
+    ).write.mode("overwrite").parquet(p)
+    df = spark.read.parquet(p).filter(F.col("id") > 10).select("id", "v")
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(id), GreaterThan(id,10)]" in plan
+    assert "pad" not in plan.split("ReadSchema")[-1]

@@ -1,0 +1,98 @@
+"""One-off stage-cost profile of ngram_containment_pairs at bench scale.
+
+Mirrors the dir_fork profile recorded in BENCH/BASELINE.md: build the
+bench's distinct-doc frame, then time each plan stage with persisted
+counts so stage boundaries are real materializations.
+
+Usage: python tools/profile_containment.py [mult]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from bench import amplified_corpus  # noqa: E402
+from deduplicatr_spark.functions.text import word_ngrams  # noqa: E402
+from deduplicatr_spark.operators.ngram import (  # noqa: E402
+    _exact_ceil,
+    _hashed_sets,
+    _prefix_index,
+)
+from deduplicatr_spark.session import build_session  # noqa: E402
+
+MULT = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+SF = "/root/testdata/sf0.1"
+TAU = 0.9
+
+
+def main() -> None:
+    spark = build_session(
+        "profile_containment", master="local[32]", shuffle_partitions=32
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    corpus = amplified_corpus(spark, SF, MULT).persist()
+    n = corpus.count()
+    distinct_docs = (
+        corpus.dropDuplicates(["content"])
+        .select(F.xxhash64("repo", "path", "commit").alias("doc_id"), "content")
+        .persist()
+    )
+    nd = distinct_docs.count()
+    print(f"corpus={n} distinct={nd}")
+
+    grams_df = distinct_docs.select(
+        "doc_id", word_ngrams(3, "content").alias("grams")
+    )
+    num, den = _exact_ceil(TAU)
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        print(f"{name:28s} {time.time() - t0:7.2f}s  {out}")
+        return out
+
+    g = _hashed_sets(grams_df, "doc_id", "grams").persist()
+    timed("s1 gram sets (persist)", lambda: f"{g.count()} docs")
+
+    e = g.select(
+        "doc_id", F.size("grams").alias("sz"), F.explode("grams").alias("gram")
+    ).persist()
+    timed("s2 explode (persist)", lambda: f"{e.count()} gram rows")
+
+    dfc = e.groupBy("gram").agg(F.count(F.lit(1)).alias("df")).persist()
+    timed("s3 df counts", lambda: f"{dfc.count()} distinct grams")
+
+    prefix = _prefix_index(e, num, den).persist()
+    timed("s4 prefix index (join+win)", lambda: f"{prefix.count()} prefix rows")
+
+    full = e.select(F.col("doc_id").alias("container_id"), "gram")
+    cand = (
+        prefix.join(full, "gram")
+        .filter(F.col("doc_id") != F.col("container_id"))
+        .select("doc_id", "container_id")
+        .distinct()
+        .persist()
+    )
+    timed("s5 candidates", lambda: f"{cand.count()} candidate pairs")
+
+    ga = g.select("doc_id", F.col("grams").alias("_ga"))
+    gb = g.select(F.col("doc_id").alias("container_id"), F.col("grams").alias("_gb"))
+    inter = F.size(F.array_intersect("_ga", "_gb")).cast("double")
+    cont = F.floor(inter / F.size("_ga").cast("double") * 1000000) / F.lit(1000000.0)
+    ver = (
+        cand.join(ga, "doc_id")
+        .join(gb, "container_id")
+        .withColumn("containment", cont)
+        .filter(F.col("containment") >= TAU)
+    )
+    timed("s6 exact verify", lambda: f"{ver.count()} pairs out")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

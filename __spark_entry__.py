@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from deduplicatr_spark.config import PipelineConfig
 from deduplicatr_spark.functions import text as TXT
 from deduplicatr_spark.functions.features import features_udf
+from deduplicatr_spark.functions.code import duckdb_abstract_case
 from deduplicatr_spark.functions.hashing import normalized
 from deduplicatr_spark.functions.multimodal import extract_meta, to_binary_docs
 from deduplicatr_spark.operators.connected_components import connected_components
@@ -1461,6 +1462,10 @@ def _q_simhash_weighted_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stage's oversize-exclusion bound so every derived twin stays eligible
 _SUB_TRUTH_MAX_B = ENTRY_CONFIG.substring_max_doc_bytes - 64
 
+# DuckDB replay of abstract_code_tokens, generated from the engine's own
+# pattern constants (functions/code.py) — single source of truth
+_T2_ABSTRACT_SQL = duckdb_abstract_case("content", "lang")
+
 
 def _substring_truth(
     spark: SparkSession, sf_dir: str, min_chars: int | None = None
@@ -1567,6 +1572,75 @@ def _q_comment_stripped_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ext = c.unionByName(v_java).unionByName(v_py)
     key = F.sha2(normalized(strip_code_comments("content", "lang")), 256)
+    w = Window.partitionBy(key)
+    return ext.select(
+        "doc_id",
+        F.min("doc_id").over(w).alias("canonical_id"),
+        F.count(F.lit(1)).over(w).cast("long").alias("group_size"),
+    )
+
+
+def _q_type2_clone_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 clone grouping (CCFinder, Kamiya et al. TSE 2002): copies
+    identical up to identifier NAMES, literal VALUES, whitespace and
+    comments must land in one group — the renamed-fork axis that
+    comment stripping alone cannot see. Clone pairs are PLANTED as
+    renamed twins sharing a per-doc structural skeleton
+    (``translate(bin(doc_id),'01','()')`` — injective, so pairs never
+    cross-merge): a Python pair on doc_id%5==2 (different function /
+    arg names, different numeric + string literals, one side carries a
+    comment) and a Java pair on doc_id%7==3 (different variable names
+    and literals, one side a block comment). Prose corpus langs pass
+    through with minimal normalization and keep their exact-dup
+    structure. Grouping = min-id window over sha256 of the abstracted
+    stream (functions/code.py abstract_code_tokens); the oracle replays
+    the identical generated regex chain (duckdb_abstract_case), so any
+    pass-order, sentinel or boundary-semantics drift goes red on every
+    code row."""
+    from deduplicatr_spark.functions.code import abstract_code_tokens
+
+    c = _corpus(spark, sf_dir).select("doc_id", "content", "lang")
+    base = c.filter(F.col("doc_id") < 1000000)
+    skel = F.translate(F.bin(F.col("doc_id")), "01", "()")
+    py = base.filter(F.col("doc_id") % 5 == 2)
+    va = py.select(
+        (F.col("doc_id") + 11000000).alias("doc_id"),
+        F.concat(
+            F.lit("def alpha_"), F.col("doc_id").cast("string"),
+            F.lit('(aa, bb):  # note\n    return aa + bb * 37 + "lit A"  '),
+            skel,
+        ).alias("content"),
+        F.lit("python").alias("lang"),
+    )
+    vb = py.select(
+        (F.col("doc_id") + 12000000).alias("doc_id"),
+        F.concat(
+            F.lit("def beta_"), F.col("doc_id").cast("string"),
+            F.lit("(xx, yy):\n    return xx + yy * 9000 + 'B'  "),
+            skel,
+        ).alias("content"),
+        F.lit("python").alias("lang"),
+    )
+    jv = base.filter(F.col("doc_id") % 7 == 3)
+    vc = jv.select(
+        (F.col("doc_id") + 13000000).alias("doc_id"),
+        F.concat(
+            F.lit("int q"), F.col("doc_id").cast("string"),
+            F.lit(' = 5; /* c */ String sA = "x"; { '),
+            skel, F.lit(" }"),
+        ).alias("content"),
+        F.lit("java").alias("lang"),
+    )
+    vd = jv.select(
+        (F.col("doc_id") + 14000000).alias("doc_id"),
+        F.concat(
+            F.lit('int zz = 12345; String other = "yyy"; { '),
+            skel, F.lit(" }"),
+        ).alias("content"),
+        F.lit("java").alias("lang"),
+    )
+    ext = c.unionByName(va).unionByName(vb).unionByName(vc).unionByName(vd)
+    key = F.sha2(abstract_code_tokens("content", "lang"), 256)
     w = Window.partitionBy(key)
     return ext.select(
         "doc_id",
@@ -2019,6 +2093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_pairs": _q_substring_pairs,
         "duplicate_span_removal": _q_duplicate_span_removal,
         "comment_stripped_dups": _q_comment_stripped_dups,
+        "type2_clone_groups": _q_type2_clone_groups,
         "incremental_assign": _q_incremental_assign,
         "cluster_representatives": _q_cluster_representatives,
         "stratified_sample": _q_stratified_sample,
@@ -3184,6 +3259,47 @@ SELECT doc_id, doc_id + 4000000, l FROM s_mirror
   SELECT doc_id,
          sha256(trim(regexp_replace(sc, '\\s+', ' ', 'g'))) AS key
   FROM st
+)
+SELECT doc_id,
+       CAST(min(doc_id) OVER (PARTITION BY key) AS BIGINT) AS canonical_id,
+       CAST(count(*) OVER (PARTITION BY key) AS BIGINT) AS group_size
+FROM k
+""",
+        # the abstraction CASE is GENERATED from the same pattern
+        # constants the Spark column uses (functions/code.py
+        # duckdb_abstract_case) — oracle and engine cannot drift
+        "type2_clone_groups": CORPUS_SQL + """
+, ext AS (
+  SELECT doc_id, content, lang FROM corpus
+  UNION ALL
+  SELECT doc_id + 11000000,
+         'def alpha_' || CAST(doc_id AS VARCHAR) || '(aa, bb):  # note'
+           || chr(10) || '    return aa + bb * 37 + "lit A"  '
+           || translate(bin(doc_id), '01', '()'),
+         'python'
+  FROM corpus WHERE doc_id < 1000000 AND doc_id % 5 = 2
+  UNION ALL
+  SELECT doc_id + 12000000,
+         'def beta_' || CAST(doc_id AS VARCHAR) || '(xx, yy):' || chr(10)
+           || '    return xx + yy * 9000 + ''B''  '
+           || translate(bin(doc_id), '01', '()'),
+         'python'
+  FROM corpus WHERE doc_id < 1000000 AND doc_id % 5 = 2
+  UNION ALL
+  SELECT doc_id + 13000000,
+         'int q' || CAST(doc_id AS VARCHAR)
+           || ' = 5; /* c */ String sA = "x"; { '
+           || translate(bin(doc_id), '01', '()') || ' }',
+         'java'
+  FROM corpus WHERE doc_id < 1000000 AND doc_id % 7 = 3
+  UNION ALL
+  SELECT doc_id + 14000000,
+         'int zz = 12345; String other = "yyy"; { '
+           || translate(bin(doc_id), '01', '()') || ' }',
+         'java'
+  FROM corpus WHERE doc_id < 1000000 AND doc_id % 7 = 3
+), k AS (
+  SELECT doc_id, sha256(""" + _T2_ABSTRACT_SQL + """) AS key FROM ext
 )
 SELECT doc_id,
        CAST(min(doc_id) OVER (PARTITION BY key) AS BIGINT) AS canonical_id,

@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from deduplicatr_spark.functions.hashing import normalized
+
 C_LIKE_LANGS = (
     "c", "cc", "cpp", "c++", "h", "hpp", "cs", "java", "js", "javascript",
     "ts", "typescript", "go", "rust", "scala", "kotlin", "swift", "php",
@@ -63,4 +65,148 @@ def strip_code_comments(
         .when(lg.isin(*HASH_COMMENT_LANGS), hashed)
         .when(lg.isin(*DASH_COMMENT_LANGS), dashed)
         .otherwise(c)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Type-2 clone abstraction (identifier / literal renaming invariance)
+#
+# The clone-detection literature's "type-2 clone" (CCFinder, Kamiya et al.
+# TSE 2002; SourcererCC, Sajnani et al. ICSE 2016) is a fragment identical
+# up to identifier names, literal values, whitespace and comments. The
+# abstraction below maps code to a canonical token stream where those
+# dimensions are erased but STRUCTURE (punctuation, operators, keywords,
+# token category sequence) survives, so grouping by sha256 of the stream
+# finds renamed copies the comment-strip profile cannot.
+#
+# Like strip_code_comments this is regex-level and heuristic (no lexer):
+# string abstraction is quote-to-quote without escape handling, triple
+# quotes degrade to empty-string tokens, and a shared language-agnostic
+# keyword list stands in for per-language lexers. Every pattern is in the
+# Java-regex/RE2-identical subset and every \b(...)\b alternation is
+# boundary-anchored on both sides, so Java's leftmost-FIRST and RE2's
+# leftmost-LONGEST alternation semantics select the same match — the
+# DuckDB oracle replays the chain verbatim.
+#
+# Replacement tokens are DIGIT-LED sentinels (``0n`` ``0s`` ``0i``
+# ``0<keyword>``): a digit-led token has no word boundary between the
+# digit and the letters, so no later pass (number, keyword, identifier —
+# all \b-anchored) can rematch a sentinel emitted by an earlier one.
+# ---------------------------------------------------------------------------
+
+CODE_LANGS = C_LIKE_LANGS + HASH_COMMENT_LANGS + DASH_COMMENT_LANGS
+
+# language-agnostic union; case-sensitive (plus Python's capitalized
+# singletons). Pair-equality of renamed clones never depends on this list
+# (unlisted keywords abstract to 0i on BOTH sides); the list only keeps
+# STRUCTURALLY different code apart (for-loop vs while-loop).
+CODE_KEYWORDS = (
+    "if", "elif", "else", "for", "while", "do", "switch", "case",
+    "break", "continue", "return", "yield", "def", "class", "struct",
+    "enum", "union", "interface", "implements", "extends", "abstract",
+    "function", "lambda", "fn", "impl", "trait", "mut", "pub", "type",
+    "typedef", "sizeof", "import", "from", "include", "package",
+    "using", "namespace", "try", "catch", "except", "finally", "throw",
+    "throws", "raise", "new", "delete", "this", "self", "super",
+    "null", "nil", "none", "true", "false", "True", "False", "None",
+    "and", "or", "not", "in", "is", "async", "await", "with", "pass",
+    "global", "static", "public", "private", "protected", "final",
+    "const", "var", "let", "void", "int", "long", "float", "double",
+    "bool", "boolean", "char", "byte", "short", "string", "str",
+    "go", "defer", "chan", "map", "range", "select",
+)
+
+# Java's \b is Unicode-aware while RE2's is ASCII-only, so any \b-anchored
+# pass diverges next to non-ASCII letters (é|tat is a boundary to RE2, not
+# to Java). Folding every non-ASCII run to one ASCII tilde FIRST makes all
+# later boundaries agree; the rune-vs-UTF-16 width difference is absorbed
+# by the + quantifier (a surrogate pair is one match either way).
+NON_ASCII_RE = r"[^\x00-\x7F]+"
+NUMBER_TOKEN_RE = r"\b[0-9][0-9A-Za-z_.]*"
+DQ_STRING_RE = r'"[^"]*"'
+SQ_STRING_RE = r"'[^']*'"
+KEYWORD_RE = r"\b(" + "|".join(CODE_KEYWORDS) + r")\b"
+IDENT_RE = r"\b[A-Za-z_][A-Za-z0-9_]*\b"
+PUNCT_SPACE_RE = r"([^0-9A-Za-z_\s])"
+
+
+def abstract_code_tokens(
+    content: str | Column = "content", lang: str | Column = "lang"
+) -> Column:
+    """Canonical type-2 token stream: comments stripped, then number
+    literals → ``0n``, string literals → ``0s``, keywords → ``0<kw>``,
+    remaining identifiers → ``0i``, punctuation space-separated,
+    whitespace collapsed. Non-code ``lang`` rows fall back to the
+    pipeline's minimal normalization (whitespace collapse), so prose
+    corpora keep their exact-dup structure instead of collapsing into
+    all-identifier streams.
+
+    Pass ORDER is load-bearing: numbers before strings (so the digit-led
+    ``0s`` sentinel is never re-eaten by the number pass), strings before
+    keywords/identifiers (so words inside literals are erased as literal
+    content, not tokens). One codegen pass, zero shuffles, zero UDFs.
+    """
+    lg = F.lower(F.col(lang) if isinstance(lang, str) else lang)
+    c = strip_code_comments(content, lang)
+    a = F.regexp_replace(c, NON_ASCII_RE, " ~ ")
+    a = F.regexp_replace(a, NUMBER_TOKEN_RE, " 0n ")
+    a = F.regexp_replace(a, DQ_STRING_RE, " 0s ")
+    a = F.regexp_replace(a, SQ_STRING_RE, " 0s ")
+    a = F.regexp_replace(a, KEYWORD_RE, " 0$1 ")
+    a = F.regexp_replace(a, IDENT_RE, " 0i ")
+    a = F.regexp_replace(a, PUNCT_SPACE_RE, " $1 ")
+    return F.when(lg.isin(*CODE_LANGS), F.trim(F.regexp_replace(a, r"\s+", " "))).otherwise(
+        normalized(c)
+    )
+
+
+def _sq(pattern: str) -> str:
+    """SQL-single-quote-escape a regex pattern for embedding in DuckDB SQL
+    (DuckDB standard strings do not process backslashes, so the Java/RE2
+    shared patterns embed verbatim)."""
+    return pattern.replace("'", "''")
+
+
+def _in_list(langs: tuple[str, ...]) -> str:
+    return ",".join(f"'{l}'" for l in langs)
+
+
+def duckdb_strip_case(content: str, lang: str) -> str:
+    """DuckDB CASE expression replaying strip_code_comments verbatim —
+    generated from the SAME pattern constants the Spark column uses, so
+    oracle and engine cannot drift."""
+    c_like = (
+        f"regexp_replace(regexp_replace({content}, "
+        f"'{_sq(BLOCK_COMMENT_RE)}', ' ', 'g'), '{_sq(LINE_COMMENT_RE)}', ' ', 'g')"
+    )
+    hashed = f"regexp_replace({content}, '{_sq(HASH_COMMENT_RE)}', ' ', 'g')"
+    dashed = f"regexp_replace({content}, '{_sq(DASH_COMMENT_RE)}', ' ', 'g')"
+    return (
+        f"CASE WHEN lower({lang}) IN ({_in_list(C_LIKE_LANGS)}) THEN {c_like} "
+        f"WHEN lower({lang}) IN ({_in_list(HASH_COMMENT_LANGS)}) THEN {hashed} "
+        f"WHEN lower({lang}) IN ({_in_list(DASH_COMMENT_LANGS)}) THEN {dashed} "
+        f"ELSE {content} END"
+    )
+
+
+def duckdb_abstract_case(content: str, lang: str) -> str:
+    """DuckDB CASE expression replaying abstract_code_tokens verbatim
+    (same pass order, same patterns, same sentinels)."""
+    st = duckdb_strip_case(content, lang)
+    chain = st
+    for pat, rep in (
+        (NON_ASCII_RE, " ~ "),
+        (NUMBER_TOKEN_RE, " 0n "),
+        (DQ_STRING_RE, " 0s "),
+        (SQ_STRING_RE, " 0s "),
+        (KEYWORD_RE, " 0\\1 "),
+        (IDENT_RE, " 0i "),
+        (PUNCT_SPACE_RE, " \\1 "),
+    ):
+        chain = f"regexp_replace({chain}, '{_sq(pat)}', '{rep}', 'g')"
+    code_expr = f"trim(regexp_replace({chain}, '\\s+', ' ', 'g'))"
+    plain = f"trim(regexp_replace({st}, '\\s+', ' ', 'g'))"
+    return (
+        f"CASE WHEN lower({lang}) IN ({_in_list(CODE_LANGS)}) "
+        f"THEN {code_expr} ELSE {plain} END"
     )

@@ -1,0 +1,100 @@
+"""Type-2 clone abstraction (functions/code.py abstract_code_tokens):
+rename/literal/comment/whitespace invariance, keyword structure
+separation, prose passthrough, and Spark↔DuckDB engine parity of the
+generated oracle expression."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+
+from deduplicatr_spark.functions.code import (
+    abstract_code_tokens,
+    duckdb_abstract_case,
+)
+
+
+def _run(spark, rows):
+    df = spark.createDataFrame(rows, "doc_id long, content string, lang string")
+    out = df.select("doc_id", abstract_code_tokens("content", "lang").alias("a"))
+    return {r["doc_id"]: r["a"] for r in out.collect()}
+
+
+def test_rename_and_literal_invariance(spark):
+    out = _run(spark, [
+        (1, 'def alpha(aa, bb):  # note\n    return aa + bb * 37 + "lit A"', "python"),
+        (2, "def beta(xx, yy):\n    return xx + yy * 9000 + 'B'", "python"),
+        (3, 'int q7 = 5; /* c */ String sA = "x";', "java"),
+        (4, 'int zz = 12345; String other = "yyy";', "java"),
+    ])
+    assert out[1] == out[2] == (
+        "0def 0i ( 0i , 0i ) : 0return 0i + 0i * 0n + 0s"
+    )
+    assert out[3] == out[4] == "0int 0i = 0n ; 0i 0i = 0s ;"
+
+
+def test_keyword_structure_separates(spark):
+    out = _run(spark, [
+        (1, "for (i = 0; i < n; i++) { f(i); }", "c"),
+        (2, "while (j < m) { g(j); }", "c"),
+        (3, "for (k = 0; k < p; k++) { h(k); }", "c"),
+    ])
+    assert out[1] == out[3]          # renamed for-loops are clones
+    assert out[1] != out[2]          # for vs while is structural
+
+
+def test_whitespace_and_formatting_invariance(spark):
+    out = _run(spark, [
+        (1, "f(x)+g", "js"),
+        (2, "f ( x ) + g", "js"),
+        (3, "f  (\n  x\n) + g", "js"),
+    ])
+    assert out[1] == out[2] == out[3] == "0i ( 0i ) + 0i"
+
+
+def test_prose_passthrough(spark):
+    out = _run(spark, [
+        (1, "plain  text with  Words and 123 numbers", "en"),
+        (2, "plain text with Words and 123 numbers", "zh"),
+    ])
+    # non-code langs: minimal normalization only — no token abstraction
+    assert out[1] == out[2] == "plain text with Words and 123 numbers"
+
+
+def test_digit_led_sentinels_survive_later_passes(spark):
+    # a number directly abutting an identifier, keywords inside strings,
+    # and string-looking numbers must all resolve deterministically
+    out = _run(spark, [
+        (1, 'x1 = 5fz; s = "if while 9"; y = 0x1F;', "java"),
+    ])
+    # x1 is one identifier; 5fz and 0x1F are number-led tokens; the
+    # string erases its keyword-looking content
+    assert out[1] == "0i = 0n ; 0i = 0s ; 0i = 0n ;"
+
+
+def test_engine_parity_spark_vs_duckdb(spark):
+    """The generated DuckDB CASE must produce byte-identical streams to
+    the Spark column on adversarial inputs (triple quotes, unbalanced
+    quotes, escapes, unicode, unclosed comments, empty)."""
+    rows = [
+        (1, 'def f(a):\n    """doc "inner" string"""\n    return a', "python"),
+        (2, 'unbalanced " quote and \'half', "js"),
+        (3, 'esc = "a\\"b"; t = \'c\\\'d\';', "java"),
+        (4, "état = café + 1; // ünïcode", "java"),
+        (10, "emoji = \"🎉🎉\"; x程序1 = 2;", "java"),
+        (5, "open /* never closed", "go"),
+        (6, "", "python"),
+        (7, "SELECT a, b -- c\nFROM t WHERE x = 'y'", "sql"),
+        (8, "prose // with markers # inside -- all kept", "en"),
+        (9, "a.b.c(1.5e3, x_9, _p)", "ts"),
+    ]
+    got_spark = _run(spark, rows)
+    pdf = pd.DataFrame(rows, columns=["doc_id", "content", "lang"])
+    con = duckdb.connect()
+    con.register("v", pdf)
+    expr = duckdb_abstract_case("content", "lang")
+    got_duck = {
+        r[0]: r[1]
+        for r in con.sql(f"SELECT doc_id, {expr} AS a FROM v").fetchall()
+    }
+    assert got_spark == got_duck

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from deduplicatr_spark.config import PipelineConfig
 from deduplicatr_spark.functions import text as TXT
 from deduplicatr_spark.functions.features import features_udf
-from deduplicatr_spark.functions.code import duckdb_abstract_case
+from deduplicatr_spark.functions.code import duckdb_abstract_case, duckdb_code_tokens
 from deduplicatr_spark.functions.hashing import normalized
 from deduplicatr_spark.functions.multimodal import extract_meta, to_binary_docs
 from deduplicatr_spark.operators.connected_components import connected_components
@@ -1466,6 +1466,14 @@ _SUB_TRUTH_MAX_B = ENTRY_CONFIG.substring_max_doc_bytes - 64
 # pattern constants (functions/code.py) — single source of truth
 _T2_ABSTRACT_SQL = duckdb_abstract_case("content", "lang")
 
+# DuckDB replay of code_tokens + the exact ⌈θ·max⌉ rational, both
+# derived from the same constants the Spark type-3 path uses
+_T3_TOKENS_SQL = duckdb_code_tokens("content", "lang")
+from deduplicatr_spark.operators.ngram import _exact_ceil as _t3_exact_ceil
+
+TYPE3_THETA = 0.8  # SourcererCC ICSE 2016's published operating point
+_T3_NUM, _T3_DEN = _t3_exact_ceil(TYPE3_THETA)
+
 
 def _substring_truth(
     spark: SparkSession, sf_dir: str, min_chars: int | None = None
@@ -1647,6 +1655,84 @@ def _q_type2_clone_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").over(w).alias("canonical_id"),
         F.count(F.lit(1)).over(w).cast("long").alias("group_size"),
     )
+
+
+def _q_type3_clone_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-3 (near-miss) clone pairs via SourcererCC's bag-of-tokens
+    overlap (Sajnani et al. ICSE 2016): comment-strip, word-tokenize
+    WITH multiplicity, qualify when Σ_t min(cnt_A, cnt_B) ≥
+    ⌈θ·max(|A|,|B|)⌉ — the added/removed-statements axis that exact,
+    type-2 and set-Jaccard grouping all miss. Candidates come from the
+    flattened-bag prefix filter (operators/ngram.py §
+    token_bag_overlap_pairs). PLANTED: python pairs on doc_id%6==1
+    (shared 20-token body + 12 per-pair salt tokens; the twin inserts
+    one statement and a comment → sim 32/36 ≈ 0.889) and java pairs on
+    doc_id%9==4 (15-token body + 12 salts, twin adds one statement →
+    27/31 ≈ 0.871, one side carries a block comment). The 12× salt
+    token keeps CROSS-pair similarity ≤ 19/32 ≈ 0.59, so plants pair
+    only with their twin; prose corpus rows flow through the same
+    operator (exact/ws copies at sim 1.0, `near/` suffix rows ≈ 0.92).
+    Oracle = exhaustive all-shared-tokens bag join with the identical
+    integer ⌈θ·max⌉ arithmetic, so a prefix off-by-one, a bag/set
+    confusion, or a length-filter bug goes red."""
+    from deduplicatr_spark.functions.code import code_tokens
+    from deduplicatr_spark.operators.ngram import token_bag_overlap_pairs
+
+    c = _corpus(spark, sf_dir).select("doc_id", "content", "lang")
+    base = c.filter(F.col("doc_id") < 1000000)
+    salt = F.translate(F.bin(F.col("doc_id")), "01", "ab")
+    py = base.filter(F.col("doc_id") % 6 == 1)
+    py_body = (
+        "(aa, bb):\n    t1 = aa + bb\n    t2 = t1 * aa\n"
+        "    t3 = t2 + bb\n    t4 = t3 * t1\n    return t4 + t2 + t3"
+    )
+    pa = py.select(
+        (F.col("doc_id") + 15000000).alias("doc_id"),
+        F.concat(
+            F.lit("def f_"), F.col("doc_id").cast("string"), F.lit(py_body),
+            F.repeat(F.concat(F.lit(" sx"), salt), 12),
+        ).alias("content"),
+        F.lit("python").alias("lang"),
+    )
+    pb = py.select(
+        (F.col("doc_id") + 16000000).alias("doc_id"),
+        F.concat(
+            F.lit("def f_"), F.col("doc_id").cast("string"),
+            F.lit(
+                "(aa, bb):  # extra\n    t1 = aa + bb\n    t2 = t1 * aa\n"
+                "    t3 = t2 + bb\n    t4 = t3 * t1\n    zz = t1 + aa\n"
+                "    return t4 + t2 + t3 + zz"
+            ),
+            F.repeat(F.concat(F.lit(" sx"), salt), 12),
+        ).alias("content"),
+        F.lit("python").alias("lang"),
+    )
+    jv = base.filter(F.col("doc_id") % 9 == 4)
+    jv_body = (
+        "int a1 = b1 + c1; int a2 = a1 * b1; "
+        "int a3 = a2 + c1; return a3 + a2;"
+    )
+    ja = jv.select(
+        (F.col("doc_id") + 17000000).alias("doc_id"),
+        F.concat(
+            F.lit(jv_body + " /* note */"),
+            F.repeat(F.concat(F.lit(" jx"), salt), 12),
+        ).alias("content"),
+        F.lit("java").alias("lang"),
+    )
+    jb = jv.select(
+        (F.col("doc_id") + 18000000).alias("doc_id"),
+        F.concat(
+            F.lit(jv_body + " int h1 = a1 + b1;"),
+            F.repeat(F.concat(F.lit(" jx"), salt), 12),
+        ).alias("content"),
+        F.lit("java").alias("lang"),
+    )
+    ext = (
+        c.unionByName(pa).unionByName(pb).unionByName(ja).unionByName(jb)
+    )
+    toks = ext.select("doc_id", code_tokens("content", "lang").alias("tokens"))
+    return token_bag_overlap_pairs(toks, TYPE3_THETA)
 
 
 def _q_duplicate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2094,6 +2180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_span_removal": _q_duplicate_span_removal,
         "comment_stripped_dups": _q_comment_stripped_dups,
         "type2_clone_groups": _q_type2_clone_groups,
+        "type3_clone_pairs": _q_type3_clone_pairs,
         "incremental_assign": _q_incremental_assign,
         "cluster_representatives": _q_cluster_representatives,
         "stratified_sample": _q_stratified_sample,
@@ -3306,6 +3393,68 @@ SELECT doc_id,
        CAST(count(*) OVER (PARTITION BY key) AS BIGINT) AS group_size
 FROM k
 """,
+        # exhaustive all-shared-tokens bag join — independent of the
+        # prefix filter, so candidate-generation bugs go red; token
+        # extraction is GENERATED from the engine's own constants
+        # (functions/code.py duckdb_code_tokens)
+        "type3_clone_pairs": CORPUS_SQL + """
+, ext AS (
+  SELECT doc_id, content, lang FROM corpus
+  UNION ALL
+  SELECT doc_id + 15000000,
+         'def f_' || CAST(doc_id AS VARCHAR) || '(aa, bb):' || chr(10)
+           || '    t1 = aa + bb' || chr(10) || '    t2 = t1 * aa' || chr(10)
+           || '    t3 = t2 + bb' || chr(10) || '    t4 = t3 * t1' || chr(10)
+           || '    return t4 + t2 + t3'
+           || repeat(' sx' || translate(bin(doc_id), '01', 'ab'), 12),
+         'python'
+  FROM corpus WHERE doc_id < 1000000 AND doc_id % 6 = 1
+  UNION ALL
+  SELECT doc_id + 16000000,
+         'def f_' || CAST(doc_id AS VARCHAR) || '(aa, bb):  # extra'
+           || chr(10) || '    t1 = aa + bb' || chr(10)
+           || '    t2 = t1 * aa' || chr(10) || '    t3 = t2 + bb' || chr(10)
+           || '    t4 = t3 * t1' || chr(10) || '    zz = t1 + aa' || chr(10)
+           || '    return t4 + t2 + t3 + zz'
+           || repeat(' sx' || translate(bin(doc_id), '01', 'ab'), 12),
+         'python'
+  FROM corpus WHERE doc_id < 1000000 AND doc_id % 6 = 1
+  UNION ALL
+  SELECT doc_id + 17000000,
+         'int a1 = b1 + c1; int a2 = a1 * b1; int a3 = a2 + c1; '
+           || 'return a3 + a2; /* note */'
+           || repeat(' jx' || translate(bin(doc_id), '01', 'ab'), 12),
+         'java'
+  FROM corpus WHERE doc_id < 1000000 AND doc_id % 9 = 4
+  UNION ALL
+  SELECT doc_id + 18000000,
+         'int a1 = b1 + c1; int a2 = a1 * b1; int a3 = a2 + c1; '
+           || 'return a3 + a2; int h1 = a1 + b1;'
+           || repeat(' jx' || translate(bin(doc_id), '01', 'ab'), 12),
+         'java'
+  FROM corpus WHERE doc_id < 1000000 AND doc_id % 9 = 4
+), toks AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT doc_id, unnest(""" + _T3_TOKENS_SQL + """) AS tok FROM ext
+  ) GROUP BY doc_id, tok
+), szs AS (
+  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS sz FROM toks GROUP BY doc_id
+), ov AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(sum(least(a.cnt, b.cnt)) AS BIGINT) AS overlap
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, overlap,
+       floor(overlap / greatest(sa.sz, sb.sz) * 1000000) / 1000000.0
+         AS similarity
+FROM ov
+JOIN szs sa ON ov.doc_a = sa.doc_id
+JOIN szs sb ON ov.doc_b = sb.doc_id
+WHERE overlap >= (greatest(sa.sz, sb.sz) * {t3n} + {t3d}) // {t3dv}
+""".format(
+            t3n=_T3_NUM, t3d=_T3_DEN - 1, t3dv=_T3_DEN
+        ),
         # closed-form span replay: every planted truth pair's losing
         # (higher-id) doc loses exactly its known (start, length) span;
         # sha256 of the rewritten text proves byte-identical cuts

@@ -210,3 +210,35 @@ def duckdb_abstract_case(content: str, lang: str) -> str:
         f"CASE WHEN lower({lang}) IN ({_in_list(CODE_LANGS)}) "
         f"THEN {code_expr} ELSE {plain} END"
     )
+
+
+# word-token split for the SourcererCC-style bag operator: identifiers,
+# keywords, numbers survive as tokens; punctuation and whitespace are
+# separators. Pure-ASCII classes, so Java regex (Spark) and RE2 (DuckDB
+# oracle) agree byte-for-byte, including next to non-ASCII text.
+CODE_TOKEN_SPLIT_RE = r"[^A-Za-z0-9_]+"
+
+
+def code_tokens(
+    content: str | Column = "content", lang: str | Column = "lang"
+) -> Column:
+    """Comment-stripped word-token BAG (array<string>, multiplicity
+    preserved, empties dropped) — the input unit of
+    ``operators.ngram.token_bag_overlap_pairs`` (SourcererCC ICSE 2016
+    tokenizes exactly this way: strip comments, split on
+    non-identifier characters, keep multiplicity). One codegen pass,
+    zero UDFs."""
+    c = strip_code_comments(content, lang)
+    return F.filter(
+        F.split(c, CODE_TOKEN_SPLIT_RE), lambda x: x != F.lit("")
+    )
+
+
+def duckdb_code_tokens(content: str, lang: str) -> str:
+    """DuckDB expression replaying code_tokens verbatim — generated
+    from the SAME split pattern and strip CASE the Spark column uses."""
+    st = duckdb_strip_case(content, lang)
+    return (
+        f"list_filter(regexp_split_to_array({st}, "
+        f"'{_sq(CODE_TOKEN_SPLIT_RE)}'), x -> x <> '')"
+    )

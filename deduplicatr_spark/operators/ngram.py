@@ -195,3 +195,138 @@ def ngram_containment_pairs(
         .filter(F.col("containment") >= tau)
         .select("doc_id", "container_id", "containment")
     )
+
+
+def token_bag_overlap_pairs(
+    tokens_df: DataFrame,
+    theta: float,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """(doc_id, tokens: array<string> BAG — multiplicity preserved) →
+    (doc_a, doc_b, overlap, similarity ≥ θ): SourcererCC's type-3 clone
+    criterion (Sajnani et al., "SourcererCC: Scaling Code Clone
+    Detection to Big-Code", ICSE 2016 §III): a pair qualifies when the
+    MULTISET overlap O(A,B) = Σ_t min(cnt_A(t), cnt_B(t)) reaches
+    ⌈θ·max(|A|,|B|)⌉ (|·| = bag size). Bag semantics are the point —
+    a near-miss clone repeats the same identifiers many times, and the
+    set-Jaccard operators above would count each once.
+
+    Candidate generation is the flattened-bag prefix filter: under a
+    global ascending-(df, token) order, if O(A,B) ≥ t then the first
+    |A| − t + 1 flattened occurrences of A and the first |B| − t + 1 of
+    B must share an occurrence (Xiao et al. WWW 2008, Lemma 1, applied
+    to the multiset treated as an ordered sequence). Using the
+    per-doc lower bound t_X = ⌈θ·|X|⌉ ≤ t only LENGTHENS prefixes, and
+    joining on token VALUE rather than occurrence identity only widens
+    further — so candidates are a provable superset of the qualifying
+    pairs, every one verified with the exact bag overlap. A token is in
+    the prefix iff the flattened count of strictly-rarer tokens is
+    below the prefix length, so the index carries one row per DISTINCT
+    prefix token, not per occurrence. The ⌈θ·max⌉ ≤ min(|A|,|B|) length
+    filter prunes size-incompatible candidates at the join.
+
+    Verification is pure JVM: per-doc (token → count) maps and one
+    ``aggregate`` over the smaller projection's keys — content and raw
+    tokens never reach the verify shuffle (8-byte xxhash64 keys, the
+    repo-wide 2⁻⁶⁴ collision tolerance). ``overlap`` is the exact
+    integer; ``similarity`` = overlap/max(|A|,|B|) floor-truncated to 6
+    decimals (oracle-stable); the qualifying filter is the INTEGER
+    comparison overlap ≥ (max·num + den − 1) div den, so no float
+    boundary can disagree with the oracle's identical arithmetic.
+    """
+    from deduplicatr_spark.operators.lsh import _track
+
+    num, den = _exact_ceil(theta)
+    toks = tokens_df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.transform(tokens_col, lambda s: F.xxhash64(s))
+        ).alias("tok"),
+    )
+    # persisted: the df counts, prefix index and both verify sides scan
+    # this frame; tracked so bench/validate wrappers release it
+    counts = _track(
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
+    sizes = counts.groupBy("doc_id").agg(F.sum("cnt").alias("sz"))
+    df_counts = counts.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("df", "tok")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix_len = (
+        F.col("sz")
+        - F.expr(f"(sz * {num}L + {den - 1}L) div {den}L")
+        + 1
+    )
+    pre = (
+        counts.join(df_counts, "tok")
+        .join(sizes, "doc_id")
+        .withColumn("cum", F.coalesce(F.sum("cnt").over(w), F.lit(0)))
+        .filter(F.col("cum") < prefix_len)
+        .select("doc_id", "tok", "sz")
+    )
+    need = F.expr(
+        f"(greatest(a_sz, b_sz) * {num}L + {den - 1}L) div {den}L"
+    )
+    cand = (
+        pre.select(
+            F.col("doc_id").alias("doc_a"), "tok", F.col("sz").alias("a_sz")
+        )
+        .join(
+            pre.select(
+                F.col("doc_id").alias("doc_b"), "tok", F.col("sz").alias("b_sz")
+            ),
+            "tok",
+        )
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.least("a_sz", "b_sz") >= need)
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    bags = counts.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("tok", "cnt"))).alias("bag"),
+        F.sum("cnt").alias("sz"),
+    )
+    ba = bags.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("bag").alias("_ba"),
+        F.col("sz").alias("a_sz"),
+    )
+    bb = bags.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("bag").alias("_bb"),
+        F.col("sz").alias("b_sz"),
+    )
+    overlap = F.aggregate(
+        F.map_keys("_ba"),
+        F.lit(0).cast("long"),
+        lambda acc, k: acc
+        + F.least(
+            F.element_at(F.col("_ba"), k),
+            F.coalesce(F.element_at(F.col("_bb"), k), F.lit(0).cast("long")),
+        ),
+    )
+    sim = (
+        F.floor(
+            F.col("overlap").cast("double")
+            / F.greatest("a_sz", "b_sz").cast("double")
+            * 1000000
+        )
+        / F.lit(1000000.0)
+    )
+    return (
+        cand.join(ba, "doc_a")
+        .join(bb, "doc_b")
+        .withColumn("overlap", overlap)
+        .filter(F.col("overlap") >= need)
+        .select(
+            "doc_a", "doc_b", "overlap", sim.alias("similarity")
+        )
+    )

@@ -1,0 +1,129 @@
+"""Type-3 clone detection (operators/ngram.token_bag_overlap_pairs +
+functions/code.code_tokens): bag-overlap prefix filter vs naive
+all-pairs reference, multiplicity (bag-vs-set) semantics, ceil-boundary
+integer arithmetic, and Spark↔DuckDB parity of the generated tokenizer
+expression."""
+
+from __future__ import annotations
+
+import itertools
+import math
+from collections import Counter
+
+import duckdb
+import pandas as pd
+
+from deduplicatr_spark.functions.code import code_tokens, duckdb_code_tokens
+from deduplicatr_spark.operators.ngram import token_bag_overlap_pairs
+
+
+def _naive(docs, theta):
+    """Exhaustive bag-overlap reference in pure python."""
+    want = set()
+    byid = dict(docs)
+    for a, b in itertools.combinations(sorted(byid), 2):
+        ca, cb = Counter(byid[a]), Counter(byid[b])
+        overlap = sum(min(ca[t], cb[t]) for t in ca)
+        mx = max(sum(ca.values()), sum(cb.values()))
+        if overlap >= math.ceil(theta * mx):
+            sim = math.floor(overlap / mx * 1000000) / 1000000.0
+            want.add((a, b, overlap, sim))
+    return want
+
+
+def _run(spark, docs, theta):
+    df = spark.createDataFrame(docs, "doc_id long, tokens array<string>")
+    return {
+        (r["doc_a"], r["doc_b"], r["overlap"], r["similarity"])
+        for r in token_bag_overlap_pairs(df, theta).collect()
+    }
+
+
+def test_prefix_filter_equals_naive(spark):
+    """The flattened-bag prefix filter must reproduce the exhaustive
+    all-pairs bag join exactly, including ceil-boundary sizes where
+    θ·max is integral and high-multiplicity docs."""
+    base = [f"t{j}" for j in range(20)]
+    docs = [
+        (0, base),                              # 20 tokens
+        (1, base[:16] + ["x1"] * 4),            # overlap 16/20 = 0.8 exactly
+        (2, base[:15] + ["x2"] * 5),            # 15/20 = 0.75 < θ
+        (3, base),                              # identical to 0
+        (4, ["rep"] * 18 + ["y1", "y2"]),       # multiplicity-heavy
+        (5, ["rep"] * 16 + ["z1"] * 4),         # bag overlap 16/20 = 0.8
+        (6, ["rep"] * 2 + [f"u{j}" for j in range(18)]),  # set-like vs 4
+        (7, [f"v{j}" for j in range(7)]),       # small disjoint doc
+    ]
+    theta = 0.8
+    assert _run(spark, docs, theta) == _naive(docs, theta)
+
+
+def test_bag_semantics_not_set(spark):
+    """Multiset overlap is the criterion: docs sharing ONE distinct
+    token many times must pair (set-Jaccard would score them 1/k),
+    and repeated tokens must count per-occurrence, capped by min."""
+    docs = [
+        (1, ["a"] * 10),
+        (2, ["a"] * 9 + ["b"]),   # overlap 9, max 10 → 0.9
+        (3, ["a"] + [f"w{j}" for j in range(9)]),  # overlap 1 → 0.1
+    ]
+    got = _run(spark, docs, 0.9)
+    assert got == {(1, 2, 9, 0.9)}
+
+
+def test_theta_one_requires_identical_bags(spark):
+    docs = [
+        (1, ["a", "b", "b", "c"]),
+        (2, ["b", "a", "c", "b"]),   # same bag, reordered
+        (3, ["a", "b", "c", "c"]),   # same set, different bag
+    ]
+    got = _run(spark, docs, 1.0)
+    assert got == {(1, 2, 4, 1.0)}
+
+
+def test_code_tokens_multiplicity_and_comments(spark):
+    """code_tokens strips comments, splits on non-identifier chars,
+    preserves multiplicity, and drops empties."""
+    rows = [
+        (1, "x = x + y; // x again\nreturn x;", "js"),
+        (2, "  ", "js"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content string, lang string")
+    out = {
+        r["doc_id"]: r["t"]
+        for r in df.select(
+            "doc_id", code_tokens("content", "lang").alias("t")
+        ).collect()
+    }
+    assert out[1] == ["x", "x", "y", "return", "x"]
+    assert out[2] == []
+
+
+def test_code_tokens_engine_parity(spark):
+    """The generated DuckDB expression must replay code_tokens
+    byte-for-byte — comment forms, unicode neighbours, empties."""
+    rows = [
+        (1, "def f(aa):  # strip me\n    return aa + 37", "python"),
+        (2, "int a = 1; /* block\ncomment */ a += 2;", "java"),
+        (3, "plain prose, non-code lang: f(x) // not a comment", "en"),
+        (4, "naïve_名前 = x1 + _y2", "python"),
+        (5, "", "c"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content string, lang string")
+    spark_out = {
+        r["doc_id"]: r["t"]
+        for r in df.select(
+            "doc_id", code_tokens("content", "lang").alias("t")
+        ).collect()
+    }
+    pdf = pd.DataFrame(rows, columns=["doc_id", "content", "lang"])
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    expr = duckdb_code_tokens("content", "lang")
+    duck_out = {
+        int(r[0]): list(r[1])
+        for r in con.execute(
+            f"SELECT doc_id, {expr} FROM docs ORDER BY doc_id"
+        ).fetchall()
+    }
+    assert spark_out == duck_out

@@ -355,6 +355,39 @@ def main() -> None:
         ngram_containment_pairs(grams, 0.9).count()
         release_tracked()
 
+    # q3h/q3i: code-clone operators over the SAME distinct frame,
+    # relabeled to code langs (hash-cycled) so the comment-strip +
+    # abstraction regex branches actually run — the chains are
+    # content-agnostic, so prose text measures the same codegen cost a
+    # code corpus would pay. Near-variant chains (suffix-appended
+    # copies) are the type-3 matches; unique fillers tokenize to ONE
+    # doc-unique token (no separators in repeated sha256 hex), so the
+    # prefix index stays linear.
+    code_docs = distinct_docs.withColumn(
+        "lang",
+        F.element_at(
+            F.array(*[F.lit(x) for x in ("python", "java", "js", "c", "go")]),
+            (F.pmod(F.xxhash64("doc_id"), F.lit(5)) + 1).cast("int"),
+        ),
+    )
+
+    def _type2():
+        from deduplicatr_spark.functions.code import abstract_code_tokens
+
+        code_docs.select(
+            F.sha2(abstract_code_tokens("content", "lang"), 256).alias("key")
+        ).groupBy("key").count().count()
+
+    def _type3():
+        from deduplicatr_spark.functions.code import code_tokens
+        from deduplicatr_spark.operators.ngram import token_bag_overlap_pairs
+
+        toks = code_docs.select(
+            "doc_id", code_tokens("content", "lang").alias("tokens")
+        )
+        token_bag_overlap_pairs(toks, 0.8).count()
+        release_tracked()
+
     # two interleaved passes over the whole group (see timed())
     for _pass in range(2):
         timed("exact_dedup", _exact)
@@ -368,6 +401,8 @@ def main() -> None:
         timed("repo_fork_pairs", _fork)
         timed("dir_fork_pairs", _dir_fork)
         timed("ngram_containment", _containment)
+        timed("type2_clone_groups", _type2)
+        timed("type3_clone_pairs", _type3)
     stats.unpersist()
     fork_ident.unpersist()
     feats.unpersist()

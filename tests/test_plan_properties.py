@@ -105,6 +105,24 @@ def test_fork_pairs_plan_has_no_allpairs_join(spark, tiny_docs):
     assert "HashAggregate" in plan
 
 
+def test_type3_clone_plan_is_pure_jvm_equi_join(spark):
+    """token_bag_overlap_pairs must stay pure JVM (tokenize/prefix/
+    verify are all codegen expressions) and never degrade the candidate
+    or verify joins to an all-pairs plan — the hot-token join bomb
+    shows up as CartesianProduct/BroadcastNestedLoopJoin here first."""
+    from deduplicatr_spark.operators.ngram import token_bag_overlap_pairs
+
+    toks = spark.createDataFrame(
+        [(i, ["a", "b", f"u{i}"]) for i in range(16)],
+        "doc_id long, tokens array<string>",
+    )
+    plan = _plan(token_bag_overlap_pairs(toks, 0.8))
+    assert "EvalPython" not in plan, "type-3 verify fell back to Python"
+    assert "MapInPandas" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_lsh_planner_is_pure_catalyst(spark):
     from deduplicatr_spark.plans.lsh_planner import lsh_plan
 

@@ -58,6 +58,33 @@ def test_prefix_filter_equals_naive(spark):
     assert _run(spark, docs, theta) == _naive(docs, theta)
 
 
+def test_cell_prefilter_is_invisible(spark):
+    """The cell-vector bound is an exact upper bound: pair sets with
+    the pre-filter on (any cell count) and off must be identical, on a
+    corpus full of junk candidates (docs sharing rare prefix tokens at
+    overlap far below θ) plus genuine near-identical pairs."""
+    docs = []
+    shared = [f"s{j}" for j in range(30)]
+    for i in range(12):
+        # every doc shares two rare-ish tokens with every other doc
+        # (prefix collisions) but true overlap stays ~2/32 << 0.8
+        docs.append(
+            (i, [f"r{i % 3}", f"q{i % 4}"] + [f"d{i}_{j}" for j in range(30)])
+        )
+    docs.append((100, shared + ["x1", "x2"]))
+    docs.append((101, shared + ["y1", "y2"]))   # overlap 30/32 = 0.9375
+    theta = 0.8
+    for cells in (0, 1, 4, 16, 64):
+        df = spark.createDataFrame(docs, "doc_id long, tokens array<string>")
+        got = {
+            (r["doc_a"], r["doc_b"], r["overlap"], r["similarity"])
+            for r in token_bag_overlap_pairs(
+                df, theta, prefilter_cells=cells
+            ).collect()
+        }
+        assert got == _naive(docs, theta), f"cells={cells}"
+
+
 def test_bag_semantics_not_set(spark):
     """Multiset overlap is the criterion: docs sharing ONE distinct
     token many times must pair (set-Jaccard would score them 1/k),

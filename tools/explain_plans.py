@@ -201,6 +201,29 @@ def main() -> None:
         "pair set.",
     ))
 
+    t3_plan = captured_explain(em._q_type3_clone_pairs(spark, SF))
+    assert "EvalPython" not in t3_plan, (
+        "type3_clone_pairs grew a Python eval stage"
+    )
+    assert "CartesianProduct" not in t3_plan, (
+        "type3_clone_pairs plan grew a cartesian product"
+    )
+    sections.append((
+        "Type-3 clone pairs (operators/ngram.py § token_bag_overlap_pairs)",
+        t3_plan,
+        "What to check (plan-asserted: no Python eval, no cartesian): "
+        "tokenize/abstract is one codegen regexp chain; every exchange "
+        "after the explode keys on xxhash64(token) — 8 bytes at any "
+        "identifier length; the prefix index carries one row per "
+        "DISTINCT prefix token (cumulative-count window, not "
+        "per-occurrence); the candidate self-join is an equi join on "
+        "tok with the ⌈θ·max⌉ ≤ min length filter applied at the join; "
+        "verify joins ship (token→count) maps keyed by doc_id and the "
+        "bag overlap evaluates as an aggregate higher-order function "
+        "JVM-side — raw tokens and content never reach the verify "
+        "shuffle.",
+    ))
+
     sections.append((
         "IVF-flat ANN top-k (operators/topk.py § ivf_topk)",
         captured_explain(em._q_ivf_topk(spark, SF)),

@@ -1,0 +1,32 @@
+import sys, time
+import os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from pyspark.sql import functions as F
+from deduplicatr_spark.session import build_session
+from bench import amplified_corpus
+from deduplicatr_spark.functions.code import code_tokens
+from deduplicatr_spark.operators.ngram import token_bag_overlap_pairs
+from deduplicatr_spark.operators.lsh import release_tracked
+
+spark = build_session("prof_t3c", master="local[32]", shuffle_partitions=32)
+spark.sparkContext.setLogLevel("ERROR")
+corpus = amplified_corpus(spark, "/root/testdata/sf0.1", 64).persist()
+corpus.count()
+distinct_docs = corpus.dropDuplicates(["content"]).select(
+    F.xxhash64("repo", "path", "commit").alias("doc_id"), "content"
+).persist()
+distinct_docs.count()
+code_docs = distinct_docs.withColumn(
+    "lang",
+    F.element_at(
+        F.array(*[F.lit(x) for x in ("python", "java", "js", "c", "go")]),
+        (F.pmod(F.xxhash64("doc_id"), F.lit(5)) + 1).cast("int"),
+    ),
+)
+toks = code_docs.select("doc_id", code_tokens("content", "lang").alias("tokens"))
+for cells in (16, 0, 16, 0):
+    t0 = time.time()
+    n = token_bag_overlap_pairs(toks, 0.8, prefilter_cells=cells).count()
+    release_tracked()
+    print(f"cells={cells}: {time.time()-t0:.2f}s pairs={n}", flush=True)
+spark.stop()

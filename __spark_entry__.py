@@ -1469,6 +1469,13 @@ _T2_ABSTRACT_SQL = duckdb_abstract_case("content", "lang")
 # DuckDB replay of code_tokens + the exact ⌈θ·max⌉ rational, both
 # derived from the same constants the Spark type-3 path uses
 _T3_TOKENS_SQL = duckdb_code_tokens("content", "lang")
+
+# method-granularity replays, generated from the same constants the
+# Spark path uses (functions/code.py)
+from deduplicatr_spark.functions.code import duckdb_py_functions as _ddb_pyf
+
+_MU_FUNCS_SQL = _ddb_pyf("content", "lang")
+_MU_TOKENS_SQL = duckdb_code_tokens("unit", "'python'")
 from deduplicatr_spark.operators.ngram import _exact_ceil as _t3_exact_ceil
 
 TYPE3_THETA = 0.8  # SourcererCC ICSE 2016's published operating point
@@ -1733,6 +1740,88 @@ def _q_type3_clone_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     toks = ext.select("doc_id", code_tokens("content", "lang").alias("tokens"))
     return token_bag_overlap_pairs(toks, TYPE3_THETA)
+
+
+METHOD_MIN_TOKENS = 10  # SourcererCC gates tiny methods (their default: 50)
+
+
+def _q_method_clone_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METHOD-granularity type-3 clone pairs (SourcererCC's actual
+    operating unit — Sajnani et al. ICSE 2016 measure method-level
+    clones): a cloned function inside two otherwise-unrelated files
+    never clears a FILE-level similarity bar, so every file-granular
+    operator here is blind to it. Units = top-level python functions
+    (functions/code.py § extract_py_functions, one codegen regexp);
+    pairs = the audited bag-overlap core over unit ids.
+
+    PLANTED on doc_id%8==3: docs A (id+19M) and B (id+20M) each carry a
+    shared function (26-token body incl. 12 family-salt tokens; B's
+    copy inserts one statement → sim 26/29 ≈ 0.897) plus a per-doc
+    UNIQUE function (16 tokens, 12 doc-salt tokens — cross overlap
+    3/16), so the FILES are dissimilar while exactly one unit pair
+    qualifies; A additionally opens with `def t0(): pass` (3 tokens
+    < min_tokens=10) — identical across every A doc, so a broken size
+    gate floods the output and goes red, and it also shifts A's unit
+    indexing (shared unit is A#1/B#0), pinning ordinality parity.
+    doc_id%11==6 plants an intra-file duplicate (id+21M): one file,
+    two byte-identical functions → the (doc,0)-(doc,1) pair at
+    sim 1.0. Cross-family similarity is ≤ 13/26 = 0.5 by the salt
+    construction. Prose corpus rows yield no units (lang gate).
+    Oracle = the same regex extraction + indexed unnest + exhaustive
+    bag join with identical integer arithmetic and the identical
+    uid = doc_id·10⁶ + idx packing, so an extraction-boundary,
+    ordinality, gate or packing bug goes red."""
+    from deduplicatr_spark.operators.ngram import method_clone_pairs
+
+    c = _corpus(spark, sf_dir).select("doc_id", "content", "lang")
+    base = c.filter(F.col("doc_id") < 1000000)
+    did = F.col("doc_id").cast("string")
+    fam_salt = F.translate(F.bin(F.col("doc_id")), "01", "ab")
+    ua_salt = F.translate(F.bin(F.col("doc_id")), "01", "cd")
+    ub_salt = F.translate(F.bin(F.col("doc_id")), "01", "ef")
+    dd_salt = F.translate(F.bin(F.col("doc_id")), "01", "gh")
+    fam = base.filter(F.col("doc_id") % 8 == 3)
+    shared_a = F.concat(
+        F.lit("def s_"), did,
+        F.lit("(aa, bb):\n    q1 = aa + bb\n    q2 = q1 * aa\n    zz ="),
+        F.repeat(F.concat(F.lit(" sx"), fam_salt), 12),
+        F.lit("\n    return q2 + q1"),
+    )
+    shared_b = F.concat(
+        F.lit("def s_"), did,
+        F.lit("(aa, bb):\n    q1 = aa + bb\n    q2 = q1 * aa\n    zz ="),
+        F.repeat(F.concat(F.lit(" sx"), fam_salt), 12),
+        F.lit("\n    h9 = q1 + aa\n    return q2 + q1"),
+    )
+    pa = fam.select(
+        (F.col("doc_id") + 19000000).alias("doc_id"),
+        F.concat(
+            F.lit("def t0(): pass\n"), shared_a,
+            F.lit("\ndef ua_"), did, F.lit("(xx):\n    return"),
+            F.repeat(F.concat(F.lit(" ux"), ua_salt), 12),
+        ).alias("content"),
+        F.lit("python").alias("lang"),
+    )
+    pb = fam.select(
+        (F.col("doc_id") + 20000000).alias("doc_id"),
+        F.concat(
+            shared_b,
+            F.lit("\ndef ub_"), did, F.lit("(yy):\n    return"),
+            F.repeat(F.concat(F.lit(" vx"), ub_salt), 12),
+        ).alias("content"),
+        F.lit("python").alias("lang"),
+    )
+    dup_unit = F.concat(
+        F.lit("def d_"), did, F.lit("(vv):\n    return"),
+        F.repeat(F.concat(F.lit(" dx"), dd_salt), 12),
+    )
+    pd = base.filter(F.col("doc_id") % 11 == 6).select(
+        (F.col("doc_id") + 21000000).alias("doc_id"),
+        F.concat(dup_unit, F.lit("\n"), dup_unit).alias("content"),
+        F.lit("python").alias("lang"),
+    )
+    ext = c.unionByName(pa).unionByName(pb).unionByName(pd)
+    return method_clone_pairs(ext, TYPE3_THETA, min_tokens=METHOD_MIN_TOKENS)
 
 
 def _q_duplicate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2181,6 +2270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "comment_stripped_dups": _q_comment_stripped_dups,
         "type2_clone_groups": _q_type2_clone_groups,
         "type3_clone_pairs": _q_type3_clone_pairs,
+        "method_clone_pairs": _q_method_clone_pairs,
         "incremental_assign": _q_incremental_assign,
         "cluster_representatives": _q_cluster_representatives,
         "stratified_sample": _q_stratified_sample,
@@ -3454,6 +3544,76 @@ JOIN szs sb ON ov.doc_b = sb.doc_id
 WHERE overlap >= (greatest(sa.sz, sb.sz) * {t3n} + {t3d}) // {t3dv}
 """.format(
             t3n=_T3_NUM, t3d=_T3_DEN - 1, t3dv=_T3_DEN
+        ),
+        # method-granularity replay: the same regex extraction (both
+        # engines run the identical pattern — functions/code.py
+        # PY_FUNC_RE), indexed unnest for ordinality, the same
+        # uid = doc_id·10⁶ + idx packing, min-token gate and exhaustive
+        # bag join with identical integer arithmetic
+        "method_clone_pairs": CORPUS_SQL + """
+, ext AS (
+  SELECT doc_id, content, lang FROM corpus
+  UNION ALL
+  SELECT doc_id + 19000000,
+         'def t0(): pass' || chr(10)
+           || 'def s_' || CAST(doc_id AS VARCHAR) || '(aa, bb):' || chr(10)
+           || '    q1 = aa + bb' || chr(10) || '    q2 = q1 * aa' || chr(10)
+           || '    zz =' || repeat(' sx' || translate(bin(doc_id), '01', 'ab'), 12)
+           || chr(10) || '    return q2 + q1'
+           || chr(10) || 'def ua_' || CAST(doc_id AS VARCHAR) || '(xx):' || chr(10)
+           || '    return' || repeat(' ux' || translate(bin(doc_id), '01', 'cd'), 12),
+         'python'
+  FROM corpus WHERE doc_id < 1000000 AND doc_id % 8 = 3
+  UNION ALL
+  SELECT doc_id + 20000000,
+         'def s_' || CAST(doc_id AS VARCHAR) || '(aa, bb):' || chr(10)
+           || '    q1 = aa + bb' || chr(10) || '    q2 = q1 * aa' || chr(10)
+           || '    zz =' || repeat(' sx' || translate(bin(doc_id), '01', 'ab'), 12)
+           || chr(10) || '    h9 = q1 + aa' || chr(10) || '    return q2 + q1'
+           || chr(10) || 'def ub_' || CAST(doc_id AS VARCHAR) || '(yy):' || chr(10)
+           || '    return' || repeat(' vx' || translate(bin(doc_id), '01', 'ef'), 12),
+         'python'
+  FROM corpus WHERE doc_id < 1000000 AND doc_id % 8 = 3
+  UNION ALL
+  SELECT doc_id + 21000000,
+         'def d_' || CAST(doc_id AS VARCHAR) || '(vv):' || chr(10) || '    return'
+           || repeat(' dx' || translate(bin(doc_id), '01', 'gh'), 12)
+           || chr(10)
+           || 'def d_' || CAST(doc_id AS VARCHAR) || '(vv):' || chr(10) || '    return'
+           || repeat(' dx' || translate(bin(doc_id), '01', 'gh'), 12),
+         'python'
+  FROM corpus WHERE doc_id < 1000000 AND doc_id % 11 = 6
+), units AS (
+  SELECT doc_id * 1000000 + t.u.i - 1 AS uid, t.u.u AS unit
+  FROM ext, unnest(list_transform(""" + _MU_FUNCS_SQL + """,
+       (x, i) -> {'u': x, 'i': i})) AS t(u)
+), uarr AS (
+  SELECT uid, """ + _MU_TOKENS_SQL + """ AS arr FROM units
+), gated AS (
+  SELECT uid, arr FROM uarr WHERE len(arr) >= {mmin}
+), toks AS (
+  SELECT uid, tok, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT uid, unnest(arr) AS tok FROM gated
+  ) GROUP BY uid, tok
+), szs AS (
+  SELECT uid, CAST(sum(cnt) AS BIGINT) AS sz FROM toks GROUP BY uid
+), ov AS (
+  SELECT a.uid AS ua, b.uid AS ub,
+         CAST(sum(least(a.cnt, b.cnt)) AS BIGINT) AS overlap
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.uid < b.uid
+  GROUP BY 1, 2
+)
+SELECT ua // 1000000 AS doc_a, ua % 1000000 AS unit_a,
+       ub // 1000000 AS doc_b, ub % 1000000 AS unit_b, overlap,
+       floor(overlap / greatest(sa.sz, sb.sz) * 1000000) / 1000000.0
+         AS similarity
+FROM ov
+JOIN szs sa ON ov.ua = sa.uid
+JOIN szs sb ON ov.ub = sb.uid
+WHERE overlap >= (greatest(sa.sz, sb.sz) * {t3n} + {t3d}) // {t3dv}
+""".format(
+            mmin=METHOD_MIN_TOKENS, t3n=_T3_NUM, t3d=_T3_DEN - 1,
+            t3dv=_T3_DEN,
         ),
         # closed-form span replay: every planted truth pair's losing
         # (higher-id) doc loses exactly its known (start, length) span;

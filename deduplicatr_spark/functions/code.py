@@ -242,3 +242,39 @@ def duckdb_code_tokens(content: str, lang: str) -> str:
         f"list_filter(regexp_split_to_array({st}, "
         f"'{_sq(CODE_TOKEN_SPLIT_RE)}'), x -> x <> '')"
     )
+
+
+# top-level python function units: a ^def line plus its indented body,
+# with interior blank lines absorbed (the optional-empty alternative) —
+# the unit ends at the first column-0 non-empty line. Pure regular
+# (no lookaround), so Java regex (Spark) and RE2 (DuckDB) extract
+# byte-identical units; verified on blank-line bodies, back-to-back
+# defs, class methods (excluded — indentation-ambiguous under a pure
+# regex; method-granularity for brace langs needs a real parser and is
+# out of scope, like the lexer boundary strip_code_comments documents).
+PY_FUNC_RE = r"(?m)^def [^\n]*(?:\n(?:[ \t][^\n]*)?)*"
+PY_LANGS = ("python", "py")
+
+
+def extract_py_functions(
+    content: str | Column = "content", lang: str | Column = "lang"
+) -> Column:
+    """array<string> of top-level python function units (empty for
+    non-python langs) — the unit stream for method-granularity clone
+    detection (SourcererCC ICSE 2016 operates on METHODS: a cloned
+    function inside an otherwise-unrelated file is invisible at file
+    granularity). One codegen regexp_extract_all, zero UDFs."""
+    lg = F.lower(lang) if isinstance(lang, str) else F.lower(lang)
+    c = F.col(content) if isinstance(content, str) else content
+    return F.when(
+        lg.isin(*PY_LANGS), F.regexp_extract_all(c, F.lit(PY_FUNC_RE), 0)
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def duckdb_py_functions(content: str, lang: str) -> str:
+    """DuckDB expression replaying extract_py_functions verbatim."""
+    return (
+        f"CASE WHEN lower({lang}) IN ({_in_list(PY_LANGS)}) "
+        f"THEN regexp_extract_all({content}, '{_sq(PY_FUNC_RE)}') "
+        f"ELSE [] END"
+    )

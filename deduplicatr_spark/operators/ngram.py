@@ -394,3 +394,64 @@ def token_bag_overlap_pairs(
             "doc_a", "doc_b", "overlap", sim.alias("similarity")
         )
     )
+
+
+def method_clone_pairs(
+    docs_df: DataFrame,
+    theta: float,
+    min_tokens: int = 10,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    lang_col: str = "lang",
+    prefilter_cells: int = 16,
+) -> DataFrame:
+    """(doc_id, content, lang) → method-granularity type-3 clone pairs
+    (doc_a, unit_a, doc_b, unit_b, overlap, similarity): SourcererCC's
+    actual operating granularity (Sajnani et al. ICSE 2016 measure
+    METHOD-level clones) — a cloned function inside two otherwise
+    unrelated files never clears a FILE-level similarity bar, so every
+    file-granular operator in this repo is blind to it.
+
+    Composition, all existing machinery: extract top-level python
+    function units (functions/code.py § extract_py_functions — one
+    codegen regexp per doc), posexplode to (doc, unit_idx) rows,
+    tokenize each unit with the SAME comment-strip + split chain as
+    file-level type-3, gate units under ``min_tokens`` (SourcererCC
+    gates tiny methods — `def f(): pass` clones are noise, their
+    default is 50 tokens), then run the flattened-bag prefix filter +
+    cell-bound + exact bag verify (token_bag_overlap_pairs) over unit
+    ids. Unit id = doc_id·10⁶ + idx, decomposed back in the output —
+    valid while doc ids stay under ~9.2·10¹² and files under 10⁶
+    top-level functions; the same integer arithmetic is replayed by
+    the oracle, so an id-packing bug cannot hide.
+
+    Scale shape: unit rows multiply the corpus by functions-per-file
+    (bounded, corpus-linear); everything downstream is the audited
+    type-3 plan over more, smaller bags — smaller bags mean shorter
+    prefixes and tighter cell bounds, so the candidate stage gets
+    CHEAPER per token than file granularity, not costlier.
+    """
+    from deduplicatr_spark.functions.code import code_tokens, extract_py_functions
+
+    units = docs_df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            extract_py_functions(content_col, lang_col)
+        ).alias("unit_idx", "unit"),
+    )
+    toks = units.select(
+        (F.col("doc_id") * F.lit(1000000) + F.col("unit_idx")).alias("uid"),
+        code_tokens(F.col("unit"), F.lit("python")).alias("tokens"),
+    ).filter(F.size("tokens") >= min_tokens)
+    pairs = token_bag_overlap_pairs(
+        toks, theta, id_col="uid", tokens_col="tokens",
+        prefilter_cells=prefilter_cells,
+    )
+    return pairs.select(
+        F.expr("doc_a div 1000000L").alias("doc_a"),
+        F.expr("doc_a % 1000000L").alias("unit_a"),
+        F.expr("doc_b div 1000000L").alias("doc_b"),
+        F.expr("doc_b % 1000000L").alias("unit_b"),
+        "overlap",
+        "similarity",
+    )

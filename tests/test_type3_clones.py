@@ -126,7 +126,71 @@ def test_code_tokens_multiplicity_and_comments(spark):
     assert out[2] == []
 
 
-def test_code_tokens_engine_parity(spark):
+def test_extract_py_functions_vectors_and_parity(spark):
+    """Unit boundaries: blank lines inside a body are absorbed, a
+    column-0 non-empty line terminates, class methods are excluded,
+    non-python langs yield no units — and DuckDB extracts the
+    byte-identical units from the same generated expression."""
+    from deduplicatr_spark.functions.code import (
+        duckdb_py_functions,
+        extract_py_functions,
+    )
+
+    rows = [
+        (1, "import os\n\ndef foo(a):\n    x = a + 1\n\n    return x\n\nTOP = 3\n\ndef bar(b):\n\treturn b * 2\n", "python"),
+        (2, "class C:\n    def m(self):\n        return 1\n\ndef g():\n    return 2\n", "py"),
+        (3, "def notpy(): pass", "java"),
+        (4, "", "python"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content string, lang string")
+    got = {
+        r["doc_id"]: list(r["u"])
+        for r in df.select(
+            "doc_id", extract_py_functions("content", "lang").alias("u")
+        ).collect()
+    }
+    # the blank line after the body is absorbed too (trailing \n\n) —
+    # harmless: newlines never tokenize
+    assert got[1] == [
+        "def foo(a):\n    x = a + 1\n\n    return x\n\n",
+        "def bar(b):\n\treturn b * 2\n",
+    ]
+    assert got[2] == ["def g():\n    return 2\n"]
+    assert got[3] == [] and got[4] == []
+    pdf = pd.DataFrame(rows, columns=["doc_id", "content", "lang"])
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    expr = duckdb_py_functions("content", "lang")
+    duck = {
+        int(r[0]): list(r[1])
+        for r in con.execute(
+            f"SELECT doc_id, {expr} FROM docs ORDER BY doc_id"
+        ).fetchall()
+    }
+    assert got == duck
+
+
+def test_method_clone_pairs_unit_granularity(spark):
+    """A cloned function inside otherwise-unrelated files pairs at
+    unit granularity while the files themselves are dissimilar; the
+    min_tokens gate drops trivial defs; uid packing round-trips."""
+    from deduplicatr_spark.operators.ngram import method_clone_pairs
+
+    shared = "def s(aa, bb):\n    q1 = aa + bb\n    q2 = q1 * aa\n    return q2 + q1 + aa + bb\n"
+    rows = [
+        (1, shared + "def u1(x):\n    return x1a x1b x1c x1d x1e x1f x1g x1h x1i\n", "python"),
+        (2, "def t(): pass\n" + shared + "def u2(y):\n    return y2a y2b y2c y2d y2e y2f y2g y2h y2i\n", "python"),
+        (3, "def other(zz):\n    return zz9 zz8 zz7 zz6 zz5 zz4 zz3 zz2 zz1\n", "python"),
+        (4, shared, "java"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content string, lang string")
+    got = {
+        (r["doc_a"], r["unit_a"], r["doc_b"], r["unit_b"], r["similarity"])
+        for r in method_clone_pairs(df, 0.8, min_tokens=10).collect()
+    }
+    # doc1 unit0 is the shared fn; doc2's copy is unit1 (after the
+    # gated tiny def at unit0); doc4 is java → no units
+    assert got == {(1, 0, 2, 1, 1.0)}
     """The generated DuckDB expression must replay code_tokens
     byte-for-byte — comment forms, unicode neighbours, empties."""
     rows = [

@@ -230,11 +230,79 @@ def _wl_fork_ops(spark, mult: int) -> None:
     release_tracked()
 
 
+def _wl_clone_ops(spark, mult: int) -> None:
+    """Round-4 clone stack: type-2 abstraction grouping, type-3 bag
+    pairs (prefix filter + cell bound + exact verify) and method-
+    granularity pairs, over the bench's code-lang-relabeled distinct
+    frame plus planted python function files (the corpus carries no
+    python, so method units need plants to exercise the unit path)."""
+    from pyspark.sql import functions as F
+
+    from bench import amplified_corpus
+    from deduplicatr_spark.functions.code import abstract_code_tokens, code_tokens
+    from deduplicatr_spark.operators.lsh import release_tracked
+    from deduplicatr_spark.operators.ngram import (
+        method_clone_pairs,
+        token_bag_overlap_pairs,
+    )
+
+    corpus = amplified_corpus(spark, SF_DIR, mult)
+    docs = corpus.dropDuplicates(["content"]).select(
+        F.xxhash64("repo", "path", "commit").alias("doc_id"), "content"
+    )
+    code_docs = docs.withColumn(
+        "lang",
+        F.element_at(
+            F.array(*[F.lit(x) for x in ("python", "java", "js", "c", "go")]),
+            (F.pmod(F.xxhash64("doc_id"), F.lit(5)) + 1).cast("int"),
+        ),
+    )
+    code_docs.select(
+        F.sha2(abstract_code_tokens("content", "lang"), 256).alias("key")
+    ).groupBy("key").count().count()
+    toks = code_docs.select(
+        "doc_id", code_tokens("content", "lang").alias("tokens")
+    )
+    token_bag_overlap_pairs(toks, 0.8).count()
+    release_tracked()
+    # uid packing needs doc ids ≪ 9.2e12 (method_clone_pairs docstring);
+    # ~100k-way family keys give ~2 docs/family → unit-pair volume
+    # stays corpus-linear
+    small = docs.select(
+        F.pmod(F.xxhash64("doc_id"), F.lit(10**12)).alias("doc_id")
+    )
+    fam = F.pmod(F.col("doc_id"), F.lit(100000))
+    salt = F.translate(F.bin(fam), "01", "ab")
+    body = F.concat(
+        F.lit("def s_"), fam.cast("string"),
+        F.lit("(aa, bb):\n    q1 = aa + bb\n    q2 = q1 * aa\n    zz ="),
+        F.repeat(F.concat(F.lit(" sx"), salt), 12),
+        F.lit("\n    return q2 + q1"),
+    )
+    py_docs = small.select(
+        "doc_id",
+        F.concat(
+            body, F.lit("\ndef u_"), F.col("doc_id").cast("string"),
+            F.lit("(xx):\n    return"),
+            F.repeat(
+                F.concat(
+                    F.lit(" ux"), F.translate(F.bin("doc_id"), "01", "cd")
+                ),
+                12,
+            ),
+        ).alias("content"),
+        F.lit("python").alias("lang"),
+    )
+    method_clone_pairs(py_docs, 0.8, min_tokens=10).count()
+    release_tracked()
+
+
 WORKLOADS = {
     "pipeline": _wl_pipeline,
     "round3_ops": _wl_round3_ops,
     "round4_ops": _wl_round4_ops,
     "fork_ops": _wl_fork_ops,
+    "clone_ops": _wl_clone_ops,
 }
 
 

@@ -34,7 +34,12 @@ from pyspark.sql import functions as F
 from deduplicatr_spark.config import PipelineConfig
 from deduplicatr_spark.functions import text as TXT
 from deduplicatr_spark.functions.features import features_udf
-from deduplicatr_spark.functions.code import duckdb_abstract_case, duckdb_code_tokens
+from deduplicatr_spark.functions.code import (
+    duckdb_abstract_case,
+    duckdb_code_tokens,
+    duckdb_py_functions,
+)
+from deduplicatr_spark.operators.ngram import exact_ceil
 from deduplicatr_spark.functions.hashing import normalized
 from deduplicatr_spark.functions.multimodal import extract_meta, to_binary_docs
 from deduplicatr_spark.operators.connected_components import connected_components
@@ -1472,14 +1477,10 @@ _T3_TOKENS_SQL = duckdb_code_tokens("content", "lang")
 
 # method-granularity replays, generated from the same constants the
 # Spark path uses (functions/code.py)
-from deduplicatr_spark.functions.code import duckdb_py_functions as _ddb_pyf
-
-_MU_FUNCS_SQL = _ddb_pyf("content", "lang")
+_MU_FUNCS_SQL = duckdb_py_functions("content", "lang")
 _MU_TOKENS_SQL = duckdb_code_tokens("unit", "'python'")
-from deduplicatr_spark.operators.ngram import _exact_ceil as _t3_exact_ceil
-
 TYPE3_THETA = 0.8  # SourcererCC ICSE 2016's published operating point
-_T3_NUM, _T3_DEN = _t3_exact_ceil(TYPE3_THETA)
+_T3_NUM, _T3_DEN = exact_ceil(TYPE3_THETA)
 
 
 def _substring_truth(
@@ -3603,8 +3604,10 @@ WHERE overlap >= (greatest(sa.sz, sb.sz) * {t3n} + {t3d}) // {t3dv}
   FROM toks a JOIN toks b ON a.tok = b.tok AND a.uid < b.uid
   GROUP BY 1, 2
 )
-SELECT ua // 1000000 AS doc_a, ua % 1000000 AS unit_a,
-       ub // 1000000 AS doc_b, ub % 1000000 AS unit_b, overlap,
+SELECT (ua - ((ua % 1000000 + 1000000) % 1000000)) // 1000000 AS doc_a,
+       (ua % 1000000 + 1000000) % 1000000 AS unit_a,
+       (ub - ((ub % 1000000 + 1000000) % 1000000)) // 1000000 AS doc_b,
+       (ub % 1000000 + 1000000) % 1000000 AS unit_b, overlap,
        floor(overlap / greatest(sa.sz, sb.sz) * 1000000) / 1000000.0
          AS similarity
 FROM ov

@@ -112,6 +112,20 @@ def amplified_corpus(spark: SparkSession, sf_dir: str, mult: int) -> DataFrame:
     return out.repartition(n_part, "path")
 
 
+def code_relabel(docs: DataFrame) -> DataFrame:
+    """Cycle a (doc_id, …) frame through the five hash-assigned code
+    langs so clone-operator regex branches run on the bench corpus.
+    Single definition — the bench, the type-3 profiler and the
+    work-volume harness must measure the SAME stage costs."""
+    return docs.withColumn(
+        "lang",
+        F.element_at(
+            F.array(*[F.lit(x) for x in ("python", "java", "js", "c", "go")]),
+            (F.pmod(F.xxhash64("doc_id"), F.lit(5)) + 1).cast("int"),
+        ),
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -363,13 +377,7 @@ def main() -> None:
     # copies) are the type-3 matches; unique fillers tokenize to ONE
     # doc-unique token (no separators in repeated sha256 hex), so the
     # prefix index stays linear.
-    code_docs = distinct_docs.withColumn(
-        "lang",
-        F.element_at(
-            F.array(*[F.lit(x) for x in ("python", "java", "js", "c", "go")]),
-            (F.pmod(F.xxhash64("doc_id"), F.lit(5)) + 1).cast("int"),
-        ),
-    )
+    code_docs = code_relabel(distinct_docs)
 
     def _type2():
         from deduplicatr_spark.functions.code import abstract_code_tokens

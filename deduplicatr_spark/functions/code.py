@@ -127,7 +127,12 @@ DQ_STRING_RE = r'"[^"]*"'
 SQ_STRING_RE = r"'[^']*'"
 KEYWORD_RE = r"\b(" + "|".join(CODE_KEYWORDS) + r")\b"
 IDENT_RE = r"\b[A-Za-z_][A-Za-z0-9_]*\b"
-PUNCT_SPACE_RE = r"([^0-9A-Za-z_\s])"
+# \s is NOT engine-identical: Java's includes \x0B (vertical tab),
+# RE2's does not — a \s inside the code-branch patterns would make the
+# type-2 stream diverge cross-engine on \x0B content. Explicit ASCII
+# whitespace classes keep both engines byte-identical.
+ASCII_WS_RE = r"[ \t\n\x0B\f\r]+"
+PUNCT_SPACE_RE = r"([^0-9A-Za-z_ \t\n\x0B\f\r])"
 
 
 def abstract_code_tokens(
@@ -155,9 +160,9 @@ def abstract_code_tokens(
     a = F.regexp_replace(a, KEYWORD_RE, " 0$1 ")
     a = F.regexp_replace(a, IDENT_RE, " 0i ")
     a = F.regexp_replace(a, PUNCT_SPACE_RE, " $1 ")
-    return F.when(lg.isin(*CODE_LANGS), F.trim(F.regexp_replace(a, r"\s+", " "))).otherwise(
-        normalized(c)
-    )
+    return F.when(
+        lg.isin(*CODE_LANGS), F.trim(F.regexp_replace(a, ASCII_WS_RE, " "))
+    ).otherwise(normalized(c))
 
 
 def _sq(pattern: str) -> str:
@@ -204,7 +209,7 @@ def duckdb_abstract_case(content: str, lang: str) -> str:
         (PUNCT_SPACE_RE, " \\1 "),
     ):
         chain = f"regexp_replace({chain}, '{_sq(pat)}', '{rep}', 'g')"
-    code_expr = f"trim(regexp_replace({chain}, '\\s+', ' ', 'g'))"
+    code_expr = f"trim(regexp_replace({chain}, '{_sq(ASCII_WS_RE)}', ' ', 'g'))"
     plain = f"trim(regexp_replace({st}, '\\s+', ' ', 'g'))"
     return (
         f"CASE WHEN lower({lang}) IN ({_in_list(CODE_LANGS)}) "
@@ -254,6 +259,12 @@ def duckdb_code_tokens(content: str, lang: str) -> str:
 # out of scope, like the lexer boundary strip_code_comments documents).
 PY_FUNC_RE = r"(?m)^def [^\n]*(?:\n(?:[ \t][^\n]*)?)*"
 PY_LANGS = ("python", "py")
+# Java's (?m)^ matches after \r, NEL, LS and PS; RE2's matches only
+# after \n — unnormalized exotic line terminators would shift unit
+# boundaries (and uid ordinality) between the engine and the oracle.
+# Folding them to \n FIRST makes extraction byte-identical; the fold
+# never changes the token stream (terminators never tokenize).
+LINE_SEP_RE = "[\\r\u0085\u2028\u2029]"
 
 
 def extract_py_functions(
@@ -263,18 +274,23 @@ def extract_py_functions(
     non-python langs) — the unit stream for method-granularity clone
     detection (SourcererCC ICSE 2016 operates on METHODS: a cloned
     function inside an otherwise-unrelated file is invisible at file
-    granularity). One codegen regexp_extract_all, zero UDFs."""
-    lg = F.lower(lang) if isinstance(lang, str) else F.lower(lang)
+    granularity). One codegen regexp chain, zero UDFs."""
+    lg = F.lower(F.col(lang) if isinstance(lang, str) else lang)
     c = F.col(content) if isinstance(content, str) else content
+    c = F.regexp_replace(c, LINE_SEP_RE, "\n")
     return F.when(
         lg.isin(*PY_LANGS), F.regexp_extract_all(c, F.lit(PY_FUNC_RE), 0)
     ).otherwise(F.array().cast("array<string>"))
 
 
 def duckdb_py_functions(content: str, lang: str) -> str:
-    """DuckDB expression replaying extract_py_functions verbatim."""
+    """DuckDB expression replaying extract_py_functions verbatim —
+    same line-separator fold, same extraction pattern."""
+    folded = (
+        f"regexp_replace({content}, '{_sq(LINE_SEP_RE)}', chr(10), 'g')"
+    )
     return (
         f"CASE WHEN lower({lang}) IN ({_in_list(PY_LANGS)}) "
-        f"THEN regexp_extract_all({content}, '{_sq(PY_FUNC_RE)}') "
+        f"THEN regexp_extract_all({folded}, '{_sq(PY_FUNC_RE)}') "
         f"ELSE [] END"
     )

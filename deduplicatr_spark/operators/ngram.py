@@ -39,14 +39,18 @@ def _hashed_sets(grams_df: DataFrame, id_col: str, grams_col: str) -> DataFrame:
     ).filter(F.size("grams") > 0)
 
 
-def _exact_ceil(tau: float) -> tuple[int, int]:
+def exact_ceil(tau: float) -> tuple[int, int]:
     """τ as an exact rational: the prefix bound |G| − ⌈τ|G|⌉ + 1 must
     use integer arithmetic — double-precision ceil(τ·sz) can round up
     when τ·sz is exactly integral but τ isn't binary-representable,
     making the prefix one gram short and silently dropping qualifying
-    pairs."""
+    pairs. Public: the entry oracles replay the identical rational so
+    no float boundary can disagree."""
     frac = Fraction(tau).limit_denominator(1_000_000)
     return frac.numerator, frac.denominator
+
+
+_exact_ceil = exact_ceil  # original (pre-promotion) name
 
 
 def _prefix_index(e: DataFrame, num: int, den: int) -> DataFrame:
@@ -245,9 +249,10 @@ def token_bag_overlap_pairs(
     ``prefilter_cells=0`` disables it.
 
     Verification is pure JVM: per-doc (token → count) maps and one
-    ``aggregate`` over the smaller projection's keys — content and raw
-    tokens never reach the verify shuffle (8-byte xxhash64 keys, the
-    repo-wide 2⁻⁶⁴ collision tolerance). ``overlap`` is the exact
+    ``aggregate`` over doc_a's keys (min(cnt_A, cnt_B) is 0 for keys
+    only in B, so either side's keys give the exact overlap) — content
+    and raw tokens never reach the verify shuffle (8-byte xxhash64
+    keys, the repo-wide 2⁻⁶⁴ collision tolerance). ``overlap`` is the exact
     integer; ``similarity`` = overlap/max(|A|,|B|) floor-truncated to 6
     decimals (oracle-stable); the qualifying filter is the INTEGER
     comparison overlap ≥ (max·num + den − 1) div den, so no float
@@ -420,10 +425,13 @@ def method_clone_pairs(
     gates tiny methods — `def f(): pass` clones are noise, their
     default is 50 tokens), then run the flattened-bag prefix filter +
     cell-bound + exact bag verify (token_bag_overlap_pairs) over unit
-    ids. Unit id = doc_id·10⁶ + idx, decomposed back in the output —
-    valid while doc ids stay under ~9.2·10¹² and files under 10⁶
-    top-level functions; the same integer arithmetic is replayed by
-    the oracle, so an id-packing bug cannot hide.
+    ids. Unit id = doc_id·10⁶ + idx; decomposition uses pmod +
+    exact-multiple division, so NEGATIVE doc ids (the repo's canonical
+    signed-xxhash64 keys) round-trip correctly — truncate-toward-zero
+    div/% would silently corrupt them. Valid while |doc_id| stays
+    under ~9.2·10¹² and files under 10⁶ top-level functions; the same
+    integer arithmetic is replayed by the oracle, so an id-packing bug
+    cannot hide.
 
     Scale shape: unit rows multiply the corpus by functions-per-file
     (bounded, corpus-linear); everything downstream is the audited
@@ -447,11 +455,14 @@ def method_clone_pairs(
         toks, theta, id_col="uid", tokens_col="tokens",
         prefilter_cells=prefilter_cells,
     )
+    # floored decomposition: unit = pmod ≥ 0 always; (uid − unit) is an
+    # exact multiple of 10⁶, so the truncating div equals floor even
+    # for negative uids
     return pairs.select(
-        F.expr("doc_a div 1000000L").alias("doc_a"),
-        F.expr("doc_a % 1000000L").alias("unit_a"),
-        F.expr("doc_b div 1000000L").alias("doc_b"),
-        F.expr("doc_b % 1000000L").alias("unit_b"),
+        F.expr("(doc_a - pmod(doc_a, 1000000L)) div 1000000L").alias("doc_a"),
+        F.expr("pmod(doc_a, 1000000L)").alias("unit_a"),
+        F.expr("(doc_b - pmod(doc_b, 1000000L)) div 1000000L").alias("doc_b"),
+        F.expr("pmod(doc_b, 1000000L)").alias("unit_b"),
         "overlap",
         "similarity",
     )

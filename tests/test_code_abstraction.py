@@ -87,6 +87,9 @@ def test_engine_parity_spark_vs_duckdb(spark):
         (7, "SELECT a, b -- c\nFROM t WHERE x = 'y'", "sql"),
         (8, "prose // with markers # inside -- all kept", "en"),
         (9, "a.b.c(1.5e3, x_9, _p)", "ts"),
+        # \x0B: Java \s includes it, RE2 \s doesn't — the explicit
+        # ASCII_WS/PUNCT classes must keep both engines identical
+        (11, "a\x0bb = c;\x0b\x0bd = e;", "java"),
     ]
     got_spark = _run(spark, rows)
     pdf = pd.DataFrame(rows, columns=["doc_id", "content", "lang"])

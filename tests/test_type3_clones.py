@@ -191,6 +191,67 @@ def test_method_clone_pairs_unit_granularity(spark):
     # doc1 unit0 is the shared fn; doc2's copy is unit1 (after the
     # gated tiny def at unit0); doc4 is java → no units
     assert got == {(1, 0, 2, 1, 1.0)}
+
+
+def test_method_clone_pairs_negative_doc_ids(spark):
+    """doc_id is canonically signed xxhash64 in this repo — uid packing
+    must round-trip NEGATIVE ids exactly (truncating div/% would emit
+    (doc+1, unit−10⁶) corruption)."""
+    from deduplicatr_spark.operators.ngram import method_clone_pairs
+
+    shared = "def s(aa, bb):\n    q1 = aa + bb\n    q2 = q1 * aa\n    return q2 + q1 + aa + bb\n"
+    filler = "def w(pp):\n    return p1 p2 p3 p4 p5 p6 p7 p8 p9\n"
+    rows = [
+        (-5, filler + shared, "python"),
+        (7, shared, "python"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content string, lang string")
+    got = {
+        (r["doc_a"], r["unit_a"], r["doc_b"], r["unit_b"])
+        for r in method_clone_pairs(df, 0.8, min_tokens=10).collect()
+    }
+    assert got == {(-5, 1, 7, 0)}
+
+
+def test_extract_py_functions_exotic_line_terminators(spark):
+    """Java's (?m)^ matches after \\r/NEL/LS/PS, RE2's only after \\n —
+    the pre-fold must make both engines extract the same units from
+    lone-CR and U+2028-separated content."""
+    from deduplicatr_spark.functions.code import (
+        duckdb_py_functions,
+        extract_py_functions,
+    )
+
+    rows = [
+        (1, "x = 1\rdef f():\n    return 1", "python"),
+        (2, "y = 2\u2028def g():\n    return 2", "python"),
+        (3, "def h():\r    return 3\rz = 9", "python"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content string, lang string")
+    got = {
+        r["doc_id"]: list(r["u"])
+        for r in df.select(
+            "doc_id", extract_py_functions("content", "lang").alias("u")
+        ).collect()
+    }
+    assert got[1] == ["def f():\n    return 1"]
+    assert got[2] == ["def g():\n    return 2"]
+    assert got[3] == ["def h():\n    return 3\n"]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "content", "lang"])
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    duck = {
+        int(r[0]): list(r[1])
+        for r in con.execute(
+            "SELECT doc_id, "
+            + duckdb_py_functions("content", "lang")
+            + " FROM docs ORDER BY doc_id"
+        ).fetchall()
+    }
+    assert got == duck
+
+
+def test_code_tokens_engine_parity(spark):
     """The generated DuckDB expression must replay code_tokens
     byte-for-byte — comment forms, unicode neighbours, empties."""
     rows = [

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from bench import amplified_corpus  # noqa: E402
 from deduplicatr_spark.functions.text import word_ngrams  # noqa: E402
 from deduplicatr_spark.operators.ngram import (  # noqa: E402
-    _exact_ceil,
+    exact_ceil,
     _hashed_sets,
     _prefix_index,
 )
@@ -48,7 +48,7 @@ def main() -> None:
     grams_df = distinct_docs.select(
         "doc_id", word_ngrams(3, "content").alias("grams")
     )
-    num, den = _exact_ceil(TAU)
+    num, den = exact_ceil(TAU)
 
     def timed(name, fn):
         t0 = time.time()

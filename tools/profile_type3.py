@@ -3,7 +3,7 @@ import os
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 from deduplicatr_spark.session import build_session
-from bench import amplified_corpus
+from bench import amplified_corpus, code_relabel
 from deduplicatr_spark.functions.code import code_tokens
 from deduplicatr_spark.operators.ngram import token_bag_overlap_pairs
 from deduplicatr_spark.operators.lsh import release_tracked
@@ -16,13 +16,7 @@ distinct_docs = corpus.dropDuplicates(["content"]).select(
     F.xxhash64("repo", "path", "commit").alias("doc_id"), "content"
 ).persist()
 distinct_docs.count()
-code_docs = distinct_docs.withColumn(
-    "lang",
-    F.element_at(
-        F.array(*[F.lit(x) for x in ("python", "java", "js", "c", "go")]),
-        (F.pmod(F.xxhash64("doc_id"), F.lit(5)) + 1).cast("int"),
-    ),
-)
+code_docs = code_relabel(distinct_docs)
 toks = code_docs.select("doc_id", code_tokens("content", "lang").alias("tokens"))
 for cells in (16, 0, 16, 0):
     t0 = time.time()

@@ -238,7 +238,7 @@ def _wl_clone_ops(spark, mult: int) -> None:
     python, so method units need plants to exercise the unit path)."""
     from pyspark.sql import functions as F
 
-    from bench import amplified_corpus
+    from bench import amplified_corpus, code_relabel
     from deduplicatr_spark.functions.code import abstract_code_tokens, code_tokens
     from deduplicatr_spark.operators.lsh import release_tracked
     from deduplicatr_spark.operators.ngram import (
@@ -250,13 +250,7 @@ def _wl_clone_ops(spark, mult: int) -> None:
     docs = corpus.dropDuplicates(["content"]).select(
         F.xxhash64("repo", "path", "commit").alias("doc_id"), "content"
     )
-    code_docs = docs.withColumn(
-        "lang",
-        F.element_at(
-            F.array(*[F.lit(x) for x in ("python", "java", "js", "c", "go")]),
-            (F.pmod(F.xxhash64("doc_id"), F.lit(5)) + 1).cast("int"),
-        ),
-    )
+    code_docs = code_relabel(docs)
     code_docs.select(
         F.sha2(abstract_code_tokens("content", "lang"), 256).alias("key")
     ).groupBy("key").count().count()

@@ -2194,6 +2194,117 @@ def _q_fork_prefiltered_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _version_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic multi-commit file history (repo, path, commit,
+    content) derived from the documents table — the input_hint's
+    ``commit`` column made live. Mirrors the VERSIONS CTE in the
+    history oracles EXACTLY (keep in sync):
+
+    * c00: every file's initial content.
+    * c01 (doc_id%3): append a one-line patch.
+    * c02 (doc_id%6): a second stacked patch line.
+    * c03 (doc_id%9): REVERT to the original (A→B→A — proves
+      n_changes is lag-counted, not n_distinct−1).
+    * c04 (doc_id%10): duplicate the head version's first line —
+      content sha changes, distinct LINE SET doesn't (the
+      'identical'-kind delta pair).
+    * c05 (doc_id%12): byte-identical copy in repo 'copycat' under a
+      new path (cross-repo provenance: origin must stay c00).
+    """
+    base = _docs(spark, sf_dir).filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.col("source").alias("repo"),
+        F.concat(
+            F.col("source"), F.lit("/"), F.col("lang"), F.lit("/"),
+            F.col("doc_id").cast("string"), F.lit(".txt"),
+        ).alias("path"),
+        F.col("text").alias("text"),
+    )
+    did = F.col("doc_id")
+    v1 = F.concat(
+        F.col("text"), F.lit("\n// patch-1 "), did.cast("string")
+    )
+    v2 = F.concat(v1, F.lit("\n// patch-2"))
+    head = (
+        F.when(did % 9 == 0, F.col("text"))
+        .when(did % 6 == 0, v2)
+        .when(did % 3 == 0, v1)
+        .otherwise(F.col("text"))
+    )
+    noop = F.concat(
+        head, F.lit("\n"), F.split(head, "\n").getItem(0)
+    )
+
+    def ver(cond, commit: str, content) -> DataFrame:
+        rows = base.filter(cond) if cond is not None else base
+        return rows.select(
+            "repo", "path", F.lit(commit).alias("commit"),
+            content.alias("content"),
+        )
+
+    copies = base.filter(did % 12 == 0).select(
+        F.lit("copycat").alias("repo"),
+        F.concat(
+            F.lit("copied/"), did.cast("string"), F.lit(".txt")
+        ).alias("path"),
+        F.lit("c05").alias("commit"),
+        F.col("text").alias("content"),
+    )
+    return (
+        ver(None, "c00", F.col("text"))
+        .unionByName(ver(did % 3 == 0, "c01", v1))
+        .unionByName(ver(did % 6 == 0, "c02", v2))
+        .unionByName(ver(did % 9 == 0, "c03", F.col("text")))
+        .unionByName(ver(did % 10 == 0, "c04", noop))
+        .unionByName(copies)
+    )
+
+
+def _q_head_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-commit-wins materialization (operators/history.py
+    head_snapshot) over the planted commit history — the snapshot
+    stage The Stack (Kocetkov 2211.15533) runs before near-dedup. One
+    partial+final max_by aggregation keyed (repo, path). The oracle
+    re-derives heads via arg_max/window over the same VERSIONS CTE, so
+    a max_by-vs-commit-order or version-count bug goes red."""
+    from deduplicatr_spark.operators.history import head_snapshot
+
+    return head_snapshot(_version_corpus(spark, sf_dir))
+
+
+def _q_content_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Origin attribution per distinct sha256 (operators/history.py
+    content_provenance): earliest (commit, repo, path) introducer via
+    a min'd \\x01-composite, copy fan-out, cross-repo flag. The
+    planted 'copycat' repo copies c00 content at c05, so any ordering
+    bug that attributes origin to the copy goes red."""
+    from deduplicatr_spark.operators.history import content_provenance
+
+    return content_provenance(_version_corpus(spark, sf_dir))
+
+
+def _q_commit_churn_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file churn shape (operators/history.py commit_churn_stats):
+    lag-counted content transitions per (repo, path). The c03 revert
+    rows make n_changes ≠ n_distinct_contents − 1 (A→B→A is 2 changes
+    over 2 distinct), so a distinct-count shortcut goes red."""
+    from deduplicatr_spark.operators.history import commit_churn_stats
+
+    return commit_churn_stats(_version_corpus(spark, sf_dir))
+
+
+def _q_version_delta_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-version line-set Jaccard (operators/history.py
+    version_delta_pairs), pure Catalyst (split → array_distinct →
+    array_intersect/union under one window lag). The c04 rows
+    duplicate an existing line — sha changes, line SET doesn't — so
+    the 'identical' kind only survives if the distinct-set semantics
+    match the oracle's list_distinct/list_intersect exactly."""
+    from deduplicatr_spark.operators.history import version_delta_pairs
+
+    return version_delta_pairs(_version_corpus(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full dedup pipeline on sf0.001."""
     return _q_dedup_pipeline(spark, "/root/testdata/sf0.001")
@@ -2281,6 +2392,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_windows": _q_chunk_windows,
         "dedup_pipeline": _q_dedup_pipeline,
         "fork_prefiltered_pipeline": _q_fork_prefiltered_pipeline,
+        "head_snapshot": _q_head_snapshot,
+        "content_provenance": _q_content_provenance,
+        "commit_churn_stats": _q_commit_churn_stats,
+        "version_delta_pairs": _q_version_delta_pairs,
     }
 
 
@@ -2307,6 +2422,43 @@ _GRAMS3 = (
     "list_transform(range(1, len({t}) - 1), "
     "i -> {t}[i] || ' ' || {t}[i+1] || ' ' || {t}[i+2])) END"
 )
+
+#: DuckDB twin of ``_version_corpus`` — keep the two in sync (same
+#: patch/revert/no-op/copy plan, same modular gates). ``vcommit``
+#: dodges DuckDB's COMMIT keyword; queries alias it back where the
+#: output schema needs a ``commit`` column.
+_VERSIONS_SQL = """
+WITH vbase AS (
+  SELECT doc_id, source AS repo,
+         source || '/' || lang || '/' || CAST(doc_id AS VARCHAR) || '.txt'
+           AS path,
+         text,
+         text || chr(10) || '// patch-1 ' || CAST(doc_id AS VARCHAR) AS v1
+  FROM documents WHERE text IS NOT NULL
+), vhead AS (
+  SELECT *, v1 || chr(10) || '// patch-2' AS v2,
+         CASE WHEN doc_id % 9 = 0 THEN text
+              WHEN doc_id % 6 = 0 THEN v1 || chr(10) || '// patch-2'
+              WHEN doc_id % 3 = 0 THEN v1
+              ELSE text END AS head
+  FROM vbase
+), versions AS (
+  SELECT repo, path, 'c00' AS vcommit, text AS content FROM vhead
+  UNION ALL
+  SELECT repo, path, 'c01', v1 FROM vhead WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT repo, path, 'c02', v2 FROM vhead WHERE doc_id % 6 = 0
+  UNION ALL
+  SELECT repo, path, 'c03', text FROM vhead WHERE doc_id % 9 = 0
+  UNION ALL
+  SELECT repo, path, 'c04', head || chr(10) || string_split(head, chr(10))[1]
+  FROM vhead WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT 'copycat', 'copied/' || CAST(doc_id AS VARCHAR) || '.txt', 'c05',
+         text
+  FROM vhead WHERE doc_id % 12 = 0
+)
+"""
 
 
 def _langid_sql() -> str:
@@ -4043,6 +4195,73 @@ SELECT repo, path, sha256, size,
        count(*) OVER (PARTITION BY sha256) AS exact_group_size,
        TRUE AS cluster_ok
 FROM surv
+""",
+        "head_snapshot": _VERSIONS_SQL + """
+SELECT repo, path, max(vcommit) AS head_commit,
+       arg_max(sha, vcommit) AS head_sha256,
+       CAST(count(*) AS BIGINT) AS n_versions,
+       CAST(count(DISTINCT sha) AS BIGINT) AS n_distinct_contents
+FROM (SELECT repo, path, vcommit, sha256(content) AS sha FROM versions)
+GROUP BY repo, path
+""",
+        "content_provenance": _VERSIONS_SQL + """
+, prov AS (
+  SELECT sha256(content) AS sha256,
+         vcommit || chr(1) || repo || chr(1) || path AS ordk,
+         repo
+  FROM versions
+)
+SELECT sha256,
+       string_split(min(ordk), chr(1))[1] AS origin_commit,
+       string_split(min(ordk), chr(1))[2] AS origin_repo,
+       string_split(min(ordk), chr(1))[3] AS origin_path,
+       CAST(count(*) AS BIGINT) AS n_copies,
+       CAST(count(DISTINCT repo) AS BIGINT) AS n_repos,
+       count(DISTINCT repo) > 1 AS cross_repo
+FROM prov GROUP BY sha256
+""",
+        "commit_churn_stats": _VERSIONS_SQL + """
+, vsha AS (
+  SELECT repo, path, vcommit, sha256(content) AS sha FROM versions
+), lagged AS (
+  SELECT repo, path, vcommit, sha,
+         lag(sha) OVER (PARTITION BY repo, path ORDER BY vcommit) AS prev
+  FROM vsha
+)
+SELECT repo, path,
+       CAST(count(*) AS BIGINT) AS n_versions,
+       CAST(count(DISTINCT sha) AS BIGINT) AS n_distinct_contents,
+       CAST(sum(CASE WHEN prev IS NOT NULL AND prev <> sha
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+       min(vcommit) AS first_commit,
+       max(vcommit) AS head_commit,
+       sum(CASE WHEN prev IS NOT NULL AND prev <> sha
+                THEN 1 ELSE 0 END) >= 2 AS is_volatile
+FROM lagged GROUP BY repo, path
+""",
+        "version_delta_pairs": _VERSIONS_SQL + """
+, vlines AS (
+  SELECT repo, path, vcommit,
+         list_distinct(string_split(content, chr(10))) AS ls
+  FROM versions
+), lagged AS (
+  SELECT repo, path, vcommit AS commit, ls,
+         lag(ls) OVER (PARTITION BY repo, path ORDER BY vcommit) AS prev_ls,
+         lag(vcommit) OVER (PARTITION BY repo, path ORDER BY vcommit)
+           AS prev_commit
+  FROM vlines
+), scored AS (
+  SELECT repo, path, prev_commit, commit,
+         floor(CAST(len(list_intersect(ls, prev_ls)) AS DOUBLE)
+               / CAST(len(list_distinct(list_concat(ls, prev_ls))) AS DOUBLE)
+               * 1000000) / 1000000.0 AS line_jaccard
+  FROM lagged WHERE prev_commit IS NOT NULL
+)
+SELECT repo, path, prev_commit, commit, line_jaccard,
+       CASE WHEN line_jaccard >= 1.0 THEN 'identical'
+            WHEN line_jaccard >= 0.5 THEN 'patch'
+            ELSE 'rewrite' END AS kind
+FROM scored
 """,
     })
 

@@ -1,0 +1,208 @@
+"""Commit-history-aware dedup operators — the input table's ``commit``
+column made first-class. A real source-code corpus (The Stack,
+Software Heritage) is a VERSIONED file forest: each (repo, path)
+carries many commits, and a training-data pipeline must (a) pick which
+snapshot to train on, (b) attribute identical content to its origin
+(copy-direction across repos), and (c) measure churn so volatile
+generated files can be down-weighted. Kocetkov et al. 2211.15533 (The
+Stack) dedup by latest-snapshot materialization before near-dedup —
+``head_snapshot`` is that stage as one aggregation.
+
+Scale posture (10^12 files): every operator here is a single hash
+exchange keyed on fixed-width columns —
+
+* ``head_snapshot``: partial+final ``max_by`` aggregate keyed on
+  (repo, path); content rides as the aggregated value exactly once,
+  no window sort, no second shuffle. Key cardinality = live paths;
+  cryptographically-uniform hash partitioning, no planted skew.
+* ``content_provenance``: aggregate keyed on sha256 (uniform by
+  construction); content itself never ships — only 8+32-byte
+  identity plus the min'd origin string.
+* ``commit_churn_stats`` / ``version_delta_pairs``: one window over
+  (repo, path) ordered by commit — per-group state is the file's
+  commit count (bounded by repo history depth, thousands at worst,
+  never corpus-sized). The delta-pair Jaccard is pure Catalyst
+  (``array_intersect``/``array_union`` on distinct line arrays), no
+  UDF, no pair shuffle: consecutive versions are already co-located
+  by the window partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Field separator for composite min/max ordering keys. \x01 sorts
+#: below every printable char, so `commit \x01 repo \x01 path` orders
+#: by commit first with repo/path as deterministic tie-breaks — the
+#: same ordering DuckDB's `min(commit || chr(1) || ...)` computes.
+_SEP = "\x01"
+
+
+def head_snapshot(
+    files: DataFrame,
+    key_cols: tuple[str, str] = ("repo", "path"),
+    commit_col: str = "commit",
+    content_col: str = "content",
+) -> DataFrame:
+    """Latest-commit-wins materialization: one row per (repo, path)
+    with the lexicographically-greatest commit's content identity.
+
+    Output: (repo, path, head_commit, head_sha256, n_versions,
+    n_distinct_contents). ``max_by`` on the commit string (commit ids
+    must sort chronologically — zero-padded sequence numbers or
+    timestamps; real SHAs would join a commit→order dimension first).
+    Ties on commit_col are impossible per key in an append-only log;
+    the aggregate stays deterministic anyway because the ordering key
+    is the full commit string.
+    """
+    repo_c, path_c = key_cols
+    sha = F.sha2(F.col(content_col).cast("binary"), 256)
+    return (
+        files.select(
+            F.col(repo_c).alias("repo"),
+            F.col(path_c).alias("path"),
+            F.col(commit_col).alias("commit"),
+            sha.alias("sha256"),
+        )
+        .groupBy("repo", "path")
+        .agg(
+            F.max("commit").alias("head_commit"),
+            F.max_by("sha256", "commit").alias("head_sha256"),
+            F.count(F.lit(1)).alias("n_versions"),
+            F.countDistinct("sha256").alias("n_distinct_contents"),
+        )
+    )
+
+
+def content_provenance(
+    files: DataFrame,
+    commit_col: str = "commit",
+    content_col: str = "content",
+) -> DataFrame:
+    """Origin attribution per distinct content: the earliest
+    (commit, repo, path) that introduced each sha256, plus copy
+    fan-out. Detects copy-direction — a file whose sha first appears
+    in repo A at c00 and later in repo B is B←A provenance, the
+    signal The Stack uses for license attribution of duplicated
+    blobs.
+
+    Output: (sha256, origin_commit, origin_repo, origin_path,
+    n_copies, n_repos, cross_repo). One aggregation keyed on sha256;
+    the origin triple is the min of a \\x01-joined composite string —
+    a total order, so the result is deterministic under any ties.
+    """
+    sha = F.sha2(F.col(content_col).cast("binary"), 256)
+    ordkey = F.concat_ws(
+        _SEP, F.col(commit_col), F.col("repo"), F.col("path")
+    )
+    agg = (
+        files.select(
+            sha.alias("sha256"),
+            ordkey.alias("_ord"),
+            F.col("repo").alias("_repo"),
+        )
+        .groupBy("sha256")
+        .agg(
+            F.min("_ord").alias("_origin"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("_repo").alias("n_repos"),
+        )
+    )
+    parts = F.split(F.col("_origin"), _SEP)
+    return agg.select(
+        "sha256",
+        parts.getItem(0).alias("origin_commit"),
+        parts.getItem(1).alias("origin_repo"),
+        parts.getItem(2).alias("origin_path"),
+        "n_copies",
+        "n_repos",
+        (F.col("n_repos") > 1).alias("cross_repo"),
+    )
+
+
+def commit_churn_stats(
+    files: DataFrame,
+    commit_col: str = "commit",
+    content_col: str = "content",
+) -> DataFrame:
+    """Per-(repo, path) edit-history shape: how often the file's
+    content actually changed across its commit sequence.
+
+    ``n_changes`` counts commit→commit transitions whose sha differs
+    from the previous version — NOT ``n_distinct - 1``: a revert
+    (A→B→A) is 2 changes over 2 distinct contents, and generated
+    files that thrash between states are exactly the high-churn /
+    low-distinct signature this stat exists to expose.
+
+    Output: (repo, path, n_versions, n_distinct_contents, n_changes,
+    first_commit, head_commit, is_volatile) where ``is_volatile``
+    flags n_changes ≥ 2 (changed on most commits).
+    """
+    sha = F.sha2(F.col(content_col).cast("binary"), 256)
+    w = Window.partitionBy("repo", "path").orderBy(commit_col)
+    versions = files.select(
+        "repo", "path", F.col(commit_col).alias("commit"), sha.alias("sha256")
+    ).withColumn("_prev", F.lag("sha256").over(w))
+    changed = F.when(
+        F.col("_prev").isNotNull() & (F.col("_prev") != F.col("sha256")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return (
+        versions.withColumn("_chg", changed)
+        .groupBy("repo", "path")
+        .agg(
+            F.count(F.lit(1)).alias("n_versions"),
+            F.countDistinct("sha256").alias("n_distinct_contents"),
+            F.sum("_chg").alias("n_changes"),
+            F.min("commit").alias("first_commit"),
+            F.max("commit").alias("head_commit"),
+        )
+        .withColumn("is_volatile", F.col("n_changes") >= 2)
+    )
+
+
+def version_delta_pairs(
+    files: DataFrame,
+    commit_col: str = "commit",
+    content_col: str = "content",
+) -> DataFrame:
+    """Consecutive-version near-dup audit: for every commit→commit
+    transition of a (repo, path), the line-set Jaccard between the
+    two versions — 1.0 means a no-op commit (whitespace-identical
+    line set), near-1 means a small patch (the dominant real-world
+    case ExactSubstr-style span dedup feeds on), near-0 means a
+    rewrite. Pure Catalyst: distinct line arrays via
+    ``array_distinct(split(...))``, overlap via ``array_intersect`` /
+    ``array_union``, previous version via one window ``lag`` — the
+    pair never ships through a join because consecutive versions are
+    co-located by the (repo, path) window partitioning.
+
+    Output: (repo, path, prev_commit, commit, line_jaccard [floor-6],
+    kind ∈ identical | patch (≥0.5) | rewrite).
+    """
+    lines = F.array_distinct(F.split(F.col(content_col), "\n"))
+    w = Window.partitionBy("repo", "path").orderBy(commit_col)
+    v = files.select(
+        "repo", "path", F.col(commit_col).alias("commit"),
+        lines.alias("_lines"),
+    ).select(
+        "repo", "path", "commit", "_lines",
+        F.lag("_lines").over(w).alias("_prev_lines"),
+        F.lag("commit").over(w).alias("prev_commit"),
+    ).filter(F.col("prev_commit").isNotNull())
+    inter = F.size(F.array_intersect("_lines", "_prev_lines"))
+    union = F.size(F.array_union("_lines", "_prev_lines"))
+    jacc = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(
+        F.lit(1.0)
+    )
+    jacc6 = F.floor(jacc * 1000000) / F.lit(1000000.0)
+    kind = (
+        F.when(jacc6 >= 1.0, F.lit("identical"))
+        .when(jacc6 >= 0.5, F.lit("patch"))
+        .otherwise(F.lit("rewrite"))
+    )
+    return v.select(
+        "repo", "path", "prev_commit", "commit",
+        jacc6.alias("line_jaccard"), kind.alias("kind"),
+    )

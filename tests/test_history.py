@@ -1,0 +1,77 @@
+"""Commit-history operators: head pick, provenance origin, churn vs
+revert, delta-pair kinds — the planted edge cases that distinguish the
+semantics from their tempting shortcuts."""
+
+from __future__ import annotations
+
+from deduplicatr_spark.operators.history import (
+    commit_churn_stats,
+    content_provenance,
+    head_snapshot,
+    version_delta_pairs,
+)
+
+# One file with a revert (A -> B -> A), a no-op-line-set commit, and a
+# cross-repo copy of the ORIGINAL content landing later.
+ROWS = [
+    ("r1", "a.py", "c00", "x = 1\ny = 2"),
+    ("r1", "a.py", "c01", "x = 1\ny = 3"),           # patch
+    ("r1", "a.py", "c02", "x = 1\ny = 2"),           # revert to c00
+    ("r1", "a.py", "c03", "x = 1\ny = 2\nx = 1"),    # dup line: same SET
+    ("r2", "stolen.py", "c09", "x = 1\ny = 2"),      # copy of r1@c00
+    ("r1", "b.py", "c00", "only one version"),
+]
+SCHEMA = "repo string, path string, commit string, content string"
+
+
+def test_head_snapshot_latest_commit_wins(spark):
+    out = {
+        (r["repo"], r["path"]): r
+        for r in head_snapshot(spark.createDataFrame(ROWS, SCHEMA)).collect()
+    }
+    a = out[("r1", "a.py")]
+    assert a["head_commit"] == "c03"
+    assert a["n_versions"] == 4
+    # c00 == c02 content -> 3 distinct among 4 versions
+    assert a["n_distinct_contents"] == 3
+    assert out[("r1", "b.py")]["n_versions"] == 1
+
+
+def test_provenance_attributes_origin_not_copy(spark):
+    rows = content_provenance(spark.createDataFrame(ROWS, SCHEMA)).collect()
+    dup = [r for r in rows if r["n_repos"] > 1]
+    assert len(dup) == 1
+    d = dup[0]
+    # first introducer is r1@c00, never the r2@c09 copy
+    assert (d["origin_commit"], d["origin_repo"], d["origin_path"]) == (
+        "c00", "r1", "a.py",
+    )
+    assert d["cross_repo"] and d["n_copies"] == 3  # c00, c02, stolen
+
+
+def test_churn_counts_transitions_not_distinct(spark):
+    out = {
+        (r["repo"], r["path"]): r
+        for r in commit_churn_stats(
+            spark.createDataFrame(ROWS, SCHEMA)
+        ).collect()
+    }
+    a = out[("r1", "a.py")]
+    # A->B->A->A' is 3 changes over 3 distinct contents (not distinct-1=2)
+    assert a["n_changes"] == 3
+    assert a["n_distinct_contents"] == 3
+    assert a["is_volatile"]
+    b = out[("r1", "b.py")]
+    assert b["n_changes"] == 0 and not b["is_volatile"]
+
+
+def test_delta_pairs_kinds(spark):
+    rows = version_delta_pairs(spark.createDataFrame(ROWS, SCHEMA)).collect()
+    by_commit = {(r["prev_commit"], r["commit"]): r for r in rows}
+    assert set(by_commit) == {("c00", "c01"), ("c01", "c02"), ("c02", "c03")}
+    # c02 -> c03 duplicates an existing line: sha differs, line SET equal
+    assert by_commit[("c02", "c03")]["kind"] == "identical"
+    assert by_commit[("c02", "c03")]["line_jaccard"] == 1.0
+    # c00 -> c01 replaces 1 of 2 lines: J = 1/3 -> rewrite bucket
+    assert by_commit[("c00", "c01")]["kind"] == "rewrite"
+    assert abs(by_commit[("c00", "c01")]["line_jaccard"] - 0.333333) < 1e-6

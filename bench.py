@@ -396,6 +396,39 @@ def main() -> None:
         token_bag_overlap_pairs(toks, 0.8).count()
         release_tracked()
 
+    # q3j: commit-history stack over a synthesized 3-commit version
+    # corpus (~1.44 rows/file): head_snapshot is one max_by hash agg,
+    # churn + delta-pairs share one (repo, path) window — the Stack-
+    # style snapshot materialization cost per corpus row. Recomputes
+    # from the cached corpus each run → repeat-safe.
+    _hist_sel = F.pmod(F.xxhash64("path", F.lit(11)), F.lit(3)) == 0
+    _hist_rev = F.pmod(F.xxhash64("path", F.lit(11)), F.lit(9)) == 0
+    versions = (
+        corpus.select("repo", "path", "commit", "content")
+        .unionByName(
+            corpus.filter(_hist_sel).select(
+                "repo", "path", F.lit("c1").alias("commit"),
+                F.concat(F.col("content"), F.lit("\npatched")).alias("content"),
+            )
+        )
+        .unionByName(
+            corpus.filter(_hist_rev).select(
+                "repo", "path", F.lit("c2").alias("commit"), "content"
+            )
+        )
+    )
+
+    def _history():
+        from deduplicatr_spark.operators.history import (
+            commit_churn_stats,
+            head_snapshot,
+            version_delta_pairs,
+        )
+
+        head_snapshot(versions).count()
+        commit_churn_stats(versions).count()
+        version_delta_pairs(versions).count()
+
     # two interleaved passes over the whole group (see timed())
     for _pass in range(2):
         timed("exact_dedup", _exact)
@@ -411,6 +444,7 @@ def main() -> None:
         timed("ngram_containment", _containment)
         timed("type2_clone_groups", _type2)
         timed("type3_clone_pairs", _type3)
+        timed("history_versions", _history)
     stats.unpersist()
     fork_ident.unpersist()
     feats.unpersist()

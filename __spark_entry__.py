@@ -2219,6 +2219,7 @@ def _version_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id").cast("string"), F.lit(".txt"),
         ).alias("path"),
         F.col("text").alias("text"),
+        "lang",
     )
     did = F.col("doc_id")
     v1 = F.concat(
@@ -2239,7 +2240,7 @@ def _version_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = base.filter(cond) if cond is not None else base
         return rows.select(
             "repo", "path", F.lit(commit).alias("commit"),
-            content.alias("content"),
+            content.alias("content"), "lang",
         )
 
     copies = base.filter(did % 12 == 0).select(
@@ -2249,6 +2250,7 @@ def _version_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("path"),
         F.lit("c05").alias("commit"),
         F.col("text").alias("content"),
+        "lang",
     )
     return (
         ver(None, "c00", F.col("text"))
@@ -2303,6 +2305,44 @@ def _q_version_delta_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deduplicatr_spark.operators.history import version_delta_pairs
 
     return version_delta_pairs(_version_corpus(spark, sf_dir))
+
+
+SNAP_CONFIG = PipelineConfig(substring_min_len=120, snapshot_head=True)
+
+
+def _q_snapshot_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pipeline with snapshot_head=True over the VERSIONED
+    corpus: stage s0_snapshot collapses (repo, path, commit) history to
+    each file's latest commit (operators/history.py § head_rows) before
+    any per-row work — The Stack's materialize-then-dedup order.
+    Output contract mirrors ``dedup_pipeline`` but over HEADS: exactly
+    one row per live (repo, path), identity columns round-tripping the
+    TRUE head content (a stale snapshot pick, a dropped or duplicated
+    file, or downstream corruption all go red against the oracle's
+    independent arg_max re-derivation), plus the exact-group size and
+    the cluster-composition flag. The planted cross-repo copies make
+    head-level EXACT groups only when the source file's head reverted
+    (doc_id%36), so a snapshot that picked a non-head version changes
+    group sizes and goes red too."""
+    docs = _version_corpus(spark, sf_dir)
+    pipe = DedupPipeline(spark, SNAP_CONFIG, _ckpt_root(sf_dir, SNAP_CONFIG))
+    out = pipe.run(docs)
+    from deduplicatr_spark.operators.history import head_rows
+
+    fp = head_rows(_version_corpus(spark, sf_dir)).select(
+        "repo", "path", TXT.fingerprint("content").alias("_fp")
+    )
+    j = out.join(fp, ["repo", "path"])
+    w_sha = Window.partitionBy("sha256")
+    w_fp = Window.partitionBy("_fp")
+    return j.select(
+        "repo",
+        "path",
+        "sha256",
+        "size",
+        F.count(F.lit(1)).over(w_sha).alias("exact_group_size"),
+        (F.col("cluster_id") == F.min("cluster_id").over(w_fp)).alias("cluster_ok"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2396,6 +2436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "content_provenance": _q_content_provenance,
         "commit_churn_stats": _q_commit_churn_stats,
         "version_delta_pairs": _q_version_delta_pairs,
+        "snapshot_pipeline": _q_snapshot_pipeline,
     }
 
 
@@ -4238,6 +4279,17 @@ SELECT repo, path,
        sum(CASE WHEN prev IS NOT NULL AND prev <> sha
                 THEN 1 ELSE 0 END) >= 2 AS is_volatile
 FROM lagged GROUP BY repo, path
+""",
+        "snapshot_pipeline": _VERSIONS_SQL + """
+, heads AS (
+  SELECT repo, path, arg_max(content, vcommit) AS content
+  FROM versions GROUP BY repo, path
+)
+SELECT repo, path, sha256(content) AS sha256,
+       length(content) AS size,
+       count(*) OVER (PARTITION BY sha256(content)) AS exact_group_size,
+       TRUE AS cluster_ok
+FROM heads
 """,
         "version_delta_pairs": _VERSIONS_SQL + """
 , vlines AS (

@@ -135,6 +135,16 @@ class PipelineConfig:
     fork_prefilter: bool = False
     fork_tau: float = 0.8
 
+    # --- head-snapshot materialization (SURVEY §2.52) ---
+    # When True the pipeline first collapses the VERSIONED input
+    # (repo, path, commit, …) to each file's latest commit
+    # (operators/history.py § head_rows) — The Stack dedups the head
+    # snapshot, not all history; superseded versions never pay for
+    # identity, features, banding or clustering. Off by default: the
+    # driver corpus is single-commit and the stage would be a no-op
+    # aggregation. Changes which rows exist downstream → config-hashed.
+    snapshot_head: bool = False
+
     # --- clustering (SURVEY §2.11) ---
     cc_max_iters: int = 50
     # False: per-round lineage truncation via localCheckpoint (executor

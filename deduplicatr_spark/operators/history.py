@@ -39,6 +39,31 @@ from pyspark.sql import functions as F
 _SEP = "\x01"
 
 
+def head_rows(
+    files: DataFrame,
+    key_cols: tuple[str, str] = ("repo", "path"),
+    commit_col: str = "commit",
+) -> DataFrame:
+    """Latest-commit-wins row materialization: the FULL row (original
+    schema, original column order) of each (repo, path)'s greatest
+    commit — the snapshot The Stack (Kocetkov 2211.15533) dedups
+    instead of all history. One partial+final ``max_by`` aggregation
+    keyed (repo, path); the row (content included) rides as the
+    aggregated struct exactly once — no window sort over history, no
+    second shuffle, per-group combiner state is one row. Commit ids
+    must sort chronologically (same contract as ``head_snapshot``)."""
+    repo_c, path_c = key_cols
+    other = [c for c in files.columns if c not in (repo_c, path_c)]
+    packed = (
+        files.groupBy(repo_c, path_c)
+        .agg(F.max_by(F.struct(*other), F.col(commit_col)).alias("_r"))
+    )
+    return packed.select(
+        *[F.col("_r")[c].alias(c) if c in other else F.col(c)
+          for c in files.columns]
+    )
+
+
 def head_snapshot(
     files: DataFrame,
     key_cols: tuple[str, str] = ("repo", "path"),

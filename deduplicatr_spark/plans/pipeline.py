@@ -44,6 +44,7 @@ from deduplicatr_spark.operators.verify import verify_pairs
 from deduplicatr_spark.sources.catalog import CheckpointStore
 
 STAGES = [
+    "s0_snapshot",  # opt-in (config.snapshot_head)
     "s1_identity",
     "s1_forks",   # opt-in (config.fork_prefilter)
     "s1_exact",
@@ -93,6 +94,22 @@ class DedupPipeline:
             metrics.append({"stage": name, "kind": "driver_wall",
                             "wall_s": round(time.time() - ts, 3)})
             return out
+
+        if cfg.snapshot_head:
+            # s0_snapshot: collapse the versioned input to each file's
+            # latest commit BEFORE any per-row work (SURVEY §2.52) —
+            # one max_by hash aggregation; superseded versions never
+            # reach identity/features/banding. Checkpointed like every
+            # stage, so resume replays the same snapshot.
+            from deduplicatr_spark.operators.history import head_rows
+
+            snap_docs = docs
+            docs = timed(
+                "s0_snapshot",
+                lambda: store.get_or_compute(
+                    "s0_snapshot", lambda: head_rows(snap_docs)
+                ),
+            )
 
         identity = timed(
             "s1_identity",

@@ -75,3 +75,47 @@ def test_delta_pairs_kinds(spark):
     # c00 -> c01 replaces 1 of 2 lines: J = 1/3 -> rewrite bucket
     assert by_commit[("c00", "c01")]["kind"] == "rewrite"
     assert abs(by_commit[("c00", "c01")]["line_jaccard"] - 0.333333) < 1e-6
+
+
+def test_head_rows_full_row_materialization(spark):
+    from deduplicatr_spark.operators.history import head_rows
+
+    df = spark.createDataFrame(
+        [(r, p, c, t, f"L{c}") for (r, p, c, t) in ROWS],
+        SCHEMA + ", lang string",
+    )
+    out = head_rows(df)
+    assert out.columns == df.columns  # schema + order preserved
+    rows = {(r["repo"], r["path"]): r for r in out.collect()}
+    assert len(rows) == 3  # one row per live (repo, path)
+    a = rows[("r1", "a.py")]
+    # the FULL latest-commit row survives, other columns included
+    assert a["commit"] == "c03"
+    assert a["content"] == "x = 1\ny = 2\nx = 1"
+    assert a["lang"] == "Lc03"
+    assert rows[("r1", "b.py")]["content"] == "only one version"
+
+
+def test_snapshot_pipeline_dedups_heads_only(spark, tmp_path):
+    from deduplicatr_spark.config import PipelineConfig
+    from deduplicatr_spark.plans.pipeline import DedupPipeline
+
+    # two files whose HEADS are byte-identical, plus an OLD version of
+    # f1 that matches nothing live: snapshot-first dedup must pair the
+    # heads and never emit a row for the superseded version
+    rows = [
+        ("r1", "f1", "c0", "old content", "python"),
+        ("r1", "f1", "c1", "shared head", "python"),
+        ("r2", "f2", "c0", "shared head", "python"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "repo string, path string, commit string, content string, lang string"
+    )
+    cfg = PipelineConfig(snapshot_head=True)
+    out = DedupPipeline(spark, cfg, str(tmp_path / "ck")).run(docs)
+    got = {(r["repo"], r["path"]): r for r in out.collect()}
+    assert set(got) == {("r1", "f1"), ("r2", "f2")}
+    assert got[("r1", "f1")]["sha256"] == got[("r2", "f2")]["sha256"]
+    assert (
+        got[("r1", "f1")]["cluster_id"] == got[("r2", "f2")]["cluster_id"]
+    )

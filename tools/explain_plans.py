@@ -442,6 +442,35 @@ def main() -> None:
         "Exchange.",
     ))
 
+    from deduplicatr_spark.operators.history import (  # noqa: E402
+        head_rows, version_delta_pairs,
+    )
+
+    vers = em._version_corpus(spark, SF)
+    head_plan = captured_explain(head_rows(vers))
+    delta_plan = captured_explain(version_delta_pairs(vers))
+    # the delta pair is built under the history WINDOW, never a join —
+    # consecutive versions are co-located by the (repo, path) partition
+    assert "Join" not in delta_plan, "version_delta_pairs grew a join"
+    assert delta_plan.count("Window") >= 1, "delta window missing"
+    sections.append((
+        "Commit-history stack (§2.52: head snapshot + version deltas)",
+        head_plan,
+        "What to check: head_rows is ONE partial+final aggregation keyed "
+        "(repo, path) — the struct-valued max_by buffer is not "
+        "UnsafeRow-mutable so Spark picks SortAggregate (the Sorts are "
+        "per-task, by group key only), but the property that matters at "
+        "scale holds: the partial aggregate combines BEFORE the single "
+        "Exchange, so shuffle volume is one row per live path per map "
+        "task regardless of history depth — a window/rank formulation "
+        "would ship every version row. "
+        "version_delta_pairs (plan not duplicated here) "
+        "is asserted join-free by this generator: consecutive versions "
+        "meet under the (repo, path) window lag, so the line arrays "
+        "never ship through a pair join; its one exchange is the window "
+        "hash partitioning.",
+    ))
+
     amp = amplified_corpus(spark, SF, 4)
     sections.append((
         "Amplified corpus scan + identity (bench input)",

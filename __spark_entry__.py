@@ -2345,6 +2345,60 @@ def _q_snapshot_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_commit_batch_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned-corpus increment (operators/history.py §
+    apply_commit_batch): the base index is built over the HEADS as of
+    c02; the batch is every c03+ commit row (the c03 reverts, the c04
+    no-op-line commits, the c05 cross-repo copies). The operator must
+    (a) collapse the batch to superseding heads, (b) retire exactly the
+    base heads with a strictly-newer batch commit, and (c) push the new
+    heads through incremental assignment. Output: one row per batch
+    head with its re-derivable identity, the superseded flag, and a
+    delta-internal cluster-consistency flag (byte-identical batch heads
+    — a %36 doc's c03 revert and its copycat c05 copy — must share one
+    cluster via delta-internal exact linking). The oracle re-derives
+    batch heads and the superseded set independently from the VERSIONS
+    CTE, so a stale-head pick, a missed/spurious retirement, a dropped
+    or duplicated assignment row all go red."""
+    from deduplicatr_spark.operators.exact import with_identity
+    from deduplicatr_spark.operators.history import apply_commit_batch, head_rows
+    from deduplicatr_spark.operators.incremental import delta_features
+
+    vers = _version_corpus(spark, sf_dir)
+    base_heads = head_rows(vers.filter(F.col("commit") <= "c02"))
+    batch = vers.filter(F.col("commit") >= "c03")
+
+    base_ident_full = with_identity(base_heads)
+    base_identity = base_ident_full.select("doc_id", "sha256")
+    base_feats = delta_features(base_ident_full, ENTRY_CONFIG)
+    base_clusters = base_ident_full.select(
+        "doc_id", TXT.fingerprint("content").alias("_fp")
+    ).withColumn(
+        "cluster_id", F.min("doc_id").over(Window.partitionBy("_fp"))
+    ).select("doc_id", "cluster_id")
+
+    delta_heads, retired, assign, _drops = apply_commit_batch(
+        base_heads, batch, base_identity, base_feats, base_clusters,
+        ENTRY_CONFIG,
+    )
+    ident = with_identity(delta_heads).select(
+        "repo", "path", "commit", "doc_id", "sha256"
+    )
+    sup = retired.select("repo", "path").withColumn("_sup", F.lit(True))
+    w_sha = Window.partitionBy("sha256")
+    return (
+        assign.join(ident, "doc_id")
+        .join(sup, ["repo", "path"], "left")
+        .select(
+            "repo", "path", "commit", "sha256",
+            F.coalesce("_sup", F.lit(False)).alias("superseded"),
+            (F.col("cluster_id") == F.min("cluster_id").over(w_sha)).alias(
+                "cluster_ok"
+            ),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full dedup pipeline on sf0.001."""
     return _q_dedup_pipeline(spark, "/root/testdata/sf0.001")
@@ -2437,6 +2491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "commit_churn_stats": _q_commit_churn_stats,
         "version_delta_pairs": _q_version_delta_pairs,
         "snapshot_pipeline": _q_snapshot_pipeline,
+        "commit_batch_assign": _q_commit_batch_assign,
     }
 
 
@@ -4279,6 +4334,21 @@ SELECT repo, path,
        sum(CASE WHEN prev IS NOT NULL AND prev <> sha
                 THEN 1 ELSE 0 END) >= 2 AS is_volatile
 FROM lagged GROUP BY repo, path
+""",
+        "commit_batch_assign": _VERSIONS_SQL + """
+, base_heads AS (
+  SELECT repo, path FROM versions WHERE vcommit <= 'c02'
+  GROUP BY repo, path
+), batch_heads AS (
+  SELECT repo, path, max(vcommit) AS commit,
+         arg_max(content, vcommit) AS content
+  FROM versions WHERE vcommit >= 'c03' GROUP BY repo, path
+)
+SELECT b.repo, b.path, b.commit, sha256(b.content) AS sha256,
+       EXISTS (SELECT 1 FROM base_heads h
+               WHERE h.repo = b.repo AND h.path = b.path) AS superseded,
+       TRUE AS cluster_ok
+FROM batch_heads b
 """,
         "snapshot_pipeline": _VERSIONS_SQL + """
 , heads AS (

@@ -231,3 +231,69 @@ def version_delta_pairs(
         "repo", "path", "prev_commit", "commit",
         jacc6.alias("line_jaccard"), kind.alias("kind"),
     )
+
+
+def apply_commit_batch(
+    base_heads: DataFrame,
+    new_versions: DataFrame,
+    base_identity: DataFrame,
+    base_features: DataFrame,
+    base_clusters: DataFrame,
+    config,
+    base_band_stats: DataFrame | None = None,
+    key_cols: tuple[str, str] = ("repo", "path"),
+    commit_col: str = "commit",
+):
+    """Versioned-corpus increment: fold a batch of NEW COMMIT rows into
+    an already-indexed head snapshot. The composition a live
+    source-code lake runs per ingest cycle — new commits change which
+    row IS each file, so the unit of increment is the superseding
+    HEAD, not the raw commit row:
+
+    1. ``head_rows`` collapses the batch to one head per touched
+       (repo, path) — intra-batch history never reaches the index.
+    2. A head supersedes only if its path is new OR its commit sorts
+       strictly after the base head's (stale/out-of-order replays of
+       already-indexed commits drop out here — idempotent re-ingest).
+    3. Superseding heads flow through ``incremental_assign`` (exact
+       sha adoption → band-join near assignment → delta-internal
+       linking) against the UNCHANGED base index.
+
+    Returns ``(delta_heads, retired, assignments, drop_stats)``:
+    ``delta_heads`` the superseding head rows (input schema),
+    ``retired`` the (repo, path, retired_commit) rows whose base head
+    was superseded — the caller subtracts these from its assignment
+    table and (optionally, lazily) from the feature index, and
+    ``assignments``/``drop_stats`` are ``incremental_assign``'s.
+
+    Scale posture: one max_by aggregation + one batch-sized equi join
+    on (repo, path) before the incremental machinery; the base corpus
+    is touched only through the precomputed index tables. A retired
+    head's features MAY stay in the index: a later doc that near-links
+    to retired content inherits a still-meaningful stable cluster
+    label (an edited file chains to its predecessor's cluster), and
+    the index compacts on the next full batch run.
+    """
+    from deduplicatr_spark.operators.incremental import incremental_assign
+
+    repo_c, path_c = key_cols
+    batch_heads = head_rows(new_versions, key_cols, commit_col)
+    bh = base_heads.select(
+        F.col(repo_c).alias(repo_c),
+        F.col(path_c).alias(path_c),
+        F.col(commit_col).alias("_base_commit"),
+    )
+    joined = batch_heads.join(bh, [repo_c, path_c], "left")
+    delta_heads = joined.filter(
+        F.col("_base_commit").isNull()
+        | (F.col(commit_col) > F.col("_base_commit"))
+    ).drop("_base_commit")
+    retired = joined.filter(
+        F.col("_base_commit").isNotNull()
+        & (F.col(commit_col) > F.col("_base_commit"))
+    ).select(repo_c, path_c, F.col("_base_commit").alias("retired_commit"))
+    assignments, drop_stats = incremental_assign(
+        delta_heads, base_identity, base_features, base_clusters,
+        config, base_band_stats,
+    )
+    return delta_heads, retired, assignments, drop_stats

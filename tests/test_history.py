@@ -119,3 +119,56 @@ def test_snapshot_pipeline_dedups_heads_only(spark, tmp_path):
     assert (
         got[("r1", "f1")]["cluster_id"] == got[("r2", "f2")]["cluster_id"]
     )
+
+
+def test_apply_commit_batch_supersede_retire_replay(spark):
+    from pyspark.sql import functions as F
+
+    from deduplicatr_spark.config import PipelineConfig
+    from deduplicatr_spark.operators.exact import with_identity
+    from deduplicatr_spark.operators.history import apply_commit_batch, head_rows
+    from deduplicatr_spark.operators.incremental import delta_features
+
+    cfg = PipelineConfig()
+    sch = "repo string, path string, commit string, content string, lang string"
+    alpha = "the quick brown fox jumps over the lazy dog " * 4
+    beta = "pack my box with five dozen liquor jugs tonight " * 4
+    base_vers = spark.createDataFrame(
+        [("r1", "f1", "c0", alpha, "python"),
+         ("r1", "f2", "c0", beta, "python")], sch
+    )
+    base_heads = head_rows(base_vers)
+    bif = with_identity(base_heads)
+    base_identity = bif.select("doc_id", "sha256")
+    base_feats = delta_features(bif, cfg)
+    base_clusters = bif.select("doc_id", F.col("doc_id").alias("cluster_id"))
+
+    batch = spark.createDataFrame(
+        [
+            # f1 edited twice in one batch: only the c2 head matters,
+            # and it becomes byte-identical to base f2 -> exact adopt
+            ("r1", "f1", "c1", alpha + "v1", "python"),
+            ("r1", "f1", "c2", beta, "python"),
+            # stale replay: commit 'a9' sorts BEFORE f2's base head c0
+            ("r1", "f2", "a9", "stale replayed row", "python"),
+            # brand-new path founds its own cluster
+            ("r1", "f3", "c0", "completely unrelated gamma content", "python"),
+        ],
+        sch,
+    )
+    delta_heads, retired, assign, _ = apply_commit_batch(
+        base_heads, batch, base_identity, base_feats, base_clusters, cfg
+    )
+    dh = {(r["path"], r["commit"]) for r in delta_heads.collect()}
+    assert dh == {("f1", "c2"), ("f3", "c0")}  # c1 collapsed, a9 dropped
+    ret = {(r["path"], r["retired_commit"]) for r in retired.collect()}
+    assert ret == {("f1", "c0")}  # only f1's head was superseded
+
+    ident = {r["doc_id"]: r for r in with_identity(delta_heads).collect()}
+    base_by_path = {r["path"]: r for r in bif.collect()}
+    got = {ident[r["doc_id"]]["path"]: r for r in assign.collect()}
+    assert set(got) == {"f1", "f3"}
+    # f1's new head == base f2's bytes -> exact adoption of f2's cluster
+    assert got["f1"]["via"] == "exact"
+    assert got["f1"]["cluster_id"] == base_by_path["f2"]["doc_id"]
+    assert got["f3"]["via"] == "new"

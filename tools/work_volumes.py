@@ -291,12 +291,55 @@ def _wl_clone_ops(spark, mult: int) -> None:
     release_tracked()
 
 
+def _wl_history_ops(spark, mult: int) -> None:
+    """Round-4 commit-history stack over the bench's synthesized
+    3-commit version corpus (~1.44 rows/file, same construction as
+    bench.py q3j): head_rows full-row snapshot (the pipeline's
+    s0_snapshot stage), head_snapshot identity aggregate, churn stats
+    + delta pairs (one (repo, path) window), provenance (sha-keyed
+    aggregate)."""
+    from pyspark.sql import functions as F
+
+    from bench import amplified_corpus
+    from deduplicatr_spark.operators.history import (
+        commit_churn_stats,
+        content_provenance,
+        head_rows,
+        head_snapshot,
+        version_delta_pairs,
+    )
+
+    corpus = amplified_corpus(spark, SF_DIR, mult)
+    sel = F.pmod(F.xxhash64("path", F.lit(11)), F.lit(3)) == 0
+    rev = F.pmod(F.xxhash64("path", F.lit(11)), F.lit(9)) == 0
+    versions = (
+        corpus.select("repo", "path", "commit", "content")
+        .unionByName(
+            corpus.filter(sel).select(
+                "repo", "path", F.lit("c1").alias("commit"),
+                F.concat(F.col("content"), F.lit("\npatched")).alias("content"),
+            )
+        )
+        .unionByName(
+            corpus.filter(rev).select(
+                "repo", "path", F.lit("c2").alias("commit"), "content"
+            )
+        )
+    )
+    head_rows(versions).select(F.max(F.length("content"))).collect()
+    head_snapshot(versions).count()
+    commit_churn_stats(versions).count()
+    version_delta_pairs(versions).count()
+    content_provenance(versions).count()
+
+
 WORKLOADS = {
     "pipeline": _wl_pipeline,
     "round3_ops": _wl_round3_ops,
     "round4_ops": _wl_round4_ops,
     "fork_ops": _wl_fork_ops,
     "clone_ops": _wl_clone_ops,
+    "history_ops": _wl_history_ops,
 }
 
 

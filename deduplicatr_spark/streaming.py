@@ -324,3 +324,165 @@ def streaming_near_dedup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+_HEADS_STATE = "repo string, path string, commit string"
+
+
+def streaming_commit_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    state_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    config,
+    schema: str = DOC_STREAM_SCHEMA,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """VERSIONED streaming ingest: micro-batches are COMMIT EVENTS, not
+    independent documents — a later commit of an already-admitted
+    (repo, path) must SUPERSEDE it, which ``streaming_near_dedup``
+    cannot express (it would link the new version as a near-dup of its
+    predecessor and silently drop it, leaving the stale head in the
+    corpus). Each micro-batch runs the batch increment
+    (operators/history.py § apply_commit_batch) against epoch-append
+    state:
+
+    * Intra-batch history collapses to one head per touched path;
+      stale / out-of-order replays of commits at-or-below the current
+      head drop out — re-pushing an old commit is a no-op (idempotent
+      re-ingest at the SEMANTIC level, on top of the file-source
+      checkpoint's exactly-once at the file level).
+    * The current head table is never updated in place: each epoch
+      appends its superseding heads to ``<state>/heads`` and the read
+      side collapses with ``head_rows`` — the same max_by aggregation,
+      so state stays append-only parquet (Iceberg-shaped) and a crash
+      replay overwrites its own epoch directory.
+    * Superseding heads flow through ``incremental_assign`` (exact sha
+      adoption → band join → verify → delta-internal linking) against
+      the admitted-canonical index; cluster founders join the index;
+      retirements land in ``<output>/retired`` so downstream consumers
+      can subtract superseded heads from the training corpus.
+
+    Outputs per epoch: ``assignments/e<n>`` one row per superseding
+    head (repo, path, commit, sha256, cluster_id, via, epoch),
+    ``retired/e<n>`` the superseded (repo, path, retired_commit), and
+    ``admitted/e<n>`` the founder head rows. A retired head's index
+    rows remain (stable cluster labels — an edited file chains to its
+    predecessor's cluster); the index compacts on the next full batch
+    run, mirroring apply_commit_batch's documented contract.
+    """
+    from deduplicatr_spark.functions.features import features_udf
+    from deduplicatr_spark.functions.hashing import normalized
+    from deduplicatr_spark.operators.exact import with_identity
+    from deduplicatr_spark.operators.history import apply_commit_batch, head_rows
+    from deduplicatr_spark.operators.incremental import (
+        band_bucket_stats,
+        fused_bucket_stats,
+    )
+    from deduplicatr_spark.operators.lsh import release_tracked
+
+    doc_cols = [f.split()[0] for f in schema.split(", ")]
+
+    def _process(batch: DataFrame, epoch_id: int) -> None:
+        s = batch.sparkSession
+        ep = int(epoch_id)
+        rows = batch.select(*doc_cols).persist()
+        rows.count()  # single-epoch source: every later job reads the cache
+        try:
+            base_heads = head_rows(
+                _read_state(
+                    s, f"{state_dir}/heads", _HEADS_STATE, before_epoch=ep
+                )
+            )
+            base_ident = _read_state(
+                s, f"{state_dir}/identity", _IDENTITY_STATE, before_epoch=ep
+            )
+            base_feats = _read_state(
+                s, f"{state_dir}/features", _FEATURES_STATE, before_epoch=ep
+            )
+            base_clusters = _read_state(
+                s, f"{state_dir}/clusters", _CLUSTERS_STATE, before_epoch=ep
+            )
+            base_stats = _read_state(
+                s, f"{state_dir}/band_stats", _STATS_STATE, before_epoch=ep
+            ).groupBy("band_hash").agg(F.sum("n").alias("n"))
+
+            delta_heads, retired, out, _drops = apply_commit_batch(
+                base_heads, rows, base_ident, base_feats, base_clusters,
+                config, base_band_stats=base_stats,
+            )
+            delta_heads = delta_heads.persist()
+            delta_heads.count()
+            out = out.persist()
+            out.count()
+
+            ident = with_identity(delta_heads).select(
+                "repo", "path", "commit", "doc_id", "sha256"
+            )
+            out.join(ident, "doc_id").select(
+                "repo", "path", "commit", "sha256", "cluster_id", "via",
+            ).withColumn("epoch", F.lit(ep)).write.mode("overwrite").parquet(
+                f"{output_dir}/assignments/e{ep}"
+            )
+            retired.withColumn("epoch", F.lit(ep)).write.mode(
+                "overwrite"
+            ).parquet(f"{output_dir}/retired/e{ep}")
+            delta_heads.select("repo", "path", "commit").write.mode(
+                "overwrite"
+            ).parquet(f"{state_dir}/heads/e{ep}")
+
+            founders = out.filter(
+                (F.col("via") == "new")
+                & (F.col("cluster_id") == F.col("doc_id"))
+            ).select("doc_id", "cluster_id")
+            admitted = (
+                with_identity(delta_heads)
+                .join(founders.select("doc_id"), "doc_id")
+                .persist()
+            )
+            admitted.count()
+            admitted.select(*doc_cols, "doc_id", "sha256").write.mode(
+                "overwrite"
+            ).parquet(f"{output_dir}/admitted/e{ep}")
+            admitted.select("doc_id", "sha256").write.mode(
+                "overwrite"
+            ).parquet(f"{state_dir}/identity/e{ep}")
+            new_feats = admitted.select(
+                "doc_id",
+                features_udf(config)(normalized("content")).alias("f"),
+            ).select("doc_id", "f.*").persist()
+            new_feats.count()
+            new_feats.write.mode("overwrite").parquet(
+                f"{state_dir}/features/e{ep}"
+            )
+            epoch_stats = (
+                fused_bucket_stats(new_feats, config)
+                if config.incremental_simhash
+                else band_bucket_stats(new_feats)
+            )
+            epoch_stats.write.mode("overwrite").parquet(
+                f"{state_dir}/band_stats/e{ep}"
+            )
+            founders.write.mode("overwrite").parquet(
+                f"{state_dir}/clusters/e{ep}"
+            )
+            new_feats.unpersist()
+            admitted.unpersist()
+            out.unpersist()
+            delta_heads.unpersist()
+        finally:
+            rows.unpersist()
+            release_tracked()
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(input_dir)
+    )
+    writer = src.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

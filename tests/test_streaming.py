@@ -259,3 +259,85 @@ def test_streaming_dedup_within_watermark_mode(spark, dirs):
     q.awaitTermination(180)
     got = sorted(r["content"] for r in spark.read.parquet(dirs["out"]).collect())
     assert got == ["dup doc", "other doc"]
+
+
+def test_streaming_commit_ingest_supersede_retire_stale(spark):
+    """Versioned stream: a later commit of an admitted path SUPERSEDES
+    it (assignment + retirement, not a silent near-dup drop); a
+    re-pushed commit at-or-below the current head is a semantic no-op;
+    heads state collapses across epochs."""
+    from deduplicatr_spark.config import PipelineConfig
+    from deduplicatr_spark.streaming import streaming_commit_ingest
+
+    cfg = PipelineConfig()
+    root = tempfile.mkdtemp(prefix="stream_commit_test_")
+    d = {k: os.path.join(root, k) for k in ("in", "state", "out", "ck")}
+    os.makedirs(d["in"])
+
+    def run():
+        q = streaming_commit_ingest(
+            spark, d["in"], d["state"], d["out"], d["ck"], cfg
+        )
+        q.awaitTermination(300)
+
+    def rd(sub):
+        p = os.path.join(d["out"], sub)
+        return spark.read.option("recursiveFileLookup", "true").parquet(p)
+
+    try:
+        alpha = "def alpha(): return compute(alpha_input) + 1\n" * 4
+        _doc_rows(spark, [("r", "a.txt", "c0", "py", alpha)]).write.parquet(
+            os.path.join(d["in"], "batch1")
+        )
+        run()
+        a0 = rd("assignments").collect()
+        assert [(r["path"], r["commit"], r["via"]) for r in a0] == [
+            ("a.txt", "c0", "new")
+        ]
+        alpha_cluster = a0[0]["cluster_id"]
+        assert rd("retired").count() == 0
+
+        # restart: a newer commit of a.txt (near variant — must
+        # supersede and retire c0, linking to alpha's cluster), an
+        # intra-batch stale row for a.txt, and a fresh path
+        _doc_rows(
+            spark,
+            [
+                ("r", "a.txt", "c1", "py", alpha.replace(" ", "  ")),
+                ("r", "a.txt", "b9", "py", "stale intra-batch row"),
+                ("r", "b.txt", "c0", "py", "entirely unrelated tokens " * 20),
+            ],
+        ).write.parquet(os.path.join(d["in"], "batch2"))
+        run()
+        asg = {
+            (r["path"], r["commit"]): r
+            for r in rd("assignments").collect()
+        }
+        # exactly one row per superseding head — never one per commit row
+        assert set(asg) == {("a.txt", "c0"), ("a.txt", "c1"), ("b.txt", "c0")}
+        assert asg[("a.txt", "c1")]["via"] == "near"
+        assert asg[("a.txt", "c1")]["cluster_id"] == alpha_cluster
+        assert asg[("b.txt", "c0")]["via"] == "new"
+        ret = [(r["path"], r["retired_commit"]) for r in rd("retired").collect()]
+        assert ret == [("a.txt", "c0")]
+
+        # stale replay alone: commit sorts below the current c1 head —
+        # semantic no-op (no assignment, no retirement, no admission)
+        _doc_rows(
+            spark, [("r", "a.txt", "c0", "py", alpha)]
+        ).write.parquet(os.path.join(d["in"], "batch3"))
+        run()
+        assert rd("assignments").count() == 3
+        assert rd("retired").count() == 1
+        assert rd("admitted").count() == 2  # a.txt@c0 founder + b.txt
+
+        # heads state collapses to the live snapshot
+        from deduplicatr_spark.operators.history import head_rows
+
+        heads = spark.read.option("recursiveFileLookup", "true").parquet(
+            os.path.join(d["state"], "heads")
+        )
+        live = {(r["path"], r["commit"]) for r in head_rows(heads).collect()}
+        assert live == {("a.txt", "c1"), ("b.txt", "c0")}
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

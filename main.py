@@ -50,6 +50,14 @@ def parse_args(argv: list[str]):
         help="file-set Jaccard threshold for --fork-prefilter",
     )
     p.add_argument(
+        "--snapshot-head", action="store_true",
+        help="versioned input: collapse (repo, path, commit) history to "
+        "each file's latest commit before any per-row work (SURVEY "
+        "§2.52, s0_snapshot) — The Stack's materialize-then-dedup "
+        "order; config-hashed, so it never mixes with default-profile "
+        "checkpoints",
+    )
+    p.add_argument(
         "--no-warmup", action="store_true",
         help="skip the untimed JIT/codegen warmup pass (a small pipeline "
         "run on ~3k rows; without it the first verify/join stages run "
@@ -76,6 +84,7 @@ def main(argv: list[str]) -> None:
         normalize_strip_comments=args.strip_comments,
         fork_prefilter=args.fork_prefilter,
         fork_tau=args.fork_tau,
+        snapshot_head=args.snapshot_head,
     )
 
     if args.amplify_sf_dir:

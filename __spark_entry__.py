@@ -2399,6 +2399,38 @@ def _q_commit_batch_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_license_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-repo license attribution (operators/history.py §
+    cross_repo_license_exposure): rows living in a repo other than
+    their content's ORIGIN repo, carrying the content's license
+    identity — the obligation a vendored blob imports into its host
+    repo. License headers are planted as a function of the CONTENT
+    (length % 6), so byte-copies carry identical headers and the
+    provenance sha still links them; the planted 'copycat' repo rows
+    are exactly the expected exposures. The oracle replays header
+    planting, provenance ordering AND the SPDX/heuristic/class chain
+    independently — a wrong origin, a missed copy, or license-CASE
+    drift all go red."""
+    from deduplicatr_spark.operators.history import cross_repo_license_exposure
+
+    vers = _version_corpus(spark, sf_dir)
+    v = F.pmod(F.length("content"), F.lit(6))
+    header = (
+        F.when(v == 0, F.lit("// SPDX-License-Identifier: MIT\n"))
+        .when(v == 1, F.lit(
+            "/* Licensed under the Apache License, Version 2.0 */\n"))
+        .when(v == 2, F.lit("// GNU General Public License v3.\n"))
+        .when(v == 3, F.lit("# SPDX-License-Identifier: GPL-3.0-or-later\n"))
+        .when(v == 4, F.lit("/* BSD 3-Clause License */\n"))
+        .otherwise(F.lit(""))
+    )
+    files = vers.select(
+        "repo", "path", "commit",
+        F.concat(header, F.col("content")).alias("content"),
+    )
+    return cross_repo_license_exposure(files)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full dedup pipeline on sf0.001."""
     return _q_dedup_pipeline(spark, "/root/testdata/sf0.001")
@@ -2492,6 +2524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "version_delta_pairs": _q_version_delta_pairs,
         "snapshot_pipeline": _q_snapshot_pipeline,
         "commit_batch_assign": _q_commit_batch_assign,
+        "license_exposure": _q_license_exposure,
     }
 
 
@@ -4334,6 +4367,59 @@ SELECT repo, path,
        sum(CASE WHEN prev IS NOT NULL AND prev <> sha
                 THEN 1 ELSE 0 END) >= 2 AS is_volatile
 FROM lagged GROUP BY repo, path
+""",
+        "license_exposure": _VERSIONS_SQL + """
+, lic AS (
+  SELECT repo, path, vcommit,
+         CASE (length(content) % 6)
+           WHEN 0 THEN '// SPDX-License-Identifier: MIT' || chr(10)
+           WHEN 1 THEN '/* Licensed under the Apache License, Version 2.0 */'
+                       || chr(10)
+           WHEN 2 THEN '// GNU General Public License v3.' || chr(10)
+           WHEN 3 THEN '# SPDX-License-Identifier: GPL-3.0-or-later' || chr(10)
+           WHEN 4 THEN '/* BSD 3-Clause License */' || chr(10)
+           ELSE '' END || content AS c
+  FROM versions
+), prov AS (
+  SELECT sha256(c) AS sha256,
+         string_split(min(vcommit || chr(1) || repo || chr(1) || path),
+                      chr(1))[2] AS origin_repo,
+         string_split(min(vcommit || chr(1) || repo || chr(1) || path),
+                      chr(1))[3] AS origin_path
+  FROM lic GROUP BY sha256(c)
+), scanned AS (
+  SELECT repo, path, vcommit AS commit, sha256(c) AS sha256,
+    regexp_extract(c, 'SPDX-License-Identifier:[ \\t]*([A-Za-z0-9.+-]+)', 1)
+      AS spdx_id,
+    CASE WHEN contains(c, 'GNU AFFERO GENERAL PUBLIC LICENSE')
+           THEN 'AGPL-3.0-only'
+         WHEN contains(c, 'GNU LESSER GENERAL PUBLIC LICENSE')
+           THEN 'LGPL-3.0-only'
+         WHEN contains(c, 'GNU General Public License') THEN 'GPL-3.0-only'
+         WHEN contains(c, 'Apache License') THEN 'Apache-2.0'
+         WHEN contains(c, 'MIT License') THEN 'MIT'
+         WHEN contains(c, 'Mozilla Public License') THEN 'MPL-2.0'
+         WHEN contains(c, 'BSD 3-Clause') THEN 'BSD-3-Clause'
+         WHEN contains(c, 'BSD 2-Clause') THEN 'BSD-2-Clause'
+         ELSE '' END AS heur
+  FROM lic
+), lid AS (
+  SELECT repo, path, commit, sha256,
+    CASE WHEN spdx_id <> '' THEN spdx_id ELSE heur END AS license_id
+  FROM scanned
+)
+SELECT l.repo, l.path, l.commit, l.sha256,
+       p.origin_repo, p.origin_path, l.license_id,
+  CASE WHEN l.license_id IN ('MIT','Apache-2.0','BSD-2-Clause',
+                             'BSD-3-Clause','ISC','Unlicense','Zlib',
+                             'MPL-2.0')
+         THEN 'permissive'
+       WHEN l.license_id LIKE 'GPL-%' OR l.license_id LIKE 'AGPL-%'
+         OR l.license_id LIKE 'LGPL-%' OR l.license_id LIKE 'EUPL-%'
+         OR l.license_id LIKE 'CC-BY-SA%' THEN 'copyleft'
+       ELSE 'unknown' END AS license_class
+FROM lid l JOIN prov p ON l.sha256 = p.sha256
+WHERE l.repo <> p.origin_repo
 """,
         "commit_batch_assign": _VERSIONS_SQL + """
 , base_heads AS (

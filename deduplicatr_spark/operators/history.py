@@ -297,3 +297,44 @@ def apply_commit_batch(
         config, base_band_stats,
     )
     return delta_heads, retired, assignments, drop_stats
+
+
+def cross_repo_license_exposure(
+    files: DataFrame,
+    commit_col: str = "commit",
+    content_col: str = "content",
+) -> DataFrame:
+    """License attribution of duplicated blobs (the use The Stack,
+    Kocetkov 2211.15533 §2, puts blob provenance to): every row whose
+    content ORIGINATED in a different repo, carrying the content's
+    license identity — a vendored copyleft file creates an obligation
+    in the HOST repo regardless of the host's own license, and the
+    obligation follows the blob's origin, which ``content_provenance``
+    pins as the earliest (commit, repo, path) introducer.
+
+    Output, one row per cross-repo copy: (repo, path, commit, sha256,
+    origin_repo, origin_path, license_id, license_class). Composition
+    of two existing single-exchange pieces: the provenance aggregate
+    (sha-keyed) and the per-row license scan (one codegen regexp/CASE
+    pass — copies are byte-identical, so scanning per row costs no
+    extra semantics); the join is an 8+32-byte-key equi join, content
+    never ships.
+    """
+    from deduplicatr_spark.functions.licenses import license_columns
+
+    prov = content_provenance(files, commit_col, content_col)
+    sha = F.sha2(F.col(content_col).cast("binary"), 256)
+    rows = files.select(
+        "repo", "path", F.col(commit_col).alias("commit"),
+        sha.alias("sha256"), *license_columns(content_col),
+    )
+    return (
+        rows.join(
+            prov.select("sha256", "origin_repo", "origin_path"), "sha256"
+        )
+        .filter(F.col("repo") != F.col("origin_repo"))
+        .select(
+            "repo", "path", "commit", "sha256",
+            "origin_repo", "origin_path", "license_id", "license_class",
+        )
+    )

@@ -172,3 +172,25 @@ def test_apply_commit_batch_supersede_retire_replay(spark):
     assert got["f1"]["via"] == "exact"
     assert got["f1"]["cluster_id"] == base_by_path["f2"]["doc_id"]
     assert got["f3"]["via"] == "new"
+
+
+def test_cross_repo_license_exposure(spark):
+    from deduplicatr_spark.operators.history import cross_repo_license_exposure
+
+    gpl = "// GNU General Public License v3.\nshared body here\n"
+    rows = [
+        ("origin", "lib.c", "c0", gpl),            # introduces the blob
+        ("host", "vendor/lib.c", "c5", gpl),       # vendored copy
+        ("host", "own.c", "c0", "host's own file"),  # not a copy
+        ("origin", "lib2.c", "c1", gpl),           # same-repo copy: no row
+    ]
+    out = cross_repo_license_exposure(
+        spark.createDataFrame(rows, SCHEMA)
+    ).collect()
+    assert len(out) == 1
+    e = out[0]
+    assert (e["repo"], e["path"]) == ("host", "vendor/lib.c")
+    # the obligation points at the blob's ORIGIN, not the same-repo copy
+    assert (e["origin_repo"], e["origin_path"]) == ("origin", "lib.c")
+    assert e["license_class"] == "copyleft"
+    assert e["license_id"] == "GPL-3.0-only"

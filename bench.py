@@ -112,6 +112,30 @@ def amplified_corpus(spark: SparkSession, sf_dir: str, mult: int) -> DataFrame:
     return out.repartition(n_part, "path")
 
 
+def synth_version_corpus(corpus: DataFrame) -> DataFrame:
+    """3-commit version history over a (repo, path, commit, content)
+    frame (~1.44 rows/file): a c1 one-line patch for path-hash %3
+    files, a c2 revert-to-original for %9. Single definition — the
+    bench's q3j and tools/work_volumes.py's history_ops workload must
+    measure the SAME construction (the appendix compares them)."""
+    sel = F.pmod(F.xxhash64("path", F.lit(11)), F.lit(3)) == 0
+    rev = F.pmod(F.xxhash64("path", F.lit(11)), F.lit(9)) == 0
+    return (
+        corpus.select("repo", "path", "commit", "content")
+        .unionByName(
+            corpus.filter(sel).select(
+                "repo", "path", F.lit("c1").alias("commit"),
+                F.concat(F.col("content"), F.lit("\npatched")).alias("content"),
+            )
+        )
+        .unionByName(
+            corpus.filter(rev).select(
+                "repo", "path", F.lit("c2").alias("commit"), "content"
+            )
+        )
+    )
+
+
 def code_relabel(docs: DataFrame) -> DataFrame:
     """Cycle a (doc_id, …) frame through the five hash-assigned code
     langs so clone-operator regex branches run on the bench corpus.
@@ -401,22 +425,7 @@ def main() -> None:
     # churn + delta-pairs share one (repo, path) window — the Stack-
     # style snapshot materialization cost per corpus row. Recomputes
     # from the cached corpus each run → repeat-safe.
-    _hist_sel = F.pmod(F.xxhash64("path", F.lit(11)), F.lit(3)) == 0
-    _hist_rev = F.pmod(F.xxhash64("path", F.lit(11)), F.lit(9)) == 0
-    versions = (
-        corpus.select("repo", "path", "commit", "content")
-        .unionByName(
-            corpus.filter(_hist_sel).select(
-                "repo", "path", F.lit("c1").alias("commit"),
-                F.concat(F.col("content"), F.lit("\npatched")).alias("content"),
-            )
-        )
-        .unionByName(
-            corpus.filter(_hist_rev).select(
-                "repo", "path", F.lit("c2").alias("commit"), "content"
-            )
-        )
-    )
+    versions = synth_version_corpus(corpus)
 
     def _history():
         from deduplicatr_spark.operators.history import (

@@ -8,13 +8,17 @@ generated files can be down-weighted. Kocetkov et al. 2211.15533 (The
 Stack) dedup by latest-snapshot materialization before near-dedup —
 ``head_snapshot`` is that stage as one aggregation.
 
-Scale posture (10^12 files): every operator here is a single hash
-exchange keyed on fixed-width columns —
+Scale posture (10^12 files): every exchange here is keyed on
+fixed-width columns, and nothing is corpus-quadratic —
 
 * ``head_snapshot``: partial+final ``max_by`` aggregate keyed on
-  (repo, path); content rides as the aggregated value exactly once,
-  no window sort, no second shuffle. Key cardinality = live paths;
-  cryptographically-uniform hash partitioning, no planted skew.
+  (repo, path); content identity rides as the aggregated value
+  exactly once. Key cardinality = live paths; cryptographically-
+  uniform hash partitioning, no planted skew. (The ``countDistinct``
+  columns here and in ``commit_churn_stats`` plan through Spark's
+  one-distinct rewrite — a (key, sha) partial exchange then the key
+  exchange, i.e. TWO shuffles of 8-40-byte rows; ``head_rows`` is the
+  genuinely single-exchange head materialization.)
 * ``content_provenance``: aggregate keyed on sha256 (uniform by
   construction); content itself never ships — only 8+32-byte
   identity plus the min'd origin string.
@@ -118,8 +122,13 @@ def content_provenance(
     a total order, so the result is deterministic under any ties.
     """
     sha = F.sha2(F.col(content_col).cast("binary"), 256)
-    ordkey = F.concat_ws(
-        _SEP, F.col(commit_col), F.col("repo"), F.col("path")
+    # F.concat, NOT concat_ws: concat_ws SKIPS null fields, silently
+    # shifting the composite (origin_commit would receive the repo of a
+    # null-commit row); concat propagates null like the oracle's
+    # `vcommit || chr(1) || ...`, and min() ignores nulls in both engines
+    ordkey = F.concat(
+        F.col(commit_col), F.lit(_SEP), F.col("repo"), F.lit(_SEP),
+        F.col("path"),
     )
     agg = (
         files.select(
@@ -165,7 +174,7 @@ def commit_churn_stats(
     flags n_changes ≥ 2 (changed on most commits).
     """
     sha = F.sha2(F.col(content_col).cast("binary"), 256)
-    w = Window.partitionBy("repo", "path").orderBy(commit_col)
+    w = Window.partitionBy("repo", "path").orderBy("commit")
     versions = files.select(
         "repo", "path", F.col(commit_col).alias("commit"), sha.alias("sha256")
     ).withColumn("_prev", F.lag("sha256").over(w))
@@ -207,7 +216,7 @@ def version_delta_pairs(
     kind ∈ identical | patch (≥0.5) | rewrite).
     """
     lines = F.array_distinct(F.split(F.col(content_col), "\n"))
-    w = Window.partitionBy("repo", "path").orderBy(commit_col)
+    w = Window.partitionBy("repo", "path").orderBy("commit")
     v = files.select(
         "repo", "path", F.col(commit_col).alias("commit"),
         lines.alias("_lines"),

@@ -152,6 +152,50 @@ def _read_state(
     return spark.read.schema(schema).parquet(*sorted(dirs))
 
 
+def _persist_epoch_state(
+    admitted: DataFrame, state_dir: str, output_dir: str, ep: int, config
+) -> None:
+    """Write one epoch's admitted-canonical rows: the admitted output
+    plus the identity / features / additive bucket-stat / self-cluster
+    state tables, all into ``.../e<ep>`` with overwrite (idempotent
+    crash replay). SHARED by both ingest twins — the epoch-write
+    protocol and the read side's strictly-earlier-epoch bound must
+    never diverge between them. ``admitted`` must carry (content,
+    doc_id, sha256); every admitted row is a cluster FOUNDER, so its
+    cluster row is (doc_id, doc_id)."""
+    from deduplicatr_spark.functions.features import features_udf
+    from deduplicatr_spark.functions.hashing import normalized
+    from deduplicatr_spark.operators.incremental import (
+        band_bucket_stats,
+        fused_bucket_stats,
+    )
+
+    admitted.write.mode("overwrite").parquet(f"{output_dir}/admitted/e{ep}")
+    admitted.select("doc_id", "sha256").write.mode("overwrite").parquet(
+        f"{state_dir}/identity/e{ep}"
+    )
+    # one extra feature-UDF pass over ADMITTED docs only (the operator's
+    # internal delta features aren't exposed; the admitted fraction is
+    # the minority of a steady-state batch)
+    new_feats = admitted.select(
+        "doc_id", features_udf(config)(normalized("content")).alias("f")
+    ).select("doc_id", "f.*").persist()
+    new_feats.count()
+    new_feats.write.mode("overwrite").parquet(f"{state_dir}/features/e{ep}")
+    epoch_stats = (
+        fused_bucket_stats(new_feats, config)
+        if config.incremental_simhash
+        else band_bucket_stats(new_feats)
+    )
+    epoch_stats.write.mode("overwrite").parquet(
+        f"{state_dir}/band_stats/e{ep}"
+    )
+    admitted.select(
+        "doc_id", F.col("doc_id").alias("cluster_id")
+    ).write.mode("overwrite").parquet(f"{state_dir}/clusters/e{ep}")
+    new_feats.unpersist()
+
+
 def streaming_near_dedup(
     spark: SparkSession,
     input_dir: str,
@@ -276,37 +320,10 @@ def streaming_near_dedup(
             )
             founders = out.filter(
                 (F.col("via") == "new") & (F.col("cluster_id") == F.col("doc_id"))
-            ).select("doc_id", "cluster_id")
-            admitted = surv.join(founders.select("doc_id"), "doc_id").persist()
+            ).select("doc_id")
+            admitted = surv.join(founders, "doc_id").persist()
             admitted.count()
-            admitted.write.mode("overwrite").parquet(
-                f"{output_dir}/admitted/e{ep}"
-            )
-            admitted.select("doc_id", "sha256").write.mode("overwrite").parquet(
-                f"{state_dir}/identity/e{ep}"
-            )
-            # one extra feature-UDF pass over ADMITTED docs only (the
-            # operator's internal delta features aren't exposed; the
-            # admitted fraction is the minority of a steady-state batch)
-            new_feats = admitted.select(
-                "doc_id", features_udf(config)(normalized("content")).alias("f")
-            ).select("doc_id", "f.*").persist()
-            new_feats.count()
-            new_feats.write.mode("overwrite").parquet(
-                f"{state_dir}/features/e{ep}"
-            )
-            epoch_stats = (
-                fused_bucket_stats(new_feats, config)
-                if config.incremental_simhash
-                else band_bucket_stats(new_feats)
-            )
-            epoch_stats.write.mode("overwrite").parquet(
-                f"{state_dir}/band_stats/e{ep}"
-            )
-            founders.write.mode("overwrite").parquet(
-                f"{state_dir}/clusters/e{ep}"
-            )
-            new_feats.unpersist()
+            _persist_epoch_state(admitted, state_dir, output_dir, ep, config)
             admitted.unpersist()
             out.unpersist()
         finally:
@@ -417,7 +434,12 @@ def streaming_commit_ingest(
             out = out.persist()
             out.count()
 
-            ident = with_identity(delta_heads).select(
+            # identity computed ONCE per epoch (content sha256 is the
+            # expensive part); the assignment join and the admitted
+            # frame both derive from this cache
+            ident_rows = with_identity(delta_heads).persist()
+            ident_rows.count()
+            ident = ident_rows.select(
                 "repo", "path", "commit", "doc_id", "sha256"
             )
             out.join(ident, "doc_id").select(
@@ -435,40 +457,12 @@ def streaming_commit_ingest(
             founders = out.filter(
                 (F.col("via") == "new")
                 & (F.col("cluster_id") == F.col("doc_id"))
-            ).select("doc_id", "cluster_id")
-            admitted = (
-                with_identity(delta_heads)
-                .join(founders.select("doc_id"), "doc_id")
-                .persist()
-            )
+            ).select("doc_id")
+            admitted = ident_rows.join(founders, "doc_id").persist()
             admitted.count()
-            admitted.select(*doc_cols, "doc_id", "sha256").write.mode(
-                "overwrite"
-            ).parquet(f"{output_dir}/admitted/e{ep}")
-            admitted.select("doc_id", "sha256").write.mode(
-                "overwrite"
-            ).parquet(f"{state_dir}/identity/e{ep}")
-            new_feats = admitted.select(
-                "doc_id",
-                features_udf(config)(normalized("content")).alias("f"),
-            ).select("doc_id", "f.*").persist()
-            new_feats.count()
-            new_feats.write.mode("overwrite").parquet(
-                f"{state_dir}/features/e{ep}"
-            )
-            epoch_stats = (
-                fused_bucket_stats(new_feats, config)
-                if config.incremental_simhash
-                else band_bucket_stats(new_feats)
-            )
-            epoch_stats.write.mode("overwrite").parquet(
-                f"{state_dir}/band_stats/e{ep}"
-            )
-            founders.write.mode("overwrite").parquet(
-                f"{state_dir}/clusters/e{ep}"
-            )
-            new_feats.unpersist()
+            _persist_epoch_state(admitted, state_dir, output_dir, ep, config)
             admitted.unpersist()
+            ident_rows.unpersist()
             out.unpersist()
             delta_heads.unpersist()
         finally:

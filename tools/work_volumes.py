@@ -300,7 +300,7 @@ def _wl_history_ops(spark, mult: int) -> None:
     aggregate)."""
     from pyspark.sql import functions as F
 
-    from bench import amplified_corpus
+    from bench import amplified_corpus, synth_version_corpus
     from deduplicatr_spark.operators.history import (
         commit_churn_stats,
         content_provenance,
@@ -309,23 +309,7 @@ def _wl_history_ops(spark, mult: int) -> None:
         version_delta_pairs,
     )
 
-    corpus = amplified_corpus(spark, SF_DIR, mult)
-    sel = F.pmod(F.xxhash64("path", F.lit(11)), F.lit(3)) == 0
-    rev = F.pmod(F.xxhash64("path", F.lit(11)), F.lit(9)) == 0
-    versions = (
-        corpus.select("repo", "path", "commit", "content")
-        .unionByName(
-            corpus.filter(sel).select(
-                "repo", "path", F.lit("c1").alias("commit"),
-                F.concat(F.col("content"), F.lit("\npatched")).alias("content"),
-            )
-        )
-        .unionByName(
-            corpus.filter(rev).select(
-                "repo", "path", F.lit("c2").alias("commit"), "content"
-            )
-        )
-    )
+    versions = synth_version_corpus(amplified_corpus(spark, SF_DIR, mult))
     head_rows(versions).select(F.max(F.length("content"))).collect()
     head_snapshot(versions).count()
     commit_churn_stats(versions).count()

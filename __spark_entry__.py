@@ -2552,6 +2552,44 @@ _GRAMS3 = (
     "i -> {t}[i] || ' ' || {t}[i+1] || ' ' || {t}[i+2])) END"
 )
 
+def _license_heur_case_sql(var: str) -> str:
+    """DuckDB CASE mirroring licenses.py's ordered heuristic chain —
+    generated from the SAME pattern tables so the two engines cannot
+    drift (the patterns are shared literals; the independent part of
+    the oracle is DuckDB's own contains/regexp evaluation)."""
+    from deduplicatr_spark.functions.licenses import (
+        HEURISTIC_PHRASES,
+        HEURISTIC_VERSIONED,
+    )
+
+    lines = []
+    for pat, lic in HEURISTIC_VERSIONED:
+        lines.append(f"WHEN regexp_matches({var}, '{pat}') THEN '{lic}'")
+    for phrase, lic in HEURISTIC_PHRASES:
+        lines.append(f"WHEN contains({var}, '{phrase}') THEN '{lic}'")
+    joined = "\n         ".join(lines)
+    return f"CASE {joined}\n         ELSE '' END"
+
+
+def _license_class_case_sql(var: str) -> str:
+    """DuckDB CASE mirroring licenses.py's classification tables."""
+    from deduplicatr_spark.functions.licenses import (
+        COPYLEFT_PREFIXES,
+        PERMISSIVE,
+        WEAK_COPYLEFT_PREFIXES,
+    )
+
+    perm = ",".join(f"'{p}'" for p in PERMISSIVE)
+    cl = " OR ".join(f"{var} LIKE '{p}%'" for p in COPYLEFT_PREFIXES)
+    wk = " OR ".join(f"{var} LIKE '{p}%'" for p in WEAK_COPYLEFT_PREFIXES)
+    return (
+        f"CASE WHEN {var} IN ({perm}) THEN 'permissive'\n"
+        f"       WHEN {cl} THEN 'copyleft'\n"
+        f"       WHEN {wk} THEN 'weak-copyleft'\n"
+        f"       ELSE 'unknown' END"
+    )
+
+
 #: DuckDB twin of ``_version_corpus`` — keep the two in sync (same
 #: patch/revert/no-op/copy plan, same modular gates). ``vcommit``
 #: dodges DuckDB's COMMIT keyword; queries alias it back where the
@@ -3134,19 +3172,10 @@ WITH src AS (
   FROM documents WHERE text IS NOT NULL
 ), e AS (
   SELECT doc_id,
-    regexp_extract(c, 'SPDX-License-Identifier:[ \\t]*([A-Za-z0-9.+-]+)', 1)
+    coalesce(regexp_extract(
+      c, 'SPDX-License-Identifier:[ \\t]*([A-Za-z0-9.+-]+)', 1), '')
       AS spdx_id,
-    CASE WHEN contains(c, 'GNU AFFERO GENERAL PUBLIC LICENSE')
-           THEN 'AGPL-3.0-only'
-         WHEN contains(c, 'GNU LESSER GENERAL PUBLIC LICENSE')
-           THEN 'LGPL-3.0-only'
-         WHEN contains(c, 'GNU General Public License') THEN 'GPL-3.0-only'
-         WHEN contains(c, 'Apache License') THEN 'Apache-2.0'
-         WHEN contains(c, 'MIT License') THEN 'MIT'
-         WHEN contains(c, 'Mozilla Public License') THEN 'MPL-2.0'
-         WHEN contains(c, 'BSD 3-Clause') THEN 'BSD-3-Clause'
-         WHEN contains(c, 'BSD 2-Clause') THEN 'BSD-2-Clause'
-         ELSE '' END AS heur
+    """ + _license_heur_case_sql("c") + """ AS heur
   FROM src
 ), lid AS (
   SELECT doc_id, spdx_id,
@@ -3154,20 +3183,9 @@ WITH src AS (
   FROM e
 )
 SELECT doc_id, spdx_id, license_id,
-  CASE WHEN license_id IN ('MIT','Apache-2.0','BSD-2-Clause','BSD-3-Clause',
-                           'ISC','Unlicense','Zlib','MPL-2.0')
-         THEN 'permissive'
-       WHEN license_id LIKE 'GPL-%' OR license_id LIKE 'AGPL-%'
-         OR license_id LIKE 'LGPL-%' OR license_id LIKE 'EUPL-%'
-         OR license_id LIKE 'CC-BY-SA%' THEN 'copyleft'
-       ELSE 'unknown' END AS license_class,
-  (CASE WHEN license_id IN ('MIT','Apache-2.0','BSD-2-Clause','BSD-3-Clause',
-                            'ISC','Unlicense','Zlib','MPL-2.0')
-          THEN 'permissive'
-        WHEN license_id LIKE 'GPL-%' OR license_id LIKE 'AGPL-%'
-          OR license_id LIKE 'LGPL-%' OR license_id LIKE 'EUPL-%'
-          OR license_id LIKE 'CC-BY-SA%' THEN 'copyleft'
-        ELSE 'unknown' END) = 'permissive' AS license_permissive
+  """ + _license_class_case_sql("license_id") + """ AS license_class,
+  (""" + _license_class_case_sql("license_id") + """
+  ) = 'permissive' AS license_permissive
 FROM lid
 """,
         # the hex fold is written out digit by digit — an independent
@@ -4337,14 +4355,14 @@ GROUP BY repo, path
 , prov AS (
   SELECT sha256(content) AS sha256,
          vcommit || chr(1) || repo || chr(1) || path AS ordk,
-         repo
+         repo, path
   FROM versions
 )
 SELECT sha256,
        string_split(min(ordk), chr(1))[1] AS origin_commit,
        string_split(min(ordk), chr(1))[2] AS origin_repo,
        string_split(min(ordk), chr(1))[3] AS origin_path,
-       CAST(count(*) AS BIGINT) AS n_copies,
+       CAST(count(DISTINCT repo || chr(1) || path) AS BIGINT) AS n_copies,
        CAST(count(DISTINCT repo) AS BIGINT) AS n_repos,
        count(DISTINCT repo) > 1 AS cross_repo
 FROM prov GROUP BY sha256
@@ -4389,19 +4407,10 @@ FROM lagged GROUP BY repo, path
   FROM lic GROUP BY sha256(c)
 ), scanned AS (
   SELECT repo, path, vcommit AS commit, sha256(c) AS sha256,
-    regexp_extract(c, 'SPDX-License-Identifier:[ \\t]*([A-Za-z0-9.+-]+)', 1)
+    coalesce(regexp_extract(
+      c, 'SPDX-License-Identifier:[ \\t]*([A-Za-z0-9.+-]+)', 1), '')
       AS spdx_id,
-    CASE WHEN contains(c, 'GNU AFFERO GENERAL PUBLIC LICENSE')
-           THEN 'AGPL-3.0-only'
-         WHEN contains(c, 'GNU LESSER GENERAL PUBLIC LICENSE')
-           THEN 'LGPL-3.0-only'
-         WHEN contains(c, 'GNU General Public License') THEN 'GPL-3.0-only'
-         WHEN contains(c, 'Apache License') THEN 'Apache-2.0'
-         WHEN contains(c, 'MIT License') THEN 'MIT'
-         WHEN contains(c, 'Mozilla Public License') THEN 'MPL-2.0'
-         WHEN contains(c, 'BSD 3-Clause') THEN 'BSD-3-Clause'
-         WHEN contains(c, 'BSD 2-Clause') THEN 'BSD-2-Clause'
-         ELSE '' END AS heur
+    """ + _license_heur_case_sql("c") + """ AS heur
   FROM lic
 ), lid AS (
   SELECT repo, path, commit, sha256,
@@ -4410,14 +4419,7 @@ FROM lagged GROUP BY repo, path
 )
 SELECT l.repo, l.path, l.commit, l.sha256,
        p.origin_repo, p.origin_path, l.license_id,
-  CASE WHEN l.license_id IN ('MIT','Apache-2.0','BSD-2-Clause',
-                             'BSD-3-Clause','ISC','Unlicense','Zlib',
-                             'MPL-2.0')
-         THEN 'permissive'
-       WHEN l.license_id LIKE 'GPL-%' OR l.license_id LIKE 'AGPL-%'
-         OR l.license_id LIKE 'LGPL-%' OR l.license_id LIKE 'EUPL-%'
-         OR l.license_id LIKE 'CC-BY-SA%' THEN 'copyleft'
-       ELSE 'unknown' END AS license_class
+  """ + _license_class_case_sql("l.license_id") + """ AS license_class
 FROM lid l JOIN prov p ON l.sha256 = p.sha256
 WHERE l.repo <> p.origin_repo
 """,

@@ -8,15 +8,23 @@ Two signals, both JVM built-ins in one codegen pass (zero shuffles):
   standard header), extracted verbatim;
 * a heuristic full-text match of the canonical license-name phrases
   ("MIT License", "Apache License", "GNU General Public License", …)
-  for files that carry a license text but no SPDX tag.
+  for files that carry a license text but no SPDX tag. GNU-family
+  matching covers BOTH canonical casings (the license text's own title
+  is all-caps, per-file headers are title case) and pins the version
+  from the title line when one follows ("Version 2.1" → LGPL-2.1-only);
+  a family phrase with no adjacent version falls back to the family's
+  current-version id (…-3.0-only), which is a heuristic DEFAULT, not an
+  extraction.
 
 The SPDX tag wins when both are present (it is the declared intent).
-Classification maps the identifier to ``permissive`` /
-``copyleft`` / ``unknown`` — the gate most pipelines key on. Patterns
-stay inside the Java-regex/RE2-identical subset so the DuckDB oracle
-reproduces every extraction byte-for-byte; matching is
-case-sensitive on the canonical phrases (SPDX ids are case-sensitive
-by spec).
+Classification maps the identifier to ``permissive`` / ``copyleft`` /
+``weak-copyleft`` / ``unknown`` — the gate most pipelines key on.
+MPL/EPL/CDDL are file-level (weak) copyleft: they are NOT in The
+Stack's permissive admission list, so ``license_permissive`` is False
+for them. Patterns stay inside the Java-regex/RE2-identical subset so
+the DuckDB oracle reproduces every extraction byte-for-byte; matching
+is case-sensitive on the canonical phrases (SPDX ids are
+case-sensitive by spec).
 """
 
 from __future__ import annotations
@@ -26,10 +34,28 @@ from pyspark.sql import functions as F
 
 SPDX_RE = "SPDX-License-Identifier:[ \\t]*([A-Za-z0-9.+-]+)"
 
-# canonical phrase → SPDX id, checked in order (first hit wins)
+# version-qualified GNU title patterns, checked FIRST (the license
+# text's title line carries its version; first hit wins). LGPL entries
+# precede GPL: the LGPL text's body cites the plain GPL by name.
+_WS = "[ \\t\\r\\n]+"  # explicit class: Java \\s and RE2 \\s differ on \\x0B
+HEURISTIC_VERSIONED: list[tuple[str, str]] = [
+    (f"GNU LESSER GENERAL PUBLIC LICENSE{_WS}Version 2\\.1", "LGPL-2.1-only"),
+    (f"GNU LIBRARY GENERAL PUBLIC LICENSE{_WS}Version 2", "LGPL-2.0-only"),
+    (f"GNU GENERAL PUBLIC LICENSE{_WS}Version 2", "GPL-2.0-only"),
+    (f"GNU Lesser General Public License[,;]?{_WS}[Vv]ersion 2\\.1",
+     "LGPL-2.1-only"),
+    (f"GNU General Public License[,;]?{_WS}[Vv]ersion 2", "GPL-2.0-only"),
+]
+
+# canonical phrase → SPDX id, checked in order AFTER the versioned
+# patterns (first hit wins). GNU families carry both casings; the
+# un-versioned GNU ids are family defaults (see module docstring).
 HEURISTIC_PHRASES: list[tuple[str, str]] = [
     ("GNU AFFERO GENERAL PUBLIC LICENSE", "AGPL-3.0-only"),
+    ("GNU Affero General Public License", "AGPL-3.0-only"),
     ("GNU LESSER GENERAL PUBLIC LICENSE", "LGPL-3.0-only"),
+    ("GNU Lesser General Public License", "LGPL-3.0-only"),
+    ("GNU GENERAL PUBLIC LICENSE", "GPL-3.0-only"),
     ("GNU General Public License", "GPL-3.0-only"),
     ("Apache License", "Apache-2.0"),
     ("MIT License", "MIT"),
@@ -39,24 +65,30 @@ HEURISTIC_PHRASES: list[tuple[str, str]] = [
 ]
 
 PERMISSIVE = ["MIT", "Apache-2.0", "BSD-2-Clause", "BSD-3-Clause", "ISC",
-              "Unlicense", "Zlib", "MPL-2.0"]
+              "Unlicense", "Zlib"]
 COPYLEFT_PREFIXES = ["GPL-", "AGPL-", "LGPL-", "EUPL-", "CC-BY-SA"]
+WEAK_COPYLEFT_PREFIXES = ["MPL-", "EPL-", "CDDL-"]
 
 
 def license_columns(col: str = "content") -> list[Column]:
     """(spdx_id, license_id, license_class, license_permissive).
 
-    ``spdx_id`` — the raw SPDX tag ('' when absent); ``license_id`` —
-    SPDX tag if present else the first heuristic phrase hit else '';
-    ``license_class`` — permissive | copyleft | unknown;
-    ``license_permissive`` — the boolean gate The Stack keys on.
+    ``spdx_id`` — the raw SPDX tag ('' when absent, including null
+    content); ``license_id`` — SPDX tag if present else the first
+    heuristic hit else ''; ``license_class`` — permissive | copyleft |
+    weak-copyleft | unknown; ``license_permissive`` — the boolean gate
+    The Stack keys on (weak copyleft does NOT pass).
     """
     c = F.col(col)
-    spdx = F.regexp_extract(c, SPDX_RE, 1)
+    # coalesce: regexp_extract propagates null content; the documented
+    # contract is '' when absent, null included
+    spdx = F.coalesce(F.regexp_extract(c, SPDX_RE, 1), F.lit(""))
 
     heur: Column = F.lit("")
     for phrase, lic in reversed(HEURISTIC_PHRASES):
         heur = F.when(c.contains(phrase), F.lit(lic)).otherwise(heur)
+    for pat, lic in reversed(HEURISTIC_VERSIONED):
+        heur = F.when(c.rlike(pat), F.lit(lic)).otherwise(heur)
 
     lic_id = F.when(spdx != "", spdx).otherwise(heur)
 
@@ -66,10 +98,14 @@ def license_columns(col: str = "content") -> list[Column]:
     is_copyleft = F.lit(False)
     for pref in COPYLEFT_PREFIXES:
         is_copyleft = is_copyleft | lic_id.startswith(pref)
+    is_weak = F.lit(False)
+    for pref in WEAK_COPYLEFT_PREFIXES:
+        is_weak = is_weak | lic_id.startswith(pref)
 
     cls = (
         F.when(is_perm, F.lit("permissive"))
         .when(is_copyleft, F.lit("copyleft"))
+        .when(is_weak, F.lit("weak-copyleft"))
         .otherwise(F.lit("unknown"))
     )
     return [

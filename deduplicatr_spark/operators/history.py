@@ -21,7 +21,10 @@ fixed-width columns, and nothing is corpus-quadratic —
   genuinely single-exchange head materialization.)
 * ``content_provenance``: aggregate keyed on sha256 (uniform by
   construction); content itself never ships — only 8+32-byte
-  identity plus the min'd origin string.
+  identity plus the min'd origin string. (Two distinct-column sets —
+  (repo, path) locations and repos — plan through Spark's Expand
+  rewrite: a constant small-integer row multiplier on those narrow
+  rows, still nothing corpus-quadratic.)
 * ``commit_churn_stats`` / ``version_delta_pairs``: one window over
   (repo, path) ordered by commit — per-group state is the file's
   commit count (bounded by repo history depth, thousands at worst,
@@ -35,6 +38,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from deduplicatr_spark.functions.hashing import content_sha256
 
 #: Field separator for composite min/max ordering keys. \x01 sorts
 #: below every printable char, so `commit \x01 repo \x01 path` orders
@@ -86,7 +91,7 @@ def head_snapshot(
     is the full commit string.
     """
     repo_c, path_c = key_cols
-    sha = F.sha2(F.col(content_col).cast("binary"), 256)
+    sha = content_sha256(content_col)
     return (
         files.select(
             F.col(repo_c).alias("repo"),
@@ -120,8 +125,20 @@ def content_provenance(
     n_copies, n_repos, cross_repo). One aggregation keyed on sha256;
     the origin triple is the min of a \\x01-joined composite string —
     a total order, so the result is deterministic under any ties.
+    ``n_copies`` counts distinct (repo, path) LOCATIONS carrying the
+    content — a file whose content is unchanged across N commits is
+    one location, not N copies (version history must not inflate
+    fan-out).
+
+    COMMIT-ORDER CONTRACT: the origin min compares commit strings
+    ACROSS repos, so commit ids must be GLOBALLY chronologically
+    comparable (timestamps, or a commit→time dimension joined in
+    first). Per-repo sequence counters satisfy head_snapshot's
+    per-(repo, path) contract but NOT this one — a blob authored at
+    repo A's 50th commit and vendored into brand-new repo B at its 1st
+    would be attributed to B, inverting copy direction.
     """
-    sha = F.sha2(F.col(content_col).cast("binary"), 256)
+    sha = content_sha256(content_col)
     # F.concat, NOT concat_ws: concat_ws SKIPS null fields, silently
     # shifting the composite (origin_commit would receive the repo of a
     # null-commit row); concat propagates null like the oracle's
@@ -135,11 +152,12 @@ def content_provenance(
             sha.alias("sha256"),
             ordkey.alias("_ord"),
             F.col("repo").alias("_repo"),
+            F.col("path").alias("_path"),
         )
         .groupBy("sha256")
         .agg(
             F.min("_ord").alias("_origin"),
-            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("_repo", "_path").alias("n_copies"),
             F.countDistinct("_repo").alias("n_repos"),
         )
     )
@@ -173,7 +191,7 @@ def commit_churn_stats(
     first_commit, head_commit, is_volatile) where ``is_volatile``
     flags n_changes ≥ 2 (changed on most commits).
     """
-    sha = F.sha2(F.col(content_col).cast("binary"), 256)
+    sha = content_sha256(content_col)
     w = Window.partitionBy("repo", "path").orderBy("commit")
     versions = files.select(
         "repo", "path", F.col(commit_col).alias("commit"), sha.alias("sha256")
@@ -252,6 +270,7 @@ def apply_commit_batch(
     base_band_stats: DataFrame | None = None,
     key_cols: tuple[str, str] = ("repo", "path"),
     commit_col: str = "commit",
+    pre_identified: bool = False,
 ):
     """Versioned-corpus increment: fold a batch of NEW COMMIT rows into
     an already-indexed head snapshot. The composition a live
@@ -267,6 +286,11 @@ def apply_commit_batch(
     3. Superseding heads flow through ``incremental_assign`` (exact
        sha adoption → band-join near assignment → delta-internal
        linking) against the UNCHANGED base index.
+
+    ``pre_identified``: ``new_versions`` already carries
+    (doc_id, sha256) from ``with_identity`` — the columns ride through
+    ``head_rows``' max_by struct, so the increment skips a second
+    full-content hash pass (the streaming twin's usage).
 
     Returns ``(delta_heads, retired, assignments, drop_stats)``:
     ``delta_heads`` the superseding head rows (input schema),
@@ -303,7 +327,7 @@ def apply_commit_batch(
     ).select(repo_c, path_c, F.col("_base_commit").alias("retired_commit"))
     assignments, drop_stats = incremental_assign(
         delta_heads, base_identity, base_features, base_clusters,
-        config, base_band_stats,
+        config, base_band_stats, pre_identified=pre_identified,
     )
     return delta_heads, retired, assignments, drop_stats
 
@@ -319,7 +343,9 @@ def cross_repo_license_exposure(
     license identity — a vendored copyleft file creates an obligation
     in the HOST repo regardless of the host's own license, and the
     obligation follows the blob's origin, which ``content_provenance``
-    pins as the earliest (commit, repo, path) introducer.
+    pins as the earliest (commit, repo, path) introducer — inheriting
+    its GLOBALLY-comparable-commit contract (see there): per-repo
+    sequence counters would invert copy direction here too.
 
     Output, one row per cross-repo copy: (repo, path, commit, sha256,
     origin_repo, origin_path, license_id, license_class). Composition
@@ -332,7 +358,7 @@ def cross_repo_license_exposure(
     from deduplicatr_spark.functions.licenses import license_columns
 
     prov = content_provenance(files, commit_col, content_col)
-    sha = F.sha2(F.col(content_col).cast("binary"), 256)
+    sha = content_sha256(content_col)
     rows = files.select(
         "repo", "path", F.col(commit_col).alias("commit"),
         sha.alias("sha256"), *license_columns(content_col),

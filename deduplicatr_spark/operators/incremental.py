@@ -401,11 +401,16 @@ def incremental_assign(
     config: PipelineConfig,
     base_band_stats: DataFrame | None = None,
     link_delta_internal: bool = True,
+    pre_identified: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """One-shot composition of the stages above. Returns
     ``(assignments, drop_stats)``.
 
     ``new_docs``: (repo, path, commit, lang, content) — the delta.
+    ``pre_identified``: the caller already ran ``with_identity`` (the
+    frame carries doc_id + sha256) — skip the second full-content hash
+    pass; sha256 is the expensive stage of the exact path, and callers
+    like the streaming twins always hold an identified frame already.
     ``base_identity``: (doc_id, sha256) of the indexed corpus.
     ``base_features``: (doc_id, shingles, band_hashes) of base docs
     (the batch pipeline's s2 checkpoint — reread, never recomputed).
@@ -422,7 +427,7 @@ def incremental_assign(
     thinned hot base buckets, plus the delta self-join's bucket-core
     drops when linking is on.
     """
-    new_ident = with_identity(new_docs)
+    new_ident = new_docs if pre_identified else with_identity(new_docs)
     exact, rest, delta_dups = exact_split(new_ident, base_identity, base_clusters)
 
     # persisted (tracked for caller-side release): the band explode and

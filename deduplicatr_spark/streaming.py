@@ -249,17 +249,14 @@ def streaming_near_dedup(
     """
     from pyspark.sql import Window
 
-    from deduplicatr_spark.functions.features import features_udf
-    from deduplicatr_spark.functions.hashing import normalized
     from deduplicatr_spark.operators.exact import with_identity
-    from deduplicatr_spark.operators.incremental import (
-        band_bucket_stats,
-        fused_bucket_stats,
-        incremental_assign,
-    )
+    from deduplicatr_spark.operators.incremental import incremental_assign
     from deduplicatr_spark.operators.lsh import release_tracked
 
-    doc_cols = [f.split()[0] for f in schema.split(", ")]
+    # real DDL parse, not string splitting — a schema with complex types
+    # ('meta map<string, int>') or no space after commas would silently
+    # mis-split; the empty frame costs no job
+    doc_cols = spark.createDataFrame([], schema).columns
 
     def _process(batch: DataFrame, epoch_id: int) -> None:
         s = batch.sparkSession
@@ -295,9 +292,12 @@ def streaming_near_dedup(
                 s, f"{state_dir}/band_stats", _STATS_STATE, before_epoch=ep
             ).groupBy("band_hash").agg(F.sum("n").alias("n"))
 
+            # surv already carries (doc_id, sha256) from with_identity —
+            # pre_identified skips a second full-content hash pass
             out, _drops = incremental_assign(
-                surv.select(*doc_cols), base_ident, base_feats,
+                surv, base_ident, base_feats,
                 base_clusters, config, base_band_stats=base_stats,
+                pre_identified=True,
             )
             out = out.persist()
             out.count()
@@ -307,10 +307,13 @@ def streaming_near_dedup(
             surv_sha = surv.select("doc_id", "sha256").join(
                 out.select("doc_id", "cluster_id"), "doc_id"
             )
+            # eqNullSafe: sha2(NULL) is NULL, and a plain equi-join
+            # would silently drop null-content non-survivors from
+            # assignments, breaking the exactly-once row contract
+            nsv = ranked.filter(F.col("_rn") > 1).select("doc_id", "sha256")
+            sv = surv_sha.select(F.col("sha256").alias("_ssha"), "cluster_id")
             dup_rows = (
-                ranked.filter(F.col("_rn") > 1)
-                .select("doc_id", "sha256")
-                .join(surv_sha.select("sha256", "cluster_id"), "sha256")
+                nsv.join(sv, nsv["sha256"].eqNullSafe(sv["_ssha"]))
                 .select("doc_id", "cluster_id", F.lit("exact").alias("via"))
             )
             out.unionByName(dup_rows).withColumn(
@@ -389,22 +392,20 @@ def streaming_commit_ingest(
     predecessor's cluster); the index compacts on the next full batch
     run, mirroring apply_commit_batch's documented contract.
     """
-    from deduplicatr_spark.functions.features import features_udf
-    from deduplicatr_spark.functions.hashing import normalized
     from deduplicatr_spark.operators.exact import with_identity
     from deduplicatr_spark.operators.history import apply_commit_batch, head_rows
-    from deduplicatr_spark.operators.incremental import (
-        band_bucket_stats,
-        fused_bucket_stats,
-    )
     from deduplicatr_spark.operators.lsh import release_tracked
 
-    doc_cols = [f.split()[0] for f in schema.split(", ")]
+    doc_cols = spark.createDataFrame([], schema).columns
 
     def _process(batch: DataFrame, epoch_id: int) -> None:
         s = batch.sparkSession
         ep = int(epoch_id)
-        rows = batch.select(*doc_cols).persist()
+        # identity computed ONCE per epoch, before the head collapse
+        # (content sha256 is the expensive part): doc_id/sha256 ride
+        # head_rows' max_by struct into delta_heads, and the increment
+        # runs pre_identified
+        rows = with_identity(batch.select(*doc_cols)).persist()
         rows.count()  # single-epoch source: every later job reads the cache
         try:
             base_heads = head_rows(
@@ -427,19 +428,15 @@ def streaming_commit_ingest(
 
             delta_heads, retired, out, _drops = apply_commit_batch(
                 base_heads, rows, base_ident, base_feats, base_clusters,
-                config, base_band_stats=base_stats,
+                config, base_band_stats=base_stats, pre_identified=True,
             )
+            # delta_heads already carries (doc_id, sha256) — see the
+            # identity comment above; no second hash pass
             delta_heads = delta_heads.persist()
             delta_heads.count()
             out = out.persist()
             out.count()
-
-            # identity computed ONCE per epoch (content sha256 is the
-            # expensive part); the assignment join and the admitted
-            # frame both derive from this cache
-            ident_rows = with_identity(delta_heads).persist()
-            ident_rows.count()
-            ident = ident_rows.select(
+            ident = delta_heads.select(
                 "repo", "path", "commit", "doc_id", "sha256"
             )
             out.join(ident, "doc_id").select(
@@ -458,11 +455,10 @@ def streaming_commit_ingest(
                 (F.col("via") == "new")
                 & (F.col("cluster_id") == F.col("doc_id"))
             ).select("doc_id")
-            admitted = ident_rows.join(founders, "doc_id").persist()
+            admitted = delta_heads.join(founders, "doc_id").persist()
             admitted.count()
             _persist_epoch_state(admitted, state_dir, output_dir, ep, config)
             admitted.unpersist()
-            ident_rows.unpersist()
             out.unpersist()
             delta_heads.unpersist()
         finally:

@@ -46,7 +46,9 @@ def test_provenance_attributes_origin_not_copy(spark):
     assert (d["origin_commit"], d["origin_repo"], d["origin_path"]) == (
         "c00", "r1", "a.py",
     )
-    assert d["cross_repo"] and d["n_copies"] == 3  # c00, c02, stolen
+    # distinct LOCATIONS: r1/a.py (holds it at c00 AND c02 — one
+    # location, version history must not inflate fan-out) + r2/stolen.py
+    assert d["cross_repo"] and d["n_copies"] == 2
 
 
 def test_churn_counts_transitions_not_distinct(spark):

@@ -207,6 +207,42 @@ def test_streaming_near_dedup_deterministic_survivor(spark):
             shutil.rmtree(root, ignore_errors=True)
 
 
+def test_streaming_near_dedup_null_content_rows_not_lost(spark):
+    """Null-content rows: sha2(NULL) is NULL, so a plain equi-join
+    would silently drop the non-surviving null row from assignments.
+    The null-safe linkage must keep the exactly-once row contract."""
+    from deduplicatr_spark.config import PipelineConfig
+    from deduplicatr_spark.operators.exact import with_identity
+
+    cfg = PipelineConfig()
+    root, d = _near_dirs_fixture()
+    try:
+        rows = [
+            ("r1", "null_a.txt", "c0", "py", None),
+            ("r1", "null_b.txt", "c0", "py", None),
+            ("r1", "real.txt", "c0", "py", "def real(): return 7\n" * 4),
+        ]
+        _doc_rows(spark, rows).write.parquet(os.path.join(d["in"], "b1"))
+        _run_near(spark, d, cfg)
+        ids = {
+            r["path"]: r["doc_id"]
+            for r in with_identity(_doc_rows(spark, rows)).collect()
+        }
+        asg = {
+            r["doc_id"]: (r["cluster_id"], r["via"])
+            for r in spark.read.option("recursiveFileLookup", "true")
+            .parquet(f"{d['out']}/assignments")
+            .collect()
+        }
+        assert len(asg) == 3  # every input row assigned exactly once
+        surv = ids["null_a.txt"]  # min (repo, path) among the nulls
+        assert asg[surv] == (surv, "new")
+        assert asg[ids["null_b.txt"]] == (surv, "exact")
+        assert asg[ids["real.txt"]] == (ids["real.txt"], "new")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def test_streaming_near_dedup_replay_ignores_own_epoch_state(spark):
     """Crash-replay safety: state dirs written by a CRASHED attempt of
     the SAME epoch must be invisible to its replay — otherwise every

@@ -550,6 +550,17 @@ def test_license_columns(spark):
         # LGPL phrase must not fall through to the GPL phrase
         (5, "GNU LESSER GENERAL PUBLIC LICENSE\nGNU General Public License"),
         (6, "// SPDX-License-Identifier: BSD-3-Clause\ncode"),
+        # MPL is file-level (weak) copyleft — NOT in The Stack's
+        # permissive admission list
+        (7, "Mozilla Public License Version 2.0\ncode"),
+        # the license text's title line pins the version
+        (8, "GNU LESSER GENERAL PUBLIC LICENSE\n"
+            "                       Version 2.1, February 1999\ncode"),
+        # per-file headers use title case
+        (9, "// under the GNU Lesser General Public License terms\ncode"),
+        (10, "GNU GENERAL PUBLIC LICENSE\n   Version 2, June 1991\ncode"),
+        # null content degrades to ''/unknown, never NULL
+        (11, None),
     ]
     df = spark.createDataFrame(docs, "i long, content string")
     got = {
@@ -564,6 +575,15 @@ def test_license_columns(spark):
     assert got[4]["license_id"] == "" and got[4]["license_class"] == "unknown"
     assert got[5]["license_id"] == "LGPL-3.0-only"
     assert got[6]["license_class"] == "permissive"
+    assert got[7]["license_id"] == "MPL-2.0"
+    assert got[7]["license_class"] == "weak-copyleft"
+    assert not got[7]["license_permissive"]
+    assert got[8]["license_id"] == "LGPL-2.1-only"
+    assert got[8]["license_class"] == "copyleft"
+    assert got[9]["license_id"] == "LGPL-3.0-only"
+    assert got[10]["license_id"] == "GPL-2.0-only"
+    assert got[11]["spdx_id"] == "" and got[11]["license_id"] == ""
+    assert got[11]["license_class"] == "unknown"
 
 
 def test_zlib_ratio_kernel():

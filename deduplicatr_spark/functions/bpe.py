@@ -107,6 +107,16 @@ def _tables(merges: list[tuple[str, str]]):
         ia, ib = sym(a), sym(b)
         out = _MERGE_BASE + rank
         s = id2str[ia] + id2str[ib]
+        if s in str2id:
+            # two rules producing the same output STRING would rebind
+            # str2id[s], so a later rule's operand lookup would resolve
+            # to the later id and never match symbols produced by the
+            # earlier rule — silently diverging from the per-word
+            # string-matching reference semantics
+            raise ValueError(
+                f"duplicate merge output {s!r} at rank {rank} "
+                "(already produced by an earlier rule)"
+            )
         str2id[s] = out
         id2str[out] = s
         rules.append((ia, ib, out))
@@ -125,7 +135,10 @@ def _bpe_unique_words(
         return {}
     lens = np.array([len(w) for w in words], dtype=np.int64)
     flat = np.frombuffer(
-        "".join(words).encode("utf-32-le"), dtype=np.uint32
+        # dtype must pin little-endian ('<u4') to match utf-32-le: a
+        # native-endian uint32 on a big-endian host would read 'a' as
+        # 0x61000000 and KeyError in the decode step
+        "".join(words).encode("utf-32-le"), dtype="<u4"
     ).astype(np.int64)
     wid = np.repeat(np.arange(len(words), dtype=np.int64), lens)
     for ia, ib, out in rules:

@@ -20,25 +20,26 @@ def suppress_contained(dup_files: DataFrame, dup_dir_locations: DataFrame) -> Da
     """Drop file rows whose (repo, ancestor-dir) appears in
     ``dup_dir_locations`` (columns: repo, dir).
 
-    ``dup_files`` must carry (repo, path); all other columns pass through.
+    ``dup_files`` must carry (repo, path); all other columns pass
+    through — including inputs with multiple rows per (repo, path)
+    (e.g. one row per duplicate-group pairing), which all survive or
+    are all suppressed together.
     """
-    with_ancestors = dup_files.withColumn("_anc", F.explode(_ancestor_dirs()))
-    survivors = with_ancestors.join(
-        dup_dir_locations.select("repo", F.col("dir").alias("_anc")).distinct(),
-        on=["repo", "_anc"],
-        how="left_anti",
-    )
-    # a file survives only if NONE of its ancestors matched: the anti-join
-    # removed matched (file, ancestor) rows, so re-group and keep files
-    # that kept their full ancestor count
-    n_anc = dup_files.withColumn("_n", F.size(_ancestor_dirs())).select(
-        "repo", "path", "_n"
-    )
-    kept = (
-        survivors.groupBy("repo", "path")
-        .agg(F.count(F.lit(1)).alias("_kept"))
-        .join(n_anc, ["repo", "path"])
-        .filter(F.col("_kept") == F.col("_n"))
+    # a file is suppressed iff ANY ancestor matches: semi-join the
+    # exploded ancestor rows against the dir set, then anti-join the
+    # originals against the suppressed key set. (An earlier
+    # count-equality formulation — keep files whose anti-joined
+    # ancestor count equals their full ancestor count — silently
+    # dropped files appearing more than once in dup_files.)
+    suppressed = (
+        dup_files.select("repo", "path")
+        .withColumn("_anc", F.explode(_ancestor_dirs()))
+        .join(
+            dup_dir_locations.select("repo", F.col("dir").alias("_anc")),
+            on=["repo", "_anc"],
+            how="left_semi",
+        )
         .select("repo", "path")
+        .distinct()
     )
-    return dup_files.join(kept, ["repo", "path"], "left_semi")
+    return dup_files.join(suppressed, ["repo", "path"], "left_anti")

@@ -136,7 +136,10 @@ def kmeans_init_farthest(
     what makes the planted-cell oracle check exact.
 
     Incremental: the running min-distance column is updated with only
-    the newest centroid each round — k passes of one sq_dist each."""
+    the newest centroid each round — k passes of one sq_dist each.
+
+    Raises when fewer than k distinct vectors exist (the max-min pick
+    would otherwise silently repeat a seed at distance 0)."""
     first = emb.orderBy(id_col).select(vec_col).head()
     if first is None:
         raise ValueError("kmeans_init_farthest: empty input")
@@ -149,9 +152,14 @@ def kmeans_init_farthest(
         for r in range(k - 1):
             far = (
                 state.orderBy(F.desc("_d"), F.asc(id_col))
-                .select(vec_col)
+                .select(vec_col, "_d")
                 .head()
             )
+            if far is None or far[1] == 0.0:
+                raise ValueError(
+                    f"fewer than k={k} distinct vectors "
+                    f"({len(cents)} found); reduce k"
+                )
             cents.append([float(x) for x in far[0]])
             nxt = state.select(
                 id_col, vec_col,
@@ -174,11 +182,23 @@ def kmeans_init_farthest(
 def _np_farthest(X: np.ndarray, k: int) -> list[list[float]]:
     """Farthest-point seeding over a driver-side matrix (rows must be
     pre-sorted by id so argmax ties deterministically pick the lowest
-    id). O(k·n), fully vectorized."""
+    id). O(k·n), fully vectorized.
+
+    Raises when fewer than k DISTINCT vectors exist — otherwise the
+    max-min-distance pick would silently repeat a chosen seed
+    (argmax of an all-zero d is 0), handing Lloyd duplicate centroids
+    whose cells stay permanently empty."""
+    if k > len(X):
+        raise ValueError(f"k={k} exceeds {len(X)} available vectors")
     cents = [X[0]]
     d = ((X - X[0]) ** 2).sum(axis=1)
     for _ in range(k - 1):
         i = int(np.argmax(d))
+        if d[i] == 0.0:
+            raise ValueError(
+                f"fewer than k={k} distinct vectors "
+                f"({len(cents)} found); reduce k"
+            )
         cents.append(X[i])
         d = np.minimum(d, ((X - X[i]) ** 2).sum(axis=1))
     return [[float(x) for x in c] for c in cents]
@@ -244,36 +264,51 @@ def kmeans_train(
     sample-based farthest-point seeding (``kmeans_init_sample``; exact
     when the corpus fits the sample); pass ``init`` explicitly for the
     k−1-job distributed-exact variant or learned seeds."""
-    cents = init if init is not None else kmeans_init_sample(
-        emb, k, id_col, vec_col
-    )
-    if len(cents) != k:
-        raise ValueError(f"init has {len(cents)} centroids, expected {k}")
-    dim = len(cents[0])
-    shift = math.inf
-    it = 0
-    for it in range(1, max_iters + 1):
-        stats = (
-            emb.select(assign_col(cents, vec_col).alias("cell_id"), vec_col)
-            .groupBy("cell_id")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                *[
-                    F.sum(F.col(vec_col)[j]).alias(f"s{j}")
-                    for j in range(dim)
-                ],
+    # persist the narrow projection for the loop: every Lloyd
+    # iteration (plus the init's sample job) is a full pass, and an
+    # emb derived from expensive upstream stages would otherwise
+    # recompute its lineage up to max_iters+1 times (MLlib's KMeans
+    # caches its input for exactly this reason)
+    vecs = emb.select(id_col, vec_col).persist()
+    try:
+        cents = init if init is not None else kmeans_init_sample(
+            vecs, k, id_col, vec_col
+        )
+        if len(cents) != k:
+            raise ValueError(
+                f"init has {len(cents)} centroids, expected {k}"
             )
-            .collect()
-        )
-        new_cents = [list(c) for c in cents]
-        for row in stats:
-            n = row["n"]
-            new_cents[row["cell_id"]] = [row[f"s{j}"] / n for j in range(dim)]
-        shift = max(
-            sum((a - b) * (a - b) for a, b in zip(old, new))
-            for old, new in zip(cents, new_cents)
-        )
-        cents = new_cents
-        if shift <= tol:
-            break
+        dim = len(cents[0])
+        shift = math.inf
+        it = 0
+        for it in range(1, max_iters + 1):
+            stats = (
+                vecs.select(
+                    assign_col(cents, vec_col).alias("cell_id"), vec_col
+                )
+                .groupBy("cell_id")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    *[
+                        F.sum(F.col(vec_col)[j]).alias(f"s{j}")
+                        for j in range(dim)
+                    ],
+                )
+                .collect()
+            )
+            new_cents = [list(c) for c in cents]
+            for row in stats:
+                n = row["n"]
+                new_cents[row["cell_id"]] = [
+                    row[f"s{j}"] / n for j in range(dim)
+                ]
+            shift = max(
+                sum((a - b) * (a - b) for a, b in zip(old, new))
+                for old, new in zip(cents, new_cents)
+            )
+            cents = new_cents
+            if shift <= tol:
+                break
+    finally:
+        vecs.unpersist()
     return KMeansModel(centroids=cents, iterations=it, final_shift=shift)

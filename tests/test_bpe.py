@@ -85,6 +85,17 @@ def test_overlapping_same_symbol_merge():
     assert tokenize_batch(["aaaaa"], merges=[("a", "a")]) == [["aa", "aa", "a"]]
 
 
+def test_duplicate_merge_output_rejected():
+    """Two rules producing the same output string would rebind the
+    symbol table and silently diverge from the per-word reference
+    (the earlier rule's output id would never match later operands)."""
+    import pytest
+
+    merges = [("b", "c"), ("a", "b"), ("a", "bc"), ("ab", "c")]
+    with pytest.raises(ValueError, match="duplicate merge output"):
+        tokenize_batch(["abcd"], merges=merges)
+
+
 def test_udfs_and_packing_integration(spark):
     """Real subword counts flow through pack_sequences via
     token_count_col; a pure-Python replay of the per-stream cumulative

@@ -1,0 +1,59 @@
+"""Ancestor-suppression containment filter (operators/containment.py):
+the O9 semantics plus the multi-row pass-through contract — a file
+carried on several dup_files rows (one per duplicate-group pairing)
+must survive or be suppressed as a unit, never dropped by accident."""
+
+from __future__ import annotations
+
+from deduplicatr_spark.operators.containment import suppress_contained
+
+
+def _files(spark, rows):
+    return spark.createDataFrame(rows, "repo string, path string, g long")
+
+
+def _dirs(spark, rows):
+    return spark.createDataFrame(rows, "repo string, dir string")
+
+
+def test_contained_file_suppressed_uncontained_kept(spark):
+    files = _files(spark, [
+        ("r1", "vendor/lib/a.py", 1),
+        ("r1", "src/b.py", 2),
+    ])
+    dirs = _dirs(spark, [("r1", "vendor/lib"), ("r2", "src")])
+    got = {(r["repo"], r["path"]) for r in
+           suppress_contained(files, dirs).collect()}
+    # r2's 'src' entry must not suppress r1's file: the join is per-repo
+    assert got == {("r1", "src/b.py")}
+
+
+def test_multirow_file_survives_when_uncontained(spark):
+    """Regression: the old count-equality formulation dropped any file
+    appearing on >1 dup_files row (kept-count 2n vs ancestor-count n)
+    even with NO duplicated ancestor."""
+    files = _files(spark, [
+        ("r1", "a/x.py", 1),
+        ("r1", "a/x.py", 2),  # same file, second duplicate-group row
+        ("r1", "dup/y.py", 3),
+    ])
+    dirs = _dirs(spark, [("r1", "dup")])
+    got = [(r["repo"], r["path"], r["g"]) for r in
+           suppress_contained(files, dirs).collect()]
+    assert sorted(got) == [("r1", "a/x.py", 1), ("r1", "a/x.py", 2)]
+
+
+def test_multirow_file_suppressed_as_a_unit(spark):
+    files = _files(spark, [
+        ("r1", "dup/inner/x.py", 1),
+        ("r1", "dup/inner/x.py", 2),
+    ])
+    dirs = _dirs(spark, [("r1", "dup")])
+    assert suppress_contained(files, dirs).count() == 0
+
+
+def test_root_level_file_suppressed_by_root_dir(spark):
+    # '' is the repo-root prefix every path carries
+    files = _files(spark, [("r1", "README", 1)])
+    dirs = _dirs(spark, [("r1", "")])
+    assert suppress_contained(files, dirs).count() == 0

@@ -162,6 +162,20 @@ def test_kmeans_empty_input_raises(spark):
         kmeans_init_farthest(empty, k=2)
 
 
+def test_k_exceeding_distinct_vectors_raises(spark):
+    """Regression: k beyond the distinct-vector count used to silently
+    duplicate the argmax-of-zero-distance seed, handing Lloyd identical
+    centroids with permanently empty cells."""
+    rows = [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (1000, [0.0, 0.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    with pytest.raises(ValueError, match="distinct"):
+        kmeans_init_farthest(emb, k=3)  # 3 rows, 2 distinct vectors
+    with pytest.raises(ValueError, match="distinct"):
+        kmeans_init_sample(emb, k=3)
+    with pytest.raises(ValueError):
+        kmeans_init_sample(emb, k=4)  # k beyond even the row count
+
+
 def test_semdedup_consumes_trained_quantizer(spark):
     """SemDeDup with kmeans_train centroids: planted near-identical
     twins inside one trained cell are pruned (one survivor), singletons

@@ -207,6 +207,7 @@ def token_bag_overlap_pairs(
     id_col: str = "doc_id",
     tokens_col: str = "tokens",
     prefilter_cells: int = 16,
+    positional: bool = False,
 ) -> DataFrame:
     """(doc_id, tokens: array<string> BAG — multiplicity preserved) →
     (doc_a, doc_b, overlap, similarity ≥ θ): SourcererCC's type-3 clone
@@ -290,12 +291,15 @@ def token_bag_overlap_pairs(
         - F.expr(f"(sz * {num}L + {den - 1}L) div {den}L")
         + 1
     )
+    # cum (flattened count of strictly-rarer tokens) is kept on the
+    # index rows only for the positional variant below
+    pos_cols = ["cum"] if positional else []
     pre = (
         counts.join(df_counts, "tok")
         .join(sizes, "doc_id")
         .withColumn("cum", F.coalesce(F.sum("cnt").over(w), F.lit(0)))
         .filter(F.col("cum") < prefix_len)
-        .select("doc_id", "tok", "sz")
+        .select("doc_id", "tok", "sz", *pos_cols)
     )
     need = F.expr(
         f"(greatest(a_sz, b_sz) * {num}L + {den - 1}L) div {den}L"
@@ -322,10 +326,12 @@ def token_bag_overlap_pairs(
         a_side = pre.select(
             F.col("doc_id").alias("doc_a"), "tok",
             F.col("sz").alias("a_sz"), F.col("cv").alias("_cva"),
+            *[F.col(c).alias("_pa") for c in pos_cols],
         )
         b_side = pre.select(
             F.col("doc_id").alias("doc_b"), "tok",
             F.col("sz").alias("b_sz"), F.col("cv").alias("_cvb"),
+            *[F.col(c).alias("_pb") for c in pos_cols],
         )
         # unrolled Σ least(a[i], b[i]) — zip_with/aggregate allocate an
         # intermediate array per evaluation, measured 60% slower at
@@ -342,12 +348,35 @@ def token_bag_overlap_pairs(
         extra = (bound >= need,)
     else:
         a_side = pre.select(
-            F.col("doc_id").alias("doc_a"), "tok", F.col("sz").alias("a_sz")
+            F.col("doc_id").alias("doc_a"), "tok",
+            F.col("sz").alias("a_sz"),
+            *[F.col(c).alias("_pa") for c in pos_cols],
         )
         b_side = pre.select(
-            F.col("doc_id").alias("doc_b"), "tok", F.col("sz").alias("b_sz")
+            F.col("doc_id").alias("doc_b"), "tok",
+            F.col("sz").alias("b_sz"),
+            *[F.col(c).alias("_pb") for c in pos_cols],
         )
         extra = ()
+    if positional:
+        # PPJoin positional bound (Xiao et al. WWW 2008 §3.2,
+        # generalized to bags): O(A,B) ≤ min(cum_a, cum_b) +
+        # min(a_sz − cum_a, b_sz − cum_b) — a sound PAIR-level upper
+        # bound from any collision row, so per-row filtering cannot
+        # drop a qualifying pair. MEASURED SLOWER than cells-only at
+        # θ=0.8 on the bench corpus and therefore default-OFF: short
+        # prefixes keep cum ≈ 0, degenerating the bound to the length
+        # filter while paying per-row arithmetic on every raw join row
+        # (BENCH/BASELINE.md "Tried and rejected";
+        # tools/profile_type3_pos.py is the A/B repro). Revisit at low
+        # θ, where prefixes — and cum's reach — span the doc.
+        extra = extra + (
+            F.least("_pa", "_pb")
+            + F.least(
+                F.col("a_sz") - F.col("_pa"), F.col("b_sz") - F.col("_pb")
+            )
+            >= need,
+        )
     flt = (F.col("doc_a") < F.col("doc_b")) & (
         F.least("a_sz", "b_sz") >= need
     )

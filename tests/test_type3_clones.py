@@ -83,6 +83,17 @@ def test_cell_prefilter_is_invisible(spark):
             ).collect()
         }
         assert got == _naive(docs, theta), f"cells={cells}"
+    # the positional (PPJoin) bound — default-off, kept for low-θ
+    # revisits — is likewise an exact pair-level upper bound
+    for cells in (0, 16):
+        df = spark.createDataFrame(docs, "doc_id long, tokens array<string>")
+        got = {
+            (r["doc_a"], r["doc_b"], r["overlap"], r["similarity"])
+            for r in token_bag_overlap_pairs(
+                df, theta, prefilter_cells=cells, positional=True
+            ).collect()
+        }
+        assert got == _naive(docs, theta), f"positional cells={cells}"
 
 
 def test_bag_semantics_not_set(spark):

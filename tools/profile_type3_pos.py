@@ -1,0 +1,30 @@
+import sys, time, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from pyspark.sql import functions as F
+from deduplicatr_spark.session import build_session
+from bench import amplified_corpus, code_relabel
+from deduplicatr_spark.functions.code import code_tokens
+from deduplicatr_spark.operators.ngram import token_bag_overlap_pairs
+from deduplicatr_spark.operators.lsh import release_tracked
+
+spark = build_session("prof_t3p", master="local[32]", shuffle_partitions=32)
+spark.sparkContext.setLogLevel("ERROR")
+corpus = amplified_corpus(spark, "/root/testdata/sf0.1", 64).persist()
+corpus.count()
+distinct_docs = corpus.dropDuplicates(["content"]).select(
+    F.xxhash64("repo", "path", "commit").alias("doc_id"), "content"
+).persist()
+distinct_docs.count()
+code_docs = code_relabel(distinct_docs)
+toks = code_docs.select("doc_id", code_tokens("content", "lang").alias("tokens"))
+variants = [("pos+cells", dict(prefilter_cells=16, positional=True)),
+            ("cells",     dict(prefilter_cells=16, positional=False)),
+            ("pos",       dict(prefilter_cells=0,  positional=True)),
+            ("neither",   dict(prefilter_cells=0,  positional=False))]
+for rnd in range(2):
+    for name, kw in variants:
+        t0 = time.time()
+        n = token_bag_overlap_pairs(toks, 0.8, **kw).count()
+        release_tracked()
+        print(f"r{rnd} {name}: {time.time()-t0:.2f}s pairs={n}", flush=True)
+spark.stop()

@@ -1948,6 +1948,99 @@ def _q_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_incremental_substring_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SUBSTRING channel (operators/incremental.py §
+    substring_assign): a delta doc that shares a ≥ substring_min_len
+    block with a base doc but sits BELOW shingle-Jaccard τ must adopt
+    the base cluster via='substring' — the drift the channel closes
+    (the batch pipeline with substring_in_pipeline merges such pairs;
+    without the channel the increment founds a fresh cluster).
+
+    PLANTED: for every corpus doc in the eligibility band (doc_id%9==3,
+    300–2000 content bytes — large enough for CDC anchors and the
+    min_len gate, small enough that a 3072-char unique tail crushes
+    Jaccard to ≤ 0.4 ≪ τ=0.7), the delta doc is that content + a
+    doc-unique tail of 48 DISTINCT chained sha blocks. The LCS argmax
+    is provably the set of corpus docs CONTAINING the planted block in
+    full — an equal-length match must be the block itself, since the
+    unique tail appears nowhere else, and the corpus's own near chains
+    mean that set is bigger than the content-equality family — ties
+    broken by min cluster id. The oracle replays exactly that with a
+    contains() join over raw strings. A missed anchor join, an LCS
+    drift, or a tiebreak bug goes red.
+    """
+    from dataclasses import replace
+
+    from deduplicatr_spark.operators.incremental import (
+        anchor_bucket_stats,
+        anchor_index,
+        incremental_assign,
+    )
+
+    cfg = replace(ENTRY_CONFIG, incremental_substring=True)
+    c = _corpus(spark, sf_dir)
+    base_ident = _identified(c).select("doc_id", "sha256")
+    base_clusters = c.select(
+        "doc_id", TXT.fingerprint("content").alias("_fp")
+    ).withColumn(
+        "cluster_id", F.min("doc_id").over(Window.partitionBy("_fp"))
+    ).select("doc_id", "cluster_id")
+    base_feats = _features_frame(spark, sf_dir)
+    base_docs = c.select("doc_id", "content")
+    anchor_ix = anchor_index(base_docs, cfg)
+    stats = anchor_bucket_stats(anchor_ix)
+
+    eligible = c.filter(
+        (F.col("doc_id") % 9 == 3)
+        & F.octet_length("content").between(300, 2000)
+    )
+    delta = eligible.select(
+        "repo",
+        F.concat(F.lit("inc/s/"), F.col("doc_id").cast("string")).alias("path"),
+        F.lit("c1").alias("commit"),
+        "lang",
+        F.concat(
+            "content",
+            # tail must be non-repetitive: a repeated sha block holds
+            # only ~64+k distinct shingles, leaving Jaccard ≈ 0.9 and
+            # letting the band path adopt first (measured) — 48 chained
+            # DISTINCT blocks give ~3072 distinct shingles, crushing
+            # Jaccard to ~len/(len+3072) ≪ τ
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(48)),
+                    lambda i: F.sha2(
+                        F.concat(
+                            F.lit("st"), F.col("doc_id").cast("string"),
+                            F.lit("#"), i.cast("string"),
+                        ),
+                        256,
+                    ),
+                ),
+            ),
+        ).alias("content"),
+        F.col("doc_id").alias("_did"),
+    )
+    new_docs = delta.select("repo", "path", "commit", "lang", "content")
+    out, _drops = incremental_assign(
+        new_docs, base_ident, base_feats, base_clusters, cfg,
+        base_anchor_index=anchor_ix, base_docs=base_docs,
+        base_anchor_stats=stats,
+    )
+    keymap = delta.select(
+        F.xxhash64("repo", "path", "commit").alias("doc_id"),
+        (F.col("_did") + 9000000).alias("new_id"),
+    )
+    return out.join(keymap, "doc_id").select(
+        "new_id",
+        F.when(F.col("via") == "new", F.col("new_id"))
+        .otherwise(F.col("cluster_id"))
+        .alias("cluster_id"),
+        "via",
+    )
+
+
 def _q_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Post-dedup representative selection (operators/representatives):
     one surviving doc per cluster — the member with the most tokens,
@@ -2510,6 +2603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "type3_clone_pairs": _q_type3_clone_pairs,
         "method_clone_pairs": _q_method_clone_pairs,
         "incremental_assign": _q_incremental_assign,
+        "incremental_substring_assign": _q_incremental_substring_assign,
         "cluster_representatives": _q_cluster_representatives,
         "stratified_sample": _q_stratified_sample,
         "sequence_pack": _q_sequence_pack,
@@ -4168,6 +4262,34 @@ FROM basec WHERE did % 9 = 1
 UNION ALL
 SELECT did + 8000000, did + 8000000, 'new'
 FROM basec WHERE did % 9 = 2
+""",
+        # every planted delta (eligible content + unique tail) must
+        # adopt the min doc_id of its block's normalized-fingerprint
+        # group, via the substring channel — see the query docstring
+        # for why the LCS argmax provably lands in that family
+        "incremental_substring_assign": CORPUS_SQL + """
+, fpm AS (
+  SELECT doc_id, content,
+         sha256(trim(regexp_replace(content, '\\s+', ' ', 'g'))) AS f
+  FROM corpus
+), cl AS (
+  SELECT doc_id, content,
+         min(doc_id) OVER (PARTITION BY f) AS cluster_id
+  FROM fpm
+), elig AS (
+  SELECT doc_id, content FROM corpus
+  WHERE doc_id % 9 = 3 AND strlen(content) BETWEEN 300 AND 2000
+)
+-- the LCS argmax is the set of docs CONTAINING the planted block in
+-- full (an equal-length match must be the block itself — the unique
+-- tail appears nowhere else), tie-broken by min cluster id, exactly
+-- the operator's (max match_len, min cluster) window
+SELECT e.doc_id + 9000000 AS new_id,
+       min(cl.cluster_id) AS cluster_id,
+       'substring' AS via
+FROM elig e
+JOIN cl ON contains(cl.content, e.content)
+GROUP BY e.doc_id
 """,
         # representative = max-token (min doc_id tiebreak) member of each
         # fingerprint-proxy cluster — recomputed from raw strings

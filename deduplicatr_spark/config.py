@@ -125,6 +125,17 @@ class PipelineConfig:
     # fused_bucket_stats and adds the SimHash key volume to the join.
     incremental_simhash: bool = False
 
+    # When True (and the caller hands incremental_assign a persisted
+    # base ANCHOR index + base content), delta canonicals that matched
+    # neither the exact nor the band/simhash near path run the CDC-
+    # anchor substring channel against the base: a delta doc sharing a
+    # ≥ substring_min_len block with a base doc (below Jaccard τ,
+    # beyond Hamming d — e.g. a big vendored block inside fresh code)
+    # adopts the base cluster exactly as the batch pipeline with
+    # substring_in_pipeline would merge it. Off by default: it needs
+    # the extra index and a content lookup for candidate base docs.
+    incremental_substring: bool = False
+
     # --- repo-level fork prefilter (SURVEY §2.44/§2.46) ---
     # When True the pipeline runs fork_clusters over the identity table
     # (s1_forks) and keeps only each fork family's canonical repo

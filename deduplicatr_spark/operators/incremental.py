@@ -291,6 +291,161 @@ def near_assign(
     return near, drop_stats
 
 
+def anchor_index(docs: DataFrame, config: PipelineConfig) -> DataFrame:
+    """(doc_id, band_hash) CDC-anchor fingerprint rows over
+    (doc_id, content) — build ONCE over the base corpus at index time
+    and persist alongside ``band_bucket_stats``; the incremental
+    substring channel (``substring_assign``) equi-joins it. Same UDF
+    and same ``substring_max_doc_bytes`` gate as the batch substring
+    stage (operators/suffix_array.py § _candidates_with_content), so
+    the two channels key identically and cannot drift."""
+    from deduplicatr_spark.operators.suffix_array import anchor_fp_udf
+
+    cap = config.substring_max_doc_bytes
+    eligible = docs.select("doc_id", "content")
+    if cap and cap > 0:
+        eligible = eligible.filter(F.octet_length("content") <= cap)
+    return eligible.select(
+        "doc_id",
+        F.explode(anchor_fp_udf(config)(F.col("content"))).alias("band_hash"),
+    )
+
+
+def anchor_bucket_stats(anchor_ix: DataFrame) -> DataFrame:
+    """(band_hash, n) bucket sizes of the base anchor index — the
+    precomputable twin of ``band_bucket_stats`` for the substring
+    channel; persist it at index-build time so no increment pays a
+    full-index aggregation."""
+    return anchor_ix.groupBy("band_hash").agg(F.count(F.lit(1)).alias("n"))
+
+
+def substring_assign(
+    delta_docs: DataFrame,
+    base_anchor_index: DataFrame,
+    base_docs: DataFrame,
+    base_clusters: DataFrame,
+    config: PipelineConfig,
+    base_anchor_stats: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Substring channel of the increment: delta canonicals that
+    matched neither the exact nor the band/simhash path, CDC-anchor
+    joined against the persisted base anchor index, LCS-verified
+    (match_len ≥ ``substring_min_len``), adopting the best base
+    cluster (max match_len, then min cluster id, then min base id —
+    deterministic). Mirrors what the batch pipeline's s4b substring
+    stage would merge, so increments can't silently drift from a
+    re-batch on vendored-block near-dups.
+
+    ``delta_docs``: (doc_id, content). ``base_anchor_index``: the
+    ``anchor_index`` table. ``base_docs``: (doc_id, content) of the
+    base corpus — candidates are few, so this join is a selective
+    lookup against the corpus table, not a scan (at 10^12 files a
+    warehouse serves it from the primary store bucketed by doc_id).
+    ``base_anchor_stats``: optional precomputed (band_hash, n); when
+    given no full-index aggregation appears in the plan.
+
+    Returns ``(assign, drop_stats)`` — assign: (doc_id, cluster_id,
+    via='substring'); drop_stats: one row (hot_buckets, hot_rows,
+    oversize_docs, oversize_bytes) — hot base anchor buckets thinned
+    with the deterministic keep-mod, oversize DELTA docs excluded by
+    the same byte cap the batch stage enforces, both ledgered (no
+    silent caps)."""
+    from deduplicatr_spark.operators.suffix_array import (
+        _VERIFY_SCHEMA,
+        _verify_batch,
+        anchor_fp_udf,
+    )
+
+    cap_bytes = config.substring_max_doc_bytes
+    sized = delta_docs.select(
+        "doc_id", "content", F.octet_length("content").alias("_nb")
+    )
+    if cap_bytes and cap_bytes > 0:
+        eligible = sized.filter(F.col("_nb") <= cap_bytes)
+        oversize_agg = sized.filter(F.col("_nb") > cap_bytes).agg(
+            F.count(F.lit(1)).alias("oversize_docs"),
+            F.coalesce(F.sum("_nb"), F.lit(0)).alias("oversize_bytes"),
+        )
+    else:
+        eligible = sized
+        oversize_agg = sized.sparkSession.createDataFrame(
+            [(0, 0)], "oversize_docs long, oversize_bytes long"
+        )
+    # persisted: the anchor UDF feeds the join, the content join scans
+    # the same frame — without the cache the CDC kernel runs twice
+    eligible = _track(eligible.select("doc_id", "content").persist())
+
+    new_fps = eligible.select(
+        F.col("doc_id").alias("_new_id"),
+        F.explode(anchor_fp_udf(config)(F.col("content"))).alias("band_hash"),
+    )
+    # thin hot BASE anchor buckets pre-join — same deterministic
+    # keep-mod + ledger discipline as near_assign
+    cap = config.max_bucket_size
+    sizes = (
+        base_anchor_stats
+        if base_anchor_stats is not None
+        else base_anchor_index.groupBy("band_hash").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+    )
+    hot = sizes.filter(F.col("n") > config.hot_key_threshold)
+    annotated = base_anchor_index.withColumnsRenamed(
+        {"doc_id": "_base_id"}
+    ).join(F.broadcast(hot), "band_hash", "left")
+    keep_mod = F.greatest(F.floor(F.col("n") / F.lit(2 * cap)), F.lit(1))
+    base_thinned = annotated.filter(
+        F.col("n").isNull()
+        | (F.pmod(F.xxhash64("_base_id", "band_hash"), keep_mod) == 0)
+    ).select("_base_id", "band_hash")
+
+    cand = (
+        new_fps.join(base_thinned, "band_hash")
+        .select(F.col("_new_id").alias("doc_a"), F.col("_base_id").alias("doc_b"))
+        .distinct()
+    )
+    joined = cand.join(
+        eligible.select(
+            F.col("doc_id").alias("doc_a"), F.col("content").alias("_ca")
+        ),
+        "doc_a",
+    ).join(
+        base_docs.select(
+            F.col("doc_id").alias("doc_b"), F.col("content").alias("_cb")
+        ),
+        "doc_b",
+    )
+    pairs = joined.mapInPandas(
+        _verify_batch(config.substring_min_len), schema=_VERIFY_SCHEMA
+    )
+    # left + coalesce mirrors exact_split: a base doc missing from
+    # base_clusters (CC labels omit isolated nodes) is its own cluster
+    scored = pairs.join(
+        base_clusters.withColumnsRenamed(
+            {"doc_id": "doc_b", "cluster_id": "_cl"}
+        ),
+        "doc_b",
+        "left",
+    ).withColumn("_cl", F.coalesce("_cl", F.col("doc_b")))
+    w = Window.partitionBy("doc_a").orderBy(
+        F.desc("match_len"), F.asc("_cl"), F.asc("doc_b")
+    )
+    assign = (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(
+            F.col("doc_a").alias("doc_id"),
+            F.col("_cl").alias("cluster_id"),
+            F.lit("substring").alias("via"),
+        )
+    )
+    drop_stats = hot.agg(
+        F.count(F.lit(1)).alias("hot_buckets"),
+        F.coalesce(F.sum("n"), F.lit(0)).alias("hot_rows"),
+    ).crossJoin(oversize_agg)
+    return assign, drop_stats
+
+
 def link_delta_near(
     feats: DataFrame,
     fresh_ids: DataFrame,
@@ -402,6 +557,9 @@ def incremental_assign(
     base_band_stats: DataFrame | None = None,
     link_delta_internal: bool = True,
     pre_identified: bool = False,
+    base_anchor_index: DataFrame | None = None,
+    base_docs: DataFrame | None = None,
+    base_anchor_stats: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """One-shot composition of the stages above. Returns
     ``(assignments, drop_stats)``.
@@ -420,12 +578,18 @@ def incremental_assign(
     ``config.incremental_simhash`` is on — the stats table must live in
     the same key space as the join).
 
-    ``assignments``: (doc_id, cluster_id, via ∈ {exact, near, new})
-    for every delta row; with ``link_delta_internal`` (default) fresh
-    docs that are near-dups of each other share one cluster (min
-    doc_id of the τ-component). ``drop_stats``: one-row ledger of
-    thinned hot base buckets, plus the delta self-join's bucket-core
-    drops when linking is on.
+    With ``config.incremental_substring`` AND ``base_anchor_index`` +
+    ``base_docs`` given, canonicals unmatched by both the exact and the
+    band/simhash paths run the CDC-anchor substring channel
+    (``substring_assign``) before founding fresh clusters —
+    ``base_anchor_stats`` is its precomputable stats twin.
+
+    ``assignments``: (doc_id, cluster_id, via ∈ {exact, near,
+    substring, new}) for every delta row; with ``link_delta_internal``
+    (default) fresh docs that are near-dups of each other share one
+    cluster (min doc_id of the τ-component). ``drop_stats``: one-row
+    ledger of thinned hot base buckets, plus per-channel drops for the
+    substring / delta-linking passes when they run.
     """
     new_ident = new_docs if pre_identified else with_identity(new_docs)
     exact, rest, delta_dups = exact_split(new_ident, base_identity, base_clusters)
@@ -438,6 +602,27 @@ def incremental_assign(
     near, drop_stats = near_assign(
         feats, base_features, base_clusters, config, base_band_stats
     )
+    if (
+        config.incremental_substring
+        and base_anchor_index is not None
+        and base_docs is not None
+    ):
+        rem = rest.select("doc_id", "content").join(
+            near.select("doc_id"), "doc_id", "left_anti"
+        )
+        sub, sub_drops = substring_assign(
+            rem, base_anchor_index, base_docs, base_clusters, config,
+            base_anchor_stats,
+        )
+        near = near.unionByName(sub)
+        drop_stats = drop_stats.crossJoin(
+            sub_drops.select(
+                F.col("hot_buckets").alias("substr_hot_buckets"),
+                F.col("hot_rows").alias("substr_hot_rows"),
+                F.col("oversize_docs").alias("substr_oversize_docs"),
+                F.col("oversize_bytes").alias("substr_oversize_bytes"),
+            )
+        )
     links = None
     if link_delta_internal:
         fresh_ids = rest.select("doc_id").join(
@@ -470,7 +655,8 @@ class IncrementalPipeline:
     """
 
     STAGES = ["i1_identity", "i2_exact", "i2_rest", "i2_delta_dups",
-              "i3_features", "i4_near", "i4b_delta_links", "i5_assignments"]
+              "i3_features", "i4_near", "i4a_substring",
+              "i4b_delta_links", "i5_assignments"]
 
     def __init__(self, spark: SparkSession, config: PipelineConfig,
                  checkpoint_root: str):
@@ -489,6 +675,9 @@ class IncrementalPipeline:
         base_features: DataFrame,
         base_clusters: DataFrame,
         base_band_stats: DataFrame | None = None,
+        base_anchor_index: DataFrame | None = None,
+        base_docs: DataFrame | None = None,
+        base_anchor_stats: DataFrame | None = None,
     ) -> DataFrame:
         from deduplicatr_spark.operators.lsh import release_tracked
 
@@ -539,6 +728,29 @@ class IncrementalPipeline:
             return near
 
         near = store.get_or_compute("i4_near", _near)
+
+        if (
+            cfg.incremental_substring
+            and base_anchor_index is not None
+            and base_docs is not None
+        ):
+            def _substr():
+                rem = rest.select("doc_id", "content").join(
+                    near.select("doc_id"), "doc_id", "left_anti"
+                )
+                sub, drops = substring_assign(
+                    rem, base_anchor_index, base_docs, base_clusters, cfg,
+                    base_anchor_stats,
+                )
+                d = drops.collect()[0].asDict()
+                store.write_metrics(
+                    [{"stage": "i4a_substring", "kind": "substring_drops", **d}]
+                )
+                return sub
+
+            near = near.unionByName(
+                store.get_or_compute("i4a_substring", _substr)
+            )
 
         def _links():
             fresh_ids = rest.select("doc_id").join(

@@ -189,6 +189,117 @@ def test_simhash_near_delta_adopts_base_cluster(spark):
     assert row_off[nid] == (nid, "new")
 
 
+def test_substring_near_delta_adopts_base_cluster(spark):
+    """A delta doc sharing a ≥ substring_min_len block with a base doc
+    (a vendored block inside fresh code) but BELOW shingle-Jaccard τ
+    must adopt the base cluster when ``incremental_substring`` is on —
+    the batch pipeline with substring_in_pipeline merges such a pair,
+    so without the channel increments drift from a re-batch. Off (or
+    with no anchor index handed in) the old contract holds."""
+    from deduplicatr_spark.functions import _numpy_core as core
+    from deduplicatr_spark.operators.incremental import (
+        anchor_bucket_stats,
+        anchor_index,
+    )
+
+    cfg = PipelineConfig(jaccard_tau=0.7, incremental_substring=True)
+    block = "".join(
+        f"vendored payload line {i:03d} kept byte-stable for anchors\n"
+        for i in range(12)
+    )  # ~660 chars ≥ substring_min_len=200
+    base_txt = block
+    tail = "".join(
+        f"fresh delta logic {i} with its own unrelated identifiers\n"
+        for i in range(40)
+    )
+    delta_txt = block + tail
+
+    # precondition: LCS ≥ min_len but Jaccard < τ on NORMALIZED content
+    import re as _re
+
+    def _sh(s):
+        s = _re.sub(r"\s+", " ", s).strip()
+        flat, counts = core.batch_char_shingles(
+            [s], cfg.shingle_k, cfg.shingle_seed
+        )
+        return set(core.to_i64(flat).tolist())
+
+    fa, fb = _sh(base_txt), _sh(delta_txt)
+    j = len(fa & fb) / len(fa | fb)
+    assert j < cfg.jaccard_tau, j
+    assert len(block.encode()) >= cfg.substring_min_len
+
+    base = spark.createDataFrame(
+        [("r0", "vend.py", "c0", "py", base_txt)], DOCS_SCHEMA
+    )
+    base_ident_full = with_identity(base)
+    base_ident = base_ident_full.select("doc_id", "sha256")
+    bid = base_ident.collect()[0]["doc_id"]
+    clusters = spark.createDataFrame(
+        [(bid, bid)], "doc_id long, cluster_id long"
+    )
+    feats = base_ident_full.select(
+        "doc_id", features_udf(cfg)(normalized("content")).alias("f")
+    ).select("doc_id", "f.*")
+    base_docs = base_ident_full.select("doc_id", "content")
+    anchor_ix = anchor_index(base_docs, cfg)
+    stats = anchor_bucket_stats(anchor_ix)
+
+    new = spark.createDataFrame(
+        [("rX", "fresh.py", "c1", "py", delta_txt)], DOCS_SCHEMA
+    )
+    nid = with_identity(new).collect()[0]["doc_id"]
+
+    out, drops = incremental_assign(
+        new, base_ident, feats, clusters, cfg,
+        base_anchor_index=anchor_ix, base_docs=base_docs,
+        base_anchor_stats=stats,
+    )
+    got = {r["doc_id"]: (r["cluster_id"], r["via"]) for r in out.collect()}
+    assert got[nid] == (bid, "substring")
+    d = drops.collect()[0]
+    assert d["substr_oversize_docs"] == 0 and d["substr_hot_buckets"] == 0
+
+    # flag off → fresh cluster (the drift this channel closes)
+    off = PipelineConfig(jaccard_tau=0.7)
+    out_off, _ = incremental_assign(
+        new, base_ident, feats, clusters, off,
+        base_anchor_index=anchor_ix, base_docs=base_docs,
+    )
+    got_off = {r["doc_id"]: (r["cluster_id"], r["via"]) for r in out_off.collect()}
+    assert got_off[nid] == (nid, "new")
+
+
+def test_substring_channel_oversize_delta_ledgered(spark):
+    """A delta doc over substring_max_doc_bytes is EXCLUDED from the
+    substring channel and counted in the ledger — no silent caps."""
+    from deduplicatr_spark.operators.incremental import (
+        anchor_index,
+        substring_assign,
+    )
+
+    cfg = PipelineConfig(
+        jaccard_tau=0.7, incremental_substring=True,
+        substring_max_doc_bytes=512,
+    )
+    block = "x" * 300 + " stable shared block content " * 12
+    base = spark.createDataFrame(
+        [("r0", "b.py", "c0", "py", block[:480])], DOCS_SCHEMA
+    )
+    base_docs = with_identity(base).select("doc_id", "content")
+    anchor_ix = anchor_index(base_docs, cfg)
+    clusters = spark.createDataFrame([], "doc_id long, cluster_id long")
+    big = spark.createDataFrame(
+        [(1, block * 4)], "doc_id long, content string"
+    )
+    assign, drop_stats = substring_assign(
+        big, anchor_ix, base_docs, clusters, cfg
+    )
+    assert assign.count() == 0
+    d = drop_stats.collect()[0]
+    assert d["oversize_docs"] == 1 and d["oversize_bytes"] > 512
+
+
 def test_simhash_near_delta_internal_linking(spark):
     """Two fresh delta docs that are Hamming-near each other but sub-τ
     on shingles must found ONE cluster when incremental_simhash is on
@@ -367,6 +478,58 @@ def test_incremental_pipeline_fused_simhash(spark, tmp_path):
     # rerun resumes from markers and returns identical rows
     out2 = pipe.run(spark.createDataFrame([], DOCS_SCHEMA),
                     base_ident, feats, clusters)
+    assert sorted(map(tuple, out2.collect())) == sorted(map(tuple, out.collect()))
+
+
+def test_incremental_pipeline_substring_stage(spark, tmp_path):
+    """IncrementalPipeline with incremental_substring on: the
+    i4a_substring stage commits through the store, the vendored-block
+    delta adopts the base cluster via='substring', and a rerun on the
+    same root resumes identically."""
+    from deduplicatr_spark.operators.incremental import (
+        anchor_bucket_stats,
+        anchor_index,
+    )
+
+    cfg = PipelineConfig(jaccard_tau=0.7, incremental_substring=True)
+    block = "".join(
+        f"vendored payload line {i:03d} kept byte-stable for anchors\n"
+        for i in range(12)
+    )
+    tail = "".join(
+        f"fresh delta logic {i} with its own unrelated identifiers\n"
+        for i in range(40)
+    )
+    base = spark.createDataFrame(
+        [("r0", "vend.py", "c0", "py", block)], DOCS_SCHEMA
+    )
+    ident_full = with_identity(base)
+    base_ident = ident_full.select("doc_id", "sha256")
+    bid = base_ident.collect()[0]["doc_id"]
+    clusters = spark.createDataFrame([(bid, bid)], "doc_id long, cluster_id long")
+    feats = ident_full.select(
+        "doc_id", features_udf(cfg)(normalized("content")).alias("f")
+    ).select("doc_id", "f.*")
+    base_docs = ident_full.select("doc_id", "content")
+    anchor_ix = anchor_index(base_docs, cfg)
+    new = spark.createDataFrame(
+        [("rX", "fresh.py", "c1", "py", block + tail)], DOCS_SCHEMA
+    )
+    nid = with_identity(new).collect()[0]["doc_id"]
+
+    pipe = IncrementalPipeline(spark, cfg, str(tmp_path / "incsub"))
+    out = pipe.run(
+        new, base_ident, feats, clusters,
+        base_anchor_index=anchor_ix, base_docs=base_docs,
+        base_anchor_stats=anchor_bucket_stats(anchor_ix),
+    )
+    got = {r["doc_id"]: (r["cluster_id"], r["via"]) for r in out.collect()}
+    assert got[nid] == (bid, "substring")
+
+    out2 = pipe.run(
+        spark.createDataFrame([], DOCS_SCHEMA), base_ident, feats, clusters,
+        base_anchor_index=anchor_ix, base_docs=base_docs,
+    )
     assert sorted(map(tuple, out2.collect())) == sorted(map(tuple, out.collect()))
 
 

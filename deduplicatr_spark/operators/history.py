@@ -271,6 +271,9 @@ def apply_commit_batch(
     key_cols: tuple[str, str] = ("repo", "path"),
     commit_col: str = "commit",
     pre_identified: bool = False,
+    base_anchor_index: DataFrame | None = None,
+    base_docs: DataFrame | None = None,
+    base_anchor_stats: DataFrame | None = None,
 ):
     """Versioned-corpus increment: fold a batch of NEW COMMIT rows into
     an already-indexed head snapshot. The composition a live
@@ -328,6 +331,8 @@ def apply_commit_batch(
     assignments, drop_stats = incremental_assign(
         delta_heads, base_identity, base_features, base_clusters,
         config, base_band_stats, pre_identified=pre_identified,
+        base_anchor_index=base_anchor_index, base_docs=base_docs,
+        base_anchor_stats=base_anchor_stats,
     )
     return delta_heads, retired, assignments, drop_stats
 

@@ -116,6 +116,8 @@ _FEATURES_STATE = (
 )
 _CLUSTERS_STATE = "doc_id long, cluster_id long"
 _STATS_STATE = "band_hash long, n long"
+_ANCHOR_STATE = "doc_id long, band_hash long"
+_DOCS_STATE = "doc_id long, content string"  # schema-pruned admitted read
 
 
 def _read_state(
@@ -194,6 +196,25 @@ def _persist_epoch_state(
         "doc_id", F.col("doc_id").alias("cluster_id")
     ).write.mode("overwrite").parquet(f"{state_dir}/clusters/e{ep}")
     new_feats.unpersist()
+    if getattr(config, "incremental_substring", False):
+        # the substring channel's state: per-epoch CDC-anchor index +
+        # additive bucket stats (summed at read, like band_stats) —
+        # base CONTENT for the LCS verify comes from the admitted
+        # output itself (schema-pruned read), no extra copy
+        from deduplicatr_spark.operators.incremental import (
+            anchor_bucket_stats,
+            anchor_index,
+        )
+
+        anchors = anchor_index(
+            admitted.select("doc_id", "content"), config
+        ).persist()
+        anchors.count()
+        anchors.write.mode("overwrite").parquet(f"{state_dir}/anchors/e{ep}")
+        anchor_bucket_stats(anchors).write.mode("overwrite").parquet(
+            f"{state_dir}/anchor_stats/e{ep}"
+        )
+        anchors.unpersist()
 
 
 def streaming_near_dedup(
@@ -236,6 +257,13 @@ def streaming_near_dedup(
     * Every input row appears in ``assignments`` exactly once —
       content-identical non-survivors are recorded as via='exact' rows
       pointing at their survivor's cluster.
+    * With ``config.incremental_substring`` the SUBSTRING channel runs
+      too: a per-epoch CDC-anchor index + additive bucket stats are
+      maintained alongside band_stats, base content for the LCS verify
+      is a schema-pruned read of the admitted output, and a
+      later-arriving doc embedding an admitted doc's content as a
+      ≥ min_len block (sub-τ Jaccard) links via='substring' instead of
+      founding a cluster.
 
     At scale: state grows by admitted CANONICALS only (exact/near dups
     add nothing), the per-batch work is delta-sized — the base side is
@@ -292,12 +320,31 @@ def streaming_near_dedup(
                 s, f"{state_dir}/band_stats", _STATS_STATE, before_epoch=ep
             ).groupBy("band_hash").agg(F.sum("n").alias("n"))
 
+            sub_kw = {}
+            if getattr(config, "incremental_substring", False):
+                # substring channel state: maintained anchor index +
+                # additive stats; base content is a schema-pruned read
+                # of the admitted output (strictly-earlier epochs)
+                sub_kw = {
+                    "base_anchor_index": _read_state(
+                        s, f"{state_dir}/anchors", _ANCHOR_STATE,
+                        before_epoch=ep,
+                    ),
+                    "base_docs": _read_state(
+                        s, f"{output_dir}/admitted", _DOCS_STATE,
+                        before_epoch=ep,
+                    ),
+                    "base_anchor_stats": _read_state(
+                        s, f"{state_dir}/anchor_stats", _STATS_STATE,
+                        before_epoch=ep,
+                    ).groupBy("band_hash").agg(F.sum("n").alias("n")),
+                }
             # surv already carries (doc_id, sha256) from with_identity —
             # pre_identified skips a second full-content hash pass
             out, _drops = incremental_assign(
                 surv, base_ident, base_feats,
                 base_clusters, config, base_band_stats=base_stats,
-                pre_identified=True,
+                pre_identified=True, **sub_kw,
             )
             out = out.persist()
             out.count()
@@ -426,9 +473,28 @@ def streaming_commit_ingest(
                 s, f"{state_dir}/band_stats", _STATS_STATE, before_epoch=ep
             ).groupBy("band_hash").agg(F.sum("n").alias("n"))
 
+            sub_kw = {}
+            if getattr(config, "incremental_substring", False):
+                # same substring-channel state as the near twin — the
+                # shared _persist_epoch_state maintains it for both
+                sub_kw = {
+                    "base_anchor_index": _read_state(
+                        s, f"{state_dir}/anchors", _ANCHOR_STATE,
+                        before_epoch=ep,
+                    ),
+                    "base_docs": _read_state(
+                        s, f"{output_dir}/admitted", _DOCS_STATE,
+                        before_epoch=ep,
+                    ),
+                    "base_anchor_stats": _read_state(
+                        s, f"{state_dir}/anchor_stats", _STATS_STATE,
+                        before_epoch=ep,
+                    ).groupBy("band_hash").agg(F.sum("n").alias("n")),
+                }
             delta_heads, retired, out, _drops = apply_commit_batch(
                 base_heads, rows, base_ident, base_feats, base_clusters,
                 config, base_band_stats=base_stats, pre_identified=True,
+                **sub_kw,
             )
             # delta_heads already carries (doc_id, sha256) — see the
             # identity comment above; no second hash pass

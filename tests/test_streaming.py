@@ -207,6 +207,66 @@ def test_streaming_near_dedup_deterministic_survivor(spark):
             shutil.rmtree(root, ignore_errors=True)
 
 
+def test_streaming_near_dedup_substring_channel(spark):
+    """With incremental_substring on, a later-arriving doc that embeds
+    an admitted doc's content as a block (sub-τ Jaccard — a vendored
+    copy inside fresh code) is linked via='substring' to the admitted
+    cluster across a RESTART, instead of being admitted as a founder.
+    The anchor index and its additive stats are maintained per epoch by
+    the shared state writer."""
+    from dataclasses import replace
+
+    from deduplicatr_spark.config import PipelineConfig
+    from deduplicatr_spark.operators.exact import with_identity
+
+    cfg = replace(PipelineConfig(), incremental_substring=True)
+    root, d = _near_dirs_fixture()
+    try:
+        block = "".join(
+            f"vendored payload line {i:03d} kept byte-stable for anchors\n"
+            for i in range(12)
+        )
+        tail = "".join(
+            f"fresh delta logic {i} with its own unrelated identifiers\n"
+            for i in range(40)
+        )
+        _doc_rows(spark, [("r", "vend.py", "c0", "py", block)]).write.parquet(
+            os.path.join(d["in"], "b1")
+        )
+        _run_near(spark, d, cfg)
+        _doc_rows(
+            spark, [("rX", "fresh.py", "c1", "py", block + tail)]
+        ).write.parquet(os.path.join(d["in"], "b2"))
+        _run_near(spark, d, cfg)  # restart: state + anchors reload
+
+        ids = {
+            r["path"]: r["doc_id"]
+            for r in with_identity(
+                _doc_rows(
+                    spark,
+                    [
+                        ("r", "vend.py", "c0", "py", block),
+                        ("rX", "fresh.py", "c1", "py", block + tail),
+                    ],
+                )
+            ).collect()
+        }
+        asg = {
+            r["doc_id"]: (r["cluster_id"], r["via"])
+            for r in spark.read.option("recursiveFileLookup", "true")
+            .parquet(f"{d['out']}/assignments")
+            .collect()
+        }
+        assert asg[ids["vend.py"]] == (ids["vend.py"], "new")
+        assert asg[ids["fresh.py"]] == (ids["vend.py"], "substring")
+        admitted = spark.read.option("recursiveFileLookup", "true").parquet(
+            f"{d['out']}/admitted"
+        )
+        assert [r["path"] for r in admitted.collect()] == ["vend.py"]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def test_streaming_near_dedup_null_content_rows_not_lost(spark):
     """Null-content rows: sha2(NULL) is NULL, so a plain equi-join
     would silently drop the non-surviving null row from assignments.

@@ -437,6 +437,61 @@ def test_precomputed_band_stats_replace_base_aggregation(spark):
     )
 
 
+def test_precomputed_anchor_stats_replace_base_aggregation(spark):
+    """The substring channel's stats contract mirrors the band one:
+    provided base_anchor_stats must be USED (no full anchor-index
+    groupBy) — cold stats suppress thinning a recomputation would do,
+    and the real builder reproduces the recomputed ledger."""
+    from deduplicatr_spark.operators.incremental import (
+        anchor_bucket_stats,
+        anchor_index,
+        substring_assign,
+    )
+
+    hot_cfg = PipelineConfig(hot_key_threshold=2, max_bucket_size=1)
+    block = "".join(
+        f"boilerplate license text line {i:02d} repeated verbatim\n"
+        for i in range(10)
+    )
+    base = spark.createDataFrame(
+        [("r0", f"d{i}.py", "c0", "py", block + f"# suffix {i}\n")
+         for i in range(6)],
+        DOCS_SCHEMA,
+    )
+    base_docs = with_identity(base).select("doc_id", "content")
+    bids = [r["doc_id"] for r in base_docs.collect()]
+    clusters = spark.createDataFrame(
+        [(d, min(bids)) for d in bids], "doc_id long, cluster_id long"
+    )
+    anchor_ix = anchor_index(base_docs, hot_cfg)
+    delta = spark.createDataFrame(
+        [(1, block + "totally fresh remainder " * 20)],
+        "doc_id long, content string",
+    )
+
+    # recomputed path: 6 near-identical docs → shared anchors go hot
+    _, d_recomp = substring_assign(
+        delta, anchor_ix, base_docs, clusters, hot_cfg
+    )
+    assert d_recomp.collect()[0]["hot_buckets"] > 0
+
+    cold = spark.createDataFrame([], "band_hash long, n long")
+    _, d_cold = substring_assign(
+        delta, anchor_ix, base_docs, clusters, hot_cfg,
+        base_anchor_stats=cold,
+    )
+    assert d_cold.collect()[0]["hot_buckets"] == 0
+
+    _, d_built = substring_assign(
+        delta, anchor_ix, base_docs, clusters, hot_cfg,
+        base_anchor_stats=anchor_bucket_stats(anchor_ix),
+    )
+    assert (
+        d_built.collect()[0]["hot_buckets"]
+        == d_recomp.collect()[0]["hot_buckets"]
+    )
+
+
 def test_incremental_pipeline_fused_simhash(spark, tmp_path):
     """IncrementalPipeline with incremental_simhash on: the i0 stats
     checkpoint is built in the FUSED key space and the run matches the

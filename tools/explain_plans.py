@@ -173,6 +173,26 @@ def main() -> None:
         "candidates only. Total shuffle ∝ delta + matched buckets.",
     ))
 
+    sub_plan = captured_explain(em._q_incremental_substring_assign(spark, SF))
+    # the substring channel must stay candidate-selective: no cartesian
+    # anywhere, and exactly ONE content-shipping python stage (the LCS
+    # verify's mapInPandas) beyond the delta anchor/feature UDFs — the
+    # base corpus is touched only through the anchor equi-join and the
+    # candidate-selective content lookup
+    assert "CartesianProduct" not in sub_plan, (
+        "incremental substring channel grew a cartesian product"
+    )
+    sections.append((
+        "Incremental substring channel (operators/incremental.py § substring_assign)",
+        sub_plan,
+        "What to check: the base anchor index is touched ONLY by the "
+        "band_hash equi-join (its bucket stats come in precomputed and "
+        "broadcast as the hot list); base content enters through one "
+        "candidate-keyed lookup join feeding the single LCS "
+        "mapInPandas; adoption is a window over verified pairs only. "
+        "Total shuffle ∝ delta anchors + candidate pairs.",
+    ))
+
     fork_plan = captured_explain(em._q_dir_fork_pairs(spark, SF))
     # the fork operators must never degrade to an all-pairs plan: no
     # cartesian/NLJ anywhere (the LICENSE-in-every-repo join bomb), and

@@ -317,6 +317,81 @@ def _wl_history_ops(spark, mult: int) -> None:
     content_provenance(versions).count()
 
 
+def _wl_substr_inc(spark, mult: int) -> None:
+    """The incremental SUBSTRING channel at its production shape:
+    precomputed base anchor index + stats, a vendored-block delta class
+    (base content + doc-unique NON-repetitive tail, so the band path's
+    Jaccard gate fails and the channel does the work), candidate-
+    selective base-content lookup, LCS verify."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from bench import amplified_corpus
+    from deduplicatr_spark.config import PipelineConfig
+    from deduplicatr_spark.functions.features import features_udf
+    from deduplicatr_spark.functions.hashing import normalized
+    from deduplicatr_spark.operators.incremental import (
+        anchor_bucket_stats,
+        anchor_index,
+        incremental_assign,
+    )
+    from deduplicatr_spark.operators.lsh import release_tracked
+
+    cfg = PipelineConfig(incremental_substring=True)
+    corpus = amplified_corpus(spark, SF_DIR, mult)
+    docs = corpus.dropDuplicates(["content"]).select(
+        F.xxhash64("repo", "path", "commit").alias("doc_id"), "content"
+    ).persist()
+    feats = docs.select(
+        "doc_id", features_udf(cfg)(normalized("content")).alias("f")
+    ).select("doc_id", "f.*").persist()
+    feats.count()
+    base_ident = docs.select("doc_id", F.sha2("content", 256).alias("sha256"))
+    base_clusters = docs.select(
+        "doc_id", F.sha2(normalized("content"), 256).alias("_fp")
+    ).withColumn(
+        "cluster_id", F.min("doc_id").over(Window.partitionBy("_fp"))
+    ).select("doc_id", "cluster_id")
+    anchor_ix = anchor_index(docs, cfg).persist()
+    a_stats = anchor_bucket_stats(anchor_ix).persist()
+    a_stats.count()
+    from deduplicatr_spark.operators.incremental import band_bucket_stats
+
+    stats = band_bucket_stats(feats).persist()
+    stats.count()
+    delta = docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(20)) == 0).select(
+        F.lit("rX").alias("repo"),
+        F.concat(F.lit("sub/"), F.col("doc_id").cast("string")).alias("path"),
+        F.lit("c1").alias("commit"),
+        F.lit("txt").alias("lang"),
+        F.concat(
+            "content",
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(48)),
+                    lambda i: F.sha2(
+                        F.concat(
+                            F.lit("wv"), F.col("doc_id").cast("string"),
+                            F.lit("#"), i.cast("string"),
+                        ),
+                        256,
+                    ),
+                ),
+            ),
+        ).alias("content"),
+    )
+    out, _ = incremental_assign(
+        delta, base_ident, feats, base_clusters, cfg, base_band_stats=stats,
+        base_anchor_index=anchor_ix, base_docs=docs,
+        base_anchor_stats=a_stats,
+    )
+    out.count()
+    release_tracked()
+    for df in (stats, a_stats, anchor_ix, feats, docs):
+        df.unpersist()
+
+
 WORKLOADS = {
     "pipeline": _wl_pipeline,
     "round3_ops": _wl_round3_ops,
@@ -324,6 +399,7 @@ WORKLOADS = {
     "fork_ops": _wl_fork_ops,
     "clone_ops": _wl_clone_ops,
     "history_ops": _wl_history_ops,
+    "substr_inc": _wl_substr_inc,
 }
 
 

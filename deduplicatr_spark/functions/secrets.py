@@ -1,0 +1,73 @@
+"""Credential/secret detection and redaction over code columns.
+
+The code-corpus counterpart of the PII pass (functions/pii.py): every
+public code-LM pipeline scrubs committed credentials before training
+(BigCode's StarCoder pipeline [Li et al. 2023 §3.2] runs a
+detect-secrets/regex pass; The Stack's opt-out tooling and
+truffleHog/gitleaks publish the canonical pattern shapes). Detected
+here, all by fixed-format prefix — the high-precision class that needs
+no entropy model:
+
+* AWS access-key ids        ``AKIA`` + 16 upper/digit chars
+* GitHub personal tokens    ``ghp_`` + 36 alnum chars
+* GCP API keys              ``AIza`` + 35 of [0-9A-Za-z_-]
+* Slack tokens              ``xox[abpr]-`` + 10..48 of [0-9A-Za-z-]
+* PEM private-key headers   ``-----BEGIN ... PRIVATE KEY-----``
+
+Everything is JVM built-ins (``regexp_count`` / ``regexp_replace``)
+inside one codegen pass — per-row scalar work, zero shuffles at any
+corpus size, no Python in the hot path. Patterns use only constructs
+with identical Java-regex (Spark) and RE2 (DuckDB oracle) semantics:
+character classes, bounded repetition, literal alternation in a
+non-capturing group, word boundaries adjacent to alnum chars; no
+backrefs, no lookaround.
+
+Redaction applies the patterns in the FIXED order below so overlapping
+matches resolve identically everywhere; the oracle compares sha256 of
+the redacted text, proving byte-identical redaction without shipping
+the text through the gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+AWS_KEY_RE = r"\bAKIA[0-9A-Z]{16}\b"
+GITHUB_TOKEN_RE = r"\bghp_[A-Za-z0-9]{36}\b"
+GCP_KEY_RE = r"\bAIza[0-9A-Za-z_-]{35}"
+SLACK_TOKEN_RE = r"\bxox[abpr]-[0-9A-Za-z-]{10,48}"
+PEM_HEADER_RE = r"-----BEGIN (?:RSA |EC |DSA |OPENSSH )?PRIVATE KEY-----"
+
+# fixed application order (count columns and redaction passes both):
+# prefix-anchored token patterns can't overlap each other, but the
+# order is still pinned so the redacted bytes are engine-independent
+PATTERNS: list[tuple[str, str, str]] = [
+    ("aws_key", AWS_KEY_RE, "[AWS_KEY]"),
+    ("github_token", GITHUB_TOKEN_RE, "[GH_TOKEN]"),
+    ("gcp_key", GCP_KEY_RE, "[GCP_KEY]"),
+    ("slack_token", SLACK_TOKEN_RE, "[SLACK_TOKEN]"),
+    ("pem_header", PEM_HEADER_RE, "[PRIVATE_KEY]"),
+]
+
+
+def secret_count_columns(col: str | Column = "content") -> list[Column]:
+    """``n_<type>`` counts per secret class plus ``has_secret``."""
+    c = F.col(col) if isinstance(col, str) else col
+    counts = [
+        F.regexp_count(c, F.lit(pat)).cast("long").alias(f"n_{name}")
+        for name, pat, _ in PATTERNS
+    ]
+    has = (
+        sum((F.regexp_count(c, F.lit(pat)) for _, pat, _ in PATTERNS),
+            F.lit(0)) > 0
+    ).alias("has_secret")
+    return [*counts, has]
+
+
+def secret_redacted(col: str | Column = "content") -> Column:
+    """Text with every secret match replaced by its typed placeholder."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _, pat, repl in PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c

@@ -1,0 +1,48 @@
+"""Unit vectors for notebook → script conversion
+(functions/notebooks.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from deduplicatr_spark.functions.notebooks import notebook_columns
+
+NB = (
+    '{"cells":['
+    '{"cell_type":"markdown","source":"Intro\\nline two"},'
+    '{"cell_type":"code","source":"import os\\nprint(1)"},'
+    '{"cell_type":"raw","source":"raw stuff"},'
+    '{"cell_type":"code","source":"x = 2"}'
+    '],"nbformat":4}'
+)
+
+
+@pytest.fixture(scope="module")
+def nb_docs(spark):
+    rows = [
+        (1, NB),
+        (2, NB[:30]),              # truncated → malformed
+        (3, '{"nbformat":4}'),     # valid JSON, no cells array
+        (4, '{"cells":[],"nbformat":4}'),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, notebook string")
+
+
+def test_notebook_conversion(nb_docs):
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in nb_docs.select("doc_id", *notebook_columns()).collect()
+    }
+    assert out[1]["is_valid"]
+    assert out[1]["n_cells"] == 4
+    assert out[1]["n_code_cells"] == 2
+    assert out[1]["n_md_cells"] == 1
+    # markdown commented per line, raw dropped, cells joined by blank line
+    assert out[1]["script"] == (
+        "# Intro\n# line two\n\nimport os\nprint(1)\n\nx = 2"
+    )
+    # malformed and cell-less notebooks degrade, never error
+    assert not out[2]["is_valid"] and out[2]["script"] == ""
+    assert not out[3]["is_valid"] and out[3]["n_cells"] == 0
+    # empty cells array is VALID — an empty notebook is a real notebook
+    assert out[4]["is_valid"] and out[4]["script"] == ""

@@ -880,6 +880,43 @@ def _q_notebook_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_repo_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Import-graph PageRank repo ranking (operators/repo_rank.py —
+    the corpus-self-contained analogue of StarCoder2's repo-importance
+    weighting). Import lines are PLANTED per doc_id (word salad has
+    none): ``import src<doc_id%8>`` on doc_id%6, ``from src<doc_id%13>
+    import util`` on doc_id%9 — a deterministic skewed graph over the
+    src* repos. Ranks are EXACT INTEGERS (micro-units of 10^12 mass,
+    floor division everywhere), so the oracle replays all 3 power
+    iterations bit-for-bit with three unrolled CTEs."""
+    from deduplicatr_spark.operators.repo_rank import (
+        import_edges,
+        pagerank_micro,
+    )
+
+    c = _corpus(spark, sf_dir)
+    planted = c.select(
+        "repo",
+        F.concat(
+            F.col("content"),
+            F.when(
+                F.col("doc_id") % 6 == 0,
+                F.concat(F.lit("\nimport src"),
+                         (F.col("doc_id") % 8).cast("string")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 9 == 0,
+                F.concat(F.lit("\nfrom src"),
+                         (F.col("doc_id") % 13).cast("string"),
+                         F.lit(" import util")),
+            ).otherwise(F.lit("")),
+        ).alias("content"),
+    )
+    edges = import_edges(planted)
+    nodes = c.select("repo")
+    return pagerank_micro(edges, nodes, iterations=3)
+
+
 def _q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic marker-token language ID."""
     d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
@@ -2722,6 +2759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stack_quality_rules": _q_stack_quality_rules,
         "secrets_scan": _q_secrets_scan,
         "notebook_convert": _q_notebook_convert,
+        "repo_pagerank": _q_repo_pagerank,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "ngram_containment_pairs": _q_ngram_containment_pairs,
         "scan_filter": _q_scan_filter,
@@ -3196,6 +3234,86 @@ FROM (
          ELSE 'ok' END AS reason
   FROM r
 )
+""",
+        # identical planted imports; the 3 integer power iterations are
+        # replayed bit-for-bit by three unrolled CTEs (floor division,
+        # micro-units of 1e12 mass — no float ever enters the ranks)
+        "repo_pagerank": CORPUS_SQL + """
+, planted_pr AS (
+  SELECT repo,
+    content
+    || CASE WHEN doc_id % 6 = 0
+            THEN chr(10) || 'import src' || CAST(doc_id % 8 AS VARCHAR)
+            ELSE '' END
+    || CASE WHEN doc_id % 9 = 0
+            THEN chr(10) || 'from src' || CAST(doc_id % 13 AS VARCHAR)
+                 || ' import util'
+            ELSE '' END AS content
+  FROM corpus
+), refs AS (
+  SELECT src_repo, unnest(modules) AS module FROM (
+    SELECT repo AS src_repo,
+      regexp_extract_all(content,
+        '(?m)^import ([A-Za-z_][A-Za-z0-9_]*)', 1)
+      || regexp_extract_all(content,
+        '(?m)^from ([A-Za-z_][A-Za-z0-9_]*)[ .]', 1) AS modules
+    FROM planted_pr
+  )
+), owners AS (
+  SELECT DISTINCT repo AS dst_repo, repo AS module FROM corpus
+), edges AS (
+  SELECT DISTINCT src_repo, dst_repo
+  FROM refs JOIN owners USING (module)
+  WHERE src_repo <> dst_repo
+), nodes AS (
+  -- window AFTER the distinct: N = graph cardinality, not corpus rows
+  SELECT repo, CAST(count(*) OVER () AS BIGINT) AS n
+  FROM (SELECT DISTINCT repo FROM corpus)
+), outdeg AS (
+  SELECT src_repo AS repo, CAST(count(*) AS BIGINT) AS n_out
+  FROM edges GROUP BY 1
+), indeg AS (
+  SELECT dst_repo AS repo, CAST(count(*) AS BIGINT) AS n_in
+  FROM edges GROUP BY 1
+), r0 AS (
+  SELECT repo, CAST(1000000000000 AS BIGINT) // n AS rank_micro, n
+  FROM nodes
+), it1 AS (
+  SELECT nodes.repo,
+    CAST(150000000000 // nodes.n
+         + (17 * coalesce(s.s, 0)) // 20 AS BIGINT) AS rank_micro,
+    nodes.n
+  FROM nodes LEFT JOIN (
+    SELECT e.dst_repo AS repo, sum(r.rank_micro // o.n_out) AS s
+    FROM edges e JOIN r0 r ON e.src_repo = r.repo
+    JOIN outdeg o ON e.src_repo = o.repo GROUP BY 1
+  ) s ON nodes.repo = s.repo
+), it2 AS (
+  SELECT nodes.repo,
+    CAST(150000000000 // nodes.n
+         + (17 * coalesce(s.s, 0)) // 20 AS BIGINT) AS rank_micro,
+    nodes.n
+  FROM nodes LEFT JOIN (
+    SELECT e.dst_repo AS repo, sum(r.rank_micro // o.n_out) AS s
+    FROM edges e JOIN it1 r ON e.src_repo = r.repo
+    JOIN outdeg o ON e.src_repo = o.repo GROUP BY 1
+  ) s ON nodes.repo = s.repo
+), it3 AS (
+  SELECT nodes.repo,
+    CAST(150000000000 // nodes.n
+         + (17 * coalesce(s.s, 0)) // 20 AS BIGINT) AS rank_micro
+  FROM nodes LEFT JOIN (
+    SELECT e.dst_repo AS repo, sum(r.rank_micro // o.n_out) AS s
+    FROM edges e JOIN it2 r ON e.src_repo = r.repo
+    JOIN outdeg o ON e.src_repo = o.repo GROUP BY 1
+  ) s ON nodes.repo = s.repo
+)
+SELECT it3.repo, it3.rank_micro,
+       coalesce(o.n_out, 0) AS n_out,
+       coalesce(i.n_in, 0) AS n_in
+FROM it3
+LEFT JOIN outdeg o ON it3.repo = o.repo
+LEFT JOIN indeg i ON it3.repo = i.repo
 """,
         # identical planted JSON; conversion replayed with DuckDB JSON
         # functions; sha256 of the script proves byte-identical output

@@ -1,0 +1,137 @@
+"""Import-graph extraction + PageRank repo ranking.
+
+Data-curation pipelines weight sources by importance — The Stack v2 /
+StarCoder2 (Lozhkov et al. 2024 §2) rank repositories by stars/
+dependents to pick what to upsample; dependency-graph PageRank is the
+self-contained analogue computable from the corpus alone (no external
+metadata): a repo imported by many important repos is important.
+
+Two pieces, both pure DataFrame ops:
+
+* **Edge extraction** — ``(?m)^import X`` / ``^from X import`` module
+  references pulled with one ``regexp_extract_all`` codegen pass per
+  pattern (constructs with identical Java-regex/RE2 semantics), module
+  ownership resolved by the top-level-package-named-after-the-repo
+  convention (production would join a real module-ownership table —
+  same equi-join shape), self-imports dropped, edges deduped. Scale:
+  the only corpus-sized stage; the distinct is one shuffle on a
+  16-byte (src, dst) pair, and everything downstream is repo-sized.
+
+* **PageRank** — fixed-iteration power method in EXACT INTEGER
+  arithmetic so the DuckDB oracle replays it bit-for-bit (the repo's
+  micro-nat convention, operators/unigram_lm.py): ranks live in
+  micro-units of 10^12 total mass, each iteration is
+
+      rank' = (15 · 10^12 / 100) // N  +  (17 · Σ contrib) // 20
+      contrib(edge u→v) = rank(u) // outdeg(u)
+
+  — integer division everywhere (``div``), so partitioning and sum
+  order can't perturb a single unit. Deviations from textbook
+  PageRank, both standard and documented: dangling-node mass is
+  dropped (not redistributed), and each division floors (total mass
+  decays by < N units/iteration). Iterations are a config constant,
+  not convergence-tested — at repo-graph scale (10^8 nodes, 8-byte
+  keys) each iteration is one join + one groupBy, the classic
+  distributed PageRank plan; AQE handles the hub-node skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+IMPORT_RE = r"(?m)^import ([A-Za-z_][A-Za-z0-9_]*)"
+FROM_RE = r"(?m)^from ([A-Za-z_][A-Za-z0-9_]*)[ .]"
+
+TOTAL_MICRO = 10**12
+DAMP_NUM, DAMP_DEN = 17, 20  # 0.85
+TELEPORT_MICRO = TOTAL_MICRO * (DAMP_DEN - DAMP_NUM) // DAMP_DEN  # 0.15
+
+
+def import_modules(col: str = "content"):
+    """Array of top-level modules referenced by import/from lines."""
+    c = F.col(col)
+    return F.array_union(
+        F.regexp_extract_all(c, F.lit(IMPORT_RE), 1),
+        F.regexp_extract_all(c, F.lit(FROM_RE), 1),
+    )
+
+
+def import_edges(
+    corpus: DataFrame, repo_col: str = "repo", content_col: str = "content"
+) -> DataFrame:
+    """Distinct (src_repo, dst_repo) edges: src imports a module owned
+    by dst (ownership = module named after the repo), src ≠ dst."""
+    refs = corpus.select(
+        F.col(repo_col).alias("src_repo"),
+        F.explode(import_modules(content_col)).alias("module"),
+    )
+    owners = corpus.select(
+        F.col(repo_col).alias("dst_repo")
+    ).distinct().withColumn("module", F.col("dst_repo"))
+    return (
+        refs.join(owners, "module")
+        .filter(F.col("src_repo") != F.col("dst_repo"))
+        .select("src_repo", "dst_repo")
+        .distinct()
+    )
+
+
+def pagerank_micro(
+    edges: DataFrame, nodes: DataFrame, iterations: int = 3
+) -> DataFrame:
+    """(repo, rank_micro, n_out, n_in) after ``iterations`` exact
+    integer power-method steps. ``nodes`` is one ``repo`` column (the
+    universe — isolated repos keep teleport-only mass); ``edges`` is
+    (src_repo, dst_repo), assumed deduped."""
+    from deduplicatr_spark.operators.lsh import _track
+
+    # both frames feed every iteration's join; tracked so the caller's
+    # release_tracked() drops them once the ranks are materialized
+    edges = _track(edges.persist())
+    nodes = _track(nodes.select("repo").distinct().persist())
+    n = nodes.count()  # scalar N: graph cardinality, not corpus-sized
+    init = TOTAL_MICRO // max(n, 1)
+    teleport = TELEPORT_MICRO // max(n, 1)
+
+    outdeg = edges.groupBy(F.col("src_repo").alias("repo")).agg(
+        F.count("*").alias("n_out")
+    )
+    indeg = edges.groupBy(F.col("dst_repo").alias("repo")).agg(
+        F.count("*").alias("n_in")
+    )
+    ranks = nodes.select("repo", F.lit(init).cast("long").alias("rank_micro"))
+    for _ in range(iterations):
+        contribs = (
+            edges.join(ranks, edges.src_repo == ranks.repo)
+            .join(outdeg.withColumnRenamed("repo", "_or"),
+                  F.col("src_repo") == F.col("_or"))
+            .select(
+                F.col("dst_repo").alias("repo"),
+                F.expr("rank_micro div n_out").alias("c"),
+            )
+        )
+        summed = contribs.groupBy("repo").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes.join(summed, "repo", "left")
+            .select(
+                "repo",
+                (
+                    F.lit(teleport)
+                    + F.expr(
+                        f"({DAMP_NUM} * coalesce(s, 0L)) div {DAMP_DEN}"
+                    )
+                ).cast("long").alias("rank_micro"),
+            )
+        )
+    out = (
+        ranks.join(outdeg, "repo", "left")
+        .join(indeg, "repo", "left")
+        .select(
+            "repo",
+            "rank_micro",
+            F.coalesce("n_out", F.lit(0)).cast("long").alias("n_out"),
+            F.coalesce("n_in", F.lit(0)).cast("long").alias("n_in"),
+        )
+    )
+    return out

@@ -1,0 +1,70 @@
+"""Unit vectors for import-graph extraction and integer PageRank
+(operators/repo_rank.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from deduplicatr_spark.operators.repo_rank import (
+    import_edges,
+    pagerank_micro,
+)
+
+
+@pytest.fixture(scope="module")
+def code_corpus(spark):
+    rows = [
+        # repo_a imports b (plain) and c (from-form); indented import
+        # and mid-line 'import' must NOT match
+        ("repo_a", "import repo_b\nfrom repo_c import util\n"
+                   "    import repo_d\nx = 'import repo_d'"),
+        # repo_b imports c; repeated import dedupes to one edge
+        ("repo_b", "import repo_c\nimport repo_c\nimport repo_b"),
+        # repo_c imports an unowned module -> no edge
+        ("repo_c", "import numpy"),
+        # repo_d: isolated (its only mention above must not count)
+        ("repo_d", "y = 1"),
+    ]
+    return spark.createDataFrame(rows, "repo string, content string")
+
+
+def test_import_edges(code_corpus):
+    edges = {
+        (r["src_repo"], r["dst_repo"])
+        for r in import_edges(code_corpus).collect()
+    }
+    # self-import (repo_b -> repo_b) dropped; indented/quoted ignored
+    assert edges == {
+        ("repo_a", "repo_b"),
+        ("repo_a", "repo_c"),
+        ("repo_b", "repo_c"),
+    }
+
+
+def test_pagerank_integer_iteration(spark, code_corpus):
+    from deduplicatr_spark.operators.lsh import release_tracked
+
+    edges = import_edges(code_corpus)
+    nodes = code_corpus.select("repo")
+    out = {
+        r["repo"]: r.asDict()
+        for r in pagerank_micro(edges, nodes, iterations=1).collect()
+    }
+    release_tracked()
+    # N=4: init = 1e12//4 = 250_000_000_000, teleport = 150e9//4
+    tele = 37_500_000_000
+    # a: no in-edges -> teleport only
+    assert out["repo_a"]["rank_micro"] == tele
+    # b: one contrib a->b = 250e9 // outdeg(a)=2 = 125e9;
+    #    (17*125e9)//20 = 106_250_000_000
+    assert out["repo_b"]["rank_micro"] == tele + 106_250_000_000
+    # c: contribs 125e9 (from a) + 250e9 (from b, outdeg 1) = 375e9;
+    #    (17*375e9)//20 = 318_750_000_000
+    assert out["repo_c"]["rank_micro"] == tele + 318_750_000_000
+    # isolated node keeps teleport-only mass and zero degrees
+    assert out["repo_d"]["rank_micro"] == tele
+    assert out["repo_d"]["n_out"] == 0 and out["repo_d"]["n_in"] == 0
+    assert out["repo_a"]["n_out"] == 2 and out["repo_c"]["n_in"] == 2
+    # mass conservation bound: total <= 1e12, decay < N units/iteration
+    total = sum(r["rank_micro"] for r in out.values())
+    assert total <= 10**12

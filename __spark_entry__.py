@@ -917,6 +917,28 @@ def _q_repo_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_micro(edges, nodes, iterations=3)
 
 
+def _q_nb_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Naive Bayes classifier, trained and scored in one
+    plan (operators/nb_classifier.py — the SQL-replicable member of
+    the GPT-3/CCNet quality-classifier family). Weak labels come from
+    the corpus itself: y = (lang = 'en'), so the model genuinely
+    learns to separate the language-specific token distributions. All
+    log factors are integer micro-nats (floor(ln·1e6) from exact
+    counts), so the oracle replays the ENTIRE train-then-score round
+    trip — per-class token counts, add-one log-odds, prior and
+    normalizer — with exact integer arithmetic on raw token strings
+    (a tok_hash collision in the Spark plan would go red here)."""
+    from deduplicatr_spark.operators.nb_classifier import nb_score, nb_train
+
+    d = (
+        _docs(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text", (F.col("lang") == "en").alias("y"))
+    )
+    model, scalars = nb_train(d, label_col="y")
+    return nb_score(d, model, scalars)
+
+
 def _q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic marker-token language ID."""
     d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
@@ -2760,6 +2782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "secrets_scan": _q_secrets_scan,
         "notebook_convert": _q_notebook_convert,
         "repo_pagerank": _q_repo_pagerank,
+        "nb_classifier_score": _q_nb_classifier_score,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "ngram_containment_pairs": _q_ngram_containment_pairs,
         "scan_filter": _q_scan_filter,
@@ -3758,6 +3781,56 @@ LIMIT 20
         # raw-token-string join (collision-free truth vs Spark's
         # xxhash64 keys); per-token micro-nat floor BEFORE the sum so
         # the aggregate is exact-integer on both engines
+        # full train-then-score replay on raw token strings with the
+        # identical integer micro-nat factors (floor(ln·1e6) per model
+        # row, exact integer sums per doc)
+        "nb_classifier_score": f"""
+WITH d AS (
+  SELECT doc_id, text, lang = 'en' AS y
+  FROM documents WHERE text IS NOT NULL
+), occ AS (
+  SELECT d.doc_id, d.y, lower(t.tok) AS token
+  FROM d, unnest({_TOKS.format(c="d.text")}) AS t(tok)
+), cls AS (
+  SELECT token,
+         CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS c0
+  FROM occ GROUP BY token
+), model AS (
+  SELECT token,
+         CAST(floor(ln(c1 + 1) * 1000000) AS BIGINT)
+         - CAST(floor(ln(c0 + 1) * 1000000) AS BIGINT) AS w
+  FROM cls
+), g AS (
+  SELECT CAST(sum(c1) AS BIGINT) AS n1,
+         CAST(sum(c0) AS BIGINT) AS n0,
+         CAST(count(*) AS BIGINT) AS v
+  FROM cls
+), p AS (
+  SELECT CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS p1,
+         CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS p0
+  FROM d
+), scal AS (
+  SELECT CAST(floor(ln(p1) * 1000000) AS BIGINT)
+         - CAST(floor(ln(p0) * 1000000) AS BIGINT) AS prior_micro,
+         CAST(floor(ln(n1 + v) * 1000000) AS BIGINT)
+         - CAST(floor(ln(n0 + v) * 1000000) AS BIGINT) AS norm_micro
+  FROM g, p
+), pd AS (
+  SELECT occ.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(m.w) AS BIGINT) AS sum_w
+  FROM occ JOIN model m USING (token) GROUP BY occ.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(pd.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(scal.prior_micro + coalesce(pd.sum_w, 0)
+            - coalesce(pd.n_tokens, 0) * scal.norm_micro AS BIGINT)
+         AS score_micro,
+       scal.prior_micro + coalesce(pd.sum_w, 0)
+         - coalesce(pd.n_tokens, 0) * scal.norm_micro > 0 AS pred
+FROM d LEFT JOIN pd USING (doc_id), scal
+""",
         "unigram_logprob": f"""
 WITH occ AS (
   SELECT d.doc_id, lower(t.tok) AS token

@@ -1,0 +1,150 @@
+"""Distributed Naive Bayes text classifier (train + score).
+
+The SQL-replicable member of the quality-classifier family every
+web-scale pipeline runs: GPT-3 trained a logistic classifier on
+WebText-vs-CommonCrawl to score quality (Brown et al. 2020 Appendix A);
+CCNet/LLaMA use a fastText langid/quality model (Wenzek et al. 2020
+§3.1). Multinomial Naive Bayes with add-one smoothing trains with pure
+aggregations — token-per-class occurrence counts — which makes both
+the training and the scoring expressible as DataFrame plans with no
+iterative optimization, and lets the DuckDB oracle replay the ENTIRE
+train-then-score round trip bit-for-bit.
+
+Numeric contract (repo convention, operators/unigram_lm.py): every
+log enters the plan as MICRO-NATS — ``floor(ln(x)·1e6)`` computed once
+per model row from exact integer counts — so all per-document sums are
+exact integer arithmetic, independent of partitioning and sum order.
+The decision score for document d with tokens t₁..tₙ is
+
+    score(d) = prior + Σᵢ w(tᵢ) − n · norm          (integers)
+    w(t)     = ⌊ln(c₁(t)+1)·1e6⌋ − ⌊ln(c₀(t)+1)·1e6⌋
+    norm     = ⌊ln(N₁+V)·1e6⌋ − ⌊ln(N₀+V)·1e6⌋
+    prior    = ⌊ln(P₁)·1e6⌋ − ⌊ln(P₀)·1e6⌋
+
+(c_y(t) = occurrences of t in class y, N_y = class token totals, V =
+vocabulary size, P_y = class document counts; both classes must be
+non-empty). ``score > 0`` predicts class 1 — exactly the add-one
+multinomial NB log-odds, quantized per factor at 1e-6 nats.
+
+Scale shape (100 TB corpus): token occurrences shuffle ONCE as 8-byte
+``xxhash64(lower(token))`` keys into the class-count aggregate
+(partial+final, map-side combine absorbs hot tokens); the model is a
+vocab-sized (key, weight) table joined back on the same uniform 8-byte
+key (AQE skew-split covers "the"/"="); the per-doc reduction is again
+partial+final; the four scalars travel as one broadcast row, never a
+driver collect. Nothing quadratic, no token STRINGS in any exchange —
+the oracle joins raw strings, so a hash collision would surface as a
+driver-gate mismatch.
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from deduplicatr_spark.functions.text import tokens
+from deduplicatr_spark.operators.lsh import _track
+
+MICRO = 1_000_000
+
+
+def _micro_ln(col) -> F.Column:
+    return F.floor(F.log(col.cast("double")) * MICRO).cast("long")
+
+
+def nb_train(
+    corpus: DataFrame,
+    label_col: str = "y",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """(model, scalars): per-token integer log-odds weights keyed on
+    ``tok_hash``, and a one-row frame (n1, n0, v, p1, p0, prior_micro,
+    norm_micro). ``label_col`` must be boolean with both classes
+    present (ln(P_y) requires P_y ≥ 1)."""
+    occ = _track(
+        corpus.select(
+            F.col(id_col),
+            F.col(label_col).alias("_y"),
+            F.explode(tokens(text_col)).alias("_raw"),
+        )
+        .select(
+            id_col, "_y", F.xxhash64(F.lower("_raw")).alias("tok_hash")
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cls = _track(
+        occ.groupBy("tok_hash")
+        .agg(
+            F.sum(F.when(F.col("_y"), 1).otherwise(0)).alias("c1"),
+            F.sum(F.when(F.col("_y"), 0).otherwise(1)).alias("c0"),
+        )
+        .persist()
+    )
+    model = cls.select(
+        "tok_hash",
+        (_micro_ln(F.col("c1") + 1) - _micro_ln(F.col("c0") + 1)).alias(
+            "w_micro"
+        ),
+    )
+    g = cls.agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c0").alias("n0"),
+        F.count("*").alias("v"),
+    )
+    p = corpus.agg(
+        F.sum(F.when(F.col(label_col), 1).otherwise(0)).alias("p1"),
+        F.sum(F.when(F.col(label_col), 0).otherwise(1)).alias("p0"),
+    )
+    scalars = g.crossJoin(p).select(
+        "n1", "n0", "v", "p1", "p0",
+        (_micro_ln(F.col("p1")) - _micro_ln(F.col("p0"))).alias(
+            "prior_micro"
+        ),
+        (
+            _micro_ln(F.col("n1") + F.col("v"))
+            - _micro_ln(F.col("n0") + F.col("v"))
+        ).alias("norm_micro"),
+    )
+    return model, scalars
+
+
+def nb_score(
+    corpus: DataFrame,
+    model: DataFrame,
+    scalars: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_tokens, score_micro, pred) under a trained model. Tokens
+    absent from the model weigh 0 — exactly their add-one-smoothing
+    log-odds ⌊ln(1)⌋−⌊ln(1)⌋."""
+    occ = corpus.select(
+        F.col(id_col),
+        F.explode(tokens(text_col)).alias("_raw"),
+    ).select(id_col, F.xxhash64(F.lower("_raw")).alias("tok_hash"))
+    per_doc = (
+        occ.join(model, "tok_hash", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.coalesce("w_micro", F.lit(0))).alias("sum_w"),
+        )
+    )
+    spine = corpus.select(id_col)
+    score = (
+        F.col("prior_micro")
+        + F.coalesce("sum_w", F.lit(0))
+        - F.coalesce("n_tokens", F.lit(0)) * F.col("norm_micro")
+    )
+    return (
+        spine.join(per_doc, id_col, "left")
+        .crossJoin(F.broadcast(scalars.select("prior_micro", "norm_micro")))
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            score.cast("long").alias("score_micro"),
+            (score > 0).alias("pred"),
+        )
+    )

@@ -1,0 +1,73 @@
+"""Unit vectors for the distributed Naive Bayes classifier
+(operators/nb_classifier.py)."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pytest
+
+from deduplicatr_spark.operators.nb_classifier import nb_score, nb_train
+
+ROWS = [
+    (1, "fast spark jobs shuffle data", True),
+    (2, "spark plans optimize shuffle stages", True),
+    (3, "rapide les données en cluster", False),
+    (4, "les plans en étapes rapide", False),
+    (5, "spark shuffle les plans", True),   # mixed vocabulary
+    (6, "", False),                          # zero tokens → prior only
+]
+
+
+def _replay(doc_tokens):
+    """Pure-python replay of the documented integer contract."""
+    micro = lambda x: math.floor(math.log(x) * 1_000_000)  # noqa: E731
+    c1, c0 = Counter(), Counter()
+    p1 = p0 = 0
+    for _, toks, y in doc_tokens:
+        (c1 if y else c0).update(toks)
+        p1, p0 = p1 + (1 if y else 0), p0 + (0 if y else 1)
+    vocab = set(c1) | set(c0)
+    n1, n0, v = sum(c1.values()), sum(c0.values()), len(vocab)
+    prior = micro(p1) - micro(p0)
+    norm = micro(n1 + v) - micro(n0 + v)
+    out = {}
+    for doc_id, toks, _ in doc_tokens:
+        w = sum(micro(c1[t] + 1) - micro(c0[t] + 1) for t in toks)
+        out[doc_id] = prior + w - len(toks) * norm
+    return out
+
+
+@pytest.fixture(scope="module")
+def nb_out(spark):
+    df = spark.createDataFrame(ROWS, "doc_id long, text string, y boolean")
+    model, scalars = nb_train(df, label_col="y")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in nb_score(df, model, scalars).collect()
+    }
+    from deduplicatr_spark.operators.lsh import release_tracked
+
+    release_tracked()
+    return out
+
+
+def test_nb_exact_integer_scores(nb_out):
+    expected = _replay(
+        [(i, t.lower().split(), y) for i, t, y in ROWS]
+    )
+    for doc_id, want in expected.items():
+        assert nb_out[doc_id]["score_micro"] == want, doc_id
+
+
+def test_nb_discriminates_and_degrades(nb_out):
+    # clearly-english docs score positive, clearly-french negative
+    assert nb_out[1]["pred"] and nb_out[2]["pred"]
+    assert not nb_out[3]["pred"] and not nb_out[4]["pred"]
+    # the zero-token doc degrades to the prior, never errors
+    assert nb_out[6]["n_tokens"] == 0
+    prior_only = nb_out[6]["score_micro"]
+    assert prior_only == math.floor(math.log(3) * 1e6) - math.floor(
+        math.log(3) * 1e6
+    )

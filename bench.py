@@ -612,6 +612,89 @@ def main() -> None:
         ).collect()
         release_tracked()
 
+    # q5c: The Stack quality rules + secrets scan — both single codegen
+    # passes over content, reduced to corpus totals
+    def _codequality():
+        from deduplicatr_spark.functions.code_quality import (
+            stack_quality_columns,
+        )
+        from deduplicatr_spark.functions.secrets import secret_count_columns
+
+        corpus.select(
+            *stack_quality_columns("content"),
+            *secret_count_columns("content"),
+        ).agg(
+            F.sum(F.col("stack_keep").cast("long")),
+            F.sum(F.col("has_secret").cast("long")),
+            F.sum("n_b64_blobs"),
+        ).collect()
+
+    # q5n: notebook JSON synthesis + from_json conversion (one pass)
+    def _notebooks():
+        from deduplicatr_spark.functions.notebooks import notebook_columns
+
+        nb = corpus.select(
+            F.concat(
+                F.lit('{"cells":[{"cell_type":"markdown","source":"'),
+                F.regexp_replace(
+                    F.substring("content", 1, 80), '[^A-Za-z0-9 ]', ""
+                ),
+                F.lit('"},{"cell_type":"code","source":"'),
+                F.regexp_replace(
+                    F.substring("content", 81, 4000), '[^A-Za-z0-9 ]', ""
+                ),
+                F.lit('"}],"nbformat":4}'),
+            ).alias("notebook")
+        )
+        nb.select(*notebook_columns("notebook")).agg(
+            F.sum("n_code_cells"), F.sum(F.length("script"))
+        ).collect()
+
+    # q5r: import-graph PageRank — corpus-sized extraction + distinct,
+    # then 3 repo-level integer power iterations
+    def _pagerank():
+        from deduplicatr_spark.operators.repo_rank import (
+            import_edges,
+            pagerank_micro,
+        )
+
+        planted = corpus.withColumn(
+            "content",
+            F.concat(
+                F.col("content"),
+                F.when(
+                    F.xxhash64("path") % 6 == 0,
+                    F.concat(
+                        F.lit("\nimport src"),
+                        (F.abs(F.xxhash64("repo", "path")) % 8).cast("string"),
+                    ),
+                ).otherwise(F.lit("")),
+            ),
+        )
+        pagerank_micro(
+            import_edges(planted), corpus.select("repo"), iterations=3
+        ).agg(F.sum("rank_micro"), F.max("n_in")).collect()
+        release_tracked()
+
+    # q5b: Naive Bayes train + score (two token-hash shuffles + the
+    # per-doc reduction) with weak lang labels
+    def _nbayes():
+        from deduplicatr_spark.operators.nb_classifier import (
+            nb_score,
+            nb_train,
+        )
+
+        ided = corpus.select(
+            F.xxhash64("repo", "path", "commit").alias("doc_id"),
+            F.col("content").alias("text"),
+            (F.col("lang") == "en").alias("y"),
+        )
+        model, scalars = nb_train(ided, label_col="y")
+        nb_score(ided, model, scalars).agg(
+            F.sum("score_micro"), F.sum(F.col("pred").cast("long"))
+        ).collect()
+        release_tracked()
+
     for _pass in range(2):
         timed("token_stats", _text)
         timed("quality_shaping", _shaping)
@@ -620,6 +703,10 @@ def main() -> None:
         timed("corpus_line_stats", _linedup)
         timed("line_dedup_strip", _strip)
         timed("unigram_logprob", _unigram)
+        timed("stack_quality_secrets", _codequality)
+        timed("notebook_convert", _notebooks)
+        timed("repo_pagerank", _pagerank)
+        timed("nb_classifier", _nbayes)
 
     # --- query group 3: embedding family (two interleaved passes) ---
 

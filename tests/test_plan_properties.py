@@ -143,3 +143,70 @@ def test_scan_filter_pushes_predicates(spark, tmp_path):
     plan = _plan(df)
     assert "PushedFilters: [IsNotNull(id), GreaterThan(id,10)]" in plan
     assert "pad" not in plan.split("ReadSchema")[-1]
+
+
+def test_round4_curation_operators_are_pure_jvm(spark, tiny_docs):
+    """The Stack quality rules, secrets scan and notebook conversion
+    are single codegen passes by design — any Python eval node OR any
+    Exchange in their per-row plans is a regression (they must scan,
+    project, and nothing else)."""
+    from deduplicatr_spark.functions.code_quality import (
+        stack_quality_columns,
+    )
+    from deduplicatr_spark.functions.notebooks import notebook_columns
+    from deduplicatr_spark.functions.secrets import (
+        secret_count_columns,
+        secret_redacted,
+    )
+
+    per_row = tiny_docs.select(
+        *stack_quality_columns("content"),
+        *secret_count_columns("content"),
+        secret_redacted("content").alias("red"),
+        *notebook_columns("content"),
+    )
+    plan = _plan(per_row)
+    assert "EvalPython" not in plan
+    assert "MapInPandas" not in plan
+    assert "Exchange" not in plan, "per-row curation pass must not shuffle"
+
+
+def test_nb_classifier_no_token_strings_in_exchange(spark):
+    """NB train+score exchanges must carry only 8-byte tok_hash /
+    doc_id keys — a raw token string in any Exchange partitioning is
+    the content-shuffle regression the north rule bans. Also: no
+    Python eval anywhere, no all-pairs join."""
+    from deduplicatr_spark.operators.lsh import release_tracked
+    from deduplicatr_spark.operators.nb_classifier import nb_score, nb_train
+
+    docs = spark.createDataFrame(
+        [(1, "a b c", True), (2, "c d", False)],
+        "doc_id long, text string, y boolean",
+    )
+    model, scalars = nb_train(docs, label_col="y")
+    plan = _plan(nb_score(docs, model, scalars))
+    release_tracked()
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "_raw" not in line, "raw token string in an exchange"
+
+
+def test_pagerank_iteration_joins_stay_equi(spark):
+    """Each PageRank iteration must remain equi-join + hash aggregate —
+    a BroadcastNestedLoopJoin here would be quadratic in the repo
+    graph. (The intentional 1-row scalars crossJoin lives in nb_score,
+    not here.)"""
+    from deduplicatr_spark.operators.lsh import release_tracked
+    from deduplicatr_spark.operators.repo_rank import pagerank_micro
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src_repo string, dst_repo string"
+    )
+    nodes = spark.createDataFrame([("a",), ("b",), ("c",)], "repo string")
+    plan = _plan(pagerank_micro(edges, nodes, iterations=2))
+    release_tracked()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan

@@ -939,6 +939,37 @@ def _q_nb_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nb_score(d, model, scalars)
 
 
+def _q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (operators/mixture.py — the
+    Gopher/Pile/LLaMA upsampling stage): per-source √-temperature
+    rates against a fixed 100k-token budget, realized per document as
+    full epochs + a content-hash fractional draw. Sources are the
+    LANG groups (naturally asymmetric sizes, so small languages get
+    rate > proportional). All weights are integerized before any sum
+    (⌊√n·1e6⌋ — IEEE sqrt is exactly rounded) and the rate is one
+    pinned sequence of correctly-rounded double ops, so the oracle
+    replays every rate and copy count bit-for-bit."""
+    from deduplicatr_spark.operators.mixture import (
+        mixture_copies,
+        source_rates,
+    )
+
+    d = (
+        _docs(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.col("lang").alias("source"),
+            "text",
+            TXT.token_count("text").cast("long").alias("n_tokens"),
+        )
+    )
+    rates = source_rates(d, token_budget=100_000)
+    return mixture_copies(d, rates).select(
+        "doc_id", "source", "n_tokens", "rate_micro", "n_copies"
+    )
+
+
 def _q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic marker-token language ID."""
     d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
@@ -2783,6 +2814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "notebook_convert": _q_notebook_convert,
         "repo_pagerank": _q_repo_pagerank,
         "nb_classifier_score": _q_nb_classifier_score,
+        "mixture_sample": _q_mixture_sample,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "ngram_containment_pairs": _q_ngram_containment_pairs,
         "scan_filter": _q_scan_filter,
@@ -3781,6 +3813,38 @@ LIMIT 20
         # raw-token-string join (collision-free truth vs Spark's
         # xxhash64 keys); per-token micro-nat floor BEFORE the sum so
         # the aggregate is exact-integer on both engines
+        # rates and copy counts replayed bit-for-bit: integerized
+        # weights, exact integer sum, one pinned double sequence, and
+        # the sha-prefix fractional draw folded by hand
+        "mixture_sample": f"""
+WITH d AS (
+  SELECT doc_id, lang AS source, text,
+         CAST(len({_TOKS.format(c="text")}) AS BIGINT) AS n_tokens
+  FROM documents WHERE text IS NOT NULL
+), per AS (
+  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS n_t
+  FROM d GROUP BY source
+), wtd AS (
+  SELECT source, n_t,
+         CAST(floor(sqrt(CAST(n_t AS DOUBLE)) * 1000000) AS BIGINT) AS w
+  FROM per
+), tot AS (
+  SELECT CAST(sum(w) AS BIGINT) AS wt FROM wtd
+), rates AS (
+  SELECT source,
+    CASE WHEN n_t > 0 THEN
+      CAST(floor(100000.0 * CAST(w AS DOUBLE) / CAST(wt AS DOUBLE)
+                 / CAST(n_t AS DOUBLE) * 1000000) AS BIGINT)
+    ELSE 0 END AS rate_micro
+  FROM wtd, tot
+)
+SELECT d.doc_id, d.source, d.n_tokens, r.rate_micro,
+       r.rate_micro // 1000000
+       + CASE WHEN CAST('0x' || substr(sha256(d.text), 1, 8) AS BIGINT)
+                   % 1000000 < r.rate_micro % 1000000
+              THEN 1 ELSE 0 END AS n_copies
+FROM d JOIN rates r USING (source)
+""",
         # full train-then-score replay on raw token strings with the
         # identical integer micro-nat factors (floor(ln·1e6) per model
         # row, exact integer sums per doc)

@@ -1,0 +1,103 @@
+"""Temperature-scaled source mixing (upsampling by replication).
+
+The dataset-mixing stage every multi-source training corpus runs:
+Gopher samples sources at tuned weights (Rae et al. 2021 §A3.1), The
+Pile assigns per-source EPOCH counts > 1 (Gao et al. 2020 §1), LLaMA
+upsamples books/wikipedia ~2 epochs (Touvron et al. 2023 §2). The
+standard shape is temperature sampling: source s with n_s tokens gets
+mixture weight ∝ n_s^(1/T), flattening the source distribution (T=1 ⇒
+proportional, T→∞ ⇒ uniform).
+
+This operator computes, per source, the expected-token RATE against a
+total budget B,
+
+    rate(s) = B · w_s / (Σ w_s') / n_s        with  w_s = √n_s  (T=2)
+
+and realizes it per document as ``epochs = rate div 1`` full copies
+plus one extra copy with probability ``rate mod 1``, decided by a
+CONTENT-KEYED hash (sha256 prefix — no RNG, reproducible across runs,
+partitionings and engines; byte-identical docs land together, the same
+leakage guard as the split assigner).
+
+Numeric contract (oracle parity): per-source weights are integerized
+FIRST (w = ⌊√n_s · 1e6⌋ — IEEE sqrt is correctly rounded, so this is
+bit-exact everywhere), their sum W is exact integer arithmetic, and
+the rate is one PINNED sequence of correctly-rounded double ops
+``((B·w)/W)/n_s · 1e6`` floored to integer micro-units. The fractional
+draw compares integer micro-rates against ``sha-prefix mod 1e6``. No
+accumulation of floats anywhere — sum order cannot move a document.
+
+Scale shape: token totals per source are one partial+final aggregate;
+the per-source rate table is tiny and broadcast back; replication is
+``explode(sequence(...))`` — map-side, no shuffle. T≠2 needs ``pow``,
+whose cross-engine rounding is NOT pinned by IEEE — supported on the
+Spark side, excluded from the oracle contract (documented).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MICRO = 1_000_000
+
+
+def source_rates(
+    docs: DataFrame,
+    token_budget: int,
+    source_col: str = "source",
+    token_count_col: str = "n_tokens",
+) -> DataFrame:
+    """(source, n_docs, n_tokens, w_micro, rate_micro): integer
+    micro-rate per source under a √-temperature (T=2) mixture."""
+    per_src = docs.groupBy(source_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count_col).cast("long").alias("n_tokens"),
+    )
+    w = F.floor(F.sqrt(F.col("n_tokens").cast("double")) * MICRO).cast("long")
+    weighted = per_src.withColumn("w_micro", w)
+    tot = weighted.agg(F.sum("w_micro").alias("_w_total"))
+    # pinned op order: ((B·w)/W)/n · 1e6 — each step correctly rounded,
+    # so the floored micro-rate is engine-independent
+    rate = F.floor(
+        F.lit(float(token_budget))
+        * F.col("w_micro").cast("double")
+        / F.col("_w_total").cast("double")
+        / F.col("n_tokens").cast("double")
+        * MICRO
+    ).cast("long")
+    return (
+        weighted.crossJoin(F.broadcast(tot))
+        .select(
+            source_col,
+            "n_docs",
+            "n_tokens",
+            "w_micro",
+            F.when(F.col("n_tokens") > 0, rate)
+            .otherwise(F.lit(0))
+            .alias("rate_micro"),
+        )
+    )
+
+
+def mixture_copies(
+    docs: DataFrame,
+    rates: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Input columns + (rate_micro, n_copies): full epochs plus a
+    content-hash fractional draw. ``explode(sequence(1, n_copies))``
+    on the result materializes the replicated stream map-side."""
+    frac_hash = (
+        F.conv(F.substring(F.sha2(F.col(text_col), 256), 1, 8), 16, 10)
+        .cast("long")
+        % MICRO
+    )
+    n_copies = (
+        F.expr(f"rate_micro div {MICRO}")
+        + F.when(frac_hash < F.col("rate_micro") % MICRO, 1).otherwise(0)
+    ).cast("long")
+    return docs.join(
+        F.broadcast(rates.select(source_col, "rate_micro")), source_col
+    ).select(*docs.columns, "rate_micro", n_copies.alias("n_copies"))

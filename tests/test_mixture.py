@@ -1,0 +1,69 @@
+"""Unit vectors for temperature-scaled source mixing
+(operators/mixture.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from deduplicatr_spark.operators.mixture import (
+    MICRO,
+    mixture_copies,
+    source_rates,
+)
+
+
+@pytest.fixture(scope="module")
+def mix_docs(spark):
+    # big: 9 docs × 100 tokens; small: 1 doc × 100 tokens. With T=2,
+    # small must be upsampled ABOVE its proportional share.
+    # distinct texts (same 100-token length): the fractional draw is
+    # CONTENT-keyed, so identical docs draw together by design — the
+    # per-doc variation here needs distinct hashes
+    rows = [("big", i, "tok " * 99 + f"t{i}") for i in range(9)]
+    rows.append(("small", 100, "tok " * 99 + "t100"))
+    df = spark.createDataFrame(rows, "source string, doc_id long, text string")
+    return df.withColumn(
+        "n_tokens", F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+    )
+
+
+def test_source_rates_integer_contract(mix_docs):
+    out = {r["source"]: r.asDict() for r in source_rates(mix_docs, 1000).collect()}
+    # replay the documented pinned arithmetic
+    w_big = math.floor(math.sqrt(900.0) * MICRO)
+    w_small = math.floor(math.sqrt(100.0) * MICRO)
+    wt = w_big + w_small
+    assert out["big"]["w_micro"] == w_big
+    assert out["small"]["w_micro"] == w_small
+    rate = lambda w, n: math.floor(1000.0 * w / wt / n * MICRO)  # noqa: E731
+    assert out["big"]["rate_micro"] == rate(w_big, 900)
+    assert out["small"]["rate_micro"] == rate(w_small, 100)
+    # √-temperature flattening: small's rate > proportional (B/total),
+    # big's below; both sides of the budget reallocation visible
+    proportional = 1000.0 / 1000.0 * MICRO
+    assert out["small"]["rate_micro"] > proportional
+    assert out["big"]["rate_micro"] < proportional
+
+
+def test_mixture_copies_epochs_and_budget(mix_docs):
+    # budget 3x the corpus: every source's rate > 1 → full epochs for
+    # every doc, plus hash-fractional extras
+    rates = source_rates(mix_docs, 3000)
+    out = mixture_copies(mix_docs, rates).collect()
+    for r in out:
+        assert r["n_copies"] >= r["rate_micro"] // MICRO
+        assert r["n_copies"] <= r["rate_micro"] // MICRO + 1
+    # deterministic rate replay: big = 3000·0.75/900 = 2.5 epochs,
+    # small = 3000·0.25/100 = 7.5 → copies in {2,3} / {7,8}
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r["n_copies"])
+    assert all(c in (2, 3) for c in by_src["big"])
+    assert by_src["small"][0] in (7, 8)
+    # total token draw lands inside the deterministic envelope around
+    # the 3000-token budget
+    total = sum(r["n_copies"] * 100 for r in out)
+    assert 2 * 900 + 7 * 100 <= total <= 3 * 900 + 8 * 100

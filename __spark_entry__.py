@@ -970,6 +970,36 @@ def _q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination (operators/semantic_decon.py): the
+    embedding-similarity eval-overlap pass that catches PARAPHRASED
+    leakage n-gram decontamination misses. Benchmark = vec_id%17==0
+    rows; corpus = the rest ∪ PLANTED near-copies of benchmark items
+    (+0.5 on coord 1, id +200000 — cosine ≥ 0.9 to their source,
+    background pairs top out far below). Benchmark sketches + vectors
+    broadcast; the corpus never exchanges; candidates verify with
+    exact cosine. Output is id pairs only (no float columns). The
+    oracle is the independent all-pairs cross join, so a missed
+    planted pair or a spurious background pair goes red."""
+    from deduplicatr_spark.operators.semantic_decon import (
+        semantic_contamination_pairs,
+    )
+
+    base = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    bench = base.filter(F.col("vec_id") % 17 == 0)
+    near = bench.select(
+        (F.col("vec_id") + 200000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("v", 1) + F.lit(0.5)), F.slice("v", 2, 63)
+        ).alias("v"),
+    )
+    corpus = base.filter(F.col("vec_id") % 17 != 0).unionByName(near)
+    return semantic_contamination_pairs(corpus, bench, tau=0.9, dim=64)
+
+
 def _q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic marker-token language ID."""
     d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
@@ -2815,6 +2845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repo_pagerank": _q_repo_pagerank,
         "nb_classifier_score": _q_nb_classifier_score,
         "mixture_sample": _q_mixture_sample,
+        "semantic_decontamination": _q_semantic_decontamination,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "ngram_containment_pairs": _q_ngram_containment_pairs,
         "scan_filter": _q_scan_filter,
@@ -3813,6 +3844,28 @@ LIMIT 20
         # raw-token-string join (collision-free truth vs Spark's
         # xxhash64 keys); per-token micro-nat floor BEFORE the sum so
         # the aggregate is exact-integer on both engines
+        # independent all-pairs cross join at oracle scale — a missed
+        # planted near-copy or a spurious background pair goes red
+        "semantic_decontamination": """
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), bench AS (
+  SELECT vec_id AS bench_id, v AS bv FROM base WHERE vec_id % 17 = 0
+), corpus AS (
+  SELECT vec_id AS corpus_id, v AS cv FROM base WHERE vec_id % 17 <> 0
+  UNION ALL
+  SELECT vec_id + 200000, list_concat([v[1] + 0.5], v[2:64])
+  FROM base WHERE vec_id % 17 = 0
+)
+SELECT corpus_id, bench_id
+FROM corpus, bench
+WHERE CASE WHEN sqrt(list_sum(list_transform(cv, x -> x * x)))
+                * sqrt(list_sum(list_transform(bv, x -> x * x))) > 0
+           THEN list_dot_product(cv, bv)
+                / (sqrt(list_sum(list_transform(cv, x -> x * x)))
+                   * sqrt(list_sum(list_transform(bv, x -> x * x))))
+           ELSE 0.0 END >= 0.9
+""",
         # rates and copy counts replayed bit-for-bit: integerized
         # weights, exact integer sum, one pinned double sequence, and
         # the sha-prefix fractional draw folded by hand

@@ -1,0 +1,80 @@
+"""Semantic (embedding-level) benchmark decontamination.
+
+N-gram decontamination (operators/decontaminate.py — the GPT-3/Gopher
+recipe) misses PARAPHRASED eval leakage: a reworded benchmark item
+shares no 5-gram with its source but sits next to it in embedding
+space. Post-SemDeDup pipelines therefore add an embedding-similarity
+pass against the benchmark suite (the "semantic decontamination"
+variant discussed in Abbas et al. 2303.09540's related work and
+operationalized by open-data efforts like Dolma/DataComp audits).
+
+Shape: the BENCHMARK side is tiny (eval suites are thousands of items;
+the corpus is 10^12) — so the benchmark's banded hyperplane sketches
+and vectors are both BROADCAST; the corpus itself never exchanges, and
+the only shuffle anywhere is the CANDIDATE-sized pair distinct (random
+64-dim vectors collide in a 16-bit band at ~2e-5 per band — candidates
+are a vanishing fraction of corpus rows):
+
+1. both sides get seeded hyperplane band sketches (one numpy matmul
+   per Arrow batch — functions/vectors.py);
+2. corpus band keys equi-join the broadcast benchmark key index
+   (map-side; AND-OR amplification per band, Charikar hyperplanes);
+3. candidates verify with exact cosine against the broadcast benchmark
+   vectors; pairs at cosine ≥ τ flag the corpus doc.
+
+The returned frame is pair-level (corpus id, benchmark id) — id-only,
+no float columns in the contract (cross-engine float output is the one
+thing the oracle can't pin; ranks/pairs are how every embedding query
+here stays exact). A per-doc verdict is one groupBy away.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from deduplicatr_spark.functions.vectors import (
+    cosine,
+    hyperplane_band_sketch_udf,
+)
+
+
+def semantic_contamination_pairs(
+    corpus: DataFrame,
+    bench: DataFrame,
+    tau: float = 0.9,
+    dim: int = 64,
+    n_bands: int = 128,
+    band_bits: int = 16,
+    seed: int = 9090,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """(corpus_id, bench_id) pairs with cosine ≥ tau. ``bench`` must be
+    broadcast-small (an eval suite); the corpus side never exchanges."""
+    sketch = hyperplane_band_sketch_udf(n_bands, band_bits, dim, seed)
+    ckeys = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        F.explode(sketch(F.col(vec_col))).alias("band_hash"),
+    )
+    bkeys = bench.select(
+        F.col(id_col).alias("bench_id"),
+        F.explode(sketch(F.col(vec_col))).alias("band_hash"),
+    )
+    cand = (
+        ckeys.join(F.broadcast(bkeys), "band_hash")
+        .select("corpus_id", "bench_id")
+        .distinct()
+    )
+    cvecs = corpus.select(
+        F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("_cv")
+    )
+    bvecs = bench.select(
+        F.col(id_col).alias("bench_id"), F.col(vec_col).alias("_bv")
+    )
+    return (
+        cand.join(cvecs, "corpus_id")
+        .join(F.broadcast(bvecs), "bench_id")
+        .filter(cosine(F.col("_cv"), F.col("_bv")) >= tau)
+        .select("corpus_id", "bench_id")
+    )

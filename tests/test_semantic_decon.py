@@ -1,0 +1,65 @@
+"""Unit vectors for semantic benchmark decontamination
+(operators/semantic_decon.py)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from deduplicatr_spark.operators.semantic_decon import (
+    semantic_contamination_pairs,
+)
+
+
+def _unit(seed: int, dim: int = 64):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    v = rng.normal(size=dim)
+    return [float(x) for x in v / np.linalg.norm(v)]
+
+
+@pytest.fixture(scope="module")
+def decon_frames(spark):
+    b1, b2 = _unit(1), _unit(2)
+    bench = spark.createDataFrame(
+        [(101, b1), (102, b2)], "vec_id long, v array<double>"
+    )
+    # corpus: an exact copy of b1, a slight perturbation of b2, and
+    # two independent vectors (cosine ≈ 0 to anything)
+    near_b2 = [x + (0.05 if i == 0 else 0.0) for i, x in enumerate(b2)]
+    corpus = spark.createDataFrame(
+        [(1, b1), (2, near_b2), (3, _unit(7)), (4, _unit(8))],
+        "vec_id long, v array<double>",
+    )
+    return corpus, bench
+
+
+def test_contamination_pairs(decon_frames):
+    corpus, bench = decon_frames
+    pairs = {
+        (r["corpus_id"], r["bench_id"])
+        for r in semantic_contamination_pairs(
+            corpus, bench, tau=0.9, dim=64
+        ).collect()
+    }
+    assert (1, 101) in pairs, "exact benchmark copy must be flagged"
+    assert (2, 102) in pairs, "near-paraphrase embedding must be flagged"
+    assert not any(c in (3, 4) for c, _ in pairs), "background flagged"
+
+
+def test_corpus_side_stays_broadcast(decon_frames):
+    """The benchmark side must broadcast — a sort-merge join against
+    the tiny bench frame means the corpus got shuffled, the exact
+    degradation this operator exists to avoid."""
+    corpus, bench = decon_frames
+    df = semantic_contamination_pairs(corpus, bench, tau=0.9, dim=64)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

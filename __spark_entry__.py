@@ -1000,6 +1000,35 @@ def _q_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_contamination_pairs(corpus, bench, tau=0.9, dim=64)
 
 
+def _q_quality_elect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical election (operators/election.py): per
+    formatting-insensitive fingerprint cluster, keep the copy that
+    passes The Stack rules first, then the most compact, doc_id as the
+    pinned total-order tiebreak — the keep-the-BEST-copy rule
+    production dedup applies to near-dup clusters (min-id is only
+    right for byte-identical groups). The ws-doubled planted variants
+    genuinely differ in quality from their bases, so the election is
+    exercised, not vacuous. The oracle replays the fingerprint, the
+    full rule verdict and the window election independently."""
+    from deduplicatr_spark.functions.code_quality import (
+        stack_quality_columns,
+    )
+    from deduplicatr_spark.operators.election import quality_elect
+
+    c = _corpus(spark, sf_dir).withColumn("fp", TXT.fingerprint("content"))
+    members = c.select(
+        "doc_id",
+        "fp",
+        F.length("content").cast("long").alias("chars"),
+        *stack_quality_columns("content"),
+    ).select("doc_id", "fp", "chars", "stack_keep")
+    return quality_elect(
+        members,
+        cluster_col="fp",
+        order_keys=[F.col("stack_keep").desc(), F.col("chars").asc()],
+    )
+
+
 def _q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic marker-token language ID."""
     d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
@@ -2846,6 +2875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_classifier_score": _q_nb_classifier_score,
         "mixture_sample": _q_mixture_sample,
         "semantic_decontamination": _q_semantic_decontamination,
+        "quality_elect": _q_quality_elect,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "ngram_containment_pairs": _q_ngram_containment_pairs,
         "scan_filter": _q_scan_filter,
@@ -3844,6 +3874,52 @@ LIMIT 20
         # raw-token-string join (collision-free truth vs Spark's
         # xxhash64 keys); per-token micro-nat floor BEFORE the sum so
         # the aggregate is exact-integer on both engines
+        # fingerprint, full Stack-rule verdict and window election all
+        # replayed independently (keep-passing, then compact, then id)
+        "quality_elect": CORPUS_SQL + """
+, m AS (
+  SELECT doc_id,
+    sha256(trim(regexp_replace(content, '\\s+', ' ', 'g'))) AS fp,
+    CAST(length(content) AS BIGINT) AS chars,
+    CAST(len(lines) AS BIGINT) AS n_lines,
+    CAST(greatest(len(lines), 1) AS DOUBLE) AS safe_l,
+    CAST(coalesce(list_sum(list_transform(lines, x -> length(x))), 0)
+         AS DOUBLE) AS total,
+    CAST(greatest(coalesce(
+      list_max(list_transform(lines, x -> length(x))), 0), 0) AS BIGINT)
+      AS max_line_len,
+    CAST(greatest(length(content), 1) AS DOUBLE) AS safe_c,
+    CAST(len(regexp_extract_all(content, '[A-Za-z0-9]')) AS DOUBLE)
+      AS n_alnum,
+    regexp_matches(lower(substr(content, 1, 300)),
+      'auto-generated|autogenerated|generated by|do not edit')
+      AS is_autogen,
+    CAST(len(regexp_extract_all(content, '[A-Za-z0-9+/=]{65,}')) AS BIGINT)
+      AS n_b64,
+    CAST(len(regexp_extract_all(content, '(?:\\\\x[0-9A-Fa-f]{2}){8,}'))
+      AS BIGINT) AS n_hex
+  FROM (SELECT doc_id, content, string_split(content, chr(10)) AS lines
+        FROM corpus)
+), verdict AS (
+  SELECT doc_id, fp, chars,
+    NOT (floor(total / safe_l * 1000000) / 1000000.0 > 100.0
+         OR max_line_len > 1000
+         OR floor(n_alnum / safe_c * 1000000) / 1000000.0 < 0.25
+         OR is_autogen OR n_b64 > 0 OR n_hex > 0) AS stack_keep
+  FROM m
+), ranked AS (
+  SELECT doc_id, fp, chars, stack_keep,
+    row_number() OVER (
+      PARTITION BY fp ORDER BY stack_keep DESC, chars ASC, doc_id ASC
+    ) AS rn
+  FROM verdict
+)
+SELECT doc_id, fp, chars, stack_keep,
+       rn = 1 AS is_kept,
+       min(CASE WHEN rn = 1 THEN doc_id END) OVER (PARTITION BY fp)
+         AS kept_doc
+FROM ranked
+""",
         # independent all-pairs cross join at oracle scale — a missed
         # planted near-copy or a spurious background pair goes red
         "semantic_decontamination": """

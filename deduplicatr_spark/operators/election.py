@@ -1,0 +1,50 @@
+"""Quality-aware canonical election per duplicate cluster.
+
+The batch pipeline and the reference both elect min-doc_id survivors —
+correct for BYTE-identical groups (any member is as good as another)
+but wrong for NEAR-dup clusters, where members genuinely differ:
+production pipelines keep the BEST copy (The Stack dedups keeping one
+permissively-licensed copy, Kocetkov et al. 2022 §2.2; SemDeDup keeps
+low-centroid-similarity examples, Abbas et al. 2023 §3; quality-first
+survivor choice is the common thread).
+
+This operator is deliberately a thin, ORDER-PINNED window: rank every
+cluster member by an explicit key list (quality verdicts first, doc_id
+LAST as the total-order tiebreak — election must be deterministic
+under any partitioning), keep rank 1. It composes with any cluster
+source (exact sha groups, fingerprint groups, CC cluster ids) and any
+quality columns (functions/code_quality.py, functions/text.py).
+
+Scale: one hash-partitioned window over cluster_id — the same
+exchange exact_canonical already pays; quality columns ride along as
+scalars (computed in the upstream codegen pass), so election adds no
+extra shuffle beyond the clustering it consumes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def quality_elect(
+    members: DataFrame,
+    cluster_col: str = "cluster_id",
+    order_keys: list[Column] | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Input columns + (is_kept, kept_doc): rank-1 member per cluster
+    under ``order_keys + [id_col asc]`` (id appended ALWAYS — the
+    caller's keys may tie, the election may not)."""
+    keys = list(order_keys or []) + [F.col(id_col).asc()]
+    w = Window.partitionBy(cluster_col).orderBy(*keys)
+    ranked = members.withColumn("_rn", F.row_number().over(w))
+    kept = Window.partitionBy(cluster_col)
+    return (
+        ranked.withColumn("is_kept", F.col("_rn") == 1)
+        .withColumn(
+            "kept_doc",
+            F.min(F.when(F.col("_rn") == 1, F.col(id_col))).over(kept),
+        )
+        .drop("_rn")
+    )

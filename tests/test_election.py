@@ -1,0 +1,39 @@
+"""Unit vectors for quality-aware canonical election
+(operators/election.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from deduplicatr_spark.operators.election import quality_elect
+
+
+def test_quality_elect_order_and_ties(spark):
+    rows = [
+        # cluster A: doc 3 fails quality, doc 2 passes but is longer,
+        # doc 1 passes and is shortest -> doc 1 wins
+        (1, "A", True, 10),
+        (2, "A", True, 20),
+        (3, "A", False, 5),
+        # cluster B: full tie on quality keys -> min doc_id wins
+        (7, "B", True, 10),
+        (5, "B", True, 10),
+        # singleton keeps itself
+        (9, "C", False, 99),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, cluster_id string, keep boolean, chars long"
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in quality_elect(
+            df,
+            order_keys=[F.col("keep").desc(), F.col("chars").asc()],
+        ).collect()
+    }
+    assert out[1]["is_kept"] and out[1]["kept_doc"] == 1
+    assert not out[2]["is_kept"] and out[2]["kept_doc"] == 1
+    assert not out[3]["is_kept"]
+    # tie resolved by the appended doc_id key, not input order
+    assert out[5]["is_kept"] and out[7]["kept_doc"] == 5
+    assert out[9]["is_kept"] and out[9]["kept_doc"] == 9

@@ -35,6 +35,8 @@ from deduplicatr_spark.config import PipelineConfig
 from deduplicatr_spark.functions import text as TXT
 from deduplicatr_spark.functions.features import features_udf
 from deduplicatr_spark.functions.code import (
+    PY_DOCSTRING_RE,
+    PY_NAME_RE,
     duckdb_abstract_case,
     duckdb_code_tokens,
     duckdb_py_functions,
@@ -1026,6 +1028,57 @@ def _q_quality_elect(spark: SparkSession, sf_dir: str) -> DataFrame:
         members,
         cluster_col="fp",
         order_keys=[F.col("stack_keep").desc(), F.col("chars").asc()],
+    )
+
+
+def _q_docstring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Function–docstring pair mining (CodeSearchNet, Husain et al.
+    2019 §3 — the public (function, docstring) code-LM/code-search
+    training unit), over the same regex-extracted python function
+    units the method-clone stack uses. Python files are PLANTED on
+    base doc_id%6==1: a documented function (multi-line docstring), a
+    bare function (must be excluded), and a second documented function
+    whose docstring embeds a sanitized content chunk. The oracle
+    replays extraction, name/docstring capture and the exclusion with
+    the shared pattern constants; sha256 of each docstring proves
+    byte-identical capture."""
+    from deduplicatr_spark.functions.code import (
+        docstring_pairs,
+        extract_py_functions,
+    )
+
+    base = _corpus(spark, sf_dir).filter(
+        (F.col("doc_id") < 1000000) & (F.col("doc_id") % 6 == 1)
+    )
+    did = F.col("doc_id").cast("string")
+    chunk = F.regexp_replace(
+        F.substring("content", 1, 60), "[^A-Za-z0-9 ]", ""
+    )
+    pyfile = F.concat(
+        F.lit("def documented_"), did,
+        F.lit('(x):\n    """Adds '), did,
+        F.lit(' to x.\n\n    Returns the sum."""\n    return x\n'),
+        F.lit("def bare_"), did, F.lit("(y):\n    return y\n"),
+        F.lit("def doc2_"), did, F.lit('():\n    """'), chunk,
+        F.lit('"""\n    pass'),
+    )
+    units = base.select(
+        "doc_id",
+        F.explode(
+            extract_py_functions(pyfile, F.lit("python"))
+        ).alias("unit"),
+    )
+    name, doc = docstring_pairs("unit")
+    return (
+        units.select(
+            "doc_id",
+            name.alias("func_name"),
+            F.length(doc).cast("long").alias("doc_chars"),
+            F.sha2(doc, 256).alias("docstring_sha256"),
+            doc.alias("_d"),
+        )
+        .filter(F.col("_d") != "")
+        .drop("_d")
     )
 
 
@@ -2876,6 +2929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": _q_mixture_sample,
         "semantic_decontamination": _q_semantic_decontamination,
         "quality_elect": _q_quality_elect,
+        "docstring_pairs": _q_docstring_pairs,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "ngram_containment_pairs": _q_ngram_containment_pairs,
         "scan_filter": _q_scan_filter,
@@ -3874,6 +3928,37 @@ LIMIT 20
         # raw-token-string join (collision-free truth vs Spark's
         # xxhash64 keys); per-token micro-nat floor BEFORE the sum so
         # the aggregate is exact-integer on both engines
+        # identical planted python files; extraction + capture replayed
+        # with the SHARED pattern constants; docstring sha256 compared
+        "docstring_pairs": CORPUS_SQL + f"""
+, pyl AS (
+  SELECT doc_id,
+    'def documented_' || CAST(doc_id AS VARCHAR) || '(x):' || chr(10)
+    || '    \"\"\"Adds ' || CAST(doc_id AS VARCHAR) || ' to x.'
+    || chr(10) || chr(10)
+    || '    Returns the sum.\"\"\"' || chr(10) || '    return x' || chr(10)
+    || 'def bare_' || CAST(doc_id AS VARCHAR) || '(y):' || chr(10)
+    || '    return y' || chr(10)
+    || 'def doc2_' || CAST(doc_id AS VARCHAR) || '():' || chr(10)
+    || '    \"\"\"'
+    || regexp_replace(substr(content, 1, 60), '[^A-Za-z0-9 ]', '', 'g')
+    || '\"\"\"' || chr(10) || '    pass' AS content,
+    'python' AS lang
+  FROM corpus WHERE doc_id < 1000000 AND doc_id % 6 = 1
+), units AS (
+  SELECT doc_id, unnest({duckdb_py_functions("content", "lang")}) AS unit
+  FROM pyl
+), cap AS (
+  SELECT doc_id,
+         regexp_extract(unit, '{PY_NAME_RE}', 1) AS func_name,
+         regexp_extract(unit, '{PY_DOCSTRING_RE}', 1) AS d
+  FROM units
+)
+SELECT doc_id, func_name,
+       CAST(length(d) AS BIGINT) AS doc_chars,
+       sha256(d) AS docstring_sha256
+FROM cap WHERE d <> ''
+""",
         # fingerprint, full Stack-rule verdict and window election all
         # replayed independently (keep-passing, then compact, then id)
         "quality_elect": CORPUS_SQL + """

@@ -294,3 +294,25 @@ def duckdb_py_functions(content: str, lang: str) -> str:
         f"THEN regexp_extract_all({folded}, '{_sq(PY_FUNC_RE)}') "
         f"ELSE [] END"
     )
+
+
+# function-docstring pair mining (CodeSearchNet, Husain et al. 2019
+# §3: (function, docstring) pairs are THE public code-LM/code-search
+# training unit). Name = the def identifier; docstring = the first
+# triple-quoted string opening on the line after the signature — the
+# dominant convention; single-quoted/same-line docstrings are a
+# documented miss, identical on both engines. Constructs are
+# Java-regex/RE2-identical (dotall flag, lazy quantifier, classes).
+PY_NAME_RE = r"^def ([A-Za-z_][A-Za-z0-9_]*)"
+PY_DOCSTRING_RE = '(?s)^[^\\n]*\\n[ \\t]+"""(.*?)"""'
+
+
+def docstring_pairs(unit: str | Column = "unit") -> tuple[Column, Column]:
+    """(func_name, docstring) extractors to apply to an EXPLODED
+    function-unit column (see extract_py_functions); docstring is ''
+    when the unit has none — filter on it. Pure codegen regexp."""
+    u = F.col(unit) if isinstance(unit, str) else unit
+    return (
+        F.regexp_extract(u, PY_NAME_RE, 1),
+        F.regexp_extract(u, PY_DOCSTRING_RE, 1),
+    )

@@ -1,0 +1,44 @@
+"""Unit vectors for function-docstring pair mining
+(functions/code.py § docstring_pairs)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from deduplicatr_spark.functions.code import (
+    docstring_pairs,
+    extract_py_functions,
+)
+
+PY = (
+    'def add(x, y):\n'
+    '    """Add two numbers.\n\n    Multi-line body."""\n'
+    '    return x + y\n'
+    'def bare(z):\n'
+    '    return z\n'
+    'def weird(q):\n'
+    '    x = 1  # """ not a docstring opener on the def line\n'
+    '    return x\n'
+)
+
+
+def test_docstring_extraction(spark):
+    docs = spark.createDataFrame(
+        [(1, PY, "python"), (2, PY, "markdown")],
+        "doc_id long, content string, lang string",
+    )
+    units = docs.select(
+        "doc_id",
+        F.explode(extract_py_functions("content", "lang")).alias("unit"),
+    )
+    name, doc = docstring_pairs("unit")
+    out = (
+        units.select("doc_id", name.alias("n"), doc.alias("d"))
+        .filter(F.col("d") != "")
+        .collect()
+    )
+    # only the python doc yields units; only `add` has a docstring —
+    # `bare` has none and `weird`'s quotes are not on the post-def line
+    assert len(out) == 1
+    assert out[0]["doc_id"] == 1 and out[0]["n"] == "add"
+    assert out[0]["d"] == "Add two numbers.\n\n    Multi-line body."

@@ -1082,6 +1082,28 @@ def _q_docstring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM scoring with stupid backoff (operators/bigram_lm.py —
+    the context-aware step up from the unigram gate; Brants et al.
+    2007's web-scale smoothing). TRAINED on the doc_id%2==0 split and
+    scored on everything, so the odd docs genuinely exercise the
+    backoff branch (self-scoring would make it dead code). Every
+    factor is integer micro-nats from raw counts — ln 0.4 enters as
+    ⌊ln2·1e6⌋−⌊ln5·1e6⌋, never a float literal — so the oracle
+    replays training counts, all three joins and the backoff decision
+    per position with exact integer arithmetic."""
+    from deduplicatr_spark.operators.bigram_lm import (
+        bigram_score,
+        bigram_train,
+    )
+
+    d = _docs(spark, sf_dir).filter(F.col("text").isNotNull()).select(
+        "doc_id", "text"
+    )
+    uni, bi, totals = bigram_train(d.filter(F.col("doc_id") % 2 == 0))
+    return bigram_score(d, uni, bi, totals)
+
+
 def _q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic marker-token language ID."""
     d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
@@ -2930,6 +2952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_decontamination": _q_semantic_decontamination,
         "quality_elect": _q_quality_elect,
         "docstring_pairs": _q_docstring_pairs,
+        "bigram_logprob": _q_bigram_logprob,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "ngram_containment_pairs": _q_ngram_containment_pairs,
         "scan_filter": _q_scan_filter,
@@ -4108,6 +4131,68 @@ SELECT d.doc_id,
        scal.prior_micro + coalesce(pd.sum_w, 0)
          - coalesce(pd.n_tokens, 0) * scal.norm_micro > 0 AS pred
 FROM d LEFT JOIN pd USING (doc_id), scal
+""",
+        # training counts, all three joins and the per-position backoff
+        # decision replayed on raw token strings in exact integers
+        "bigram_logprob": f"""
+WITH d AS (
+  SELECT doc_id,
+         list_transform({_TOKS.format(c="text")}, x -> lower(x)) AS toks
+  FROM documents WHERE text IS NOT NULL
+), tr AS (
+  SELECT toks FROM d WHERE doc_id % 2 = 0
+), uni AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c1
+  FROM tr, unnest(toks) AS u(tok) GROUP BY tok
+), bi AS (
+  SELECT pr[1] AS a, pr[2] AS b, CAST(count(*) AS BIGINT) AS c2
+  FROM (
+    SELECT unnest(list_transform(range(1, len(toks)),
+                                 i -> [toks[i], toks[i + 1]])) AS pr
+    FROM tr
+  ) GROUP BY a, b
+), tot AS (
+  SELECT CAST(floor(ln(sum(c1)) * 1000000) AS BIGINT) AS ln_n FROM uni
+), f_sc AS (
+  SELECT d.doc_id,
+         coalesce(CAST(floor(ln(u.c1) * 1000000) AS BIGINT), 0)
+         - tot.ln_n AS sc
+  FROM d LEFT JOIN uni u ON d.toks[1] = u.tok, tot
+  WHERE len(d.toks) > 0
+), prs AS (
+  SELECT doc_id, pr[1] AS a, pr[2] AS b FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                                         i -> [toks[i], toks[i + 1]])) AS pr
+    FROM d
+  )
+), p_sc AS (
+  SELECT prs.doc_id,
+    CASE WHEN b2.c2 IS NOT NULL AND u1.c1 IS NOT NULL
+         THEN CAST(floor(ln(b2.c2) * 1000000) AS BIGINT)
+              - CAST(floor(ln(u1.c1) * 1000000) AS BIGINT)
+         ELSE -916290
+              + coalesce(CAST(floor(ln(u2.c1) * 1000000) AS BIGINT), 0)
+              - tot.ln_n END AS sc,
+    CASE WHEN b2.c2 IS NOT NULL AND u1.c1 IS NOT NULL
+         THEN 0 ELSE 1 END AS bo
+  FROM prs
+  LEFT JOIN bi b2 ON prs.a = b2.a AND prs.b = b2.b
+  LEFT JOIN uni u1 ON prs.a = u1.tok
+  LEFT JOIN uni u2 ON prs.b = u2.tok, tot
+), agg AS (
+  SELECT doc_id,
+         CAST(coalesce(sum(bo), 0) AS BIGINT) AS n_backoff,
+         CAST(coalesce(sum(sc), 0) AS BIGINT) AS t_sc
+  FROM p_sc GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(d.toks) AS BIGINT) AS n_tokens,
+       coalesce(agg.n_backoff, 0) AS n_backoff,
+       CAST(coalesce(f.sc, 0) + coalesce(agg.t_sc, 0) AS BIGINT)
+         AS score_micro
+FROM d
+LEFT JOIN f_sc f ON d.doc_id = f.doc_id
+LEFT JOIN agg ON d.doc_id = agg.doc_id
 """,
         "unigram_logprob": f"""
 WITH occ AS (

@@ -1,0 +1,165 @@
+"""Corpus-trained bigram LM scoring with stupid backoff.
+
+The context-aware step up from the unigram gate
+(operators/unigram_lm.py): CCNet ranks paragraphs by KenLM 5-gram
+perplexity (Wenzek et al. 2020 §3.2); at web scale the standard
+smoothing is STUPID BACKOFF (Brants et al. 2007 "Large Language
+Models in Machine Translation" §4 — score-based, no normalization,
+designed exactly for distributed count tables):
+
+    S(w_i | w_{i-1}) = c(w_{i-1} w_i) / c(w_{i-1})   if the bigram
+                                                      was seen
+                     = 0.4 · c(w_i) / N               otherwise
+
+A document's score is Σ log S over positions 1..n-1 plus the unigram
+log-prob of the first token. Train/score splits are explicit (train on
+a subset, score everything) — self-scoring would make the backoff
+branch dead, since every document's own bigrams are in its own counts.
+
+Numeric contract (repo convention): every factor is assembled from
+integer micro-nats of raw counts — ``⌊ln(c)·1e6⌋`` per count table
+row, and ln 0.4 enters as ``⌊ln2·1e6⌋ − ⌊ln5·1e6⌋`` (integers of
+integer lns, never a float literal) — so per-document sums are exact
+integers, independent of partitioning and sum order.
+
+Scale shape: bigram and unigram count tables are partial+final hash
+aggregates on 8-byte xxhash64 keys (bigram key = xxhash64 over BOTH
+token hashes, so strings never enter an exchange); scoring is three
+equi-joins on those keys (bigram, context unigram, backoff unigram —
+AQE skew-split covers hot contexts) and one partial+final per-doc
+reduction. The corpus-total N travels as a broadcast row.
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from deduplicatr_spark.functions.text import tokens
+from deduplicatr_spark.operators.lsh import _track
+
+MICRO = 1_000_000
+# ln(0.4) = ln2 − ln5, assembled from integer micro-nats (parity-safe)
+LN04_MICRO = 693147 - 1609437  # == −916290
+
+
+def _micro_ln(col) -> F.Column:
+    return F.floor(F.log(col.cast("double")) * MICRO).cast("long")
+
+
+def _occ(corpus: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, pos, tok_hash, next_hash): one row per token occurrence,
+    next_hash = the following token's hash (NULL for the last)."""
+    toks = F.transform(tokens(text_col), lambda t: F.xxhash64(F.lower(t)))
+    return (
+        corpus.select(F.col(id_col), toks.alias("_h"))
+        .select(
+            id_col,
+            F.posexplode("_h").alias("pos", "tok_hash"),
+            F.size("_h").alias("_n"),
+            "_h",
+        )
+        .select(
+            id_col,
+            "pos",
+            "tok_hash",
+            F.when(
+                F.col("pos") < F.col("_n") - 1,
+                F.element_at("_h", F.col("pos") + 2),
+            ).alias("next_hash"),
+        )
+    )
+
+
+def bigram_train(
+    corpus: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(uni, bi, totals): unigram counts (tok_hash, c1, ln_c1), bigram
+    counts (tok_hash, next_hash, c2, ln_c2), and the one-row corpus
+    total (n_total, ln_n)."""
+    occ = _track(
+        _occ(corpus, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    uni = _track(
+        occ.groupBy("tok_hash")
+        .agg(F.count("*").alias("c1"))
+        .withColumn("ln_c1", _micro_ln(F.col("c1")))
+        .persist()
+    )
+    bi = _track(
+        occ.filter(F.col("next_hash").isNotNull())
+        .groupBy("tok_hash", "next_hash")
+        .agg(F.count("*").alias("c2"))
+        .withColumn("ln_c2", _micro_ln(F.col("c2")))
+        .persist()
+    )
+    totals = uni.agg(
+        F.sum("c1").alias("n_total")
+    ).withColumn("ln_n", _micro_ln(F.col("n_total")))
+    return uni, bi, totals
+
+
+def bigram_score(
+    corpus: DataFrame,
+    uni: DataFrame,
+    bi: DataFrame,
+    totals: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_tokens, n_backoff, score_micro): Σ log-S in integer
+    micro-nats. Tokens/bigrams absent from the training tables back
+    off; a token unseen even as a unigram contributes the backoff
+    penalty with c(w)=1 (add-one floor — ln 0 is not a number)."""
+    occ = _occ(corpus, id_col, text_col)
+    ctx = uni.select(
+        F.col("tok_hash"), F.col("ln_c1").alias("_ln_ctx")
+    )
+    nxt = uni.select(
+        F.col("tok_hash").alias("next_hash"),
+        F.col("ln_c1").alias("_ln_next"),
+    )
+    joined = (
+        occ.join(
+            bi.select("tok_hash", "next_hash", "ln_c2"),
+            ["tok_hash", "next_hash"],
+            "left",
+        )
+        .join(ctx, "tok_hash", "left")
+        .join(nxt, "next_hash", "left")
+    )
+    # position 0: unigram log-prob of the first token (backoff-floored
+    # when the scored corpus has tokens the training split never saw)
+    first = F.when(
+        F.col("pos") == 0,
+        F.coalesce("_ln_ctx", F.lit(0)) - F.col("ln_n"),
+    )
+    seen = F.col("ln_c2").isNotNull() & F.col("_ln_ctx").isNotNull()
+    trans = F.when(
+        F.col("next_hash").isNotNull(),
+        F.when(seen, F.col("ln_c2") - F.col("_ln_ctx")).otherwise(
+            F.lit(LN04_MICRO)
+            + F.coalesce("_ln_next", F.lit(0))
+            - F.col("ln_n")
+        ),
+    ).otherwise(F.lit(0))
+    backoff_flag = F.when(
+        F.col("next_hash").isNotNull() & ~seen, F.lit(1)
+    ).otherwise(F.lit(0))
+    per_doc = (
+        joined.crossJoin(F.broadcast(totals.select("ln_n")))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(backoff_flag).alias("n_backoff"),
+            F.sum(F.coalesce(first, F.lit(0)) + trans).alias("score_micro"),
+        )
+    )
+    spine = corpus.select(id_col)
+    return spine.join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce("n_backoff", F.lit(0)).cast("long").alias("n_backoff"),
+        F.coalesce("score_micro", F.lit(0)).cast("long").alias("score_micro"),
+    )

@@ -1,0 +1,39 @@
+"""Unit vectors for bigram-LM scoring with stupid backoff
+(operators/bigram_lm.py) — hand-computed integer micro-nats."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from deduplicatr_spark.operators.bigram_lm import bigram_score, bigram_train
+
+LN2 = math.floor(math.log(2) * 1e6)   # 693147
+LN4 = math.floor(math.log(4) * 1e6)   # 1386294
+
+
+def test_bigram_backoff_scores(spark):
+    from deduplicatr_spark.operators.lsh import release_tracked
+
+    docs = spark.createDataFrame(
+        [(1, "a b x"), (2, "a b a c"), (3, "")],
+        "doc_id long, text string",
+    )
+    uni, bi, totals = bigram_train(docs.filter(F.col("doc_id") % 2 == 0))
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in bigram_score(docs, uni, bi, totals).collect()
+    }
+    release_tracked()
+    # training split = doc 2 only: uni a:2 b:1 c:1 (N=4), bi ab/ba/ac
+    # doc 2 (in-split): first a = ln2−ln4; ab = ln1−ln2; ba = 0−0;
+    # ac = 0−ln2 → −3·ln2 … all seen, zero backoffs
+    assert out[2]["n_tokens"] == 4 and out[2]["n_backoff"] == 0
+    assert out[2]["score_micro"] == (LN2 - LN4) - LN2 - LN2
+    # doc 1: first a = ln2−ln4; ab seen = −ln2; bx UNSEEN →
+    # ln(0.4) + (x unseen unigram → 0) − ln4
+    assert out[1]["n_tokens"] == 3 and out[1]["n_backoff"] == 1
+    assert out[1]["score_micro"] == (LN2 - LN4) - LN2 + (-916290 - LN4)
+    # empty doc: zero tokens, zero score, never errors
+    assert out[3]["n_tokens"] == 0 and out[3]["score_micro"] == 0

@@ -1104,6 +1104,47 @@ def _q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_score(d, uni, bi, totals)
 
 
+def _q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair-set evaluation as a first-class operator
+    (operators/pair_metrics.py): precision/recall of the fingerprint
+    dup-pair predictor against the corpus's PLANTED truth relations
+    (exact copies, ws variants, near variants, mirror rows — the
+    CORPUS_SQL arithmetic). Fingerprint groups recall every exact/ws/
+    mirror pair (recall < 1 only from the near plants, which change
+    tokens) and predict transitive extras the explicit truth list
+    doesn't enumerate (precision < 1) — both honest, both replayed
+    exactly by the oracle in integer micro-units (hits·1e6 div n)."""
+    from deduplicatr_spark.operators.pair_metrics import pair_metrics
+
+    c = _corpus(spark, sf_dir).withColumn("fp", TXT.fingerprint("content"))
+    g = c.select("fp", "doc_id")
+    pred = (
+        g.withColumnRenamed("doc_id", "doc_a")
+        .join(g.withColumnRenamed("doc_id", "doc_b"), "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
+    planted = _planted(spark, sf_dir)
+    base = planted.filter(F.col("doc_id") < 1000000)
+    rel = lambda mod, off: base.filter(  # noqa: E731
+        F.col("doc_id") % mod == 0
+    ).select(
+        F.col("doc_id").alias("doc_a"),
+        (F.col("doc_id") + off).alias("doc_b"),
+    )
+    mirror = planted.filter(F.col("repo") == "src0").select(
+        F.col("doc_id").alias("doc_a"),
+        (F.col("doc_id") + 4000000).alias("doc_b"),
+    )
+    truth = (
+        rel(10, 1000000)
+        .unionByName(rel(7, 2000000))
+        .unionByName(rel(5, 3000000))
+        .unionByName(mirror)
+    )
+    return pair_metrics(pred, truth)
+
+
 def _q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic marker-token language ID."""
     d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
@@ -2953,6 +2994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_elect": _q_quality_elect,
         "docstring_pairs": _q_docstring_pairs,
         "bigram_logprob": _q_bigram_logprob,
+        "dedup_eval": _q_dedup_eval,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "ngram_containment_pairs": _q_ngram_containment_pairs,
         "scan_filter": _q_scan_filter,
@@ -3981,6 +4023,44 @@ SELECT doc_id, func_name,
        CAST(length(d) AS BIGINT) AS doc_chars,
        sha256(d) AS docstring_sha256
 FROM cap WHERE d <> ''
+""",
+        # prediction, planted truth and the integer micro metrics all
+        # replayed independently (canonicalized, deduped, floor div)
+        "dedup_eval": CORPUS_SQL + """
+, fpg AS (
+  SELECT doc_id,
+    sha256(trim(regexp_replace(content, '\\s+', ' ', 'g'))) AS fp
+  FROM corpus
+), pred AS (
+  SELECT DISTINCT least(a.doc_id, b.doc_id) AS pa,
+                  greatest(a.doc_id, b.doc_id) AS pb
+  FROM fpg a JOIN fpg b ON a.fp = b.fp AND a.doc_id < b.doc_id
+), truth AS (
+  SELECT DISTINCT least(pa, pb) AS pa, greatest(pa, pb) AS pb FROM (
+    SELECT doc_id AS pa, doc_id + 1000000 AS pb FROM planted
+    WHERE doc_id < 1000000 AND doc_id % 10 = 0
+    UNION ALL
+    SELECT doc_id, doc_id + 2000000 FROM planted
+    WHERE doc_id < 1000000 AND doc_id % 7 = 0
+    UNION ALL
+    SELECT doc_id, doc_id + 3000000 FROM planted
+    WHERE doc_id < 1000000 AND doc_id % 5 = 0
+    UNION ALL
+    SELECT doc_id, doc_id + 4000000 FROM planted WHERE repo = 'src0'
+  ) WHERE pa <> pb
+), counts AS (
+  SELECT
+    (SELECT CAST(count(*) AS BIGINT) FROM pred) AS n_pred,
+    (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+    (SELECT CAST(count(*) AS BIGINT)
+     FROM pred JOIN truth USING (pa, pb)) AS n_hit
+)
+SELECT n_pred, n_truth, n_hit,
+       CASE WHEN n_pred > 0 THEN (n_hit * 1000000) // n_pred
+            ELSE 0 END AS precision_micro,
+       CASE WHEN n_truth > 0 THEN (n_hit * 1000000) // n_truth
+            ELSE 0 END AS recall_micro
+FROM counts
 """,
         # fingerprint, full Stack-rule verdict and window election all
         # replayed independently (keep-passing, then compact, then id)

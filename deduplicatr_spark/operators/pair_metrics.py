@@ -1,0 +1,68 @@
+"""Pair-set evaluation: precision/recall of predicted duplicate pairs.
+
+Every dedup paper reports pair precision/recall against a labeled set
+(Lee et al. 2107.06499 §4 evaluate ExactSubstr/NearDup against manual
+labels; SimHash/MinHash papers sweep parameters against truth pairs) —
+and the bench harness here computes recall internally. This makes the
+evaluation a first-class, oracle-checkable operator, so parameter
+sweeps (LSH bands, SimHash radius, winnow window) can run as queries
+over ANY predicted pair set.
+
+Contract: pairs are canonicalized to (least, greatest) and deduped on
+both sides, so orientation and multiplicity can't skew counts; the
+metrics are integer MICRO-units — ``precision_micro = hits·1e6 div
+n_pred`` (floor), likewise recall — exact under any partitioning; F1
+would divide two micro values and is left to the caller (floats).
+
+Scale: two distincts (each pair-set-sized, 16-byte keys) + one
+equi-join + one global count — nothing corpus-sized, nothing
+quadratic. Truth sets at eval time are small; predicted sets are the
+operator outputs already materialized by the pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MICRO = 1_000_000
+
+
+def _canon(pairs: DataFrame, a: str, b: str) -> DataFrame:
+    return pairs.select(
+        F.least(F.col(a), F.col(b)).alias("pa"),
+        F.greatest(F.col(a), F.col(b)).alias("pb"),
+    ).filter(F.col("pa") != F.col("pb")).distinct()
+
+
+def pair_metrics(
+    predicted: DataFrame,
+    truth: DataFrame,
+    pred_cols: tuple[str, str] = ("doc_a", "doc_b"),
+    truth_cols: tuple[str, str] = ("doc_a", "doc_b"),
+) -> DataFrame:
+    """One row: (n_pred, n_truth, n_hit, precision_micro,
+    recall_micro). Self-pairs dropped, orientation/multiplicity
+    canonicalized on both sides."""
+    p = _canon(predicted, *pred_cols)
+    t = _canon(truth, *truth_cols)
+    hits = p.join(t, ["pa", "pb"]).agg(F.count("*").alias("n_hit"))
+    np_ = p.agg(F.count("*").alias("n_pred"))
+    nt = t.agg(F.count("*").alias("n_truth"))
+    return (
+        np_.crossJoin(nt)
+        .crossJoin(hits)
+        .select(
+            "n_pred",
+            "n_truth",
+            "n_hit",
+            F.when(
+                F.col("n_pred") > 0,
+                F.expr(f"(n_hit * {MICRO}) div n_pred"),
+            ).otherwise(F.lit(0)).cast("long").alias("precision_micro"),
+            F.when(
+                F.col("n_truth") > 0,
+                F.expr(f"(n_hit * {MICRO}) div n_truth"),
+            ).otherwise(F.lit(0)).cast("long").alias("recall_micro"),
+        )
+    )

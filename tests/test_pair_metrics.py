@@ -1,0 +1,30 @@
+"""Unit vectors for pair-set evaluation (operators/pair_metrics.py)."""
+
+from __future__ import annotations
+
+from deduplicatr_spark.operators.pair_metrics import pair_metrics
+
+
+def test_pair_metrics_canonicalization(spark):
+    # predicted: a reversed duplicate of (1,2), a self-pair (dropped),
+    # one false positive (3,4); truth: (1,2), (5,6)
+    pred = spark.createDataFrame(
+        [(2, 1), (1, 2), (7, 7), (3, 4)], "doc_a long, doc_b long"
+    )
+    truth = spark.createDataFrame(
+        [(1, 2), (6, 5)], "doc_a long, doc_b long"
+    )
+    row = pair_metrics(pred, truth).collect()[0].asDict()
+    assert row["n_pred"] == 2          # (1,2) deduped, (7,7) dropped
+    assert row["n_truth"] == 2
+    assert row["n_hit"] == 1
+    assert row["precision_micro"] == 500_000
+    assert row["recall_micro"] == 500_000
+
+
+def test_pair_metrics_empty_sides(spark):
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    truth = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    row = pair_metrics(empty, truth).collect()[0].asDict()
+    assert row["n_pred"] == 0 and row["n_hit"] == 0
+    assert row["precision_micro"] == 0 and row["recall_micro"] == 0

@@ -146,6 +146,18 @@ class PipelineConfig:
     fork_prefilter: bool = False
     fork_tau: float = 0.8
 
+    # --- quality prefilter (SURVEY §2.55) ---
+    # When True the pipeline drops rows failing The Stack/StarCoder
+    # quality rules (functions/code_quality.py) right after identity —
+    # production pipelines filter BEFORE near-dedup (C4/Gopher filter
+    # first; The Stack's filters precede its MinHash pass), so junk
+    # (minified bundles, generated protobufs, base64 payloads) never
+    # pays for features, banding or verification. The verdict table is
+    # checkpointed and the drop counts land in the metrics ledger (no
+    # silent drops). Changes which rows exist downstream →
+    # config-hashed like every knob.
+    quality_prefilter: bool = False
+
     # --- head-snapshot materialization (SURVEY §2.52) ---
     # When True the pipeline first collapses the VERSIONED input
     # (repo, path, commit, …) to each file's latest commit

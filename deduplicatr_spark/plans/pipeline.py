@@ -47,6 +47,7 @@ STAGES = [
     "s0_snapshot",  # opt-in (config.snapshot_head)
     "s1_identity",
     "s1_forks",   # opt-in (config.fork_prefilter)
+    "s1_quality",  # opt-in (config.quality_prefilter)
     "s1_exact",
     "s2_features",
     "s3_candidates",
@@ -140,6 +141,42 @@ class DedupPipeline:
             # semi join on a repo-name dimension (narrow; AQE broadcasts
             # it in-sandbox — on a lake, bucket identity by repo)
             identity = identity.join(kept, "repo", "left_semi")
+
+        if cfg.quality_prefilter:
+            # s1_quality: The Stack/StarCoder rule gate BEFORE any
+            # near-dup work (production order: C4/Gopher/The Stack all
+            # filter first) — a dropped minified bundle or generated
+            # file never pays for features, banding, verification or
+            # clustering. Verdicts are checkpointed; drops are counted
+            # into the metrics ledger (no silent drops).
+            from deduplicatr_spark.functions.code_quality import (
+                stack_quality_columns,
+            )
+
+            def _quality():
+                return identity.select(
+                    "doc_id", *stack_quality_columns("content")
+                ).select("doc_id", "stack_keep", "stack_reason")
+
+            def _quality_stage():
+                verdicts = store.get_or_compute("s1_quality", _quality)
+                drops = (
+                    verdicts.groupBy("stack_reason")
+                    .count()
+                    .collect()
+                )
+                metrics.append({
+                    "stage": "s1_quality", "kind": "quality_drops",
+                    **{f"n_{r['stack_reason']}": r["count"] for r in drops},
+                })
+                return verdicts
+
+            verdicts = timed("s1_quality", _quality_stage)
+            identity = identity.join(
+                verdicts.filter(F.col("stack_keep")).select("doc_id"),
+                "doc_id",
+                "left_semi",
+            )
 
         def _exact():
             narrow = identity.select("doc_id", "sha256", "size")

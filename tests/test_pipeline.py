@@ -245,3 +245,43 @@ def test_comment_strip_profile_merges_comment_variants(spark, tiny_docs, tmp_pat
     for repo, path in keys:
         assert c_on[(repo, path)] == c_on[(repo, path + ".cmt")], (repo, path)
         assert c_off[(repo, path)] != c_off[(repo, path + ".cmt")], (repo, path)
+
+
+def test_quality_prefilter_drops_junk_before_per_file_work(
+    spark, tiny_docs, tmp_path
+):
+    """With quality_prefilter=True a planted junk doc (1200-char
+    single line — fails the avg-line rule) never reaches assignments,
+    its drop is ledgered by reason, a clean multi-line doc survives,
+    and every other row still gets exactly one assignment."""
+    junk = tiny_docs.limit(1).select(
+        F.lit("qrepo").alias("repo"),
+        F.lit("junk/min.js").alias("path"),
+        F.lit("c0").alias("commit"),
+        F.lit("javascript").alias("lang"),
+        F.lit("x" * 1200).alias("content"),
+    )
+    docs = tiny_docs.unionByName(junk)
+    cfg = PipelineConfig(quality_prefilter=True)
+    pipe = DedupPipeline(spark, cfg, str(tmp_path / "q"))
+    out = pipe.run(docs)
+    paths = {r.path for r in out.select("path").collect()}
+    assert "junk/min.js" not in paths
+    # exactly the rule-passing rows survive (a few fixture docs fail
+    # the rules too — the gate, not this test, decides which)
+    from deduplicatr_spark.functions.code_quality import (
+        stack_quality_columns,
+    )
+
+    n_keep = (
+        docs.select(*stack_quality_columns("content"))
+        .filter(F.col("stack_keep"))
+        .count()
+    )
+    assert out.count() == n_keep < docs.count()
+    ledger = [
+        r for r in pipe.store.read_metrics()
+        if r.get("kind") == "quality_drops"
+    ]
+    assert ledger and ledger[0]["stage"] == "s1_quality"
+    assert ledger[0].get("n_long_avg_line", 0) >= 1

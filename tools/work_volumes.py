@@ -392,6 +392,119 @@ def _wl_substr_inc(spark, mult: int) -> None:
         df.unpersist()
 
 
+def _wl_curation_ops(spark, mult: int) -> None:
+    """The round-4 curation layer end to end: Stack quality rules +
+    secrets scan (one codegen pass), notebook conversion, NB
+    classifier train+score, bigram LM train+score (odd/even split),
+    mixture rates+copies, quality election over fingerprint clusters,
+    docstring mining, import PageRank."""
+    from pyspark.sql import functions as F
+
+    from bench import amplified_corpus
+    from deduplicatr_spark.functions.code import (
+        docstring_pairs,
+        extract_py_functions,
+    )
+    from deduplicatr_spark.functions.code_quality import (
+        stack_quality_columns,
+    )
+    from deduplicatr_spark.functions.notebooks import notebook_columns
+    from deduplicatr_spark.functions.secrets import secret_count_columns
+    from deduplicatr_spark.functions.text import fingerprint, token_count
+    from deduplicatr_spark.operators.bigram_lm import (
+        bigram_score,
+        bigram_train,
+    )
+    from deduplicatr_spark.operators.election import quality_elect
+    from deduplicatr_spark.operators.lsh import release_tracked
+    from deduplicatr_spark.operators.mixture import (
+        mixture_copies,
+        source_rates,
+    )
+    from deduplicatr_spark.operators.nb_classifier import nb_score, nb_train
+    from deduplicatr_spark.operators.repo_rank import (
+        import_edges,
+        pagerank_micro,
+    )
+
+    corpus = amplified_corpus(spark, SF_DIR, mult).persist()
+    corpus.count()
+    # one codegen pass: quality + secrets
+    corpus.select(
+        *stack_quality_columns("content"), *secret_count_columns("content")
+    ).agg(F.sum(F.col("stack_keep").cast("long")),
+          F.sum(F.col("has_secret").cast("long"))).collect()
+    # notebook conversion over synthesized JSON
+    corpus.select(
+        F.concat(
+            F.lit('{"cells":[{"cell_type":"code","source":"'),
+            F.regexp_replace(F.substring("content", 1, 2000),
+                             '[^A-Za-z0-9 ]', ""),
+            F.lit('"}],"nbformat":4}'),
+        ).alias("notebook")
+    ).select(*notebook_columns("notebook")).agg(
+        F.sum("n_code_cells"), F.sum(F.length("script"))
+    ).collect()
+    ided = corpus.select(
+        F.xxhash64("repo", "path", "commit").alias("doc_id"),
+        F.col("content").alias("text"),
+        "lang", "repo", "content",
+    )
+    model, scalars = nb_train(
+        ided.select("doc_id", "text", (F.col("lang") == "en").alias("y")),
+        label_col="y",
+    )
+    nb_score(ided, model, scalars).agg(F.sum("score_micro")).collect()
+    release_tracked()
+    uni, bi, tot = bigram_train(ided.filter(F.col("doc_id") % 2 == 0))
+    bigram_score(ided, uni, bi, tot).agg(
+        F.sum("score_micro"), F.sum("n_backoff")
+    ).collect()
+    release_tracked()
+    mx = ided.select(
+        "doc_id", F.col("lang").alias("source"), "text",
+        token_count("text").cast("long").alias("n_tokens"),
+    )
+    mixture_copies(mx, source_rates(mx, 10_000_000)).agg(
+        F.sum("n_copies")
+    ).collect()
+    quality_elect(
+        ided.select(
+            "doc_id", fingerprint("content").alias("fp"),
+            F.length("content").cast("long").alias("chars"),
+            *stack_quality_columns("content"),
+        ).select("doc_id", "fp", "chars", "stack_keep"),
+        cluster_col="fp",
+        order_keys=[F.col("stack_keep").desc(), F.col("chars").asc()],
+    ).agg(F.sum(F.col("is_kept").cast("long"))).collect()
+    units = ided.select(
+        "doc_id",
+        F.explode(
+            extract_py_functions("content", F.lit("python"))
+        ).alias("unit"),
+    )
+    name, doc = docstring_pairs("unit")
+    units.select(name.alias("n"), doc.alias("d")).filter(
+        F.col("d") != ""
+    ).agg(F.count("*")).collect()
+    planted = ided.withColumn(
+        "content",
+        F.concat(
+            "content",
+            F.when(
+                F.xxhash64("doc_id") % 6 == 0,
+                F.concat(F.lit("\nimport src"),
+                         (F.abs(F.xxhash64("repo")) % 8).cast("string")),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    pagerank_micro(
+        import_edges(planted), ided.select("repo"), iterations=3
+    ).agg(F.sum("rank_micro")).collect()
+    release_tracked()
+    corpus.unpersist()
+
+
 WORKLOADS = {
     "pipeline": _wl_pipeline,
     "round3_ops": _wl_round3_ops,
@@ -400,6 +513,7 @@ WORKLOADS = {
     "clone_ops": _wl_clone_ops,
     "history_ops": _wl_history_ops,
     "substr_inc": _wl_substr_inc,
+    "curation_ops": _wl_curation_ops,
 }
 
 

@@ -58,6 +58,13 @@ def parse_args(argv: list[str]):
         "checkpoints",
     )
     p.add_argument(
+        "--quality-prefilter", action="store_true",
+        help="drop rows failing The Stack/StarCoder quality rules "
+        "(SURVEY §2.55, s1_quality) before any near-dup work — "
+        "production filter-then-dedup order; drops ledgered by "
+        "reason; config-hashed",
+    )
+    p.add_argument(
         "--no-warmup", action="store_true",
         help="skip the untimed JIT/codegen warmup pass (a small pipeline "
         "run on ~3k rows; without it the first verify/join stages run "
@@ -85,6 +92,7 @@ def main(argv: list[str]) -> None:
         fork_prefilter=args.fork_prefilter,
         fork_tau=args.fork_tau,
         snapshot_head=args.snapshot_head,
+        quality_prefilter=args.quality_prefilter,
     )
 
     if args.amplify_sf_dir:

@@ -502,6 +502,87 @@ def main() -> None:
         "carries content bytes.",
     ))
 
+    # --- round-4 curation layer ---------------------------------------
+    from deduplicatr_spark.functions.code_quality import (  # noqa: E402
+        stack_quality_columns,
+    )
+    from deduplicatr_spark.functions.notebooks import (  # noqa: E402
+        notebook_columns,
+    )
+    from deduplicatr_spark.functions.secrets import (  # noqa: E402
+        secret_count_columns,
+        secret_redacted,
+    )
+
+    per_row = docs.select(
+        *stack_quality_columns("content"),
+        *secret_count_columns("content"),
+        secret_redacted("content").alias("red"),
+        *notebook_columns("content"),
+    )
+    cur_plan = captured_explain(per_row)
+    assert "Exchange" not in cur_plan, "per-row curation pass shuffles"
+    assert "EvalPython" not in cur_plan, "curation pass fell back to Python"
+    sections.append((
+        "Curation per-row pass (§2.55–2.57: quality + secrets + notebooks)",
+        cur_plan,
+        "What to check (plan-asserted: zero Exchange, zero Python eval): "
+        "the whole layer — Stack rules, secret counts, the 5-pattern "
+        "redaction chain, from_json notebook conversion — is ONE "
+        "WholeStageCodegen projection over the scan. At 100 TB this "
+        "stage's cost is exactly one content read per row; it composes "
+        "with any downstream operator without adding a boundary.",
+    ))
+
+    from deduplicatr_spark.operators.nb_classifier import (  # noqa: E402
+        nb_score, nb_train,
+    )
+
+    ided_docs = docs.select(
+        "doc_id", F.col("content").alias("text"),
+        (F.col("lang") == "en").alias("y"),
+    )
+    model, scalars = nb_train(ided_docs, label_col="y")
+    nb_plan = captured_explain(nb_score(ided_docs, model, scalars))
+    for line in nb_plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "_raw" not in line, "raw token string in an exchange"
+    sections.append((
+        "Naive Bayes classifier train+score (§2.59)",
+        nb_plan,
+        "What to check (plan-asserted: no raw token strings in any "
+        "hash-partitioned exchange): the class-count aggregate and the "
+        "per-doc reduction are partial+final HashAggregates on 8-byte "
+        "xxhash64 keys; the scalars frame enters via one broadcast "
+        "(1-row) crossJoin. The model join is an equi join on tok_hash — "
+        "AQE's skew split covers hot tokens at scale.",
+    ))
+
+    from deduplicatr_spark.operators.repo_rank import (  # noqa: E402
+        import_edges, pagerank_micro,
+    )
+
+    pr = pagerank_micro(
+        import_edges(docs.select("repo", "content")),
+        docs.select("repo"),
+        iterations=2,
+    )
+    pr_plan = captured_explain(pr)
+    assert "BroadcastNestedLoopJoin" not in pr_plan, "PageRank all-pairs join"
+    assert "CartesianProduct" not in pr_plan
+    sections.append((
+        "Import-graph PageRank (§2.58)",
+        pr_plan,
+        "What to check (plan-asserted: no nested-loop/cartesian joins): "
+        "edge extraction is a codegen regexp pass + an equi join on the "
+        "module name + ONE distinct on 16-byte pairs (the only "
+        "corpus-sized exchange); every power iteration is an equi join "
+        "plus a partial+final HashAggregate on repo keys, all integer "
+        "arithmetic (div) — no float accumulation anywhere in the plan.",
+    ))
+    from deduplicatr_spark.operators.lsh import release_tracked as _rt
+    _rt()
+
     out = [
         "# PLANS — physical-plan review of the headline operators",
         "",

@@ -1145,6 +1145,38 @@ def _q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pair_metrics(pred, truth)
 
 
+def _q_top_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-duplicated passages report (operators/report.py — Lee et
+    al. 2107.06499 §6 publish exactly this table as dedup evidence):
+    top-20 word-8-grams by distinct-document frequency, ties broken by
+    the gram string so the cut is total-ordered. Planted copies/
+    mirrors give the report real signal. The oracle recomputes the
+    full per-doc-distinct gram counts and replays the ordered cut."""
+    from deduplicatr_spark.operators.report import top_repeated_ngrams
+
+    return top_repeated_ngrams(_corpus(spark, sf_dir), n=8, k=20)
+
+
+def _q_corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source data card (operators/report.py — the datasheet table
+    every public corpus ships: The Pile §2, The Stack §2): docs,
+    bytes, tokens, whole-corpus exact-dup counts, dup fraction in
+    integer micro-units, dominant language. The oracle replays every
+    aggregate including the cross-source sha counting and the
+    window-elected top language."""
+    from deduplicatr_spark.operators.report import corpus_data_card
+
+    c = _corpus(spark, sf_dir)
+    ident = c.select(
+        "repo",
+        "lang",
+        "content",
+        F.sha2("content", 256).alias("sha256"),
+        F.length("content").cast("long").alias("size"),
+    )
+    return corpus_data_card(ident)
+
+
 def _q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic marker-token language ID."""
     d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
@@ -2995,6 +3027,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docstring_pairs": _q_docstring_pairs,
         "bigram_logprob": _q_bigram_logprob,
         "dedup_eval": _q_dedup_eval,
+        "top_repeated_ngrams": _q_top_repeated_ngrams,
+        "corpus_data_card": _q_corpus_data_card,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "ngram_containment_pairs": _q_ngram_containment_pairs,
         "scan_filter": _q_scan_filter,
@@ -4023,6 +4057,61 @@ SELECT doc_id, func_name,
        CAST(length(d) AS BIGINT) AS doc_chars,
        sha256(d) AS docstring_sha256
 FROM cap WHERE d <> ''
+""",
+        # full per-doc-distinct gram count table + the ordered cut
+        "top_repeated_ngrams": CORPUS_SQL + f"""
+, t AS (
+  SELECT doc_id,
+         list_transform({_TOKS.format(c="content")}, x -> lower(x)) AS toks
+  FROM corpus
+), g AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(toks) < 8 THEN CAST([] AS VARCHAR[])
+         ELSE list_distinct(list_transform(range(1, len(toks) - 6),
+              i -> array_to_string(list_slice(toks, i, i + 7), ' ')))
+    END) AS gram
+  FROM t
+)
+SELECT gram, CAST(count(*) AS BIGINT) AS n_docs,
+       min(doc_id) AS example_doc
+FROM g GROUP BY gram
+ORDER BY n_docs DESC, gram ASC LIMIT 20
+""",
+        # every aggregate replayed: cross-source sha counts, byte/token
+        # sums, integer micro dup fraction, window-elected top language
+        "corpus_data_card": CORPUS_SQL + f"""
+, r AS (
+  SELECT repo AS source, lang,
+         CAST(length(content) AS BIGINT) AS bytes,
+         CAST(len({_TOKS.format(c="content")}) AS BIGINT) AS toks,
+         sha256(content) AS sha
+  FROM corpus
+), shac AS (
+  SELECT sha, count(*) AS n FROM r GROUP BY sha
+), rows_d AS (
+  SELECT r.source, r.lang, r.bytes, r.toks,
+         CASE WHEN shac.n > 1 THEN 1 ELSE 0 END AS is_dup
+  FROM r JOIN shac USING (sha)
+), top_lang AS (
+  SELECT source, lang AS top_lang FROM (
+    SELECT source, lang,
+           row_number() OVER (
+             PARTITION BY source
+             ORDER BY count(*) DESC, lang ASC) AS rn
+    FROM rows_d GROUP BY source, lang
+  ) WHERE rn = 1
+), card AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(bytes) AS BIGINT) AS n_bytes,
+         CAST(sum(toks) AS BIGINT) AS n_tokens,
+         CAST(sum(is_dup) AS BIGINT) AS n_exact_dup_docs
+  FROM rows_d GROUP BY source
+)
+SELECT card.source, n_docs, n_bytes, n_tokens, n_exact_dup_docs,
+       (n_exact_dup_docs * 1000000) // n_docs AS dup_frac_micro,
+       top_lang
+FROM card JOIN top_lang ON card.source = top_lang.source
 """,
         # prediction, planted truth and the integer micro metrics all
         # replayed independently (canonicalized, deduped, floor div)

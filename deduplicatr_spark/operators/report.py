@@ -1,0 +1,107 @@
+"""Corpus diagnostics: most-duplicated passages + per-source data card.
+
+Two release-time reports every corpus effort publishes:
+
+* **Top repeated n-grams** — Lee et al. 2107.06499 (§6, Table 4) show
+  the most-duplicated passages of C4/RealNews as the headline evidence
+  for dedup; the diagnostic is "which word-n-grams appear in the most
+  DISTINCT documents". Per-doc-distinct n-grams (so a doc repeating a
+  phrase internally votes once), partial+final count aggregate, then a
+  TakeOrderedAndProject top-k (no global sort — the same shape as the
+  vocab query), ties broken by the gram string so the cut is
+  total-ordered and engine-independent.
+
+* **Data card** — the per-source statistics table shipped with every
+  public corpus (The Pile's datasheet, Gao et al. 2020 §2; The Stack
+  publishes per-language size/file tables, Kocetkov et al. 2022 §2):
+  docs, bytes, tokens, exact-dup counts against the WHOLE corpus, the
+  source's dominant language. One sha-keyed count join + one groupBy
+  per source; dup fractions in integer micro-units (floor div).
+
+Scale: the n-gram report's single exchange is keyed on the gram
+STRING only because the output needs the text of the top-k; a 100 TB
+run would aggregate on xxhash64(gram) and join the strings back for
+the k survivors — noted here, and the per-doc-distinct explode is the
+only corpus-sized stage either way. The data card exchanges carry
+(sha256, repo, lang) — fixed-width keys, partial+final everywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from deduplicatr_spark.functions.text import token_count, word_ngrams
+
+MICRO = 1_000_000
+
+
+def top_repeated_ngrams(
+    corpus: DataFrame,
+    n: int = 8,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+) -> DataFrame:
+    """Top-k word-n-grams by DISTINCT-document frequency:
+    (gram, n_docs, example_doc). example_doc = min id containing it."""
+    grams = corpus.select(
+        F.col(id_col),
+        F.explode(word_ngrams(n, text_col)).alias("gram"),
+    )
+    counts = grams.groupBy("gram").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min(id_col).alias("example_doc"),
+    )
+    return counts.orderBy(
+        F.col("n_docs").desc(), F.col("gram").asc()
+    ).limit(k)
+
+
+def corpus_data_card(
+    identified: DataFrame,
+    source_col: str = "repo",
+    text_col: str = "content",
+) -> DataFrame:
+    """Per-source release stats: (source, n_docs, n_bytes, n_tokens,
+    n_exact_dup_docs, dup_frac_micro, top_lang). A doc counts as an
+    exact dup when its sha256 appears >1 time in the WHOLE corpus —
+    cross-source copies count in every source holding one."""
+    sha_counts = identified.groupBy("sha256").agg(
+        F.count("*").alias("_sha_n")
+    )
+    rows = identified.join(sha_counts, "sha256").select(
+        F.col(source_col).alias("source"),
+        "lang",
+        F.col("size").cast("long").alias("_bytes"),
+        token_count(text_col).cast("long").alias("_toks"),
+        (F.col("_sha_n") > 1).cast("long").alias("_is_dup"),
+    )
+    per_lang = rows.groupBy("source", "lang").agg(
+        F.count("*").alias("_n")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("_n").desc(), F.col("lang").asc()
+    )
+    top_lang = (
+        per_lang.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("source", F.col("lang").alias("top_lang"))
+    )
+    card = rows.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("_bytes").cast("long").alias("n_bytes"),
+        F.sum("_toks").cast("long").alias("n_tokens"),
+        F.sum("_is_dup").cast("long").alias("n_exact_dup_docs"),
+    )
+    return card.join(top_lang, "source").select(
+        "source",
+        "n_docs",
+        "n_bytes",
+        "n_tokens",
+        "n_exact_dup_docs",
+        F.expr(f"(n_exact_dup_docs * {MICRO}) div n_docs")
+        .cast("long")
+        .alias("dup_frac_micro"),
+        "top_lang",
+    )

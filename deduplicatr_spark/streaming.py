@@ -288,6 +288,28 @@ def streaming_near_dedup(
 
     def _process(batch: DataFrame, epoch_id: int) -> None:
         s = batch.sparkSession
+        judged = None
+        if getattr(config, "quality_prefilter", False):
+            # quality gate IN-STREAM (the batch pipeline's s1_quality
+            # twin): rule failures are REJECTED before identity and
+            # written per-epoch with their reason — the exactly-once
+            # contract becomes "every input row appears in assignments
+            # OR rejected", and a crash replay overwrites its own
+            # epoch dir like every other write here
+            from deduplicatr_spark.functions.code_quality import (
+                stack_quality_columns,
+            )
+
+            judged = batch.select(
+                "*", *stack_quality_columns("content")
+            ).persist()
+            judged.count()
+            judged.filter(~F.col("stack_keep")).select(
+                *doc_cols, "stack_reason"
+            ).withColumn("epoch", F.lit(int(epoch_id))).write.mode(
+                "overwrite"
+            ).parquet(f"{output_dir}/rejected/e{int(epoch_id)}")
+            batch = judged.filter(F.col("stack_keep")).select(*doc_cols)
         ranked = (
             with_identity(batch)
             .withColumn(
@@ -301,6 +323,8 @@ def streaming_near_dedup(
         # materialize NOW: every later job must read the micro-batch
         # from this cache, never re-execute the (single-epoch) source
         ranked.count()
+        if judged is not None:
+            judged.unpersist()  # ranked holds the kept rows now
         surv = ranked.filter(F.col("_rn") == 1).drop("_rn")
         try:
             ep = int(epoch_id)

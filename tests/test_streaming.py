@@ -437,3 +437,43 @@ def test_streaming_commit_ingest_supersede_retire_stale(spark):
         assert live == {("a.txt", "c1"), ("b.txt", "c0")}
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_streaming_near_dedup_quality_gate(spark):
+    """With quality_prefilter=True the in-stream gate rejects a junk
+    doc (1200-char single line) BEFORE identity — it lands in
+    <out>/rejected with its reason, never in admitted or assignments —
+    while a clean doc is admitted; exactly-once becomes assignments ∪
+    rejected."""
+    import shutil as _sh
+
+    from deduplicatr_spark.config import PipelineConfig
+
+    cfg = PipelineConfig(quality_prefilter=True)
+    root, d = _near_dirs_fixture()
+    try:
+        clean = "def alpha(): return compute(alpha_input) + 1\n" * 4
+        _doc_rows(
+            spark,
+            [
+                ("r", "ok.py", "c0", "py", clean),
+                ("r", "junk.min.js", "c0", "js", "x" * 1200),
+            ],
+        ).write.parquet(os.path.join(d["in"], "batch1"))
+        _run_near(spark, d, cfg)
+        admitted = spark.read.option("recursiveFileLookup", "true").parquet(
+            f"{d['out']}/admitted"
+        )
+        assert [r["path"] for r in admitted.collect()] == ["ok.py"]
+        asg = spark.read.option("recursiveFileLookup", "true").parquet(
+            f"{d['out']}/assignments"
+        )
+        assert asg.count() == 1  # only the clean doc
+        rej = spark.read.option("recursiveFileLookup", "true").parquet(
+            f"{d['out']}/rejected"
+        )
+        rows = rej.collect()
+        assert [r["path"] for r in rows] == ["junk.min.js"]
+        assert rows[0]["stack_reason"] == "long_avg_line"
+    finally:
+        _sh.rmtree(root, ignore_errors=True)

@@ -38,10 +38,12 @@ touches only:
    batch re-cluster).
 
 ``IncrementalPipeline`` wraps the same stages with CheckpointStore
-commits (i1_identity → i2_exact/i2_rest → i3_features → i4_near →
-i5_assignments) so a killed increment resumes from its last completed
-stage instead of zero — the same idempotent-resume contract as the
-batch pipeline (SURVEY.md §2.12).
+commits (i0_quality [opt-in] → i1_identity → i2_exact/i2_rest →
+i3_features → i4_near → i5_assignments) so a killed increment resumes
+from its last completed stage instead of zero — the same
+idempotent-resume contract as the batch pipeline (SURVEY.md §2.12).
+With ``config.quality_prefilter`` the delta passes the same Stack-rule
+gate the batch pipeline's s1_quality enforces, drops ledgered.
 """
 
 from __future__ import annotations
@@ -654,7 +656,7 @@ class IncrementalPipeline:
     written here.
     """
 
-    STAGES = ["i1_identity", "i2_exact", "i2_rest", "i2_delta_dups",
+    STAGES = ["i0_quality", "i1_identity", "i2_exact", "i2_rest", "i2_delta_dups",
               "i3_features", "i4_near", "i4a_substring",
               "i4b_delta_links", "i5_assignments"]
 
@@ -693,6 +695,33 @@ class IncrementalPipeline:
                     if cfg.incremental_simhash
                     else band_bucket_stats(base_features)
                 ),
+            )
+
+        if cfg.quality_prefilter:
+            # the batch pipeline's s1_quality twin: a delta doc failing
+            # The Stack rules never reaches identity/features/banding —
+            # increments can't sneak junk past the gate the batch
+            # corpus enforces. Verdicts checkpointed, drops ledgered.
+            from deduplicatr_spark.functions.code_quality import (
+                stack_quality_columns,
+            )
+
+            def _quality():
+                return new_docs.select(
+                    "*", *stack_quality_columns("content")
+                ).select(*new_docs.columns, "stack_keep", "stack_reason")
+
+            verdicts = store.get_or_compute("i0_quality", _quality)
+            drops = (
+                verdicts.filter(~F.col("stack_keep"))
+                .groupBy("stack_reason").count().collect()
+            )
+            store.write_metrics([{
+                "stage": "i0_quality", "kind": "quality_drops",
+                **{f"n_{r['stack_reason']}": r["count"] for r in drops},
+            }])
+            new_docs = verdicts.filter(F.col("stack_keep")).select(
+                *new_docs.columns
             )
 
         ident = store.get_or_compute(

@@ -641,3 +641,43 @@ def test_incremental_pipeline_kill_resume(spark, tmp_path):
     # full resume: every stage committed → a rerun touches nothing
     out2 = pipe2.run(poisoned, base_ident, feats, clusters, base_band_stats=stats)
     assert sorted(map(tuple, out2.collect())) == sorted(map(tuple, out.collect()))
+
+
+def test_incremental_pipeline_quality_gate(spark, tmp_path):
+    """IncrementalPipeline with quality_prefilter=True: a junk delta
+    doc (1200-char single line) is dropped at i0 — no assignment row,
+    its drop ledgered by reason — while a clean delta doc still runs
+    the full path; increments can't sneak junk past the batch gate."""
+    cfg = PipelineConfig(quality_prefilter=True)
+    base = spark.createDataFrame(
+        [("r0", "m.py", "c0", "py",
+          "def compute(x):\n    return x + 1\n" * 5)],
+        DOCS_SCHEMA,
+    )
+    base_ident = with_identity(base).select("doc_id", "sha256")
+    bid = base_ident.collect()[0]["doc_id"]
+    clusters = spark.createDataFrame(
+        [(bid, bid)], "doc_id long, cluster_id long"
+    )
+    feats = with_identity(base).select(
+        "doc_id", features_udf(cfg)(normalized("content")).alias("f")
+    ).select("doc_id", "f.*")
+    new = spark.createDataFrame(
+        [
+            ("rX", "fresh.py", "c1", "py", "wholly new tokens here\n" * 6),
+            ("rX", "junk.min.js", "c1", "js", "x" * 1200),
+        ],
+        DOCS_SCHEMA,
+    )
+    nid = {r["path"]: r["doc_id"] for r in with_identity(new).collect()}
+    pipe = IncrementalPipeline(spark, cfg, str(tmp_path / "incq"))
+    out = pipe.run(new, base_ident, feats, clusters)
+    got = {r["doc_id"]: r["via"] for r in out.collect()}
+    assert nid["junk.min.js"] not in got
+    assert got[nid["fresh.py"]] == "new"
+    ledger = [
+        r for r in pipe.store.read_metrics()
+        if r.get("kind") == "quality_drops"
+    ]
+    assert ledger and ledger[0]["stage"] == "i0_quality"
+    assert ledger[0].get("n_long_avg_line", 0) == 1

@@ -1177,6 +1177,42 @@ def _q_corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_data_card(ident)
 
 
+def _q_snapshot_near_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOVE/EDIT detection across snapshots (operators/diff.py §
+    near_diff_moves — git-rename-detection semantics at corpus scale):
+    the new snapshot DROPS doc_id%9==0 rows, RENAMES %9==1 (same
+    content, '.moved' path) and RENAME+EDITS %9==2 ('.edit' path,
+    edited tail), so the exact diff sees only removed/added keys while
+    the near layer pairs them back up: byte-identical → 'renamed',
+    else 'edited' (the sha decides, not jaccard — reordered docs can
+    hit jaccard 1.0). Sides stay disjoint by id parity and flow
+    through the PPJoin prefix core. The oracle replays the diff and an
+    exhaustive removed×added cross jaccard."""
+    from deduplicatr_spark.operators.diff import near_diff_moves
+
+    old = _corpus(spark, sf_dir)
+    m = F.col("doc_id") % 9
+    new = (
+        old.filter(m != 0)
+        .withColumn(
+            "path",
+            F.when(m == 1, F.concat("path", F.lit(".moved")))
+            .when(m == 2, F.concat("path", F.lit(".edit")))
+            .otherwise(F.col("path")),
+        )
+        .withColumn(
+            "content",
+            F.when(
+                m == 2,
+                F.concat(
+                    "content", F.lit(" edited tail alpha beta gamma delta")
+                ),
+            ).otherwise(F.col("content")),
+        )
+    )
+    return near_diff_moves(old, new, ["repo", "path"], tau=0.5)
+
+
 def _q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic marker-token language ID."""
     d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
@@ -3029,6 +3065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_eval": _q_dedup_eval,
         "top_repeated_ngrams": _q_top_repeated_ngrams,
         "corpus_data_card": _q_corpus_data_card,
+        "snapshot_near_diff": _q_snapshot_near_diff,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "ngram_containment_pairs": _q_ngram_containment_pairs,
         "scan_filter": _q_scan_filter,
@@ -4057,6 +4094,47 @@ SELECT doc_id, func_name,
        CAST(length(d) AS BIGINT) AS doc_chars,
        sha256(d) AS docstring_sha256
 FROM cap WHERE d <> ''
+""",
+        # exact diff + exhaustive removed×added cross jaccard, sha
+        # deciding renamed-vs-edited — prefix-filter recall goes red here
+        "snapshot_near_diff": CORPUS_SQL + f"""
+, newsnap AS (
+  SELECT repo,
+    CASE WHEN doc_id % 9 = 1 THEN path || '.moved'
+         WHEN doc_id % 9 = 2 THEN path || '.edit'
+         ELSE path END AS path,
+    CASE WHEN doc_id % 9 = 2
+         THEN content || ' edited tail alpha beta gamma delta'
+         ELSE content END AS content
+  FROM corpus WHERE doc_id % 9 <> 0
+), oldk AS (
+  SELECT repo, path, content, sha256(content) AS sha FROM corpus
+), newk AS (
+  SELECT repo, path, content, sha256(content) AS sha FROM newsnap
+), removed AS (
+  SELECT o.repo, o.path, o.sha,
+         list_transform({_TOKS.format(c="o.content")}, x -> lower(x)) AS toks
+  FROM oldk o LEFT JOIN newk n USING (repo, path) WHERE n.sha IS NULL
+), added AS (
+  SELECT n.repo, n.path, n.sha,
+         list_transform({_TOKS.format(c="n.content")}, x -> lower(x)) AS toks
+  FROM newk n LEFT JOIN oldk o USING (repo, path) WHERE o.sha IS NULL
+), rg AS (
+  SELECT repo, path, sha, {_GRAMS3.format(t="toks")} AS g FROM removed
+), ag AS (
+  SELECT repo, path, sha, {_GRAMS3.format(t="toks")} AS g FROM added
+)
+SELECT old_key, new_key, jaccard, move_kind FROM (
+  SELECT
+    '{{"repo":"' || r.repo || '","path":"' || r.path || '"}}' AS old_key,
+    '{{"repo":"' || a.repo || '","path":"' || a.path || '"}}' AS new_key,
+    floor(CAST(len(list_intersect(r.g, a.g)) AS DOUBLE)
+          / CAST(len(r.g) + len(a.g) - len(list_intersect(r.g, a.g))
+                 AS DOUBLE) * 1000000) / 1000000.0 AS jaccard,
+    CASE WHEN r.sha = a.sha THEN 'renamed' ELSE 'edited' END AS move_kind
+  FROM rg r, ag a
+  WHERE len(r.g) + len(a.g) > 0
+) WHERE jaccard >= 0.5
 """,
         # full per-doc-distinct gram count table + the ordered cut
         "top_repeated_ngrams": CORPUS_SQL + f"""

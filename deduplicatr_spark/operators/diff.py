@@ -50,3 +50,93 @@ def corpus_diff(
     )
     return joined.select(*key_cols, status.alias("status"),
                          "old_sha256", "new_sha256")
+
+
+def near_diff_moves(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    tau: float = 0.6,
+    content_col: str = "content",
+) -> DataFrame:
+    """MOVE/EDIT detection across snapshots: pair every REMOVED doc
+    with every ADDED doc whose word-3-gram Jaccard clears ``tau`` —
+    the near-match layer the exact diff can't see (a renamed file is
+    'removed'+'added' to ``corpus_diff``; a renamed-and-edited file
+    shares no key AND no sha). Git's own rename detection solves
+    exactly this with content similarity; at corpus scale the same
+    question is "did this content move or genuinely churn?".
+
+    Composition, not new machinery: ``corpus_diff`` classifies keys,
+    the added/removed contents flow through the PPJoin-prefix-filtered
+    Jaccard core (operators/ngram.py — the inverted index only holds
+    each doc's rarest prefix grams, so hot boilerplate grams never
+    explode the cross join). Sides are kept disjoint by id parity
+    (removed = 2·xxhash64(key), added = 2·xxhash64(key)+1) and only
+    cross-side pairs survive, so the pass costs one prefix join over
+    |removed|+|added| docs — delta-sized, never corpus-sized.
+
+    Output: (old key cols as old_*, new key cols as new_*, jaccard,
+    move_kind ∈ renamed | edited) — ``renamed`` when the contents are
+    byte-identical (jaccard alone can be 1.0 for reordered docs, so
+    the sha decides), else ``edited``.
+    """
+    from deduplicatr_spark.functions.text import word_ngrams
+    from deduplicatr_spark.operators.ngram import ngram_jaccard_pairs
+
+    d = corpus_diff(old, new, key_cols, content_col=content_col)
+    removed_keys = d.filter(F.col("status") == "removed").select(
+        *key_cols, F.col("old_sha256").alias("_sha")
+    )
+    added_keys = d.filter(F.col("status") == "added").select(
+        *key_cols, F.col("new_sha256").alias("_sha")
+    )
+
+    def side(df: DataFrame, src: DataFrame, parity: int) -> DataFrame:
+        rows = df.join(src, key_cols)
+        return rows.select(
+            # shiftleft (not ·2): ANSI would overflow on the top hash
+            # bit; the shift discards it and leaves bit 0 for parity
+            (F.shiftleft(F.xxhash64(*key_cols), 1) + parity).alias("doc_id"),
+            F.to_json(F.struct(*key_cols)).alias("_key"),
+            "_sha",
+            word_ngrams(3, content_col).alias("grams"),
+        )
+
+    r = side(removed_keys, old, 0)
+    a = side(added_keys, new, 1)
+    both = r.unionByName(a)
+    pairs = ngram_jaccard_pairs(both, tau)
+    # cross-side only: opposite id parity
+    cross = pairs.filter(
+        F.pmod("doc_a", F.lit(2)) != F.pmod("doc_b", F.lit(2))
+    )
+    rm = both.filter(F.pmod("doc_id", F.lit(2)) == 0).select(
+        F.col("doc_id").alias("_rid"),
+        F.col("_key").alias("old_key"),
+        F.col("_sha").alias("_rsha"),
+    )
+    ad = both.filter(F.pmod("doc_id", F.lit(2)) == 1).select(
+        F.col("doc_id").alias("_aid"),
+        F.col("_key").alias("new_key"),
+        F.col("_sha").alias("_asha"),
+    )
+    oriented = cross.select(
+        F.when(F.pmod("doc_a", F.lit(2)) == 0, F.col("doc_a"))
+        .otherwise(F.col("doc_b")).alias("_rid"),
+        F.when(F.pmod("doc_a", F.lit(2)) == 1, F.col("doc_a"))
+        .otherwise(F.col("doc_b")).alias("_aid"),
+        "jaccard",
+    )
+    return (
+        oriented.join(rm, "_rid")
+        .join(ad, "_aid")
+        .select(
+            "old_key",
+            "new_key",
+            "jaccard",
+            F.when(F.col("_rsha") == F.col("_asha"), F.lit("renamed"))
+            .otherwise(F.lit("edited"))
+            .alias("move_kind"),
+        )
+    )

@@ -1,0 +1,48 @@
+"""Unit vectors for snapshot move/edit detection
+(operators/diff.py § near_diff_moves)."""
+
+from __future__ import annotations
+
+import json
+
+from deduplicatr_spark.operators.diff import near_diff_moves
+
+BODY = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 6
+
+
+def test_near_diff_moves(spark):
+    from deduplicatr_spark.operators.lsh import release_tracked
+
+    old = spark.createDataFrame(
+        [
+            ("r", "a.py", BODY),                 # renamed in new
+            ("r", "b.py", BODY + "tail one two three"),  # renamed+edited
+            ("r", "c.py", "totally different words " * 10),  # deleted
+            ("r", "keep.py", "stays put " * 10),  # unchanged
+        ],
+        "repo string, path string, content string",
+    )
+    new = spark.createDataFrame(
+        [
+            ("r", "a_moved.py", BODY),
+            ("r", "b_v2.py", BODY + "tail one two four"),
+            ("r", "keep.py", "stays put " * 10),
+            ("r", "fresh.py", "entirely novel content words " * 10),
+        ],
+        "repo string, path string, content string",
+    )
+    out = near_diff_moves(old, new, ["repo", "path"], tau=0.5).collect()
+    release_tracked()
+    got = {
+        (json.loads(r["old_key"])["path"], json.loads(r["new_key"])["path"]):
+            (r["move_kind"], r["jaccard"])
+        for r in out
+    }
+    kind, jac = got[("a.py", "a_moved.py")]
+    assert kind == "renamed" and jac == 1.0
+    kind, jac = got[("b.py", "b_v2.py")]
+    assert kind == "edited" and 0.5 <= jac < 1.0
+    # deleted and fresh docs pair with nothing; unchanged never enters
+    paths = {p for pair in got for p in pair}
+    assert "c.py" not in paths and "fresh.py" not in paths
+    assert "keep.py" not in paths

@@ -1276,6 +1276,72 @@ def _q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_type2_license_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """License exposure through TYPE-2 clones (operators/history.py §
+    type2_license_exposure): a RENAMED copy of GPL code shares no
+    sha256 with its origin, so byte-identity provenance is blind —
+    the abstracted-token clone key closes the gap, and the license
+    header (a comment) strips out of the key by construction. PLANTED
+    on doc_id%5==2: a GPL-headed original in repo 'libsrc' (+24M) and
+    a header-less RENAMED copy in the base doc's repo (+25M) — one
+    exposure row each; a permissive (MIT) pair on doc_id%7==3 (+26M/
+    +27M) must emit NOTHING. The oracle replays the
+    abstraction chain, the SPDX/heuristic/class chain, the min-id
+    origin election and the cross-repo filter."""
+    from deduplicatr_spark.operators.history import type2_license_exposure
+
+    c = _corpus(spark, sf_dir).select("doc_id", "repo", "content", "lang")
+    base = c.filter(F.col("doc_id") < 1000000)
+    skel = F.translate(F.bin(F.col("doc_id")), "01", "()")
+    did = F.col("doc_id").cast("string")
+    gpl = base.filter(F.col("doc_id") % 5 == 2)
+    orig = gpl.select(
+        (F.col("doc_id") + 24000000).alias("doc_id"),
+        F.lit("libsrc").alias("repo"),
+        F.concat(
+            F.lit("# SPDX-License-Identifier: GPL-3.0-only\ndef alpha_"),
+            did,
+            F.lit('(aa, bb):  # note\n    return aa + bb * 37 + "lit A"  '),
+            skel,
+        ).alias("content"),
+        F.lit("python").alias("lang"),
+    )
+    host = gpl.select(
+        (F.col("doc_id") + 25000000).alias("doc_id"),
+        F.col("repo"),
+        F.concat(
+            F.lit("def beta_"), did,
+            F.lit("(xx, yy):\n    return xx + yy * 9000 + 'B'  "),
+            skel,
+        ).alias("content"),
+        F.lit("python").alias("lang"),
+    )
+    mit = base.filter(F.col("doc_id") % 7 == 3)
+    morig = mit.select(
+        (F.col("doc_id") + 26000000).alias("doc_id"),
+        F.lit("libsrc").alias("repo"),
+        F.concat(
+            F.lit("# SPDX-License-Identifier: MIT\ndef gamma_"), did,
+            F.lit("(p):\n    return p * 3  "), skel,
+        ).alias("content"),
+        F.lit("python").alias("lang"),
+    )
+    mhost = mit.select(
+        (F.col("doc_id") + 27000000).alias("doc_id"),
+        F.col("repo"),
+        F.concat(
+            F.lit("def delta_"), did,
+            F.lit("(q):\n    return q * 77  "), skel,
+        ).alias("content"),
+        F.lit("python").alias("lang"),
+    )
+    ext = (
+        c.unionByName(orig).unionByName(host)
+        .unionByName(morig).unionByName(mhost)
+    )
+    return type2_license_exposure(ext)
+
+
 def _q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic marker-token language ID."""
     d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
@@ -3130,6 +3196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_data_card": _q_corpus_data_card,
         "snapshot_near_diff": _q_snapshot_near_diff,
         "curation_pipeline": _q_curation_pipeline,
+        "type2_license_exposure": _q_type2_license_exposure,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "ngram_containment_pairs": _q_ngram_containment_pairs,
         "scan_filter": _q_scan_filter,
@@ -4158,6 +4225,69 @@ SELECT doc_id, func_name,
        CAST(length(d) AS BIGINT) AS doc_chars,
        sha256(d) AS docstring_sha256
 FROM cap WHERE d <> ''
+""",
+        # abstraction chain, SPDX/heuristic/class chain, min-id origin
+        # election and the cross-repo filter all replayed independently
+        "type2_license_exposure": CORPUS_SQL + """
+, ext AS (
+  SELECT doc_id, repo, content, lang FROM corpus
+  UNION ALL
+  SELECT doc_id + 24000000, 'libsrc',
+         '# SPDX-License-Identifier: GPL-3.0-only' || chr(10)
+           || 'def alpha_' || CAST(doc_id AS VARCHAR)
+           || '(aa, bb):  # note' || chr(10)
+           || '    return aa + bb * 37 + "lit A"  '
+           || translate(bin(doc_id), '01', '()'),
+         'python'
+  FROM corpus WHERE doc_id < 1000000 AND doc_id % 5 = 2
+  UNION ALL
+  SELECT doc_id + 25000000, repo,
+         'def beta_' || CAST(doc_id AS VARCHAR) || '(xx, yy):' || chr(10)
+           || '    return xx + yy * 9000 + ''B''  '
+           || translate(bin(doc_id), '01', '()'),
+         'python'
+  FROM corpus WHERE doc_id < 1000000 AND doc_id % 5 = 2
+  UNION ALL
+  SELECT doc_id + 26000000, 'libsrc',
+         '# SPDX-License-Identifier: MIT' || chr(10)
+           || 'def gamma_' || CAST(doc_id AS VARCHAR) || '(p):' || chr(10)
+           || '    return p * 3  ' || translate(bin(doc_id), '01', '()'),
+         'python'
+  FROM corpus WHERE doc_id < 1000000 AND doc_id % 7 = 3
+  UNION ALL
+  SELECT doc_id + 27000000, repo,
+         'def delta_' || CAST(doc_id AS VARCHAR) || '(q):' || chr(10)
+           || '    return q * 77  ' || translate(bin(doc_id), '01', '()'),
+         'python'
+  FROM corpus WHERE doc_id < 1000000 AND doc_id % 7 = 3
+), mem AS (
+  SELECT doc_id, repo,
+         sha256(""" + _T2_ABSTRACT_SQL + """) AS t2_key,
+         lic_id,
+         """ + _license_class_case_sql("lic_id") + """ AS license_class
+  FROM (
+    SELECT doc_id, repo, content, lang,
+      CASE WHEN coalesce(regexp_extract(content,
+             'SPDX-License-Identifier:[ \\t]*([A-Za-z0-9.+-]+)', 1), '')
+           <> ''
+           THEN regexp_extract(content,
+             'SPDX-License-Identifier:[ \\t]*([A-Za-z0-9.+-]+)', 1)
+           ELSE """ + _license_heur_case_sql("content") + """ END AS lic_id
+    FROM ext
+  )
+), origins AS (
+  SELECT t2_key, doc_id AS origin_doc, repo AS origin_repo,
+         lic_id AS origin_license
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY t2_key ORDER BY doc_id)
+           AS rn
+    FROM mem WHERE license_class = 'copyleft'
+  ) WHERE rn = 1
+)
+SELECT m.repo, m.doc_id, o.origin_repo, o.origin_doc, o.origin_license,
+       m.t2_key
+FROM mem m JOIN origins o USING (t2_key)
+WHERE m.repo <> o.origin_repo
 """,
         # the full filter→redact→dedup→elect chain replayed stage by
         # stage — a wrong verdict, redaction byte, group boundary or

@@ -378,3 +378,62 @@ def cross_repo_license_exposure(
             "origin_repo", "origin_path", "license_id", "license_class",
         )
     )
+
+
+def type2_license_exposure(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    repo_col: str = "repo",
+    content_col: str = "content",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """License exposure through TYPE-2 clones: a RENAMED copy of
+    copyleft code still creates an obligation, and byte-identity
+    provenance (``cross_repo_license_exposure``) cannot see it — the
+    copy shares no sha256 with its origin. The type-2 key
+    (sha256 of the identifier/literal/comment-abstracted token stream,
+    functions/code.py) closes exactly this gap, with a structural
+    assist: license headers live in COMMENTS, which the abstraction
+    strips, so a headed original and its header-less renamed copy land
+    in one clone group by construction.
+
+    Exposure rule: per type-2 group, the ORIGIN is the min-doc_id
+    member whose own license class is copyleft; every member in a
+    DIFFERENT repo is exposed to that origin's license. Permissive /
+    unknown groups emit nothing.
+
+    Scale: one window over the t2 key (the exchange type-2 grouping
+    already pays), origins are a copyleft-groups-sized dimension, the
+    exposure join is equi on the 32-byte key — content never ships.
+    """
+    from deduplicatr_spark.functions.code import abstract_code_tokens
+    from deduplicatr_spark.functions.licenses import license_columns
+
+    members = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(repo_col).alias("repo"),
+        F.sha2(abstract_code_tokens(content_col, lang_col), 256).alias(
+            "t2_key"
+        ),
+        *license_columns(content_col),
+    )
+    w = Window.partitionBy("t2_key").orderBy("doc_id")
+    origins = (
+        members.filter(F.col("license_class") == "copyleft")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "t2_key",
+            F.col("doc_id").alias("origin_doc"),
+            F.col("repo").alias("origin_repo"),
+            F.col("license_id").alias("origin_license"),
+        )
+    )
+    return (
+        members.join(origins, "t2_key")
+        .filter(F.col("repo") != F.col("origin_repo"))
+        .select(
+            "repo", "doc_id", "origin_repo", "origin_doc",
+            "origin_license", "t2_key",
+        )
+    )

@@ -1,0 +1,45 @@
+"""Unit vectors for type-2-clone license exposure
+(operators/history.py § type2_license_exposure)."""
+
+from __future__ import annotations
+
+from deduplicatr_spark.operators.history import type2_license_exposure
+
+GPL_ORIG = (
+    "# SPDX-License-Identifier: GPL-3.0-only\n"
+    "def alpha(aa, bb):  # note\n    return aa + bb * 37\n"
+)
+RENAMED = "def beta(xx, yy):\n    return xx + yy * 9000\n"
+MIT_ORIG = "# SPDX-License-Identifier: MIT\ndef g(p):\n    return p * 3\n"
+MIT_COPY = "def h(q):\n    return q * 77\n"
+
+
+def test_renamed_copy_of_copyleft_is_exposed(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "lib", GPL_ORIG, "python"),
+            (2, "app", RENAMED, "python"),        # renamed, header-less
+            (3, "lib", MIT_ORIG, "python"),
+            (4, "app", MIT_COPY, "python"),       # permissive clone
+            (5, "other", "unrelated prose words", "markdown"),
+        ],
+        "doc_id long, repo string, content string, lang string",
+    )
+    out = type2_license_exposure(docs).collect()
+    # exactly one exposure: the renamed GPL copy in repo 'app'
+    assert len(out) == 1
+    r = out[0].asDict()
+    assert r["doc_id"] == 2 and r["repo"] == "app"
+    assert r["origin_doc"] == 1 and r["origin_repo"] == "lib"
+    assert r["origin_license"] == "GPL-3.0-only"
+
+
+def test_same_repo_copy_not_exposed(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "lib", GPL_ORIG, "python"),
+            (2, "lib", RENAMED, "python"),  # same repo: no obligation row
+        ],
+        "doc_id long, repo string, content string, lang string",
+    )
+    assert type2_license_exposure(docs).count() == 0

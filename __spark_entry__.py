@@ -2650,6 +2650,92 @@ def _q_incremental_substring_assign(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def _merge_chain(tag: str, n: int = 24) -> F.Column:
+    """Doc-unique non-repetitive synthetic content: ``n`` chained sha256
+    hex blocks seeded by (tag, doc_id) — disjoint shingle sets across
+    tags and doc_ids, so Jaccard between any two distinct chains is ~0
+    and Jaccard(concat(X,Y), X) is ~|X|/(|X|+|Y|) = 0.5."""
+    return F.concat_ws(
+        "",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(n)),
+            lambda i: F.sha2(
+                F.concat(
+                    F.lit(tag), F.col("doc_id").cast("string"),
+                    F.lit("#"), i.cast("string"),
+                ),
+                256,
+            ),
+        ),
+    )
+
+
+def _q_cluster_merge_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cluster-MERGE maintenance (operators/merge.py,
+    SURVEY §2.71): a delta doc that verifiably links TWO distinct base
+    clusters is evidence the base clustering is stale (a batch re-run
+    would merge them through that doc); ``incremental_merge_maintenance``
+    turns the full verified-match frame into cluster-id merge edges and
+    relabels the base under their transitive closure.
+
+    PLANTED: for every corpus doc with doc_id%9==4, two singleton base
+    docs X (id+20e6) and Y (id+21e6) with doc-unique sha-chain content,
+    plus one DELTA bridge doc = concat(X, Y). Jaccard(bridge, X) ≈ 0.5
+    against each half (disjoint chains), so with τ=0.35 the bridge
+    verifies against BOTH and only those two (vs anything else J≈0);
+    rows_per_band=1 (n_bands=128) makes LSH recall at s≈0.5
+    deterministic ((1-s)^128 miss probability) where the default 4-row
+    bands would be ~0.87 per pair. Output is the ENTIRE relabeled base
+    assignment table: every X/Y pair must collapse to min(X)=X's id,
+    every corpus doc must keep its fingerprint-proxy cluster — a missed
+    merge, a spurious merge touching a real cluster, or a
+    nondeterministic merged label all go red. The oracle replays the
+    closure in closed form (each planted component is exactly {X, Y})."""
+    from dataclasses import replace
+
+    from deduplicatr_spark.operators.merge import incremental_merge_maintenance
+
+    cfg = replace(ENTRY_CONFIG, jaccard_tau=0.35, n_bands=128)
+    c = _corpus(spark, sf_dir)
+    # chains are seeded by the ORIGINAL doc_id, computed BEFORE the id
+    # shift — Spark 4's lateral column alias resolution would otherwise
+    # bind the chain's doc_id reference to the just-aliased shifted id,
+    # silently de-correlating X/Y from their bridge
+    elig = c.filter(F.col("doc_id") % 9 == 4).select(
+        "doc_id",
+        _merge_chain("mx").alias("_cx"),
+        _merge_chain("my").alias("_cy"),
+    )
+    x = elig.select(
+        (F.col("doc_id") + 20000000).alias("doc_id"),
+        F.col("_cx").alias("content"),
+    )
+    y = elig.select(
+        (F.col("doc_id") + 21000000).alias("doc_id"),
+        F.col("_cy").alias("content"),
+    )
+    base = c.select("doc_id", "content").unionByName(x).unionByName(y)
+    base_clusters = base.select(
+        "doc_id", TXT.fingerprint("content").alias("_fp")
+    ).withColumn(
+        "cluster_id", F.min("doc_id").over(Window.partitionBy("_fp"))
+    ).select("doc_id", "cluster_id")
+    base_feats = base.select(
+        "doc_id", features_udf(cfg)(normalized("content")).alias("f")
+    ).select("doc_id", "f.*")
+    bridges = elig.select(
+        (F.col("doc_id") + 22000000).alias("doc_id"),
+        F.concat("_cx", "_cy").alias("content"),
+    )
+    bridge_feats = bridges.select(
+        "doc_id", features_udf(cfg)(normalized("content")).alias("f")
+    ).select("doc_id", "f.*")
+    relabeled, _mapping = incremental_merge_maintenance(
+        bridge_feats, base_feats, base_clusters, cfg
+    )
+    return relabeled.select("doc_id", "cluster_id")
+
+
 def _q_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Post-dedup representative selection (operators/representatives):
     one surviving doc per cluster — the member with the most tokens,
@@ -3229,6 +3315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "method_clone_pairs": _q_method_clone_pairs,
         "incremental_assign": _q_incremental_assign,
         "incremental_substring_assign": _q_incremental_substring_assign,
+        "cluster_merge_repair": _q_cluster_merge_repair,
         "cluster_representatives": _q_cluster_representatives,
         "stratified_sample": _q_stratified_sample,
         "sequence_pack": _q_sequence_pack,
@@ -5671,6 +5758,24 @@ SELECT e.doc_id + 9000000 AS new_id,
 FROM elig e
 JOIN cl ON contains(cl.content, e.content)
 GROUP BY e.doc_id
+""",
+        # merge maintenance: each planted bridge links exactly its own
+        # {X, Y} singleton pair, so the closure is closed-form — Y
+        # relabels to X's id (the component minimum), every corpus doc
+        # keeps its fingerprint-proxy cluster
+        "cluster_merge_repair": CORPUS_SQL + """
+, fpm AS (
+  SELECT doc_id,
+         sha256(trim(regexp_replace(content, '\\s+', ' ', 'g'))) AS f
+  FROM corpus
+), cl AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY f) AS cluster_id FROM fpm
+), elig AS (SELECT doc_id FROM corpus WHERE doc_id % 9 = 4)
+SELECT doc_id, cluster_id FROM cl
+UNION ALL
+SELECT doc_id + 20000000 AS doc_id, doc_id + 20000000 AS cluster_id FROM elig
+UNION ALL
+SELECT doc_id + 21000000 AS doc_id, doc_id + 20000000 AS cluster_id FROM elig
 """,
         # representative = max-token (min doc_id tiebreak) member of each
         # fingerprint-proxy cluster — recomputed from raw strings

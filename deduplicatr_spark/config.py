@@ -136,6 +136,22 @@ class PipelineConfig:
     # the extra index and a content lookup for candidate base docs.
     incremental_substring: bool = False
 
+    # --- incremental cluster-merge maintenance (SURVEY §2.71) ---
+    # When True the IncrementalPipeline checkpoints the FULL verified
+    # (delta × base) match frame (i4_matches) instead of only the
+    # best-match pick, and runs an i6_merge_repair stage: a delta doc
+    # verifiably linking ≥2 distinct base clusters proposes a merge
+    # edge (star-compressed per doc), the §2.11 CC collapses the
+    # cluster-id graph, and both the base assignment table and the
+    # delta's own i5 assignments relabel to the component-min cluster
+    # id — so increments repair the staleness a best-match pick would
+    # silently accumulate. Off by default: it persists the (larger)
+    # match frame and adds the (tiny) cluster-graph CC.
+    incremental_merge: bool = False
+    # optional stricter evidence floor for MERGING (adoption keeps
+    # jaccard_tau): merging two base clusters is the more invasive act.
+    merge_min_jaccard: float | None = None
+
     # --- repo-level fork prefilter (SURVEY §2.44/§2.46) ---
     # When True the pipeline runs fork_clusters over the identity table
     # (s1_forks) and keeps only each fork family's canonical repo

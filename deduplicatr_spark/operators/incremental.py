@@ -181,29 +181,27 @@ def delta_features(rest: DataFrame, config: PipelineConfig) -> DataFrame:
     ).select("doc_id", "f.*")
 
 
-def near_assign(
+def verified_base_matches(
     feats: DataFrame,
     base_features: DataFrame,
     base_clusters: DataFrame,
     config: PipelineConfig,
     base_band_stats: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
-    """Stage 3: band-join the delta features against the base band
-    index, Jaccard-verify, adopt the best base cluster.
+    """EVERY verified (delta doc × base doc) match with its base cluster
+    label — the shared evidence frame behind ``near_assign`` (which
+    keeps only each delta doc's best match) and
+    ``operators/merge.propose_cluster_merges`` (which reads the
+    matches a best-match pick discards: a delta doc linking ≥2 distinct
+    base clusters is evidence those clusters belong together).
 
-    Returns ``(near, drop_stats)`` — near: (doc_id, cluster_id,
-    via='near'). ``base_band_stats``: precomputed (band_hash, n) from
+    Returns ``(matches, drop_stats)`` — matches: (_new_id, _base_id,
+    _cl, jaccard), one row per candidate pair passing the Jaccard τ
+    gate (or the Hamming ≤ d gate with ``config.incremental_simhash``).
+    ``base_band_stats``: precomputed (band_hash, n) from
     ``band_bucket_stats`` — when given, NO aggregation over the full
     base index appears in the plan (assert via .explain: the only scan
     of base_features feeds the equi-join / shingle lookup).
-
-    With ``config.incremental_simhash`` both sides key in the fused
-    LSH∪SimHash space (``fused_key_rows``; pass ``fused_bucket_stats``
-    as the precomputed table) and a candidate is adopted when it passes
-    EITHER the Jaccard τ gate or the Hamming ≤ d gate — so a delta doc
-    that is SimHash-near a base doc below shingle-Jaccard τ links the
-    base cluster exactly as the batch pipeline's fused s3 stage would
-    merge it, instead of founding a drifting fresh cluster.
     """
     use_sim = config.incremental_simhash
     if use_sim:
@@ -274,11 +272,60 @@ def near_assign(
             "_base_id",
         )
     )
+    drop_stats = hot.agg(
+        F.count(F.lit(1)).alias("hot_buckets"),
+        F.coalesce(F.sum("n"), F.lit(0)).alias("hot_rows"),
+    )
+    return verified.select("_new_id", "_base_id", "_cl", "jaccard"), drop_stats
+
+
+def near_assign(
+    feats: DataFrame,
+    base_features: DataFrame,
+    base_clusters: DataFrame,
+    config: PipelineConfig,
+    base_band_stats: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Stage 3: band-join the delta features against the base band
+    index, Jaccard-verify, adopt the best base cluster.
+
+    Returns ``(near, drop_stats)`` — near: (doc_id, cluster_id,
+    via='near'). ``base_band_stats``: precomputed (band_hash, n) from
+    ``band_bucket_stats`` — when given, NO aggregation over the full
+    base index appears in the plan (assert via .explain: the only scan
+    of base_features feeds the equi-join / shingle lookup).
+
+    With ``config.incremental_simhash`` both sides key in the fused
+    LSH∪SimHash space (``fused_key_rows``; pass ``fused_bucket_stats``
+    as the precomputed table) and a candidate is adopted when it passes
+    EITHER the Jaccard τ gate or the Hamming ≤ d gate — so a delta doc
+    that is SimHash-near a base doc below shingle-Jaccard τ links the
+    base cluster exactly as the batch pipeline's fused s3 stage would
+    merge it, instead of founding a drifting fresh cluster.
+
+    Candidate generation + verification live in
+    ``verified_base_matches`` (the evidence frame is shared with the
+    cluster-merge maintenance operator); this function is only the
+    deterministic best-match pick (max Jaccard, then min cluster id,
+    then min base doc id).
+    """
+    matches, drop_stats = verified_base_matches(
+        feats, base_features, base_clusters, config, base_band_stats
+    )
+    return best_match_pick(matches), drop_stats
+
+
+def best_match_pick(matches: DataFrame) -> DataFrame:
+    """Deterministic best-match pick over the verified match frame
+    (max Jaccard, then min cluster id, then min base doc id) —
+    factored out so a pipeline with ``incremental_merge`` can
+    checkpoint the match frame ONCE and derive both the near
+    assignments and the merge evidence from it without re-keying."""
     w = Window.partitionBy("_new_id").orderBy(
         F.desc("jaccard"), F.asc("_cl"), F.asc("_base_id")
     )
-    near = (
-        verified.withColumn("_rk", F.row_number().over(w))
+    return (
+        matches.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") == 1)
         .select(
             F.col("_new_id").alias("doc_id"),
@@ -286,11 +333,6 @@ def near_assign(
             F.lit("near").alias("via"),
         )
     )
-    drop_stats = hot.agg(
-        F.count(F.lit(1)).alias("hot_buckets"),
-        F.coalesce(F.sum("n"), F.lit(0)).alias("hot_rows"),
-    )
-    return near, drop_stats
 
 
 def anchor_index(docs: DataFrame, config: PipelineConfig) -> DataFrame:
@@ -657,8 +699,8 @@ class IncrementalPipeline:
     """
 
     STAGES = ["i0_quality", "i1_identity", "i2_exact", "i2_rest", "i2_delta_dups",
-              "i3_features", "i4_near", "i4a_substring",
-              "i4b_delta_links", "i5_assignments"]
+              "i3_features", "i4_matches", "i4_near", "i4a_substring",
+              "i4b_delta_links", "i5_assignments", "i6_merge_map"]
 
     def __init__(self, spark: SparkSession, config: PipelineConfig,
                  checkpoint_root: str):
@@ -669,6 +711,7 @@ class IncrementalPipeline:
         self.store = CheckpointStore(
             spark, checkpoint_root, config.config_hash, fmt=config.checkpoint_format
         )
+        self.merge_mapping: DataFrame | None = None
 
     def run(
         self,
@@ -748,15 +791,37 @@ class IncrementalPipeline:
             "i3_features", lambda: delta_features(rest, cfg)
         )
 
-        def _near():
-            near, drops = near_assign(
-                feats, base_features, base_clusters, cfg, base_band_stats
-            )
-            d = drops.collect()[0].asDict()
-            store.write_metrics([{"stage": "i4_near", "kind": "base_hot_buckets", **d}])
-            return near
+        matches: DataFrame | None = None
+        if cfg.incremental_merge:
+            # checkpoint the FULL verified match frame once; the near
+            # pick AND the i6 merge evidence both derive from it — no
+            # second candidate/verify pass
+            def _matches():
+                m, drops = verified_base_matches(
+                    feats, base_features, base_clusters, cfg, base_band_stats
+                )
+                d = drops.collect()[0].asDict()
+                store.write_metrics(
+                    [{"stage": "i4_matches", "kind": "base_hot_buckets", **d}]
+                )
+                return m
 
-        near = store.get_or_compute("i4_near", _near)
+            matches = store.get_or_compute("i4_matches", _matches)
+            near = store.get_or_compute(
+                "i4_near", lambda: best_match_pick(matches)
+            )
+        else:
+            def _near():
+                near, drops = near_assign(
+                    feats, base_features, base_clusters, cfg, base_band_stats
+                )
+                d = drops.collect()[0].asDict()
+                store.write_metrics(
+                    [{"stage": "i4_near", "kind": "base_hot_buckets", **d}]
+                )
+                return near
+
+            near = store.get_or_compute("i4_near", _near)
 
         if (
             cfg.incremental_substring
@@ -800,5 +865,59 @@ class IncrementalPipeline:
                 exact, rest, delta_dups, near, delta_links=links
             ),
         )
+
+        if cfg.incremental_merge:
+            # i6: delta docs verifiably linking ≥2 base clusters repair
+            # the base — the mapping (changed clusters only) is the
+            # checkpointed artifact; relabeling is a broadcast join
+            from deduplicatr_spark.operators.merge import (
+                apply_cluster_merges,
+                propose_cluster_merges,
+            )
+
+            def _merge_map():
+                edges = propose_cluster_merges(
+                    matches, min_jaccard=cfg.merge_min_jaccard
+                )
+                _relabeled, mapping = apply_cluster_merges(
+                    base_clusters, edges, cfg
+                )
+                return mapping
+
+            mapping = store.get_or_compute("i6_merge_map", _merge_map)
+            self.merge_mapping = mapping
+            # the delta's own assignments relabel under the same map —
+            # a doc that adopted a merged-away cluster id must not keep
+            # the stale label the base no longer uses
+            out = out.join(
+                F.broadcast(mapping.withColumnsRenamed({"cluster_id": "_mc"})),
+                out["cluster_id"] == F.col("_mc"),
+                "left",
+            ).select(
+                "doc_id",
+                F.coalesce("merged_id", "cluster_id").alias("cluster_id"),
+                "via",
+            )
+
         release_tracked()
         return out
+
+    def repaired_base(self, base_clusters: DataFrame) -> DataFrame:
+        """Base assignment table relabeled under the i6 merge map —
+        valid after a ``run`` with ``config.incremental_merge``; the
+        mapping holds ONLY clusters whose label changed, so untouched
+        clusters pass through the coalesce unshuffled."""
+        if getattr(self, "merge_mapping", None) is None:
+            raise ValueError(
+                "repaired_base requires a prior run() with "
+                "config.incremental_merge=True"
+            )
+        mapping = self.merge_mapping.withColumnsRenamed({"cluster_id": "_mc"})
+        return base_clusters.join(
+            F.broadcast(mapping),
+            base_clusters["cluster_id"] == F.col("_mc"),
+            "left",
+        ).select(
+            "doc_id",
+            F.coalesce("merged_id", "cluster_id").alias("cluster_id"),
+        )

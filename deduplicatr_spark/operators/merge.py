@@ -1,0 +1,132 @@
+"""Incremental cluster-merge maintenance (SURVEY.md §2.71).
+
+No reference analogue — the reference re-runs its whole scan per
+invocation (SURVEY §2.1 O10); this closes the one semantic gap the
+delta path leaves open. ``near_assign``'s contract is assign-against-
+base: each delta doc adopts its single BEST base cluster, so a delta
+doc that verifiably links TWO distinct base clusters (it is τ-near
+members of both) is evidence the base clustering is stale — the batch
+pipeline re-run would merge them via that doc — yet the best-match
+pick silently discards it. Without maintenance the base drifts from a
+re-batch until someone pays for a full recompute.
+
+``propose_cluster_merges`` turns the full verified-match frame
+(``incremental.verified_base_matches``) into a merge-edge table over
+CLUSTER ids, and ``apply_cluster_merges`` relabels the base assignment
+table under the transitive closure of those edges. Scale posture:
+
+* Evidence compression is per-delta-doc star edges — each delta doc
+  contributes (its min matched cluster ↔ each other matched cluster),
+  not all-pairs; same closure, linear in match rows.
+* The merge graph has one node per AFFECTED CLUSTER — orders of
+  magnitude smaller than the doc graph (clusters ≪ docs, and only
+  clusters a delta doc touched appear). The large-star/small-star CC
+  reuse runs on that tiny graph.
+* Relabeling is one broadcast-sized left join against base_clusters
+  (the mapping holds only affected clusters); docs in untouched
+  clusters keep their label via coalesce — the full base table is
+  scanned once and never shuffled.
+* Determinism: merged label = min cluster id of the merged component
+  (the same component-minimum rule the batch CC uses), so applying
+  merges then re-running an increment is reproducible.
+
+Idempotence: applying the same merge set twice is a no-op (labels are
+already the component minima), and ``apply_cluster_merges`` of an
+empty edge frame returns base_clusters unchanged — safe to run
+unconditionally after every increment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from deduplicatr_spark.config import PipelineConfig
+from deduplicatr_spark.operators.connected_components import connected_components
+
+
+def propose_cluster_merges(
+    matches: DataFrame, min_jaccard: float | None = None
+) -> DataFrame:
+    """Verified match rows → distinct merge edges over cluster ids.
+
+    ``matches``: (_new_id, _cl, jaccard, ...) — EVERY verified
+    (delta doc × base doc) row from
+    ``incremental.verified_base_matches`` (not the best-match pick).
+    ``min_jaccard``: optional stricter floor for merge evidence — a
+    deployment may adopt at τ but only merge base clusters at a higher
+    bar (merging is the more invasive act); None accepts every
+    verified match.
+
+    Returns (cluster_a < cluster_b) distinct edges. Star compression:
+    per delta doc, edges go from its MIN matched cluster to each other
+    matched cluster — |matches| edges worst case instead of quadratic
+    all-pairs per doc, with an identical transitive closure.
+    """
+    ev = matches.select("_new_id", "_cl", "jaccard")
+    if min_jaccard is not None:
+        ev = ev.filter(F.col("jaccard") >= min_jaccard)
+    ev = ev.select("_new_id", "_cl").distinct()
+    lo = Window.partitionBy("_new_id")
+    return (
+        ev.withColumn("_lo", F.min("_cl").over(lo))
+        .filter(F.col("_cl") != F.col("_lo"))
+        .select(
+            F.col("_lo").alias("cluster_a"), F.col("_cl").alias("cluster_b")
+        )
+        .distinct()
+    )
+
+
+def apply_cluster_merges(
+    base_clusters: DataFrame, merge_edges: DataFrame, config: PipelineConfig
+) -> tuple[DataFrame, DataFrame]:
+    """Relabel ``base_clusters`` under the closure of ``merge_edges``.
+
+    Returns ``(relabeled, mapping)`` — relabeled: (doc_id, cluster_id)
+    with every merged component collapsed to its minimum cluster id;
+    mapping: (cluster_id, merged_id) for exactly the clusters whose
+    label CHANGED (the delta a caller persists/audits; empty ⇒ the
+    apply was a no-op). The CC runs on the cluster-id graph (tiny);
+    the one pass over base_clusters is a left join against that
+    mapping — broadcast-sized whenever merges are delta-driven.
+    """
+    labels, _iters = connected_components(
+        merge_edges.select(
+            F.col("cluster_a").alias("doc_a"), F.col("cluster_b").alias("doc_b")
+        ),
+        config,
+    )
+    mapping = labels.select(
+        F.col("doc_id").alias("cluster_id"), F.col("cluster_id").alias("merged_id")
+    ).filter(F.col("cluster_id") != F.col("merged_id"))
+    relabeled = base_clusters.join(
+        F.broadcast(mapping), "cluster_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce("merged_id", "cluster_id").alias("cluster_id"),
+    )
+    return relabeled, mapping
+
+
+def incremental_merge_maintenance(
+    feats: DataFrame,
+    base_features: DataFrame,
+    base_clusters: DataFrame,
+    config: PipelineConfig,
+    base_band_stats: DataFrame | None = None,
+    min_jaccard: float | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """One-call composition: delta features → merge evidence → relabeled
+    base. Returns ``(relabeled base_clusters, mapping)``. Runs the SAME
+    candidate/verify machinery as ``near_assign`` (shared
+    ``verified_base_matches``), so an increment can assign the delta
+    AND repair the base from one evidence frame without re-keying."""
+    from deduplicatr_spark.operators.incremental import verified_base_matches
+
+    matches, _drops = verified_base_matches(
+        feats, base_features, base_clusters, config, base_band_stats
+    )
+    edges = propose_cluster_merges(matches, min_jaccard=min_jaccard)
+    return apply_cluster_merges(base_clusters, edges, config)

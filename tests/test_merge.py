@@ -1,0 +1,199 @@
+"""Cluster-merge maintenance: a delta doc verifiably linking two base
+clusters repairs the base assignment (operators/merge.py)."""
+
+from __future__ import annotations
+
+from deduplicatr_spark.config import PipelineConfig
+from deduplicatr_spark.functions.features import features_udf
+from deduplicatr_spark.functions.hashing import normalized
+from deduplicatr_spark.operators.exact import with_identity
+from deduplicatr_spark.operators.incremental import verified_base_matches
+from deduplicatr_spark.operators.merge import (
+    apply_cluster_merges,
+    incremental_merge_maintenance,
+    propose_cluster_merges,
+)
+
+DOCS_SCHEMA = "repo string, path string, commit string, lang string, content string"
+
+# A bridge doc = concat(A, B) has Jaccard ~0.5 against each half, so the
+# merge-evidence gate needs tau below 0.5; rows_per_band=1 (n_bands =
+# n_hashes) makes LSH candidate recall at s~0.5 deterministic (miss
+# probability (1-s)^128 ~ 0) instead of the default 4-row bands' ~0.87.
+CFG = PipelineConfig(jaccard_tau=0.35, n_bands=128)
+
+TXT_A = "alpha cluster payload with thoroughly distinctive tokens one\n" * 6
+TXT_B = "beta group contents sharing absolutely nothing whatsoever two\n" * 6
+
+
+def _features(df, cfg):
+    return (
+        with_identity(df)
+        .select("doc_id", features_udf(cfg)(normalized("content")).alias("f"))
+        .select("doc_id", "f.*")
+    )
+
+
+def _base_fixture(spark):
+    base_rows = [
+        ("r0", "a1.py", "c0", "py", TXT_A),
+        ("r0", "a2.py", "c0", "py", TXT_A.replace(" ", "  ")),
+        ("r1", "b1.py", "c0", "py", TXT_B),
+        ("r1", "b2.py", "c0", "py", TXT_B.replace(" ", "  ")),
+        ("r2", "solo.py", "c0", "py", "untouched independent cluster row\n" * 8),
+    ]
+    base = spark.createDataFrame(base_rows, DOCS_SCHEMA)
+    ids = {r["path"]: r["doc_id"] for r in with_identity(base).collect()}
+    ca = min(ids["a1.py"], ids["a2.py"])
+    cb = min(ids["b1.py"], ids["b2.py"])
+    clusters = spark.createDataFrame(
+        [
+            (ids["a1.py"], ca),
+            (ids["a2.py"], ca),
+            (ids["b1.py"], cb),
+            (ids["b2.py"], cb),
+            (ids["solo.py"], ids["solo.py"]),
+        ],
+        "doc_id long, cluster_id long",
+    )
+    return base, clusters, ids, ca, cb
+
+
+def _bridge_matches(spark, base, clusters):
+    new = spark.createDataFrame(
+        [("rX", "bridge.py", "c1", "py", TXT_A + TXT_B)], DOCS_SCHEMA
+    )
+    matches, _drops = verified_base_matches(
+        _features(new, CFG), _features(base, CFG), clusters, CFG
+    )
+    return new, matches
+
+
+def test_bridge_doc_proposes_single_cluster_edge(spark):
+    base, clusters, ids, ca, cb = _base_fixture(spark)
+    _new, matches = _bridge_matches(spark, base, clusters)
+
+    # the bridge doc verifies against members of BOTH clusters
+    assert {r["_cl"] for r in matches.collect()} == {ca, cb}
+
+    edges = propose_cluster_merges(matches)
+    assert [(r["cluster_a"], r["cluster_b"]) for r in edges.collect()] == [
+        (min(ca, cb), max(ca, cb))
+    ]
+
+    # a stricter merge bar than the adopt bar suppresses the evidence
+    # (the bridge's Jaccard vs each half is ~0.5)
+    assert propose_cluster_merges(matches, min_jaccard=0.99).count() == 0
+
+
+def test_apply_cluster_merges_relabels_and_is_idempotent(spark):
+    base, clusters, ids, ca, cb = _base_fixture(spark)
+    _new, matches = _bridge_matches(spark, base, clusters)
+    edges = propose_cluster_merges(matches)
+
+    relabeled, mapping = apply_cluster_merges(clusters, edges, CFG)
+    lo, hi = min(ca, cb), max(ca, cb)
+
+    # exactly the loser cluster's label changed, to the component min
+    assert [(r["cluster_id"], r["merged_id"]) for r in mapping.collect()] == [
+        (hi, lo)
+    ]
+    got = {r["doc_id"]: r["cluster_id"] for r in relabeled.collect()}
+    for p in ("a1.py", "a2.py", "b1.py", "b2.py"):
+        assert got[ids[p]] == lo
+    assert got[ids["solo.py"]] == ids["solo.py"]  # untouched cluster kept
+
+    # idempotent: re-applying the same merge set is a no-op
+    again, _ = apply_cluster_merges(relabeled, edges, CFG)
+    assert sorted(map(tuple, again.collect())) == sorted(
+        map(tuple, relabeled.collect())
+    )
+
+
+def test_apply_empty_merge_set_is_noop(spark):
+    _base, clusters, ids, _ca, _cb = _base_fixture(spark)
+    empty = clusters.sparkSession.createDataFrame(
+        [], "cluster_a long, cluster_b long"
+    )
+    relabeled, mapping = apply_cluster_merges(clusters, empty, CFG)
+    assert mapping.count() == 0
+    assert sorted(map(tuple, relabeled.collect())) == sorted(
+        map(tuple, clusters.collect())
+    )
+
+
+def test_pipeline_i6_merge_repair_and_resume(spark, tmp_path):
+    """IncrementalPipeline with incremental_merge=True: the bridge delta
+    adopts a base cluster AND the i6 stage repairs the base (Y's cluster
+    relabels to X's), the delta's own assignment reflects the merged
+    label, and a second run on the same root resumes to identical
+    rows."""
+    from dataclasses import replace
+
+    from deduplicatr_spark.operators.incremental import IncrementalPipeline
+
+    base, clusters, ids, ca, cb = _base_fixture(spark)
+    cfg = replace(CFG, incremental_merge=True)
+    base_ident = with_identity(base).select("doc_id", "sha256")
+
+    new = spark.createDataFrame(
+        [("rX", "bridge.py", "c1", "py", TXT_A + TXT_B)], DOCS_SCHEMA
+    )
+    bid = with_identity(new).collect()[0]["doc_id"]
+    lo, hi = min(ca, cb), max(ca, cb)
+
+    pipe = IncrementalPipeline(spark, cfg, str(tmp_path / "mrg"))
+    out = pipe.run(new, base_ident, _features(base, cfg), clusters)
+    got = {r["doc_id"]: (r["cluster_id"], r["via"]) for r in out.collect()}
+    # the bridge adopts via near AND carries the MERGED label (even if
+    # its best-match pick had landed on the merged-away cluster)
+    assert got[bid] == (lo, "near")
+
+    assert [(r["cluster_id"], r["merged_id"]) for r in pipe.merge_mapping.collect()] == [
+        (hi, lo)
+    ]
+    repaired = {r["doc_id"]: r["cluster_id"] for r in pipe.repaired_base(clusters).collect()}
+    for p in ("a1.py", "a2.py", "b1.py", "b2.py"):
+        assert repaired[ids[p]] == lo
+    assert repaired[ids["solo.py"]] == ids["solo.py"]
+
+    # resume: a fresh pipeline on the same root reuses every stage and
+    # returns identical rows
+    pipe2 = IncrementalPipeline(spark, cfg, str(tmp_path / "mrg"))
+    out2 = pipe2.run(new, base_ident, _features(base, cfg), clusters)
+    assert sorted(map(tuple, out2.collect())) == sorted(map(tuple, out.collect()))
+
+
+def test_pipeline_merge_off_keeps_stale_labels(spark, tmp_path):
+    """Control: without incremental_merge the same bridge delta picks
+    ONE base cluster and the base keeps both — the drift i6 exists to
+    repair."""
+    from deduplicatr_spark.operators.incremental import IncrementalPipeline
+
+    base, clusters, ids, ca, cb = _base_fixture(spark)
+    base_ident = with_identity(base).select("doc_id", "sha256")
+    new = spark.createDataFrame(
+        [("rX", "bridge.py", "c1", "py", TXT_A + TXT_B)], DOCS_SCHEMA
+    )
+    bid = with_identity(new).collect()[0]["doc_id"]
+
+    pipe = IncrementalPipeline(spark, CFG, str(tmp_path / "nomrg"))
+    out = pipe.run(new, base_ident, _features(base, CFG), clusters)
+    got = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
+    assert got[bid] == min(ca, cb)  # best-match tiebreak: min cluster id
+    assert pipe.merge_mapping is None
+
+
+def test_incremental_merge_maintenance_end_to_end(spark):
+    base, clusters, ids, ca, cb = _base_fixture(spark)
+    new, _ = _bridge_matches(spark, base, clusters)
+
+    relabeled, mapping = incremental_merge_maintenance(
+        _features(new, CFG), _features(base, CFG), clusters, CFG
+    )
+    lo, hi = min(ca, cb), max(ca, cb)
+    assert [(r["cluster_id"], r["merged_id"]) for r in mapping.collect()] == [
+        (hi, lo)
+    ]
+    got = {r["doc_id"]: r["cluster_id"] for r in relabeled.collect()}
+    assert {got[ids["a1.py"]], got[ids["b1.py"]]} == {lo}

@@ -1177,6 +1177,38 @@ def _q_corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_data_card(ident)
 
 
+def _q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source overlap matrix (operators/report.py — the
+    inter-set duplication table that motivates cross-corpus dedup:
+    Wenzek et al. 2019 §3, Gao et al. 2020 §4): one row per unordered
+    repo pair sharing ≥1 normalized-content fingerprint, with each
+    side's distinct-fp count and the exact integer micro-Jaccard. The
+    oracle replays the distinct pass, the fp self-join and the integer
+    division.
+
+    PLANTED: beyond the corpus's own src0 mirror, a 'vendored' source
+    holding FORMATTING-ONLY copies (space-doubled — same fingerprint,
+    different sha, exercising the normalized-fp key) of every doc with
+    doc_id%7==3 across ALL sources, and a 'mirror2' source holding
+    doc_id%11==5 verbatim — so the matrix has rows for pairs that
+    share raw bytes, pairs that share only normalized content, and
+    source pairs bridged through a common vendoring target."""
+    from deduplicatr_spark.operators.report import source_overlap_matrix
+
+    c = _corpus(spark, sf_dir)
+    vendored = c.filter(F.col("doc_id") % 7 == 3).select(
+        F.lit("vendored").alias("repo"),
+        F.regexp_replace("content", " ", "  ").alias("content"),
+    )
+    mirror2 = c.filter(F.col("doc_id") % 11 == 5).select(
+        F.lit("mirror2").alias("repo"), "content"
+    )
+    full = c.select("repo", "content").unionByName(vendored).unionByName(
+        mirror2
+    )
+    return source_overlap_matrix(full)
+
+
 def _q_snapshot_near_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MOVE/EDIT detection across snapshots (operators/diff.py §
     near_diff_moves — git-rename-detection semantics at corpus scale):
@@ -3280,6 +3312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_eval": _q_dedup_eval,
         "top_repeated_ngrams": _q_top_repeated_ngrams,
         "corpus_data_card": _q_corpus_data_card,
+        "source_overlap": _q_source_overlap,
         "snapshot_near_diff": _q_snapshot_near_diff,
         "curation_pipeline": _q_curation_pipeline,
         "type2_license_exposure": _q_type2_license_exposure,
@@ -4533,6 +4566,35 @@ SELECT card.source, n_docs, n_bytes, n_tokens, n_exact_dup_docs,
        (n_exact_dup_docs * 1000000) // n_docs AS dup_frac_micro,
        top_lang
 FROM card JOIN top_lang ON card.source = top_lang.source
+""",
+        # distinct (source, fp) pass, fp self-join and integer
+        # micro-Jaccard all replayed
+        "source_overlap": CORPUS_SQL + """
+, full_src AS (
+  SELECT repo, content FROM corpus
+  UNION ALL
+  SELECT 'vendored', regexp_replace(content, ' ', '  ', 'g')
+  FROM corpus WHERE doc_id % 7 = 3
+  UNION ALL
+  SELECT 'mirror2', content FROM corpus WHERE doc_id % 11 = 5
+), fps AS (
+  SELECT DISTINCT repo AS source,
+         sha256(trim(regexp_replace(content, '\\s+', ' ', 'g'))) AS fp
+  FROM full_src
+), ps AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_fps FROM fps GROUP BY source
+), sh AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(count(*) AS BIGINT) AS shared_fps
+  FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT source_a, source_b, shared_fps,
+       pa.n_fps AS fps_a, pb.n_fps AS fps_b,
+       (shared_fps * 1000000) // (pa.n_fps + pb.n_fps - shared_fps)
+         AS jaccard_micro
+FROM sh JOIN ps pa ON sh.source_a = pa.source
+        JOIN ps pb ON sh.source_b = pb.source
 """,
         # prediction, planted truth and the integer micro metrics all
         # replayed independently (canonicalized, deduped, floor div)

@@ -105,3 +105,70 @@ def corpus_data_card(
         .alias("dup_frac_micro"),
         "top_lang",
     )
+
+
+def source_overlap_matrix(
+    corpus: DataFrame,
+    source_col: str = "repo",
+    text_col: str = "content",
+) -> DataFrame:
+    """Pairwise content-overlap matrix between sources — the number
+    that decides whether two sources should be cross-deduped before
+    mixing (CCNet trains per-snapshot then dedups across, Wenzek et
+    al. 2019 §3; The Pile reports inter-set overlap as its dedup
+    motivation, Gao et al. 2020 §4).
+
+    One row per unordered source pair sharing ≥1 normalized-content
+    fingerprint: (source_a < source_b, shared_fps, fps_a, fps_b,
+    jaccard_micro) where jaccard_micro = shared·1e6 div (|A|+|B|−shared)
+    in exact integers (no float drift across engines).
+
+    Scale: the per-source distinct pass is a partial+final aggregate on
+    (source, fp); the pair stage self-joins DISTINCT (fp, source) rows
+    on fp — its output is Σ_fp deg(fp)·(deg(fp)−1)/2 over DISTINCT
+    sources per fingerprint, i.e. bounded by cross-source duplication
+    itself, never |corpus|². A fingerprint present in every source
+    (boilerplate) is the hot key: at 10^4+ sources cap per-fp source
+    degree (sample + ledger) exactly as the bucket core thins hot
+    bands; at this repo's source counts the join is equi on a 64-char
+    key — hash it to 8 bytes first on a real lake."""
+    from deduplicatr_spark.functions.text import fingerprint
+
+    fps = corpus.select(
+        F.col(source_col).alias("source"), fingerprint(text_col).alias("fp")
+    ).distinct()
+    per_source = fps.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_fps")
+    )
+    a = fps.withColumnsRenamed({"source": "source_a"})
+    b = fps.withColumnsRenamed({"source": "source_b"})
+    shared = (
+        a.join(b, "fp")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("shared_fps"))
+    )
+    return (
+        shared.join(
+            per_source.withColumnsRenamed(
+                {"source": "source_a", "n_fps": "fps_a"}
+            ),
+            "source_a",
+        )
+        .join(
+            per_source.withColumnsRenamed(
+                {"source": "source_b", "n_fps": "fps_b"}
+            ),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "shared_fps",
+            "fps_a",
+            "fps_b",
+            F.expr(f"(shared_fps * {MICRO}) div (fps_a + fps_b - shared_fps)")
+            .cast("long")
+            .alias("jaccard_micro"),
+        )
+    )

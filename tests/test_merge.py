@@ -197,3 +197,54 @@ def test_incremental_merge_maintenance_end_to_end(spark):
     ]
     got = {r["doc_id"]: r["cluster_id"] for r in relabeled.collect()}
     assert {got[ids["a1.py"]], got[ids["b1.py"]]} == {lo}
+
+
+def test_incremental_merge_converges_to_rebatch(spark, tmp_path):
+    """The drift-repair guarantee end to end: batch-over-base + a
+    merge-repairing increment over a bridging delta reproduces the DOC
+    PARTITION of a full batch re-run over base ∪ delta — the exact
+    recompute the maintenance stage exists to avoid paying for.
+    Partitions (sets of cluster member sets) are compared instead of
+    labels: the batch CC labels by component-min doc id, which may be
+    the delta doc's own id, while the repaired base keeps the
+    component-min BASE cluster id."""
+    from dataclasses import replace
+
+    from deduplicatr_spark.operators.incremental import IncrementalPipeline
+    from deduplicatr_spark.plans.pipeline import DedupPipeline
+
+    base, _clusters, _ids, _ca, _cb = _base_fixture(spark)
+    delta = spark.createDataFrame(
+        [("rX", "bridge.py", "c1", "py", TXT_A + TXT_B)], DOCS_SCHEMA
+    )
+
+    def partition(df):
+        groups: dict[int, set[int]] = {}
+        for r in df.select("doc_id", "cluster_id").collect():
+            groups.setdefault(r["cluster_id"], set()).add(r["doc_id"])
+        return {frozenset(v) for v in groups.values()}
+
+    # referee: the full batch re-run over the union corpus
+    rebatch = DedupPipeline(spark, CFG, str(tmp_path / "rebatch")).run(
+        base.unionByName(delta)
+    )
+
+    # production path: batch over base, then ONE increment with merge
+    # maintenance, consuming the batch run's own checkpoints (the
+    # interface IncrementalPipeline documents)
+    batch = DedupPipeline(spark, CFG, str(tmp_path / "batch"))
+    base_assign = batch.run(base).select("doc_id", "cluster_id")
+    base_ident = with_identity(base).select("doc_id", "sha256")
+    base_feats = batch.store.read("s2_features")
+
+    cfg = replace(CFG, incremental_merge=True)
+    pipe = IncrementalPipeline(spark, cfg, str(tmp_path / "inc"))
+    delta_assign = pipe.run(delta, base_ident, base_feats, base_assign)
+    combined = pipe.repaired_base(base_assign).unionByName(
+        delta_assign.select("doc_id", "cluster_id")
+    )
+
+    assert partition(combined) == partition(rebatch)
+    # and the merge actually fired (two base clusters collapsed), so the
+    # equality above is not vacuous
+    assert pipe.merge_mapping.count() == 1

@@ -1,0 +1,32 @@
+"""Corpus diagnostics unit vectors (operators/report.py)."""
+
+from __future__ import annotations
+
+from deduplicatr_spark.operators.report import source_overlap_matrix
+
+X = "shared   doc body\twith odd    spacing\n"
+X_VAR = "shared doc body with odd spacing"  # same fingerprint as X
+Y = "unique to source one\n" * 3
+Z = "unique to source two\n" * 3
+W = "isolated third source\n" * 3
+
+
+def test_source_overlap_matrix_vectors(spark):
+    rows = [
+        ("s1", X), ("s1", X),      # within-source dup collapses
+        ("s1", Y),
+        ("s2", X_VAR),             # formatting-only copy still shares
+        ("s2", Z),
+        ("s3", W),                 # no overlap with anyone → no row
+    ]
+    df = spark.createDataFrame(rows, "repo string, content string")
+    got = [tuple(r) for r in source_overlap_matrix(df).collect()]
+    # one pair row: s1∩s2 = {X}, |s1|=2, |s2|=2, J = 1/3 in micro
+    assert got == [("s1", "s2", 1, 2, 2, 1_000_000 // 3)]
+
+
+def test_source_overlap_matrix_empty_when_disjoint(spark):
+    df = spark.createDataFrame(
+        [("s1", Y), ("s2", Z)], "repo string, content string"
+    )
+    assert source_overlap_matrix(df).count() == 0

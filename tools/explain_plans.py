@@ -580,6 +580,40 @@ def main() -> None:
         "plus a partial+final HashAggregate on repo keys, all integer "
         "arithmetic (div) — no float accumulation anywhere in the plan.",
     ))
+    from deduplicatr_spark.operators.merge import (  # noqa: E402
+        apply_cluster_merges,
+    )
+
+    base_cl = ident.select(
+        "doc_id", F.col("doc_id").alias("cluster_id")
+    )
+    edges = (
+        ident.select(F.col("doc_id").alias("cluster_a"))
+        .limit(8)
+        .select("cluster_a", (F.col("cluster_a") + 1).alias("cluster_b"))
+    )
+    relabeled, _map = apply_cluster_merges(base_cl, edges, BENCH_CONFIG)
+    merge_plan = captured_explain(relabeled)
+    # the relabel must be ONE broadcast join over the full base table —
+    # a shuffled (sort-merge) join here would re-partition every base
+    # row to repair a handful of clusters
+    assert "BroadcastHashJoin" in merge_plan, (
+        "cluster-merge relabel lost its broadcast join"
+    )
+    assert "SortMergeJoin" not in merge_plan, (
+        "cluster-merge relabel shuffles the base table"
+    )
+    sections.append((
+        "Incremental cluster-merge relabel (§2.71)",
+        merge_plan,
+        "What to check (plan-asserted): the base assignment table joins "
+        "the merge mapping via BroadcastHashJoin — the mapping holds "
+        "only clusters whose label CHANGED, so repairing a few stale "
+        "clusters never re-shuffles the 10^12-row base. The CC that "
+        "produced the mapping ran on the cluster-id graph (nodes = "
+        "affected clusters, not docs), upstream of this plan.",
+    ))
+
     from deduplicatr_spark.operators.lsh import release_tracked as _rt
     _rt()
 

@@ -633,16 +633,17 @@ def main() -> None:
     def _notebooks():
         from deduplicatr_spark.functions.notebooks import notebook_columns
 
+        # JSON-safe cell text via hex ([0-9A-F] only; Spark's base64 is
+        # MIME-chunked with newlines, which would corrupt the JSON) —
+        # a regexp_replace scrub here cost 15 s of the 15.8 s query
+        # wall, i.e. the bench was timing its own scaffolding, not the
+        # from_json conversion (which is ~0.7 s of the total)
         nb = corpus.select(
             F.concat(
                 F.lit('{"cells":[{"cell_type":"markdown","source":"'),
-                F.regexp_replace(
-                    F.substring("content", 1, 80), '[^A-Za-z0-9 ]', ""
-                ),
+                F.hex(F.substring("content", 1, 80).cast("binary")),
                 F.lit('"},{"cell_type":"code","source":"'),
-                F.regexp_replace(
-                    F.substring("content", 81, 4000), '[^A-Za-z0-9 ]', ""
-                ),
+                F.hex(F.substring("content", 81, 2000).cast("binary")),
                 F.lit('"}],"nbformat":4}'),
             ).alias("notebook")
         )

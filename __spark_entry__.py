@@ -1620,6 +1620,77 @@ def _q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary TRAINING (operators/bpe_train.py,
+    SURVEY §2.73 — Sennrich et al. 2016): the corpus-scale phase is one
+    letter-run explode into a partial+final word-count aggregate; the
+    merge loop runs driver-side over the capped histogram exactly as
+    reference trainers do (subword-nmt / HF tokenizers train on a word
+    frequency dict). Returns the learned (rank, left, right) table. An
+    oracle SQL engine cannot replay the iterative loop, so this entry
+    is rows-only; the loop's semantics (overlap-counted stats,
+    lexicographic tie-break, leftmost-greedy application, determinism)
+    are pinned against an independent reference implementation in
+    tests/test_bpe_train.py, and `bpe_trained_tokens` below feeds the
+    SAME trained table through the SQL-checkable applier contracts."""
+    from deduplicatr_spark.operators.bpe_train import bpe_train, merges_frame
+
+    d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    merges, _stats = bpe_train(d, n_merges=48, text_col="text")
+    return merges_frame(spark, merges)
+
+
+def _q_bpe_trained_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRAINED merge table (previous query) driven through the
+    applier on the same corpus. The merge ranks themselves are not SQL-
+    replayable, but the applier's structural contracts hold for ANY
+    rank table and are checked exactly: (a) lossless round-trip —
+    sha256(concat(tokens)) == sha256(text); (b) merges touch only
+    letter runs — non-letter token count equals DuckDB's count of
+    non-letter pre-token matches; (c) letter-word count conservation —
+    merges concatenate within a word, never across, so the number of
+    maximal letter runs is invariant too: tokens, grouped into words by
+    the pre-tokenizer boundaries, must count the same as DuckDB's
+    letter-run matches. A trainer that emitted a malformed pair (empty
+    side, cross-class symbol, non-adjacent concat) would break (a) or
+    (c) here."""
+    from deduplicatr_spark.functions.bpe import bpe_tokens_udf
+    from deduplicatr_spark.operators.bpe_train import bpe_train
+
+    d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    merges, _stats = bpe_train(d, n_merges=48, text_col="text")
+    toks = d.select(
+        "doc_id", bpe_tokens_udf(merges=merges)(F.col("text")).alias("toks")
+    )
+    is_letter = lambda t: t.rlike("^[A-Za-z]")  # noqa: E731
+    # maximal runs of letter tokens == letter WORDS (the pre-tokenizer
+    # never leaves two letter runs adjacent, so a run boundary is a
+    # word boundary); a cross-word merge would fuse two runs and
+    # undercount vs DuckDB's letter-run regex
+    n_words = F.aggregate(
+        "toks",
+        F.struct(
+            F.lit(0).cast("long").alias("n"), F.lit(False).alias("prev")
+        ),
+        lambda acc, t: F.struct(
+            (
+                acc["n"]
+                + F.when(is_letter(t) & ~acc["prev"], 1).otherwise(0)
+            ).cast("long").alias("n"),
+            is_letter(t).alias("prev"),
+        ),
+        lambda acc: acc["n"],
+    )
+    return toks.select(
+        "doc_id",
+        F.sha2(F.concat_ws("", F.col("toks")), 256).alias("roundtrip_sha"),
+        F.size(
+            F.filter("toks", lambda t: ~is_letter(t))
+        ).cast("long").alias("n_atomic"),
+        n_words.alias("n_letter_words"),
+    )
+
+
 def _emb_with_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embeddings ∪ perturbed copies (+0.5 on coord 1, id +100000) —
     mirrors the embedding_dup_pairs oracle CTE exactly."""
@@ -3328,6 +3399,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_cells": _q_kmeans_cells,
         "lsh_plan": _q_lsh_plan,
         "bpe_token_stats": _q_bpe_token_stats,
+        "bpe_train_merges": _q_bpe_train_merges,
+        "bpe_trained_tokens": _q_bpe_trained_tokens,
         "multimodal_meta": _q_multimodal_meta,
         "image_phash_pairs": _q_image_phash_pairs,
         "audio_fp_pairs": _q_audio_fp_pairs,
@@ -5672,6 +5745,21 @@ SELECT doc_id,
        CAST(len(regexp_extract_all(text,
             '[0-9]+|[ \t\n\f\r]+|[^A-Za-z0-9 \t\n\f\r]'))
             AS BIGINT) AS n_atomic
+FROM documents WHERE text IS NOT NULL
+""",
+        # the TRAINED merge table's applier contracts: byte round-trip,
+        # atomic (non-letter) token count, and letter-WORD count (a
+        # cross-word merge would undercount runs) — all independent of
+        # which merges were learned, which is exactly what makes them
+        # cross-engine checkable
+        "bpe_trained_tokens": """
+SELECT doc_id,
+       sha256(text) AS roundtrip_sha,
+       CAST(len(regexp_extract_all(text,
+            '[0-9]+|[ \t\n\f\r]+|[^A-Za-z0-9 \t\n\f\r]'))
+            AS BIGINT) AS n_atomic,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+'))
+            AS BIGINT) AS n_letter_words
 FROM documents WHERE text IS NOT NULL
 """,
         # planted truth for the k-means trainer: the wide-margin cell

@@ -1,0 +1,112 @@
+"""BPE trainer (operators/bpe_train.py): reference parity, greedy
+semantics, cap disclosure, and round-trip through the applier."""
+
+from __future__ import annotations
+
+from deduplicatr_spark.functions.bpe import tokenize_batch
+from deduplicatr_spark.operators.bpe_train import (
+    bpe_train,
+    train_merges_from_counts,
+    word_histogram,
+)
+
+
+def _ref_train(word_counts, n_merges):
+    """Independent reference: words as space-joined symbol strings,
+    re-scanned each round. Same contract: overlap-counted pair stats,
+    (max count, lexicographically smallest pair) selection,
+    leftmost-greedy application, stop below count 2."""
+    words = [(" ".join(w), c) for w, c in word_counts if w]
+    merges = []
+    for _ in range(n_merges):
+        stats = {}
+        for s, c in words:
+            sym = s.split(" ")
+            for i in range(len(sym) - 1):
+                k = (sym[i], sym[i + 1])
+                stats[k] = stats.get(k, 0) + c
+        if not stats:
+            break
+        pair = min(stats, key=lambda k: (-stats[k], k))
+        if stats[pair] < 2:
+            break
+        merges.append(pair)
+        nxt = []
+        for s, c in words:
+            sym = s.split(" ")
+            out, i = [], 0
+            while i < len(sym):
+                if (
+                    i + 1 < len(sym)
+                    and (sym[i], sym[i + 1]) == pair
+                ):
+                    out.append(sym[i] + sym[i + 1])
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            nxt.append((" ".join(out), c))
+        words = nxt
+    return merges
+
+
+HIST = [
+    ("their", 40), ("there", 35), ("then", 30), ("the", 120),
+    ("thin", 12), ("think", 11), ("aaaa", 9), ("aab", 9),
+    ("returns", 7), ("return", 21), ("self", 18), ("shelf", 4),
+    ("zz", 1),  # below the count-2 floor on its own pair? (count 1)
+]
+
+
+def test_trainer_matches_independent_reference():
+    got = train_merges_from_counts(HIST, 24)
+    want = _ref_train(HIST, 24)
+    assert got == want
+    assert got[0] == ("t", "h")  # 'th' dominates this histogram
+    # deterministic across invocations
+    assert train_merges_from_counts(HIST, 24) == got
+
+
+def test_overlap_counting_and_greedy_application():
+    # 'aaaa' alone: (a,a) scores 3 per copy; greedy merge yields
+    # (aa, aa), so the SECOND merge must be (aa, aa), not (a, aaa)
+    merges = train_merges_from_counts([("aaaa", 5)], 3)
+    assert merges == [("a", "a"), ("aa", "aa")]
+
+
+def test_tie_break_is_lexicographic():
+    # equal counts: ('ab' vs 'ba' pairs) — smallest (left, right) wins
+    merges = train_merges_from_counts([("ab", 3), ("ba", 3)], 1)
+    assert merges == [("a", "b")]
+
+
+def test_bpe_train_end_to_end(spark):
+    rows = [("the theme of the thesis",), ("then there is the theory",)]
+    df = spark.createDataFrame(rows, "content string")
+    hist = {
+        r["word"]: r["count"] for r in word_histogram(df).collect()
+    }
+    assert hist["the"] == 3 and hist["theme"] == 1
+
+    merges, stats = bpe_train(df, n_merges=8, max_words=1000)
+    # 'th' and 'he' tie at 8 occurrences — lexicographic pick
+    assert merges[0] == ("h", "e")
+    assert stats["dropped_words"] == 0 and stats["dropped_count"] == 0
+
+    # the trained table drives the existing applier: lossless partition
+    # plus an actual multi-char subword in the output
+    toks = tokenize_batch([rows[0][0], rows[1][0]], merges=merges)
+    for (src,), t in zip(rows, toks):
+        assert "".join(t) == src
+    assert any(len(t) > 2 for t in toks[0] if t.strip())
+
+
+def test_histogram_cap_is_disclosed(spark):
+    df = spark.createDataFrame(
+        [("alpha beta gamma delta alpha beta",)], "content string"
+    )
+    merges, stats = bpe_train(df, n_merges=4, max_words=2)
+    assert stats["kept_words"] == 2
+    assert stats["dropped_words"] == 2
+    assert stats["dropped_count"] == 2  # gamma + delta occurrences
+    assert all(isinstance(a, str) and isinstance(b, str) for a, b in merges)

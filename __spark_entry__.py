@@ -1209,6 +1209,21 @@ def _q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_overlap_matrix(full)
 
 
+def _q_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup savings curve (operators/report.py): per duplicate-
+    cluster-size stratum, how many clusters/docs/bytes and how many
+    bytes a keep-one-rep dedup removes (Lee et al. 2107.06499 §5 /
+    The Stack report this shape). Clusters = normalized-content
+    fingerprint groups; the corpus's planted exact copies, whitespace
+    variants (same fp, MORE bytes — so removable ≠ (size-1)/size of
+    bytes) and the src0 mirror give every stratum real structure. The
+    oracle replays fp grouping, min-id rep election via min_by, and
+    both aggregate layers."""
+    from deduplicatr_spark.operators.report import dedup_savings_report
+
+    return dedup_savings_report(_corpus(spark, sf_dir))
+
+
 def _q_snapshot_near_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MOVE/EDIT detection across snapshots (operators/diff.py §
     near_diff_moves — git-rename-detection semantics at corpus scale):
@@ -3384,6 +3399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_repeated_ngrams": _q_top_repeated_ngrams,
         "corpus_data_card": _q_corpus_data_card,
         "source_overlap": _q_source_overlap,
+        "dedup_savings": _q_dedup_savings,
         "snapshot_near_diff": _q_snapshot_near_diff,
         "curation_pipeline": _q_curation_pipeline,
         "type2_license_exposure": _q_type2_license_exposure,
@@ -4639,6 +4655,29 @@ SELECT card.source, n_docs, n_bytes, n_tokens, n_exact_dup_docs,
        (n_exact_dup_docs * 1000000) // n_docs AS dup_frac_micro,
        top_lang
 FROM card JOIN top_lang ON card.source = top_lang.source
+""",
+        # fp grouping, min-id rep election and both aggregate layers
+        # replayed; byte sizes via encode() so multi-byte content would
+        # still agree with Spark's octet_length
+        "dedup_savings": CORPUS_SQL + """
+, pd AS (
+  SELECT doc_id,
+         sha256(trim(regexp_replace(content, '\\s+', ' ', 'g'))) AS fp,
+         CAST(octet_length(encode(content)) AS BIGINT) AS b
+  FROM corpus
+), cl AS (
+  SELECT fp,
+         CAST(count(*) AS BIGINT) AS cluster_size,
+         CAST(sum(b) AS BIGINT) AS cl_bytes,
+         CAST(min_by(b, doc_id) AS BIGINT) AS rep_bytes
+  FROM pd GROUP BY fp
+)
+SELECT cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(cluster_size) AS BIGINT) AS n_docs,
+       CAST(sum(cl_bytes) AS BIGINT) AS n_bytes,
+       CAST(sum(cl_bytes - rep_bytes) AS BIGINT) AS removable_bytes
+FROM cl GROUP BY cluster_size
 """,
         # distinct (source, fp) pass, fp self-join and integer
         # micro-Jaccard all replayed

@@ -80,7 +80,10 @@ def propose_cluster_merges(
 
 
 def apply_cluster_merges(
-    base_clusters: DataFrame, merge_edges: DataFrame, config: PipelineConfig
+    base_clusters: DataFrame,
+    merge_edges: DataFrame,
+    config: PipelineConfig,
+    broadcast_mapping: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Relabel ``base_clusters`` under the closure of ``merge_edges``.
 
@@ -90,8 +93,15 @@ def apply_cluster_merges(
     label CHANGED (the delta a caller persists/audits; empty ⇒ the
     apply was a no-op). The CC runs on the cluster-id graph (tiny);
     the one pass over base_clusters is a left join against that
-    mapping — broadcast-sized whenever merges are delta-driven.
-    """
+    mapping — broadcast-sized whenever merges are delta-driven
+    (|mapping| ≤ |delta match rows|, 16 bytes/row).
+
+    ``broadcast_mapping=False`` drops the explicit broadcast hint for
+    the pathological regime (a delta so large its merge map outgrows
+    executor memory — at that point the increment should have been a
+    re-batch); the plan falls back to Spark's own join selection, which
+    still broadcasts below ``spark.sql.autoBroadcastJoinThreshold`` and
+    shuffles only the mapping side beyond it."""
     labels, _iters = connected_components(
         merge_edges.select(
             F.col("cluster_a").alias("doc_a"), F.col("cluster_b").alias("doc_b")
@@ -101,9 +111,8 @@ def apply_cluster_merges(
     mapping = labels.select(
         F.col("doc_id").alias("cluster_id"), F.col("cluster_id").alias("merged_id")
     ).filter(F.col("cluster_id") != F.col("merged_id"))
-    relabeled = base_clusters.join(
-        F.broadcast(mapping), "cluster_id", "left"
-    ).select(
+    m = F.broadcast(mapping) if broadcast_mapping else mapping
+    relabeled = base_clusters.join(m, "cluster_id", "left").select(
         "doc_id",
         F.coalesce("merged_id", "cluster_id").alias("cluster_id"),
     )

@@ -172,3 +172,49 @@ def source_overlap_matrix(
             .alias("jaccard_micro"),
         )
     )
+
+
+def dedup_savings_report(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+) -> DataFrame:
+    """Dedup savings curve, stratified by duplicate-cluster size — the
+    release-note table of every large dedup run ("X% of bytes were
+    copies, concentrated in clusters of size Y"; Lee et al. 2107.06499
+    §5 and The Stack's dedup section both report this shape).
+
+    Clusters here are the normalized-content fingerprint groups (the
+    exact/formatting dup layer — the part of dedup whose savings are
+    unambiguous); rep = min doc id, removable = cluster bytes minus the
+    rep's bytes (members differ only in formatting, so sizes differ).
+    One row per cluster SIZE: (cluster_size, n_clusters, n_docs,
+    n_bytes, removable_bytes).
+
+    Scale: two chained partial+final aggregates — (fp → size, bytes,
+    rep bytes via min_by) then (size → histogram row). Keys are the
+    32-byte fp then an int; content never shuffles. The min_by carries
+    one (id, bytes) struct per group — no window, no sort."""
+    from deduplicatr_spark.functions.text import fingerprint
+
+    per_doc = corpus.select(
+        F.col(id_col).alias("_id"),
+        fingerprint(text_col).alias("_fp"),
+        F.octet_length(text_col).cast("long").alias("_bytes"),
+    )
+    clusters = per_doc.groupBy("_fp").agg(
+        F.count("*").cast("long").alias("cluster_size"),
+        F.sum("_bytes").cast("long").alias("_cl_bytes"),
+        F.min_by("_bytes", "_id").cast("long").alias("_rep_bytes"),
+    )
+    return (
+        clusters.groupBy("cluster_size")
+        .agg(
+            F.count("*").cast("long").alias("n_clusters"),
+            F.sum("cluster_size").cast("long").alias("n_docs"),
+            F.sum("_cl_bytes").cast("long").alias("n_bytes"),
+            F.sum(F.col("_cl_bytes") - F.col("_rep_bytes"))
+            .cast("long")
+            .alias("removable_bytes"),
+        )
+    )

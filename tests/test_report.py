@@ -30,3 +30,20 @@ def test_source_overlap_matrix_empty_when_disjoint(spark):
         [("s1", Y), ("s2", Z)], "repo string, content string"
     )
     assert source_overlap_matrix(df).count() == 0
+
+
+def test_dedup_savings_report_vectors(spark):
+    from deduplicatr_spark.operators.report import dedup_savings_report
+
+    rows = [
+        (1, "a b"), (2, "a  b"),      # one cluster of 2: 3 + 4 bytes
+        (3, "solo one"),              # singletons
+        (4, "solo two"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    got = {r["cluster_size"]: tuple(r) for r in dedup_savings_report(df).collect()}
+    # size-2 stratum: 1 cluster, 2 docs, 7 bytes, rep is doc 1 (3 bytes)
+    # so 4 bytes removable
+    assert got[2] == (2, 1, 2, 7, 4)
+    # size-1 stratum: 2 clusters, nothing removable
+    assert got[1] == (1, 2, 2, 16, 0)

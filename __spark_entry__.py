@@ -3358,6 +3358,21 @@ def _released(fn: Callable[[SparkSession, str], DataFrame]):
     return run
 
 
+# Queries that INTENTIONALLY ship no oracle_sql entry: the driver then
+# records its weaker rows-only check (contract: "for genuinely
+# non-SQL-expressible ops ... omit the oracle_sql entry"). Each name
+# here must justify itself in its _q_* docstring; everything else in
+# queries() MUST have a value-hash oracle (tests/test_entry_contract.py
+# enforces the partition).
+ROWS_ONLY_QUERIES = frozenset({
+    # iterative merge-loop training — no SQL replay exists; the loop is
+    # pinned by tests/test_bpe_train.py against an independent pure-
+    # Python reference, and bpe_trained_tokens feeds the SAME trained
+    # table through fully SQL-checked applier contracts.
+    "bpe_train_merges",
+})
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dup_groups": _q_exact_dup_groups,

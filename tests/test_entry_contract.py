@@ -22,7 +22,14 @@ EMB_COLS = "vec_id BIGINT, embedding FLOAT[], label INTEGER"
 
 def test_every_query_has_oracle_and_vice_versa():
     qs, os_ = set(em.queries()), set(em.oracle_sql())
-    assert qs == os_, (sorted(qs - os_), sorted(os_ - qs))
+    # rows-only queries are a declared, documented exception (driver
+    # contract: non-SQL-expressible ops may omit the oracle); every
+    # OTHER query must have an oracle, every oracle must have a query,
+    # and a rows-only name must not also carry an oracle.
+    assert qs - os_ == em.ROWS_ONLY_QUERIES, sorted(qs - os_)
+    assert not (os_ - qs), sorted(os_ - qs)
+    assert not (em.ROWS_ONLY_QUERIES & os_), sorted(em.ROWS_ONLY_QUERIES & os_)
+    assert em.ROWS_ONLY_QUERIES <= qs, sorted(em.ROWS_ONLY_QUERIES - qs)
 
 
 @pytest.mark.parametrize("name", sorted(em.oracle_sql()))

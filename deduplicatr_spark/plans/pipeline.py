@@ -89,9 +89,18 @@ class DedupPipeline:
         def timed(name: str, fn):
             """Driver-observed wall per stage (includes job scheduling +
             checkpoint commit, which lineage wall_ms alone understates) —
-            the raw material for the scaling-efficiency breakdown."""
+            the raw material for the scaling-efficiency breakdown.
+            Also tags every Spark job launched inside the stage with a
+            job group named after it (broadcast-subquery jobs inherit it
+            via thread-local capture), so event-log task metrics
+            attribute to pipeline stages (tools/diag_stage_metrics.py)."""
             ts = time.time()
-            out = fn()
+            sc = self.spark.sparkContext
+            sc.setJobGroup(name, f"pipeline:{name}")
+            try:
+                out = fn()
+            finally:
+                sc.setJobGroup("", "")
             metrics.append({"stage": name, "kind": "driver_wall",
                             "wall_s": round(time.time() - ts, 3)})
             return out

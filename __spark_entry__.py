@@ -3337,6 +3337,63 @@ def _q_license_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross_repo_license_exposure(files)
 
 
+def _q_published_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed publish sink round-trip (sinks.py, SURVEY §2.75): the
+    identity table published as a sha256-bucketed sorted catalog table,
+    read back THROUGH the catalog, and consumed by exactly the
+    downstream pattern the layout exists for — a group-size aggregate
+    re-joined to the table on the bucket key. While building the plan,
+    broadcast and AQE are disabled and the physical plan is ASSERTED to
+    contain zero Exchange nodes (the scan's bucket layout satisfies
+    both the aggregate's and the join's distribution), so the driver's
+    sf0.01 replay re-proves the shuffle-free property on every run, not
+    just in the unit tests. The oracle recomputes rows + group sizes in
+    SQL; any row lost/duplicated/reordered by the bucketed write goes
+    red on the value hash."""
+    from deduplicatr_spark.sinks import publish_bucketed
+
+    ident = _identified(_corpus(spark, sf_dir)).select(
+        "repo", "path", "sha256", "size"
+    )
+    path = os.path.join(_ckpt_root(sf_dir), "published_assign")
+    tbl = publish_bucketed(
+        ident, "pub_entry_assignments", path,
+        bucket_col="sha256", n_buckets=32, sort_cols=("sha256", "repo", "path"),
+    )
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.enabled",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        sizes = tbl.groupBy("sha256").agg(
+            F.count(F.lit(1)).cast("long").alias("n_copies")
+        )
+        out = tbl.join(sizes, "sha256").select(
+            "repo", "path", "sha256", "size", "n_copies"
+        )
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            out.explain("formatted")
+        assert "Exchange" not in buf.getvalue(), (
+            "bucketed publish lost its exchange-free plan:\n" + buf.getvalue()
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return out
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full dedup pipeline on sf0.001."""
     return _q_dedup_pipeline(spark, "/root/testdata/sf0.001")
@@ -3468,6 +3525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_pipeline": _q_snapshot_pipeline,
         "commit_batch_assign": _q_commit_batch_assign,
         "license_exposure": _q_license_exposure,
+        "published_assignments": _q_published_assignments,
     }
 
 
@@ -6234,6 +6292,12 @@ SELECT l.repo, l.path, l.commit, l.sha256,
   """ + _license_class_case_sql("l.license_id") + """ AS license_class
 FROM lid l JOIN prov p ON l.sha256 = p.sha256
 WHERE l.repo <> p.origin_repo
+""",
+        "published_assignments": CORPUS_SQL + """
+SELECT repo, path, sha256,
+       CAST(size AS BIGINT) AS size,
+       CAST(count(*) OVER (PARTITION BY sha256) AS BIGINT) AS n_copies
+FROM files
 """,
         "commit_batch_assign": _VERSIONS_SQL + """
 , base_heads AS (

@@ -1,0 +1,115 @@
+"""Published-output sink: hash-bucketed, sorted cluster-assignment
+tables (SURVEY §2.55).
+
+Why this exists at 100 TB
+-------------------------
+The assignment table (one row per kept/retired doc: repo, path, sha256,
+cluster_id, ...) is the most RE-JOINED artifact the engine produces:
+every downstream curation pass — canonical election, license exposure,
+mixture sampling, incremental delta assignment, cluster-merge repair —
+starts by joining docs or deltas back to it on ``sha256`` or
+``cluster_id``. Written as plain parquet, EVERY one of those joins
+re-shuffles the 10^12-row table on the same key, over and over.
+
+Bucketing amortizes that shuffle exactly once, at write time:
+``df.write.bucketBy(n, key).sortBy(key)`` hash-partitions rows into a
+fixed number of buckets (Spark's ``Murmur3`` hash — the same
+``HashPartitioning`` a join exchange would apply) and records the
+layout in the table catalog. A later join or aggregation on the bucket
+key then satisfies the child's required distribution straight from the
+scan: the physical plan carries **no Exchange on the bucketed side**
+(two same-bucketed tables join with no exchange at all), and the
+in-bucket ``sortBy`` lets sort-merge joins skip their sort. On a real
+cluster this is the difference between "touch 100 TB" and "touch 100 TB
+AND move it through the shuffle service" per downstream pass.
+``tests/test_publish.py`` pins all three plan shapes.
+
+Bucket-count sizing: one bucket becomes at most one scan task per
+join, so ``n_buckets`` should be ≥ the cluster's target parallelism
+and sized so a bucket's share of the table is a sane task input
+(128–512 MB compressed). At 10^12 rows × ~200 B/row → ~200 TB raw,
+8192–32768 buckets; the default 32 here is for local[32]-scale runs.
+
+Iceberg note: when the runtime catalog is Iceberg
+(``sources.catalog.iceberg_available``), the equivalent layout is a
+``bucket(n, key)`` partition transform plus storage-partitioned joins
+(spark.sql.sources.v2.bucketing.enabled) — same design, engine-managed.
+The sandbox has no Iceberg jar, so this module implements the
+session-catalog ``bucketBy`` form the tests can actually execute; the
+writer refuses silently-unbucketed fallbacks rather than degrade.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def publish_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    *,
+    bucket_col: str = "cluster_id",
+    n_buckets: int = 32,
+    sort_cols: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """Write ``df`` as an external parquet table hash-bucketed on
+    ``bucket_col`` (sorted by ``sort_cols``, default the bucket column)
+    and return the re-read frame.
+
+    ``path`` keeps the data out of the session warehouse dir (external
+    table), so published outputs live next to the run's other artifacts
+    and survive a catalog reset — re-registering the same path under
+    the same layout is one ``publish_register`` call. An existing table
+    registration of the same name is replaced (the overwrite-mode
+    semantics every other sink in this repo has).
+    """
+    if bucket_col not in df.columns:
+        raise ValueError(f"bucket column {bucket_col!r} not in {df.columns}")
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    (
+        df.write.format("parquet")
+        .mode("overwrite")
+        .option("path", os.path.abspath(path))
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(*(sort_cols or (bucket_col,)))
+        .saveAsTable(table)
+    )
+    return spark.table(table)
+
+
+def publish_register(
+    spark: SparkSession,
+    table: str,
+    path: str,
+    *,
+    bucket_col: str = "cluster_id",
+    n_buckets: int = 32,
+    sort_cols: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """Re-attach an already-published bucketed directory to a (fresh)
+    session catalog WITHOUT rewriting data.
+
+    The session catalog (unlike Hive/Iceberg) forgets table metadata at
+    shutdown, while the parquet files and their bucket layout are fully
+    determined by the original write — so a resuming run re-registers
+    the directory with the SAME (n_buckets, bucket_col, sort) spec and
+    regains exchange-free joins. Declaring a spec that differs from the
+    one the files were written with would silently mis-bucket joins;
+    callers must pass the layout they published with (the pipeline
+    records it in its metrics ledger).
+    """
+    schema = spark.read.parquet(os.path.abspath(path)).schema
+    cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema)
+    sort = ", ".join(f"`{c}`" for c in (sort_cols or (bucket_col,)))
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(
+        f"CREATE TABLE {table} ({cols}) USING parquet "
+        f"CLUSTERED BY (`{bucket_col}`) SORTED BY ({sort}) "
+        f"INTO {n_buckets} BUCKETS "
+        f"LOCATION '{os.path.abspath(path)}'"
+    )
+    return spark.table(table)

@@ -65,6 +65,21 @@ def parse_args(argv: list[str]):
         "reason; config-hashed",
     )
     p.add_argument(
+        "--publish-bucketed", metavar="DIR",
+        help="after the run, publish the final assignment table to DIR "
+        "as a hash-bucketed sorted parquet table (sinks.py) so every "
+        "downstream join/agg on the bucket key is exchange-free; at "
+        "cluster scale pair with --publish-buckets sized to ~128-512 MB "
+        "per bucket",
+    )
+    p.add_argument("--publish-buckets", type=int, default=32)
+    p.add_argument(
+        "--publish-key", default="cluster_id", choices=["cluster_id", "sha256"],
+        help="bucket/sort key for --publish-bucketed: cluster_id for "
+        "cluster-granular consumers (election, mixing), sha256 for "
+        "content-lookup consumers (incremental deltas, streaming)",
+    )
+    p.add_argument(
         "--no-warmup", action="store_true",
         help="skip the untimed JIT/codegen warmup pass (a small pipeline "
         "run on ~3k rows; without it the first verify/join stages run "
@@ -147,6 +162,27 @@ def main(argv: list[str]) -> None:
         (m["iterations"] for m in pipe.store.read_metrics() if m.get("kind") == "cc"),
         None,
     )
+    published = None
+    if args.publish_bucketed:
+        from deduplicatr_spark.sinks import publish_bucketed
+
+        key = args.publish_key
+        out = publish_bucketed(
+            pipe.store.read("s6_assignments"),
+            "dedup_assignments",
+            args.publish_bucketed,
+            bucket_col=key,
+            n_buckets=args.publish_buckets,
+            sort_cols=(key, "repo", "path"),
+        )
+        published = {
+            "path": os.path.abspath(args.publish_bucketed),
+            "bucket_col": key,
+            "n_buckets": args.publish_buckets,
+            "rows": out.count(),
+        }
+        # the layout spec a resuming session needs for publish_register
+        pipe.store.write_metrics([{"kind": "published_layout", **published}])
     print(
         json.dumps(
             {
@@ -157,6 +193,7 @@ def main(argv: list[str]) -> None:
                 "cc_iterations": cc_iters,
                 "stage_wall_ms": stage_walls,
                 "driver_stage_wall_s": driver_walls,
+                "published": published,
                 "checkpoint": ckpt if not owned_ckpt else "(removed)",
                 "config_hash": cfg.config_hash,
                 "master": spark.sparkContext.master,

@@ -1,0 +1,154 @@
+"""Bucketed publish sink (sinks.py): layout fidelity + the three plan
+properties that make bucketing worth it at 100 TB — exchange-free
+bucketed⋈bucketed joins, exchange-free groupBy on the bucket key, and
+re-registration of a published directory into a fresh catalog without
+rewriting data."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from deduplicatr_spark.operators.exact import with_identity
+from deduplicatr_spark.sinks import publish_bucketed, publish_register
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@contextlib.contextmanager
+def _conf(spark, **kv):
+    old = {k: spark.conf.get(k, None) for k in kv}
+    for k, v in kv.items():
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+@pytest.fixture(scope="module")
+def published(spark, tiny_docs, tmp_path_factory):
+    """Identity frame published twice (assignments + a same-layout
+    'delta') bucketed by sha256 into 4 buckets."""
+    root = tmp_path_factory.mktemp("publish")
+    ident = with_identity(tiny_docs).select("repo", "path", "sha256", "size")
+    a = publish_bucketed(
+        ident, "pub_assign", str(root / "assign"),
+        bucket_col="sha256", n_buckets=4, sort_cols=("sha256", "path"),
+    )
+    b = publish_bucketed(
+        ident.withColumn("size", F.col("size") + 1),
+        "pub_delta", str(root / "delta"),
+        bucket_col="sha256", n_buckets=4,
+    )
+    yield ident, a, b, root
+    for t in ("pub_assign", "pub_delta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_publish_round_trips_rows(spark, published):
+    ident, a, _b, _root = published
+    assert a.count() == ident.count()
+    assert sorted(a.columns) == sorted(ident.columns)
+    # full value fidelity, not just counts
+    assert ident.exceptAll(a).count() == 0
+    assert a.exceptAll(ident).count() == 0
+
+
+def test_bucketed_join_has_no_exchange(spark, published):
+    """Both sides bucketed on the join key with equal bucket counts:
+    the scan satisfies the join's distribution — ZERO exchanges.
+    Broadcast disabled so the assertion exercises the shuffle path a
+    100 TB table would actually take."""
+    _ident, a, b, _root = published
+    with _conf(
+        spark,
+        **{
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.enabled": "false",
+        },
+    ):
+        j = spark.table("pub_assign").alias("l").join(
+            spark.table("pub_delta").alias("r"), "sha256"
+        )
+        plan = _plan(j)
+        assert "Exchange" not in plan, plan
+        # and the join actually works
+        assert j.count() >= a.count()  # sha256 dup groups expand
+
+
+def test_bucketed_sorted_join_skips_sort(spark, published):
+    """sortBy(sha256, ...) at write time: a sort-merge join on sha256
+    needs no Sort node on the sorted side either — scan-ordered SMJ."""
+    with _conf(
+        spark,
+        **{
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.enabled": "false",
+            "spark.sql.join.preferSortMergeJoin": "true",
+        },
+    ):
+        j = spark.table("pub_assign").join(
+            spark.table("pub_assign").withColumnRenamed("size", "s2"),
+            "sha256",
+        )
+        plan = _plan(j)
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        # pub_assign was written sortBy(sha256, path); the left
+        # (un-projected) side's SMJ input needs no separate Sort
+        assert plan.count("+- Sort") <= 1, plan
+
+
+def test_bucketed_groupby_has_no_exchange(spark, published):
+    """Aggregation on the bucket key runs map-side only — the scan
+    already clusters sha256, so the partial/final split collapses."""
+    with _conf(spark, **{"spark.sql.adaptive.enabled": "false"}):
+        g = spark.table("pub_assign").groupBy("sha256").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        plan = _plan(g)
+        assert "Exchange" not in plan, plan
+        assert g.count() == spark.table("pub_assign").select("sha256").distinct().count()
+
+
+def test_register_reattaches_published_dir(spark, published):
+    """Catalog loss (new session / in-memory catalog restart) must not
+    force a rewrite: CREATE TABLE ... CLUSTERED BY over the existing
+    directory restores both the rows and the exchange-free plan."""
+    _ident, a, _b, root = published
+    n = a.count()
+    spark.sql("DROP TABLE pub_assign")
+    r = publish_register(
+        spark, "pub_assign", str(root / "assign"),
+        bucket_col="sha256", n_buckets=4, sort_cols=("sha256", "path"),
+    )
+    assert r.count() == n
+    with _conf(
+        spark,
+        **{
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.enabled": "false",
+        },
+    ):
+        j = spark.table("pub_assign").join(spark.table("pub_delta"), "sha256")
+        assert "Exchange" not in _plan(j)
+
+
+def test_publish_rejects_missing_bucket_col(spark, tiny_docs, tmp_path):
+    with pytest.raises(ValueError, match="bucket column"):
+        publish_bucketed(
+            tiny_docs, "pub_bad", str(tmp_path / "bad"), bucket_col="nope"
+        )

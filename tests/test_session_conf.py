@@ -1,0 +1,45 @@
+"""Regression pins for the scaling-critical session configuration.
+
+Round-4 forensics (BENCH/BASELINE.md) traced the width-16 anti-scaling
+to two environment-level causes; both fixes are load-bearing and
+easy to lose in a refactor, so they are pinned here:
+
+1. `spark.storage.memoryMapThreshold=2g` — the default 2 MB makes
+   every big local shuffle-block read an mmap/munmap pair, and munmap's
+   TLB-shootdown IPIs serialize the kernel at ≥16 concurrent tasks
+   (measured: 298 s → 98 s pipeline wall at local[16], 1.28M rows).
+2. glibc MALLOC_* thresholds must be in the OS environment (not only
+   `spark.executorEnv.*`, which never reaches local-mode executors or
+   forked python workers).
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def test_memory_map_threshold_is_raised(spark):
+    v = spark.conf.get("spark.storage.memoryMapThreshold")
+    assert v == "2g", (
+        "shuffle-block mmap threshold regressed to "
+        f"{v!r} — local shuffle reads will mmap again and width ≥16 "
+        "re-enters the TLB-shootdown regime (BENCH/BASELINE.md round-4)"
+    )
+
+
+def test_malloc_env_reaches_this_process_tree(spark):
+    # build_session sets these BEFORE the JVM launches, so the JVM and
+    # its forked python workers inherit them; the session fixture went
+    # through build_session, so they must be present here
+    assert os.environ.get("MALLOC_MMAP_THRESHOLD_") == "1073741824"
+    assert os.environ.get("MALLOC_TRIM_THRESHOLD_") == "1073741824"
+    assert os.environ.get("MALLOC_ARENA_MAX") == "2"
+
+
+def test_executor_env_still_set_for_real_clusters(spark):
+    # the executorEnv route is a no-op locally but IS the route on
+    # YARN/standalone/k8s — keep both
+    assert (
+        spark.conf.get("spark.executorEnv.MALLOC_MMAP_THRESHOLD_")
+        == "1073741824"
+    )

@@ -19,18 +19,18 @@ def build_session(
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
-    # Allocator tuning must live in the PROCESS environment before the
-    # JVM launches: `spark.executorEnv.*` only reaches executor processes
-    # that the cluster manager LAUNCHES (YARN/standalone/k8s) — in local
-    # mode the "executor" is this very JVM (already running) and Python
-    # workers fork from it, so the conf-based route silently no-ops and
-    # the TLB-shootdown anti-scaling it exists to prevent (see the
-    # executorEnv comment below) comes back at width ≥ 16. Setting the
-    # env here covers local mode end-to-end (python → JVM → forked
-    # workers); the executorEnv confs below stay for real clusters.
-    # Measured (tools/diag_stage_metrics.py, 1.28M rows, local[16]): the
-    # s2_features write stage fell from 2867 task-run-s / 1259 JVM-CPU-s
-    # to JVM-CPU ≈ work again once these were truly in the worker env.
+    # Allocator tuning, two routes with different coverage:
+    # - `spark.executorEnv.*` (below) DOES reach Python WORKERS in every
+    #   mode including local (verified empirically: a sentinel
+    #   executorEnv var is visible inside a pandas UDF at local[2]) —
+    #   the numpy hot path is covered everywhere.
+    # - The executor JVM ITSELF only gets the env when the cluster
+    #   manager launches it. In local mode the JVM is this process's
+    #   child, so set the vars here, before it launches; under direct
+    #   `spark-submit main.py` the JVM predates Python and its own
+    #   glibc stays untuned (minor: JVM hot paths are heap/pooled, not
+    #   glibc malloc) — tools/bench_scaling.py exports the env on the
+    #   spark-submit subprocess for the measured protocol path.
     for _k, _v in (
         ("MALLOC_MMAP_THRESHOLD_", "1073741824"),
         ("MALLOC_TRIM_THRESHOLD_", "1073741824"),

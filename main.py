@@ -179,6 +179,7 @@ def main(argv: list[str]) -> None:
             "path": os.path.abspath(args.publish_bucketed),
             "bucket_col": key,
             "n_buckets": args.publish_buckets,
+            "sort_cols": [key, "repo", "path"],
             "rows": out.count(),
         }
         # the layout spec a resuming session needs for publish_register

@@ -28,12 +28,13 @@ def test_memory_map_threshold_is_raised(spark):
 
 
 def test_malloc_env_reaches_this_process_tree(spark):
-    # build_session sets these BEFORE the JVM launches, so the JVM and
-    # its forked python workers inherit them; the session fixture went
-    # through build_session, so they must be present here
-    assert os.environ.get("MALLOC_MMAP_THRESHOLD_") == "1073741824"
-    assert os.environ.get("MALLOC_TRIM_THRESHOLD_") == "1073741824"
-    assert os.environ.get("MALLOC_ARENA_MAX") == "2"
+    # build_session setdefault's these BEFORE the JVM launches, so the
+    # JVM and its forked python workers inherit SOME value; a host that
+    # pre-exports its own tuning is deliberately respected, so assert
+    # presence (the invariant), not the exact default values
+    assert os.environ.get("MALLOC_MMAP_THRESHOLD_")
+    assert os.environ.get("MALLOC_TRIM_THRESHOLD_")
+    assert os.environ.get("MALLOC_ARENA_MAX")
 
 
 def test_executor_env_still_set_for_real_clusters(spark):

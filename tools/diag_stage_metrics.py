@@ -125,6 +125,7 @@ def run_width(
         prefix=f"diag_ckpt_{width}_",
         dir="/dev/shm" if os.path.isdir("/dev/shm") else None,
     )
+    pre_cpu = {c: (u, s) for c, u, s in _tree_cpu(os.getpid())}
     try:
         docs = amplified_corpus(spark, SF_DIR, mult).persist()
         docs.count()
@@ -134,8 +135,15 @@ def run_width(
         # user/sys split per process-tree branch BEFORE teardown: sys-
         # heavy = kernel contention (page faults, mmap/TLB); user-heavy
         # = real compute or allocator/GC burn. JVM vs python split
-        # separates executor-side from worker-side cost.
-        for comm, u, s in _tree_cpu(os.getpid()):
+        # separates executor-side from worker-side cost. Reported as a
+        # DELTA against the pre-run snapshot: the py4j JVM outlives
+        # spark.stop(), so with multiple --widths in one process its
+        # /proc counters are cumulative and the raw numbers would
+        # charge every later width with all earlier widths' CPU.
+        post = {c: (u, s) for c, u, s in _tree_cpu(os.getpid())}
+        for comm in sorted(post, key=lambda c: -sum(post[c])):
+            pu, ps = pre_cpu.get(comm, (0.0, 0.0))
+            u, s = post[comm][0] - pu, post[comm][1] - ps
             print(f"[local[{width}]] {comm}: user {u:.0f}s sys {s:.0f}s",
                   flush=True)
     finally:

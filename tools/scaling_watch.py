@@ -24,7 +24,11 @@ THRESHOLD = float(sys.argv[1]) if len(sys.argv) > 1 else 5.0
 #   python tools/scaling_watch.py 8 --mult 256 --runs 2 --force
 # (--force lets the run overwrite BASELINE.md; the watcher's own
 # snapshot/restore below is the keep-best guard)
-PROTO_ARGS = sys.argv[2:] or ["--runs", "2"]
+PROTO_ARGS = sys.argv[2:]
+if "--runs" not in PROTO_ARGS:
+    # the watcher's tuned default: a quiet window validated only at
+    # launch time shouldn't host bench_scaling's longer 3-run default
+    PROTO_ARGS += ["--runs", "2"]
 POLL_S = 480
 MAX_WAIT_S = 4 * 3600
 

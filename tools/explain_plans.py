@@ -614,6 +614,43 @@ def main() -> None:
         "affected clusters, not docs), upstream of this plan.",
     ))
 
+    # --- bucketed publish sink (§2.75): exchange-free downstream join ---
+    import tempfile
+
+    from deduplicatr_spark.sinks import publish_bucketed
+
+    pub_dir = tempfile.mkdtemp(prefix="plans_pub_")
+    pub = publish_bucketed(
+        ident.select("repo", "path", "sha256", "size"),
+        "plans_pub_assign", pub_dir,
+        bucket_col="sha256", n_buckets=4, sort_cols=("sha256", "path"),
+    )
+    for k, v in (
+        ("spark.sql.autoBroadcastJoinThreshold", "-1"),
+        ("spark.sql.adaptive.enabled", "false"),
+    ):
+        spark.conf.set(k, v)
+    pub_sizes = pub.groupBy("sha256").agg(F.count(F.lit(1)).alias("n"))
+    pub_plan = captured_explain(pub.join(pub_sizes, "sha256"))
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert "Exchange" not in pub_plan, (
+        "bucketed publish join regained an exchange"
+    )
+    sections.append((
+        "Bucketed publish sink: group + self-join on the bucket key (§2.75)",
+        pub_plan,
+        "What to check (plan-asserted): ZERO Exchange nodes — the scan's "
+        "bucket layout (bucketBy(n, sha256) at publish time) satisfies "
+        "both the aggregate's and the join's required distribution, so "
+        "the canonical downstream pattern (group sizes re-joined to the "
+        "assignment table) touches the data but never the shuffle "
+        "service. At 10^12 rows this is the difference between reading "
+        "the table and re-shuffling it per consumer; bucket count is "
+        "sized so one bucket ≈ 128-512 MB compressed (sinks.py).",
+    ))
+    spark.sql("DROP TABLE IF EXISTS plans_pub_assign")
+
     from deduplicatr_spark.operators.lsh import release_tracked as _rt
     _rt()
 

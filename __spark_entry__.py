@@ -3343,13 +3343,16 @@ def _q_published_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     read back THROUGH the catalog, and consumed by exactly the
     downstream pattern the layout exists for — a group-size aggregate
     re-joined to the table on the bucket key. While building the plan,
-    broadcast and AQE are disabled and the physical plan is ASSERTED to
+    broadcast and AQE are disabled, the physical plan is ASSERTED to
     contain zero Exchange nodes (the scan's bucket layout satisfies
-    both the aggregate's and the join's distribution), so the driver's
-    sf0.01 replay re-proves the shuffle-free property on every run, not
-    just in the unit tests. The oracle recomputes rows + group sizes in
-    SQL; any row lost/duplicated/reordered by the bucketed write goes
-    red on the value hash."""
+    both the aggregate's and the join's distribution), and the result
+    is materialized via an eager localCheckpoint INSIDE the pinned
+    block — so the rows the driver later collects were produced under
+    the very plan that was asserted, and the sf0.01 replay re-proves
+    the shuffle-free property on every run, not just in the unit
+    tests. The oracle recomputes rows + group sizes in SQL; any row
+    lost/duplicated/reordered by the bucketed write goes red on the
+    value hash."""
     from deduplicatr_spark.sinks import publish_bucketed
 
     ident = _identified(_corpus(spark, sf_dir)).select(
@@ -3385,6 +3388,10 @@ def _q_published_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
         assert "Exchange" not in buf.getvalue(), (
             "bucketed publish lost its exchange-free plan:\n" + buf.getvalue()
         )
+        # Materialize under the asserted plan: the eager localCheckpoint
+        # executes NOW (AQE/broadcast still pinned off), so the frame the
+        # driver collects later is backed by rows produced by this plan.
+        out = out.localCheckpoint(eager=True)
     finally:
         for k, v in saved.items():
             if v is None:
@@ -3432,13 +3439,67 @@ ROWS_ONLY_QUERIES = frozenset({
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # Registry order is the driver's verification schedule: the
+        # correctness driver oracle-checks exactly the FIRST 50 entries.
+        # Round-5 rotation: slots 1-26 are the queries that had never
+        # received a driver-oracle row through r4, slots 27-44 the
+        # r3-green queries whose code changed since r3, slots 45-50
+        # r4-green sentinels spanning the core reference operators.
+        # Union across rounds r3-r5 then covers all 94 entries.
+        "kmeans_cells": _q_kmeans_cells,
+        "lsh_plan": _q_lsh_plan,
+        "bpe_token_stats": _q_bpe_token_stats,
+        "bpe_train_merges": _q_bpe_train_merges,
+        "bpe_trained_tokens": _q_bpe_trained_tokens,
+        "image_phash_pairs": _q_image_phash_pairs,
+        "audio_fp_pairs": _q_audio_fp_pairs,
+        "video_sig_pairs": _q_video_sig_pairs,
+        "repo_fork_pairs": _q_repo_fork_pairs,
+        "dir_fork_pairs": _q_dir_fork_pairs,
+        "repo_fork_pairs_fuzzy": _q_repo_fork_pairs_fuzzy,
+        "fork_clusters": _q_fork_clusters,
+        "type2_clone_groups": _q_type2_clone_groups,
+        "type3_clone_pairs": _q_type3_clone_pairs,
+        "method_clone_pairs": _q_method_clone_pairs,
+        "incremental_substring_assign": _q_incremental_substring_assign,
+        "cluster_merge_repair": _q_cluster_merge_repair,
+        "fork_prefiltered_pipeline": _q_fork_prefiltered_pipeline,
+        "head_snapshot": _q_head_snapshot,
+        "content_provenance": _q_content_provenance,
+        "commit_churn_stats": _q_commit_churn_stats,
+        "version_delta_pairs": _q_version_delta_pairs,
+        "snapshot_pipeline": _q_snapshot_pipeline,
+        "commit_batch_assign": _q_commit_batch_assign,
+        "license_exposure": _q_license_exposure,
+        "published_assignments": _q_published_assignments,
+        "lsh_topk": _q_lsh_topk,
+        "ivf_topk": _q_ivf_topk,
+        "multimodal_meta": _q_multimodal_meta,
+        "cc_fingerprint_chains": _q_cc_fingerprint_chains,
+        "minhash_lsh_pairs": _q_minhash_lsh_pairs,
+        "simhash_hamming_pairs": _q_simhash_hamming_pairs,
+        "simhash_weighted_pairs": _q_simhash_weighted_pairs,
+        "substring_pairs": _q_substring_pairs,
+        "duplicate_span_removal": _q_duplicate_span_removal,
+        "comment_stripped_dups": _q_comment_stripped_dups,
+        "incremental_assign": _q_incremental_assign,
+        "cluster_representatives": _q_cluster_representatives,
+        "stratified_sample": _q_stratified_sample,
+        "sequence_pack": _q_sequence_pack,
+        "token_budget_sample": _q_token_budget_sample,
+        "winnow_dup_pairs": _q_winnow_dup_pairs,
+        "chunk_windows": _q_chunk_windows,
+        "dedup_pipeline": _q_dedup_pipeline,
         "exact_dup_groups": _q_exact_dup_groups,
+        "dir_rollup": _q_dir_rollup,
+        "containment_report": _q_containment_report,
+        "scan_filter": _q_scan_filter,
+        "decontamination": _q_decontamination,
+        "quality_elect": _q_quality_elect,
         "exact_canonical": _q_exact_canonical,
         "sketchy_dup_groups": _q_sketchy_dup_groups,
         "fingerprint_dup_groups": _q_fingerprint_dup_groups,
-        "dir_rollup": _q_dir_rollup,
         "duplicate_dirs": _q_duplicate_dirs,
-        "containment_report": _q_containment_report,
         "token_stats": _q_token_stats,
         "quality_filter": _q_quality_filter,
         "langid": _q_langid,
@@ -3453,7 +3514,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": _q_vocab_topk,
         "unigram_logprob": _q_unigram_logprob,
         "repeated_ngrams": _q_repeated_ngrams,
-        "decontamination": _q_decontamination,
         "corpus_line_stats": _q_corpus_line_stats,
         "line_dedup_strip": _q_line_dedup_strip,
         "pii_scrub": _q_pii_scrub,
@@ -3464,7 +3524,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_classifier_score": _q_nb_classifier_score,
         "mixture_sample": _q_mixture_sample,
         "semantic_decontamination": _q_semantic_decontamination,
-        "quality_elect": _q_quality_elect,
         "docstring_pairs": _q_docstring_pairs,
         "bigram_logprob": _q_bigram_logprob,
         "dedup_eval": _q_dedup_eval,
@@ -3477,55 +3536,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "type2_license_exposure": _q_type2_license_exposure,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "ngram_containment_pairs": _q_ngram_containment_pairs,
-        "scan_filter": _q_scan_filter,
         "embedding_topk": _q_embedding_topk,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
         "semdedup_prune": _q_semdedup,
         "semdedup_prune_mis": _q_semdedup_mis,
-        "lsh_topk": _q_lsh_topk,
-        "ivf_topk": _q_ivf_topk,
-        "kmeans_cells": _q_kmeans_cells,
-        "lsh_plan": _q_lsh_plan,
-        "bpe_token_stats": _q_bpe_token_stats,
-        "bpe_train_merges": _q_bpe_train_merges,
-        "bpe_trained_tokens": _q_bpe_trained_tokens,
-        "multimodal_meta": _q_multimodal_meta,
-        "image_phash_pairs": _q_image_phash_pairs,
-        "audio_fp_pairs": _q_audio_fp_pairs,
-        "video_sig_pairs": _q_video_sig_pairs,
-        "cc_fingerprint_chains": _q_cc_fingerprint_chains,
-        "minhash_lsh_pairs": _q_minhash_lsh_pairs,
-        "repo_fork_pairs": _q_repo_fork_pairs,
-        "dir_fork_pairs": _q_dir_fork_pairs,
-        "repo_fork_pairs_fuzzy": _q_repo_fork_pairs_fuzzy,
-        "fork_clusters": _q_fork_clusters,
-        "simhash_hamming_pairs": _q_simhash_hamming_pairs,
-        "simhash_weighted_pairs": _q_simhash_weighted_pairs,
-        "substring_pairs": _q_substring_pairs,
-        "duplicate_span_removal": _q_duplicate_span_removal,
-        "comment_stripped_dups": _q_comment_stripped_dups,
-        "type2_clone_groups": _q_type2_clone_groups,
-        "type3_clone_pairs": _q_type3_clone_pairs,
-        "method_clone_pairs": _q_method_clone_pairs,
-        "incremental_assign": _q_incremental_assign,
-        "incremental_substring_assign": _q_incremental_substring_assign,
-        "cluster_merge_repair": _q_cluster_merge_repair,
-        "cluster_representatives": _q_cluster_representatives,
-        "stratified_sample": _q_stratified_sample,
-        "sequence_pack": _q_sequence_pack,
-        "token_budget_sample": _q_token_budget_sample,
-        "winnow_dup_pairs": _q_winnow_dup_pairs,
-        "chunk_windows": _q_chunk_windows,
-        "dedup_pipeline": _q_dedup_pipeline,
-        "fork_prefiltered_pipeline": _q_fork_prefiltered_pipeline,
-        "head_snapshot": _q_head_snapshot,
-        "content_provenance": _q_content_provenance,
-        "commit_churn_stats": _q_commit_churn_stats,
-        "version_delta_pairs": _q_version_delta_pairs,
-        "snapshot_pipeline": _q_snapshot_pipeline,
-        "commit_batch_assign": _q_commit_batch_assign,
-        "license_exposure": _q_license_exposure,
-        "published_assignments": _q_published_assignments,
     }
 
 

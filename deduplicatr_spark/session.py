@@ -84,6 +84,14 @@ def build_session(
         # through the page cache — strictly cheaper than an mmap per
         # block at any width ≥ 4 on many-core executors.
         .config("spark.storage.memoryMapThreshold", "2g")
+        # Bucketed-sorted scans (sinks.publish_bucketed) report their
+        # in-bucket sort order to the planner only under this flag;
+        # Spark still guards it with the one-file-per-bucket check,
+        # which publish_bucketed guarantees by repartitioning on the
+        # bucket column before the write. Effect: sort-merge joins on
+        # the published table skip BOTH Sort nodes (pinned in
+        # tests/test_publish.py::test_bucketed_sorted_join_skips_sort).
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     )
     # tmpfs shuffle dirs are opt-in only (bench.py sets this): defaulting
     # to /dev/shm caps spill at ~50% RAM and turns a big spill into

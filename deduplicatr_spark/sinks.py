@@ -42,8 +42,23 @@ writer refuses silently-unbucketed fallbacks rather than degrade.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
+
+# Spark bucketed part files encode the bucket id in the file name:
+# part-00000-<uuid>_00003.c000.snappy.parquet  →  bucket 3.
+_BUCKET_ID_RE = re.compile(r"_(\d{5})\.c\d+")
+
+
+def _scan_bucket_ids(path: str) -> list[int]:
+    """Bucket ids actually present in a published directory's file names."""
+    ids = []
+    for name in os.listdir(path):
+        m = _BUCKET_ID_RE.search(name)
+        if m:
+            ids.append(int(m.group(1)))
+    return ids
 
 
 def publish_bucketed(
@@ -70,8 +85,18 @@ def publish_bucketed(
         raise ValueError(f"bucket column {bucket_col!r} not in {df.columns}")
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # ONE file per bucket: repartition(n, col) and bucketBy(n, col) use
+    # the same murmur3-pmod hash, so after this shuffle each task holds
+    # exactly one bucket's rows and writes exactly one file. Without it,
+    # every write task emits a file per bucket it sees (tasks × buckets
+    # files), and Spark then refuses to trust the per-bucket sort order
+    # on read — sort-merge joins re-Sort both sides, forfeiting half the
+    # layout's value. The repartition IS the one amortized shuffle the
+    # publish exists to pay. (At 10^12 rows, n_buckets sized so one
+    # bucket ≈ 128–512 MB keeps this both parallel and single-file.)
     (
-        df.write.format("parquet")
+        df.repartition(n_buckets, bucket_col)
+        .write.format("parquet")
         .mode("overwrite")
         .option("path", os.path.abspath(path))
         .bucketBy(n_buckets, bucket_col)
@@ -98,11 +123,35 @@ def publish_register(
     determined by the original write — so a resuming run re-registers
     the directory with the SAME (n_buckets, bucket_col, sort) spec and
     regains exchange-free joins. Declaring a spec that differs from the
-    one the files were written with would silently mis-bucket joins;
-    callers must pass the layout they published with (the pipeline
-    records it in its metrics ledger).
+    one the files were written with would silently mis-bucket joins —
+    Spark would assume a hash distribution the files don't have and
+    exchange-free joins would silently drop matching rows. Two guards
+    run before CREATE TABLE: the directory must actually contain
+    bucketed part files (ids parsed from the ``..._00003.c000...``
+    file-name convention), and every observed bucket id must be
+    < ``n_buckets``. These catch the dangerous direction (declared
+    n_buckets smaller than, or layout absent from, what was written);
+    callers should still pass the exact layout they published with
+    (the pipeline records it in its metrics ledger).
     """
-    schema = spark.read.parquet(os.path.abspath(path)).schema
+    abspath = os.path.abspath(path)
+    ids = _scan_bucket_ids(abspath)
+    if not ids:
+        raise ValueError(
+            f"publish_register: no bucketed part files under {abspath!r} — "
+            "the directory was not written by publish_bucketed (bucket ids "
+            "are encoded in part-file names); registering it as bucketed "
+            "would declare a hash distribution the files don't have"
+        )
+    max_id = max(ids)
+    if max_id >= n_buckets:
+        raise ValueError(
+            f"publish_register: directory {abspath!r} contains bucket id "
+            f"{max_id} but the declared layout has only {n_buckets} buckets "
+            f"— the files were written with a larger bucket count; "
+            "registering the smaller spec would silently mis-route joins"
+        )
+    schema = spark.read.parquet(abspath).schema
     cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema)
     sort = ", ".join(f"`{c}`" for c in (sort_cols or (bucket_col,)))
     spark.sql(f"DROP TABLE IF EXISTS {table}")
@@ -110,6 +159,6 @@ def publish_register(
         f"CREATE TABLE {table} ({cols}) USING parquet "
         f"CLUSTERED BY (`{bucket_col}`) SORTED BY ({sort}) "
         f"INTO {n_buckets} BUCKETS "
-        f"LOCATION '{os.path.abspath(path)}'"
+        f"LOCATION '{abspath}'"
     )
     return spark.table(table)

@@ -153,16 +153,86 @@ class CheckpointStore:
                  "wall_ms": wall_ms, "format": self.fmt,
                  "requested_format": self.requested_fmt}, f)
 
-    @staticmethod
-    def _dir_part_rows(target: str) -> list[int]:
-        import pyarrow.parquet as pq
+    # Above this many part files the per-file footer reads move to the
+    # executors: at 10^12 rows / ~10^6 part files, a serial driver-side
+    # walk is ~10^6 footer round-trips and an unbounded driver list.
+    # Below it (every local/test run) the driver walk is cheaper than a
+    # Spark job.
+    LINEAGE_DRIVER_FILE_CAP = 1024
 
+    @staticmethod
+    def _dir_part_files(target: str) -> list[str]:
         out = []
         for base, _dirs, files in os.walk(target):
             for fn in sorted(files):
                 if fn.startswith("part-") and fn.endswith(".parquet"):
-                    out.append(pq.read_metadata(os.path.join(base, fn)).num_rows)
+                    out.append(os.path.join(base, fn))
         return out
+
+    @staticmethod
+    def _dir_part_rows(target: str) -> list[int]:
+        import pyarrow.parquet as pq
+
+        return [
+            pq.read_metadata(p).num_rows
+            for p in CheckpointStore._dir_part_files(target)
+        ]
+
+    def _record_distributed(self, name: str, files: list[str],
+                            wall_ms: int) -> None:
+        """Lineage for a big stage: footer reads fan out over the
+        executors (one pyarrow ``read_metadata`` per part file — no data
+        scan), and the lineage table + total row count are produced by
+        Spark, so the driver never holds a per-file list of counts. The
+        file-NAME list itself is unavoidable driver state — Spark's own
+        FileIndex materializes the same listing for any read."""
+        from pyspark.sql import functions as F
+
+        def _footer_rows(it):
+            import pyarrow.parquet as pq
+            for pid, path in it:
+                yield pid, pq.read_metadata(path).num_rows
+
+        sc = self.spark.sparkContext
+        n_slices = min(max(len(files) // 256, 1), 512)
+        pid_rows = self.spark.createDataFrame(
+            sc.parallelize(list(enumerate(files)), n_slices)
+            .mapPartitions(_footer_rows),
+            "partition_id int, output_rows long",
+        )
+        self._write_lineage_df(name, pid_rows, wall_ms)
+
+    def _write_lineage_df(self, name: str, pid_rows: DataFrame,
+                          wall_ms: int) -> None:
+        """Write a (partition_id, output_rows) frame as the stage's
+        lineage table and its marker, entirely through Spark — the only
+        driver transfer is the 1-row total."""
+        from pyspark.sql import functions as F
+
+        lineage = pid_rows.select(
+            F.col("partition_id").cast("int"),
+            F.col("output_rows").cast("long"),
+            F.lit(name).alias("stage"),
+            F.lit(self.config_hash).alias("config_hash"),
+            F.lit(wall_ms).cast("long").alias("wall_ms"),
+        )
+        lineage_dir = os.path.join(self.root, "_lineage", name)
+        tmp = os.path.join(self.root, f"_tmp_lineage_{name}_{uuid.uuid4().hex[:8]}")
+        lineage.write.mode("overwrite").parquet(tmp)
+        os.makedirs(os.path.dirname(lineage_dir), exist_ok=True)
+        shutil.rmtree(lineage_dir, ignore_errors=True)
+        os.rename(tmp, lineage_dir)
+        # total via a 1-row aggregate on the just-written table (bounded
+        # driver transfer, unlike summing a 10^6-long python list)
+        total = (
+            self.spark.read.parquet(lineage_dir)
+            .agg(F.sum("output_rows")).collect()[0][0]
+        )
+        with open(self._marker(name), "w") as f:
+            json.dump(
+                {"config_hash": self.config_hash, "rows": int(total or 0),
+                 "wall_ms": wall_ms, "format": self.fmt,
+                 "requested_format": self.requested_fmt}, f)
 
     def write(self, name: str, df: DataFrame) -> DataFrame:
         """Materialize ``df`` as stage ``name``; returns the re-read frame
@@ -172,10 +242,20 @@ class CheckpointStore:
             # createOrReplace is a single atomic snapshot swap — a killed
             # run can never expose a half-written table
             df.writeTo(self._iceberg_table(name)).using("iceberg").createOrReplace()
+            # lineage straight from the .files metadata table, through
+            # Spark: no per-file record_count collect onto the driver
+            # (at 10^12 rows that list is ~10^6 elements per stage)
+            from pyspark.sql import Window
+            from pyspark.sql import functions as F
+
             files = self.spark.read.table(self._iceberg_table(name) + ".files")
-            part_rows = [r["record_count"] for r in
-                         files.select("record_count").collect()]
-            self._record(name, part_rows, int((time.time() - t0) * 1000))
+            pid_rows = files.select(
+                (F.row_number().over(Window.orderBy("file_path")) - 1)
+                .alias("partition_id"),
+                F.col("record_count").alias("output_rows"),
+            )
+            self._write_lineage_df(name, pid_rows,
+                                   int((time.time() - t0) * 1000))
             return self.read(name)
         target = self._dir(name)
         tmp = os.path.join(self.root, f"_tmp_{name}_{uuid.uuid4().hex[:8]}")
@@ -183,8 +263,15 @@ class CheckpointStore:
         if os.path.exists(target):
             shutil.rmtree(target)
         os.rename(tmp, target)
-        self._record(name, self._dir_part_rows(target),
-                     int((time.time() - t0) * 1000))
+        wall_ms = int((time.time() - t0) * 1000)
+        files = self._dir_part_files(target)
+        if len(files) <= self.LINEAGE_DRIVER_FILE_CAP:
+            import pyarrow.parquet as pq
+
+            self._record(name, [pq.read_metadata(p).num_rows for p in files],
+                         wall_ms)
+        else:
+            self._record_distributed(name, files, wall_ms)
         return self.read(name)
 
     def delete(self, name: str) -> None:

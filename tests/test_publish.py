@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import contextlib
 import io
+import re
 
 import pytest
 from pyspark.sql import functions as F
@@ -107,9 +108,15 @@ def test_bucketed_sorted_join_skips_sort(spark, published):
         plan = _plan(j)
         assert "Exchange" not in plan, plan
         assert "SortMergeJoin" in plan, plan
-        # pub_assign was written sortBy(sha256, path); the left
-        # (un-projected) side's SMJ input needs no separate Sort
-        assert plan.count("+- Sort") <= 1, plan
+        # pub_assign was written sortBy(sha256, path) with one file per
+        # bucket (publish_bucketed repartitions on the bucket column),
+        # and the session enables bucketedTableScan.outputOrdering — so
+        # the SMJ needs no Sort on EITHER side. Count real Sort operator
+        # nodes: in explain('formatted') output they render as
+        # "(n) Sort ...", never "+- Sort" (the old assertion was vacuous
+        # and the property genuinely did not hold before the
+        # one-file-per-bucket + legacy-ordering fix).
+        assert len(re.findall(r"\(\d+\) Sort\b", plan)) == 0, plan
 
 
 def test_bucketed_groupby_has_no_exchange(spark, published):
@@ -152,3 +159,25 @@ def test_publish_rejects_missing_bucket_col(spark, tiny_docs, tmp_path):
         publish_bucketed(
             tiny_docs, "pub_bad", str(tmp_path / "bad"), bucket_col="nope"
         )
+
+
+def test_register_rejects_unbucketed_dir(spark, tiny_docs, tmp_path):
+    """A plain-parquet directory has no bucket ids in its file names;
+    registering it as bucketed would declare a hash distribution the
+    files don't have (exchange-free joins would then drop rows)."""
+    p = str(tmp_path / "plain")
+    tiny_docs.select("repo", "path").write.parquet(p)
+    with pytest.raises(ValueError, match="no bucketed part files"):
+        publish_register(spark, "pub_bad_reg", p, bucket_col="repo", n_buckets=4)
+
+
+def test_register_rejects_smaller_bucket_count(spark, published):
+    """Declaring fewer buckets than the files were written with makes
+    Spark route probe rows to the wrong bucket — refuse up front."""
+    _ident, _a, _b, root = published
+    with pytest.raises(ValueError, match="bucket id"):
+        publish_register(
+            spark, "pub_bad_reg2", str(root / "assign"),
+            bucket_col="sha256", n_buckets=2,
+        )
+    spark.sql("DROP TABLE IF EXISTS pub_bad_reg2")

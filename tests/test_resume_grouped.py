@@ -147,3 +147,32 @@ def test_iceberg_roundtrip(spark, input_df, tmp_path):
     assert store.read("st").count() == 200
     got = store.get_or_compute("st", lambda: (_ for _ in ()).throw(AssertionError))
     assert got.count() == 200
+
+
+def test_distributed_lineage_matches_driver_path(spark, input_df, tmp_path, monkeypatch):
+    """Above LINEAGE_DRIVER_FILE_CAP part files, footer reads fan out to
+    the executors (no per-file driver list). The two paths must produce
+    identical lineage tables and markers — pin by forcing the cap to 0
+    on one of two otherwise-identical writes."""
+    s_drv = CheckpointStore(spark, str(tmp_path / "drv"), "cfg")
+    s_dist = CheckpointStore(spark, str(tmp_path / "dist"), "cfg")
+    df = input_df.repartition(4, "doc_id")
+    s_drv.write("st", df)
+    monkeypatch.setattr(CheckpointStore, "LINEAGE_DRIVER_FILE_CAP", 0)
+    s_dist.write("st", df)
+
+    def canon(store):
+        lin = store.lineage()
+        return sorted(
+            map(tuple, lin.select(
+                "partition_id", "output_rows", "stage", "config_hash"
+            ).collect())
+        )
+
+    assert canon(s_drv) == canon(s_dist)
+    assert len(canon(s_dist)) >= 4
+    assert s_drv.rows("st") == s_dist.rows("st") == 200
+    # resume still works through the distributed-lineage marker
+    called = []
+    out = s_dist.get_or_compute("st", lambda: called.append(1) or df)
+    assert not called and out.count() == 200

@@ -8,9 +8,11 @@ easy to lose in a refactor, so they are pinned here:
    every big local shuffle-block read an mmap/munmap pair, and munmap's
    TLB-shootdown IPIs serialize the kernel at ≥16 concurrent tasks
    (measured: 298 s → 98 s pipeline wall at local[16], 1.28M rows).
-2. glibc MALLOC_* thresholds must be in the OS environment (not only
-   `spark.executorEnv.*`, which never reaches local-mode executors or
-   forked python workers).
+2. glibc MALLOC_* thresholds must be in the OS environment as well as
+   `spark.executorEnv.*`: executorEnv DOES reach Python workers in all
+   modes (session.py verifies this), but it cannot retune the
+   already-launched local/driver JVM itself — the OS-env route covers
+   the JVM side.
 """
 
 from __future__ import annotations

@@ -316,7 +316,17 @@ def main() -> None:
 
         with open(out_path) as f:
             m = re.search(r"Scaling efficiency.*?= ([0-9.]+)\*\*", f.read())
-        prev = float(m.group(1)) if m else 0.0
+        if m is None:
+            # A formatting tweak that breaks this regex would silently
+            # disable the keep-best guard (prev=0.0 accepts anything).
+            # Refuse instead: the caller must pass --force to assert the
+            # existing table really has no efficiency line to protect.
+            raise SystemExit(
+                f"keep-best guard: could not parse 'Scaling efficiency ... = X**' "
+                f"from existing {out_path}; refusing to overwrite without --force "
+                "(the guard would otherwise be silently disabled)"
+            )
+        prev = float(m.group(1))
     if eff < prev:
         out_path = os.path.join(REPO, "BENCH", "BASELINE_lastrun.md")
     with open(out_path, "w") as f:

@@ -198,6 +198,34 @@ def tokenize_batch(
     return out
 
 
+def load_merges(path: str) -> list[tuple[str, str]]:
+    """Parse a published-vocab-style BPE merges file (the GPT-2 / HF
+    ``merges.txt`` convention: optional ``#version``/comment header
+    lines, then one ``left right`` pair per line in merge-rank order).
+
+    This is the seam for swapping ``DEFAULT_MERGES`` or an in-repo
+    trained table (operators/bpe_train.py) for a real published vocab:
+    the applier kernel is rank-agnostic, so a parsed file drops
+    straight into ``tokenize_batch``/``bpe_tokens_udf``. Malformed
+    lines (not exactly two space-separated symbols) raise rather than
+    silently shifting every later rank by one.
+    """
+    merges: list[tuple[str, str]] = []
+    with open(path, encoding="utf-8") as f:
+        for ln, line in enumerate(f, 1):
+            line = line.rstrip("\n")
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split(" ")
+            if len(parts) != 2 or not all(parts):
+                raise ValueError(
+                    f"{path}:{ln}: malformed merge line {line!r} "
+                    "(expected 'left right')"
+                )
+            merges.append((parts[0], parts[1]))
+    return merges
+
+
 def bpe_tokens_udf(merges: list[tuple[str, str]] | None = None):
     """array<string> subword tokens per document (Arrow-batched)."""
 

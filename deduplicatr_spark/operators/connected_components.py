@@ -80,6 +80,15 @@ def connected_components(
     appears in an edge; returns (labels, iterations). Isolated nodes are
     absent — assignment coalesces them to their own id.
 
+    Iteration bound: alternating large-star/small-star halves the
+    effective component depth per round (Kiveris et al., SoCC'14 —
+    O(log² n) proven, O(log n) observed), so the loop terminates in
+    ≤ ⌈log₂ diameter⌉ + 2 rounds in practice — pinned by
+    tests/test_verify_cc.py::test_cc_adversarial_deep_chain_log_bound
+    on a depth-128 path (9 rounds allowed). ``cc_max_iters`` (default
+    50) is therefore a safety net for ~2^48-diameter graphs, not a
+    working limit; real near-dup graphs here converge in 2–4 rounds.
+
     ``checkpoint_fn(df, iteration)`` overrides the per-round lineage
     truncation. Default is ``localCheckpoint`` — executor-memory
     resident, fine in local mode but lost with an executor on a real

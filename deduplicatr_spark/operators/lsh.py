@@ -240,7 +240,18 @@ def keyed_candidate_pairs(
     keyed = _track(keyed.persist(StorageLevel.MEMORY_AND_DISK))
 
     sizes = keyed.groupBy("band_hash").agg(F.count(F.lit(1)).alias("n"))
-    hot = sizes.filter(F.col("n") > config.hot_key_threshold)
+    # persisted: `hot` feeds BOTH the thinning broadcast join here and
+    # drop_stats' hot_by_src ledger, which the pipeline collects only
+    # AFTER the candidate checkpoint — without the cache that collect
+    # re-runs the entire sizes aggregation (full keyed-cache scan + a
+    # shuffle the size of the distinct-bucket space; measured at 1.28M
+    # rows/local[16]: a duplicate 253 MB scan + 334 MB exchange, ~55
+    # task-seconds). The frame itself is tiny by construction — only
+    # buckets above hot_key_threshold survive the filter.
+    hot = _track(
+        sizes.filter(F.col("n") > config.hot_key_threshold)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     # thin ultra-hot buckets pre-shuffle: keep ~2*cap deterministic rows
     annotated = keyed.join(F.broadcast(hot), "band_hash", "left")

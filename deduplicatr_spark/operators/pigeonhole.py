@@ -112,11 +112,29 @@ def simhash_keys_for(
 
 
 def hamming_verify(
-    raw_pairs: DataFrame, features: DataFrame, hamming_d: int
+    raw_pairs: DataFrame,
+    features: DataFrame,
+    hamming_d: int,
+    n_docs: int | None = None,
+    broadcast_max_docs: int = 10_000_000,
 ) -> DataFrame:
     """Keep (doc_a, doc_b) with bit_count(sim_a ^ sim_b) ≤ d — row-local
-    built-in arithmetic after two narrow equi-joins."""
+    built-in arithmetic after two narrow equi-joins.
+
+    Join strategy is size-aware: the sims side is only 16 bytes/doc
+    (doc_id, simhash), but Spark's stats estimate it from the FULL
+    feature checkpoint (shingle arrays included), so the planner never
+    broadcasts it on its own — at 1.28M docs that cost two shuffled
+    joins moving ~650 MB (diag stage table, round 5). When the caller
+    knows the doc count (the pipeline reads it free from the s2 stage
+    marker) and it fits comfortably in an executor (≤ ``broadcast_max_
+    docs`` ≈ 160 MB of map), broadcast explicitly and both pair-side
+    exchanges disappear. Above the cap — the 10^12-doc regime — the
+    shuffled equi-join is the correct plan and remains the default.
+    """
     sims = features.select("doc_id", "simhash")
+    if n_docs is not None and n_docs <= broadcast_max_docs:
+        sims = F.broadcast(sims)
     return (
         raw_pairs.join(
             sims.withColumnsRenamed({"doc_id": "doc_a", "simhash": "sim_a"}), "doc_a"
@@ -159,6 +177,7 @@ def simhash_candidate_pairs(
         keyed = keyed.filter(F.pmod(F.col("band_hash"), F.lit(n)) == g)
     raw_pairs, drops = keyed_candidate_pairs(keyed, config, dedupe=dedupe)
     pairs = hamming_verify(
-        raw_pairs.select("doc_a", "doc_b"), features, config.hamming_d
+        raw_pairs.select("doc_a", "doc_b"), features, config.hamming_d,
+        n_docs=n_docs,
     )
     return pairs, drops.select("capped_docs", "hot_buckets", "hot_rows")

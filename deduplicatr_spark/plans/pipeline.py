@@ -277,6 +277,11 @@ class DedupPipeline:
                 pairs.filter(F.col("src") == 1).select("doc_a", "doc_b"),
                 features,
                 cfg.hamming_d,
+                # known free from the s2 marker: lets the verify
+                # broadcast its 16-byte/doc sims side instead of
+                # shuffling both pair joins (falls back to the shuffled
+                # plan past ~10M docs — the at-scale regime)
+                n_docs=store.rows("s2_features"),
             )
             return (
                 lsh_pairs.withColumn("src", F.lit("lsh"))

@@ -45,6 +45,7 @@ import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 # Spark bucketed part files encode the bucket id in the file name:
 # part-00000-<uuid>_00003.c000.snappy.parquet  →  bucket 3.
@@ -102,6 +103,63 @@ def publish_bucketed(
         .bucketBy(n_buckets, bucket_col)
         .sortBy(*(sort_cols or (bucket_col,)))
         .saveAsTable(table)
+    )
+    return spark.table(table)
+
+
+def publish_bucketed_iceberg(
+    df: DataFrame,
+    table: str,
+    *,
+    bucket_col: str = "cluster_id",
+    n_buckets: int = 32,
+    sort_cols: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """The Iceberg form of :func:`publish_bucketed`: a ``bucket(n, key)``
+    partition transform plus the storage-partitioned-join session confs,
+    so two tables published with the same (n, key) spec join with no
+    Exchange — engine-managed, surviving catalog restarts without the
+    ``publish_register`` re-attach dance the session-catalog form needs.
+
+    Sandbox note: requires the Iceberg runtime jar
+    (``sources.catalog.iceberg_available``); raises RuntimeError without
+    it rather than silently writing an unbucketed table — the caller
+    should fall back to :func:`publish_bucketed` explicitly. Exercised
+    by a skipped-unless-jar test (tests/test_publish.py) so the first
+    real-cluster run is not this code path's first execution.
+    """
+    from deduplicatr_spark.sources.catalog import iceberg_available
+
+    spark = df.sparkSession
+    if not iceberg_available(spark):
+        raise RuntimeError(
+            "publish_bucketed_iceberg: Iceberg runtime jar not on the "
+            "classpath — use publish_bucketed (session-catalog bucketBy) "
+            "instead"
+        )
+    if bucket_col not in df.columns:
+        raise ValueError(f"bucket column {bucket_col!r} not in {df.columns}")
+    # storage-partitioned joins: let the bucket(n, key) layout satisfy
+    # join distributions the way session-catalog bucketBy does
+    for k, v in (
+        ("spark.sql.sources.v2.bucketing.enabled", "true"),
+        ("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true"),
+        ("spark.sql.requireAllClusterKeysForCoPartition", "false"),
+    ):
+        spark.conf.set(k, v)
+    (
+        df.writeTo(table)
+        .using("iceberg")
+        .partitionedBy(F.bucket(n_buckets, bucket_col))
+        # hash-distribute on the partition spec at write time — the
+        # Iceberg analogue of the one-file-per-bucket repartition in
+        # publish_bucketed
+        .tableProperty("write.distribution-mode", "hash")
+        .createOrReplace()
+    )
+    spark.sql(
+        f"ALTER TABLE {table} WRITE ORDERED BY "
+        + ", ".join(f"`{c}`" for c in (sort_cols or (bucket_col,)))
     )
     return spark.table(table)
 

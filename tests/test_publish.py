@@ -181,3 +181,35 @@ def test_register_rejects_smaller_bucket_count(spark, published):
             bucket_col="sha256", n_buckets=2,
         )
     spark.sql("DROP TABLE IF EXISTS pub_bad_reg2")
+
+
+def test_iceberg_publish_raises_without_jar(spark, tiny_docs):
+    """Sandbox contract: the Iceberg publish variant must refuse loudly
+    (not silently write an unbucketed table) when the runtime is absent."""
+    from deduplicatr_spark.sinks import publish_bucketed_iceberg
+    from deduplicatr_spark.sources.catalog import iceberg_available
+
+    if iceberg_available(spark):
+        pytest.skip("Iceberg present — covered by the roundtrip test")
+    with pytest.raises(RuntimeError, match="Iceberg runtime"):
+        publish_bucketed_iceberg(tiny_docs, "ice_pub", bucket_col="repo")
+
+
+@pytest.mark.skipif(
+    "not __import__('deduplicatr_spark.sources.catalog', fromlist=['x'])"
+    ".iceberg_available(__import__('pyspark').sql.SparkSession.getActiveSession())",
+    reason="Iceberg runtime jar not on the classpath",
+)
+def test_iceberg_publish_bucket_transform(spark, tiny_docs):
+    """Cluster-CI path: bucket(n, key) transform + storage-partitioned
+    join confs — first execution must not be on a production run."""
+    from deduplicatr_spark.operators.exact import with_identity
+    from deduplicatr_spark.sinks import publish_bucketed_iceberg
+
+    ident = with_identity(tiny_docs).select("repo", "path", "sha256", "size")
+    t = publish_bucketed_iceberg(
+        ident, "spark_catalog.default.ice_pub", bucket_col="sha256",
+        n_buckets=4, sort_cols=("sha256", "path"),
+    )
+    assert t.count() == ident.count()
+    assert spark.conf.get("spark.sql.sources.v2.bucketing.enabled") == "true"

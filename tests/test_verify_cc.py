@@ -87,3 +87,20 @@ def test_cc_durable_checkpoint_matches_local(spark, tmp_path):
     as_map = lambda labels: {r["doc_id"]: r["cluster_id"] for r in labels.collect()}
     assert as_map(base) == as_map(dur)
     assert base_iters == dur_iters
+
+
+def test_cc_adversarial_deep_chain_log_bound(spark):
+    """Iteration bound on the worst case for star algorithms: a single
+    path of depth 128 (diameter 128, every node degree ≤ 2 — no hubs to
+    shortcut through). Kiveris et al. prove large-star/small-star
+    converges in O(log² n) rounds with O(log n) observed in practice;
+    pin the practical bound ⌈log₂ diameter⌉ + 2 = 9 here so a regression
+    to linear label propagation (diameter rounds) cannot land silently."""
+    import math
+
+    depth = 128
+    edges = [(i, i + 1) for i in range(1, depth + 1)]
+    labels, iters = _cc(spark, edges)
+    assert set(labels.values()) == {1}
+    assert len(labels) == depth + 1
+    assert iters <= math.ceil(math.log2(depth)) + 2, iters

@@ -151,11 +151,28 @@ def code_relabel(docs: DataFrame) -> DataFrame:
     )
 
 
+def _hw_probe(width: int) -> float:
+    """Host-capacity sample (units/s) — the shared VM's deliverable
+    throughput swings ~10-25× between minute-scale windows
+    (BENCH/BASELINE.md forensics), so every bench record carries its own
+    window evidence: cross-round per-query deltas are only meaningful
+    between records whose probes are comparable. Same splitmix64
+    streaming kernel as tools/bench_scaling.py's probe."""
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tools"))
+        from bench_scaling import hw_probe
+
+        return round(hw_probe(min(width, 16), units=2), 2)
+    except Exception:
+        return -1.0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     mult = int(os.environ.get("SPARK_GRAFT_BENCH_MULT", "64"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    probe_before = _hw_probe(cpus)
 
     # bench-only tmpfs opt-in: shuffle/spill volumes here fit in RAM and
     # tmpfs removes disk noise from the N-vs-4N scaling comparison
@@ -849,6 +866,11 @@ def main() -> None:
                 "query_runs": all_runs,
                 "dup_pair_recall": round(recall, 5),
                 "fork_pair_recall": fork_metrics.get("fork_pair_recall"),
+                # host-window evidence: quiet windows on this shared VM
+                # probe 8-17 u/s, crushed ones 0.4-3 — read cross-round
+                # deltas only between comparable probes
+                "hw_probe_u_s": {"before": probe_before,
+                                 "after": _hw_probe(cpus)},
                 "cpus": cpus,
                 "mult": mult,
                 "config_hash": BENCH_CONFIG.config_hash,
